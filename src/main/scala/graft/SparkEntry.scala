@@ -1,13 +1,244 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{WindowIndicators => WI}
+import graft.operators.IndicatorPipeline
+import graft.sources.Tables
+import graft.OracleSql._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY §2 (or an
+  * extended-pipeline operator); [[oracleSql]] carries the equivalent DuckDB
+  * SQL the driver hash-compares against at sf0.01. All derived doubles are
+  * rounded to 4 dp on both sides; timestamps always go through µs precision.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Deterministic 4-dp rounding: floor(x·10⁴+0.5)/10⁴ in pure double
+    * arithmetic — bitwise-identical in Spark and DuckDB, unlike round(),
+    * whose half-case handling differs (Spark: decimal-string HALF_UP;
+    * DuckDB: IEEE double). Oracle SQL uses the same formula. */
+  private def r(c: Column): Column = floor(c * lit(10000) + lit(0.5)) / lit(10000)
+
+  /** Flagship: full 13-indicator backfill over sf0.001 bars. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    IndicatorPipeline.full(Tables.bars(spark, "/root/testdata/sf0.001"))
+
+  // ---------------------------------------------------------------- parity
+
+  /** P1/P2/P3/F1: JSON field extraction, ms conversion, null guard
+    * (producer.py:67-86, consumer.py:146-149). */
+  private def qTickParse(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(
+        col("event_id"),
+        col("user_id").cast("string").as("symbol"),
+        col("value").as("price"),
+        unix_millis(col("ts")).as("ts_ms"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** S2-analog bar construction: tick stream → hourly OHLCV bars. */
+  private def qBarsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.bars(s, dir)
+
+  /** A1 + A6: sma_20 and Bollinger bands (backfill.py:17,30-37). */
+  private def qSmaBb(s: SparkSession, dir: String): DataFrame = {
+    val spec = WI.w()
+    val (_, up, lo) = WI.bollinger(col("close"), 20, 2.0, spec)
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(WI.sma(col("close"), 20, spec)).as("sma_20"),
+      r(up).as("bb_upper"),
+      r(lo).as("bb_lower"))
+  }
+
+  /** A8: stochastic %K(14) with SMA(3) smoothing (backfill.py:46-53). */
+  private def qStoch(s: SparkSession, dir: String): DataFrame = {
+    val spec = WI.w()
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(WI.stochK(col("high"), col("low"), col("close"), 14, 3, spec)).as("stoch_k_14"))
+  }
+
+  /** A10: money flow index (backfill.py:58-60). */
+  private def qMfi(s: SparkSession, dir: String): DataFrame = {
+    val spec = WI.w()
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(WI.mfi(col("high"), col("low"), col("close"), col("volume"), 14, spec)).as("mfi_14"))
+  }
+
+  /** A11: on-balance volume — exact integer math (backfill.py:61). */
+  private def qObv(s: SparkSession, dir: String): DataFrame = {
+    val spec = WI.w()
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      WI.obv(col("close"), col("volume"), spec).as("obv"))
+  }
+
+  /** A12: daily-anchored VWAP (backfill.py:62). */
+  private def qVwap(s: SparkSession, dir: String): DataFrame =
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(WI.vwap(col("time"), col("symbol"), col("high"), col("low"), col("close"),
+        col("volume"))).as("vwap"))
+
+  /** A13 / read-API: latest row per key (roadmap /latest_price). */
+  private def qLatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+  }
+
+  /** Read-API: key + time-range scan (roadmap /indicators) — filter reaches
+    * the parquet scan as PushedFilters. */
+  private def qTimeRange(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-20").cast("timestamp") &&
+        col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+
+  /** ST4/S5: first-write-wins keyed dedup (PK (time,symbol) ON CONFLICT DO
+    * NOTHING; setup.py:87, consumer.py:200). */
+  private def qDedupFirstWins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("first_time"), col("value"))
+  }
+
+  // ------------------------------------------------------------------ maps
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tick_parse" -> qTickParse,
+    "q_bars_hourly" -> qBarsHourly,
+    "q_sma_bb" -> qSmaBb,
+    "q_stoch" -> qStoch,
+    "q_mfi" -> qMfi,
+    "q_obv" -> qObv,
+    "q_vwap" -> qVwap,
+    "q_latest_per_key" -> qLatestPerKey,
+    "q_time_range" -> qTimeRange,
+    "q_dedup_first_wins" -> qDedupFirstWins)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_tick_parse" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS symbol, value AS price,
+        |  epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE value IS NOT NULL AND ts IS NOT NULL""".stripMargin,
+
+    "q_bars_hourly" -> withTicksBars("SELECT * FROM bars"),
+
+    "q_sma_bb" -> withTicksBars(
+      """, w1 AS (
+        |  SELECT symbol, time,
+        |    count(close) OVER w20 AS c20,
+        |    avg(close) OVER w20 AS m20,
+        |    stddev_samp(close) OVER w20 AS sd20
+        |  FROM bars
+        |  WINDOW w20 AS (PARTITION BY symbol ORDER BY time ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, time,
+        |  floor((CASE WHEN c20 = 20 THEN m20 END) * 10000 + 0.5) / 10000 AS sma_20,
+        |  floor((CASE WHEN c20 = 20 THEN m20 + 2 * sd20 END) * 10000 + 0.5) / 10000 AS bb_upper,
+        |  floor((CASE WHEN c20 = 20 THEN m20 - 2 * sd20 END) * 10000 + 0.5) / 10000 AS bb_lower
+        |FROM w1""".stripMargin),
+
+    "q_stoch" -> withTicksBars(
+      """, w1 AS (
+        |  SELECT symbol, time, close,
+        |    count(close) OVER w14 AS c14,
+        |    min(low) OVER w14 AS lo14,
+        |    max(high) OVER w14 AS hi14
+        |  FROM bars
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY time ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |), w2 AS (
+        |  SELECT symbol, time,
+        |    CASE WHEN c14 = 14 THEN 100 * (close - lo14) / nullif(hi14 - lo14, 0) END AS rawk
+        |  FROM w1
+        |), w3 AS (
+        |  SELECT symbol, time, count(rawk) OVER ws AS c3, avg(rawk) OVER ws AS k3
+        |  FROM w2
+        |  WINDOW ws AS (PARTITION BY symbol ORDER BY time ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, time, floor((CASE WHEN c3 = 3 THEN k3 END) * 10000 + 0.5) / 10000 AS stoch_k_14 FROM w3""".stripMargin),
+
+    "q_mfi" -> withTicksBars(
+      """, w1 AS (
+        |  SELECT symbol, time, volume,
+        |    (high + low + close) / 3 AS tp,
+        |    (high + low + close) / 3
+        |      - lag((high + low + close) / 3) OVER (PARTITION BY symbol ORDER BY time) AS d
+        |  FROM bars
+        |), w2 AS (
+        |  SELECT symbol, time,
+        |    count(d) OVER w14 AS c14,
+        |    sum(CASE WHEN d IS NULL THEN NULL WHEN d > 0 THEN tp * volume ELSE 0 END) OVER w14 AS pos,
+        |    sum(CASE WHEN d IS NULL THEN NULL WHEN d < 0 THEN tp * volume ELSE 0 END) OVER w14 AS neg
+        |  FROM w1
+        |  WINDOW w14 AS (PARTITION BY symbol ORDER BY time ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, time,
+        |  floor((CASE WHEN c14 = 14 THEN 100 * pos / nullif(pos + neg, 0) END) * 10000 + 0.5) / 10000 AS mfi_14
+        |FROM w2""".stripMargin),
+
+    "q_obv" -> withTicksBars(
+      """, w1 AS (
+        |  SELECT symbol, time, volume,
+        |    close - lag(close) OVER (PARTITION BY symbol ORDER BY time) AS d
+        |  FROM bars
+        |)
+        |SELECT symbol, time,
+        |  CAST(sum(CASE WHEN d IS NULL THEN volume WHEN d > 0 THEN volume
+        |                WHEN d < 0 THEN -volume ELSE 0 END)
+        |    OVER (PARTITION BY symbol ORDER BY time
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        |FROM w1""".stripMargin),
+
+    "q_vwap" -> withTicksBars(
+      """, w1 AS (
+        |  SELECT symbol, time, volume, (high + low + close) / 3 AS tp FROM bars
+        |)
+        |SELECT symbol, time,
+        |  floor((sum(tp * volume) OVER wd / sum(volume) OVER wd) * 10000 + 0.5) / 10000 AS vwap
+        |FROM w1
+        |WINDOW wd AS (PARTITION BY symbol, CAST(time AS DATE) ORDER BY time
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "q_latest_per_key" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, ts, event_type, value FROM w1 WHERE rn = 1""".stripMargin,
+
+    "q_time_range" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_type = 'purchase'""".stripMargin,
+
+    "q_dedup_first_wins" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS first_time, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_type, event_id, first_time, value FROM w1 WHERE rn = 1""".stripMargin)
 }

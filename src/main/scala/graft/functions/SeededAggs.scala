@@ -1,0 +1,197 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Order-dependent recursive smoothers (SURVEY §2.4) as native Catalyst
+  * imperative aggregates, evaluated over a running window frame
+  * (`UNBOUNDED PRECEDING .. CURRENT ROW`).
+  *
+  * Why this shape: WindowExec evaluates a running-frame aggregate
+  * incrementally — one `update` per row, in `(symbol, time)` order — so an
+  * O(n) left fold like EMA is exactly O(n) per symbol, shares the single
+  * per-symbol shuffle+sort with every built-in window indicator, and stays
+  * in the DataFrame world (no mapPartitions, no encoder round-trips, no
+  * group materialization). This is the custom-`Expression` path of the
+  * preference order (compose > Expression > planner extension > RDD).
+  *
+  * These aggregates are NOT mergeable (an EMA of two halves cannot be
+  * combined), so `merge` throws: they are window-only by construction,
+  * which Spark satisfies because window frames never partial-aggregate.
+  *
+  * Seeding convention (pandas-ta `ema(..., sma=True)` / Wilder RMA,
+  * SURVEY §7.4; reference calls at trading-etl-python/src/db/backfill.py:18-27):
+  * null inputs are skipped; the result is null until `n` non-null inputs
+  * were seen; at the n-th input the value is the plain mean of the first
+  * `n`; afterwards `s ← α·x + (1−α)·s` with α = 2/(n+1) for EMA, 1/n for RMA.
+  */
+object SeededAggs {
+
+  final class EmaBuf(var seen: Long, var sum: Double, var s: Double)
+
+  abstract class SeededFoldBase[T] extends TypedImperativeAggregate[T] {
+    override def nullable: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def merge(b: T, o: T): T =
+      throw new UnsupportedOperationException(
+        s"$prettyName is an order-dependent fold; use it over a running window frame")
+  }
+
+  /** SMA-seeded exponential smoother: EMA for alpha=2/(n+1), Wilder RMA for
+    * alpha=1/n. */
+  case class EmaAgg(
+      child: Expression,
+      n: Int,
+      alpha: Double,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends SeededFoldBase[EmaBuf] with UnaryLike[Expression] {
+
+    override def prettyName: String = "seeded_ema"
+
+    override def createAggregationBuffer(): EmaBuf = new EmaBuf(0L, 0.0, 0.0)
+
+    override def update(b: EmaBuf, row: InternalRow): EmaBuf = {
+      val v = child.eval(row)
+      if (v != null) {
+        val x = v.asInstanceOf[Double]
+        b.seen += 1
+        if (b.seen < n) b.sum += x
+        else if (b.seen == n) b.s = (b.sum + x) / n
+        else b.s = alpha * x + (1 - alpha) * b.s
+      }
+      b
+    }
+
+    override def eval(b: EmaBuf): Any = if (b.seen >= n) b.s else null
+
+    override def serialize(b: EmaBuf): Array[Byte] = {
+      val bb = ByteBuffer.allocate(24)
+      bb.putLong(b.seen); bb.putDouble(b.sum); bb.putDouble(b.s)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): EmaBuf = {
+      val bb = ByteBuffer.wrap(bytes)
+      new EmaBuf(bb.getLong, bb.getDouble, bb.getDouble)
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): EmaAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): EmaAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): EmaAgg = copy(child = c)
+  }
+
+  final class AdxBuf(
+      var cnt: Long,
+      var sumP: Double, var sumN: Double, var sumT: Double,
+      var sP: Double, var sN: Double, var sT: Double,
+      var dxCnt: Long, var dxSum: Double, var adx: Double)
+
+  /** Wilder ADX(n): RMA-smooth (+DM, −DM, TR), form the directional indexes,
+    * then RMA-smooth DX (doubly recursive — SURVEY §2.3 A7;
+    * trading-etl-python/src/db/backfill.py:39-44). Inputs are the raw
+    * per-row (+dm, −dm, tr) columns; rows with any null input are skipped.
+    * Rows whose smoothed TR or DI-sum is zero are skipped for the DX series
+    * (divide-by-zero guard, mirrored in the oracle). */
+  case class AdxAgg(
+      pdm: Expression,
+      ndm: Expression,
+      tr: Expression,
+      n: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends SeededFoldBase[AdxBuf] with TernaryLike[Expression] {
+
+    override def prettyName: String = "wilder_adx"
+    override def first: Expression = pdm
+    override def second: Expression = ndm
+    override def third: Expression = tr
+
+    override def createAggregationBuffer(): AdxBuf =
+      new AdxBuf(0L, 0, 0, 0, 0, 0, 0, 0L, 0, 0)
+
+    override def update(b: AdxBuf, row: InternalRow): AdxBuf = {
+      val vp = pdm.eval(row); val vn = ndm.eval(row); val vt = tr.eval(row)
+      if (vp != null && vn != null && vt != null) {
+        val p = vp.asInstanceOf[Double]
+        val m = vn.asInstanceOf[Double]
+        val t = vt.asInstanceOf[Double]
+        b.cnt += 1
+        if (b.cnt < n) { b.sumP += p; b.sumN += m; b.sumT += t }
+        else {
+          if (b.cnt == n) {
+            b.sP = (b.sumP + p) / n; b.sN = (b.sumN + m) / n; b.sT = (b.sumT + t) / n
+          } else {
+            b.sP += (p - b.sP) / n; b.sN += (m - b.sN) / n; b.sT += (t - b.sT) / n
+          }
+          if (b.sT != 0) {
+            val diP = 100.0 * b.sP / b.sT
+            val diN = 100.0 * b.sN / b.sT
+            val diSum = diP + diN
+            if (diSum != 0) {
+              val dx = 100.0 * math.abs(diP - diN) / diSum
+              b.dxCnt += 1
+              if (b.dxCnt < n) b.dxSum += dx
+              else if (b.dxCnt == n) b.adx = (b.dxSum + dx) / n
+              else b.adx += (dx - b.adx) / n
+            }
+          }
+        }
+      }
+      b
+    }
+
+    override def eval(b: AdxBuf): Any = if (b.dxCnt >= n) b.adx else null
+
+    override def serialize(b: AdxBuf): Array[Byte] = {
+      val bb = ByteBuffer.allocate(80)
+      bb.putLong(b.cnt)
+      bb.putDouble(b.sumP); bb.putDouble(b.sumN); bb.putDouble(b.sumT)
+      bb.putDouble(b.sP); bb.putDouble(b.sN); bb.putDouble(b.sT)
+      bb.putLong(b.dxCnt); bb.putDouble(b.dxSum); bb.putDouble(b.adx)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): AdxBuf = {
+      val bb = ByteBuffer.wrap(bytes)
+      new AdxBuf(bb.getLong, bb.getDouble, bb.getDouble, bb.getDouble,
+        bb.getDouble, bb.getDouble, bb.getDouble, bb.getLong, bb.getDouble, bb.getDouble)
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): AdxAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): AdxAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): AdxAgg =
+      copy(pdm = f, ndm = s, tr = t)
+  }
+
+  private def running(spec: WindowSpec): WindowSpec =
+    spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** SMA-seeded EMA(n) of `c` as a running window column. */
+  def ema(c: Column, n: Int, spec: WindowSpec): Column =
+    ColumnBridge.column(
+      EmaAgg(ColumnBridge.expression(c), n, 2.0 / (n + 1)).toAggregateExpression())
+      .over(running(spec))
+
+  /** Wilder RMA(n) (α = 1/n) of `c` as a running window column. */
+  def rma(c: Column, n: Int, spec: WindowSpec): Column =
+    ColumnBridge.column(
+      EmaAgg(ColumnBridge.expression(c), n, 1.0 / n).toAggregateExpression())
+      .over(running(spec))
+
+  /** Wilder ADX(n) over raw (+dm, −dm, tr) as a running window column. */
+  def adx(pdm: Column, ndm: Column, tr: Column, n: Int, spec: WindowSpec): Column =
+    ColumnBridge.column(
+      AdxAgg(ColumnBridge.expression(pdm), ColumnBridge.expression(ndm),
+        ColumnBridge.expression(tr), n).toAggregateExpression())
+      .over(running(spec))
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers over the driver-provided parquet tables (TESTDATA.md) and the
+  * derivations that stand in for the reference's market-data inputs.
+  *
+  * The reference ingests ticks `{symbol, price, timestamp}` (producer.py:81-86)
+  * and daily OHLCV bars (backfill.py:103). The synthetic `events` table plays
+  * the tick stream: `user_id` ↔ symbol, `ts` ↔ time, `value` ↔ price. A
+  * deterministic synthetic volume (`event_id % 97 + 1`) backs the
+  * volume-based indicators (mfi/obv/vwap) that the live path nulls out.
+  *
+  * Scale notes (100 TB): every reader is a plain parquet scan — column
+  * pruning and predicate pushdown reach the file source; bar building is a
+  * single hash aggregation shuffled by (symbol, bucket), which is exactly
+  * the partitioning every downstream indicator window needs.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default; read it as raw ns (legacy conf) and truncate to a µs
+    * timestamp with integer division — the same truncation DuckDB applies
+    * when casting TIMESTAMP_NS → TIMESTAMP, keeping oracle parity. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Tick stream stand-in: one row per event.
+    * Columns: symbol STRING, time TIMESTAMP, price DOUBLE, volume LONG. */
+  def ticks(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("user_id").cast("string").as("symbol"),
+      col("ts").as("time"),
+      col("value").as("price"),
+      (col("event_id") % 97 + 1).cast("long").as("volume"))
+
+  /** OHLCV bars bucketed per (symbol, hour) — the batch-path input
+    * (backfill.py:103 uses daily bars; hourly keeps enough rows per symbol
+    * at small SF for the long-warmup indicators).
+    *
+    * open/close are arg-min/arg-max of price by time within the bucket;
+    * volume is the bucket sum. One shuffle on (symbol, time). */
+  def bars(spark: SparkSession, sfDir: String, bucket: String = "hour"): DataFrame =
+    ticks(spark, sfDir)
+      .groupBy(col("symbol"), date_trunc(bucket, col("time")).as("time"))
+      .agg(
+        min_by(col("price"), col("time")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("time")).as("close"),
+        sum(col("volume")).as("volume"))
+
+  /** Live-path bars: OHLC all faked from the tick price, volume null
+    * (consumer.py:153-159). One row per tick. */
+  def liveBars(spark: SparkSession, sfDir: String): DataFrame =
+    ticks(spark, sfDir).select(
+      col("time"),
+      col("symbol"),
+      col("price").as("open"),
+      col("price").as("high"),
+      col("price").as("low"),
+      col("price").as("close"),
+      lit(null).cast("long").as("volume"))
+}

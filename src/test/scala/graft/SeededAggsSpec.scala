@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SeededAggs, WindowIndicators => WI}
+
+class SeededAggsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def series(vals: Seq[Double], symbol: String = "S") =
+    vals.zipWithIndex.map { case (v, i) =>
+      (new Timestamp(1700000000000L + i * 5000L), symbol, v)
+    }.toDF("time", "symbol", "close")
+
+  /** Reference fold implemented independently in plain Scala. */
+  private def emaRef(vals: Seq[Double], n: Int, alpha: Double): Seq[Option[Double]] = {
+    var sum = 0.0; var s = 0.0; var seen = 0
+    vals.map { x =>
+      seen += 1
+      if (seen < n) { sum += x; None }
+      else if (seen == n) { s = (sum + x) / n; Some(s) }
+      else { s = alpha * x + (1 - alpha) * s; Some(s) }
+    }
+  }
+
+  test("EMA(10): SMA-seeded, matches independent fold, exact") {
+    val vals = (1 to 60).map(i => 100.0 + 13 * math.sin(i * 0.7))
+    val got = series(vals)
+      .select(col("time"), SeededAggs.ema(col("close"), 10, WI.w()).as("ema"))
+      .orderBy("time").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val exp = emaRef(vals, 10, 2.0 / 11)
+    assert(got.toSeq == exp)
+  }
+
+  test("RMA(14) = EMA with alpha 1/14") {
+    val vals = (1 to 40).map(i => (i % 9).toDouble)
+    val got = series(vals)
+      .select(col("time"), SeededAggs.rma(col("close"), 14, WI.w()).as("rma"))
+      .orderBy("time").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(got.toSeq == emaRef(vals, 14, 1.0 / 14))
+  }
+
+  test("EMA skips null inputs and is per-symbol independent") {
+    val df = Seq(
+      ("A", 1, Some(1.0)), ("A", 2, None), ("A", 3, Some(2.0)), ("A", 4, Some(3.0)),
+      ("B", 1, Some(10.0)), ("B", 2, Some(20.0)))
+      .map { case (s, i, v) => (new Timestamp(i * 1000L), s, v) }
+      .toDF("time", "symbol", "close")
+    val got = df.select(col("symbol"), col("time"),
+        SeededAggs.ema(col("close"), 2, WI.w()).as("ema"))
+      .orderBy("symbol", "time").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    // A: null(seen1), null input(skip), seed=(1+2)/2=1.5, a*3+(1-a)*1.5 with a=2/3
+    val a = 2.0 / 3
+    assert(got.toSeq == Seq(None, None, Some(1.5), Some(a * 3 + (1 - a) * 1.5),
+      None, Some(15.0)))
+  }
+
+  test("RSI bounds in [0, 100] (property)") {
+    val vals = (1 to 200).map(i => 100.0 + 40 * math.sin(i * 1.3) + (i % 5))
+    val spec = WI.w()
+    val d = col("close") - lag(col("close"), 1).over(spec)
+    val gain = when(d.isNotNull, greatest(d, lit(0.0)))
+    val loss = when(d.isNotNull, greatest(-d, lit(0.0)))
+    val ag = SeededAggs.rma(gain, 14, spec)
+    val al = SeededAggs.rma(loss, 14, spec)
+    val rsi = when(al === 0, lit(100.0))
+      .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al))
+    val rows = series(vals).select(rsi.as("rsi")).filter(col("rsi").isNotNull).collect()
+    assert(rows.length == 200 - 14)
+    rows.foreach(r => assert(r.getDouble(0) >= 0 && r.getDouble(0) <= 100))
+  }
+
+  test("ADX warms up at 28 rows and stays in [0, 100]") {
+    val vals = (1 to 120).map(i => 100.0 + 10 * math.sin(i * 0.4))
+    val df = series(vals)
+      .withColumn("high", col("close") + 1).withColumn("low", col("close") - 1)
+    val out = graft.operators.IndicatorPipeline.full(
+        df.withColumn("open", col("close")).withColumn("volume", lit(1L)))
+      .orderBy("time").collect()
+    val adx = out.map(r => Option(r.getAs[java.lang.Double]("adx_14")))
+    assert(adx.take(27).forall(_.isEmpty))
+    assert(adx.drop(27).forall(v => v.isDefined && v.get >= 0 && v.get <= 100))
+  }
+}
