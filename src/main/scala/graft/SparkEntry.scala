@@ -118,9 +118,74 @@ object SparkEntry {
         col("ts").as("first_time"), col("value"))
   }
 
+  // ------------------------------------------------- recursive indicators
+
+  import graft.functions.SeededAggs
+
+  /** A2/A3: SMA-seeded EMA (backfill.py:18-19) — custom window aggregate. */
+  private def qEma(s: SparkSession, dir: String): DataFrame = {
+    val spec = WI.w()
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(SeededAggs.ema(col("close"), 10, spec)).as("ema_10"),
+      r(SeededAggs.ema(col("close"), 20, spec)).as("ema_20"))
+  }
+
+  /** A5: MACD line = EMA(12) − EMA(26) (backfill.py:23-27). */
+  private def qMacd(s: SparkSession, dir: String): DataFrame = {
+    val spec = WI.w()
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(SeededAggs.ema(col("close"), 12, spec) -
+        SeededAggs.ema(col("close"), 26, spec)).as("macd_line"))
+  }
+
+  /** A4: RSI(14) via Wilder RMA of gains/losses (backfill.py:20). */
+  private def qRsi(s: SparkSession, dir: String): DataFrame =
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(IndicatorPipeline.rsi14(WI.w())).as("rsi_14"))
+
+  /** A9: ATR(14) = RMA of true range (backfill.py:55). */
+  private def qAtr(s: SparkSession, dir: String): DataFrame =
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(IndicatorPipeline.atr14(WI.w())).as("atr_14"))
+
+  /** A7: Wilder ADX(14), doubly recursive (backfill.py:39-44). */
+  private def qAdx(s: SparkSession, dir: String): DataFrame =
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(IndicatorPipeline.adx14(WI.w())).as("adx_14"))
+
+  private val doubleIndicatorCols = Seq("sma_20", "ema_10", "ema_20", "macd_line",
+    "adx_14", "rsi_14", "stoch_k_14", "mfi_14", "bb_upper", "bb_lower", "atr_14", "vwap")
+
+  private def roundIndicators(df: DataFrame): DataFrame =
+    doubleIndicatorCols.foldLeft(df)((d, c) => d.withColumn(c, r(col(c))))
+
+  /** The flagship batch query: full 20-column backfill output
+    * (backfill.py:12-64,137) over hourly bars. */
+  private def qIndicators(s: SparkSession, dir: String): DataFrame =
+    roundIndicators(IndicatorPipeline.full(Tables.bars(s, dir)))
+
+  /** The live-path terminal query (consumer.py:135-173): tick-derived bars
+    * (OHLC = price, volume null ⇒ mfi/obv/vwap null), warm-up gate ≥26 rows
+    * AND non-null sma_20, newest surviving row per symbol. */
+  private def qLiveLatest(s: SparkSession, dir: String): DataFrame =
+    roundIndicators(IndicatorPipeline.latestPerSymbol(
+      IndicatorPipeline.gated(Tables.liveBars(s, dir))))
+
   // ------------------------------------------------------------------ maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ema" -> qEma,
+    "q_macd" -> qMacd,
+    "q_rsi" -> qRsi,
+    "q_atr" -> qAtr,
+    "q_adx" -> qAdx,
+    "q_indicators" -> qIndicators,
+    "q_live_latest" -> qLiveLatest,
     "q_tick_parse" -> qTickParse,
     "q_bars_hourly" -> qBarsHourly,
     "q_sma_bb" -> qSmaBb,
@@ -132,7 +197,41 @@ object SparkEntry {
     "q_time_range" -> qTimeRange,
     "q_dedup_first_wins" -> qDedupFirstWins)
 
+  private val liveLatestOracle: String = recWinQuery(
+    s""", findic AS (
+       |$fullIndicatorSelect
+       |), g AS (
+       |  SELECT f.*, b.rn,
+       |    row_number() OVER (PARTITION BY f.symbol ORDER BY f.time DESC) AS rnd
+       |  FROM findic f JOIN b ON b.symbol = f.symbol AND b.time = f.time
+       |  WHERE b.rn >= 26 AND f.sma_20 IS NOT NULL
+       |)
+       |SELECT time, symbol, open, high, low, close, volume, sma_20, ema_10, ema_20,
+       |       macd_line, adx_14, rsi_14, stoch_k_14, mfi_14, bb_upper, bb_lower,
+       |       atr_14, obv, vwap
+       |FROM g WHERE rnd = 1""".stripMargin,
+    live = true)
+
   def oracleSql: Map[String, String] = Map(
+    "q_ema" -> recQuery(
+      s"""SELECT symbol, time, ${r4(emaOut10)} AS ema_10, ${r4(emaOut20)} AS ema_20
+         |FROM rec""".stripMargin),
+
+    "q_macd" -> recQuery(
+      s"SELECT symbol, time, ${r4(macdOut)} AS macd_line FROM rec"),
+
+    "q_rsi" -> recQuery(
+      s"SELECT symbol, time, ${r4(rsiOut)} AS rsi_14 FROM rec"),
+
+    "q_atr" -> recQuery(
+      s"SELECT symbol, time, ${r4(atrOut)} AS atr_14 FROM rec"),
+
+    "q_adx" -> recQuery(
+      s"SELECT symbol, time, ${r4(adxOut)} AS adx_14 FROM rec"),
+
+    "q_indicators" -> recWinQuery(fullIndicatorSelect),
+
+    "q_live_latest" -> liveLatestOracle,
     "q_tick_parse" ->
       """SELECT event_id, CAST(user_id AS VARCHAR) AS symbol, value AS price,
         |  epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
 
@@ -50,42 +50,51 @@ object IndicatorPipeline {
       .select(Model.DbColumns.map(col): _*)
   }
 
-  private def withIndicators(bars: DataFrame, spec: WindowSpec): DataFrame = {
-    val close = col("close"); val high = col("high"); val low = col("low")
-    val (_, bbU, bbL) = WI.bollinger(close, 20, 2.0, spec)
-
-    // RSI(14): Wilder RMA of gains/losses over close diffs (backfill.py:20).
-    val d = close - lag(close, 1).over(spec)
+  /** RSI(14): Wilder RMA of gains/losses over close diffs (backfill.py:20);
+    * zero average loss ⇒ 100. */
+  def rsi14(spec: WindowSpec): Column = {
+    val d = col("close") - lag(col("close"), 1).over(spec)
     val gain = when(d.isNotNull, greatest(d, lit(0.0)))
     val loss = when(d.isNotNull, greatest(-d, lit(0.0)))
     val avgGain = SeededAggs.rma(gain, 14, spec)
     val avgLoss = SeededAggs.rma(loss, 14, spec)
-    val rsi = when(avgLoss === 0, lit(100.0))
+    when(avgLoss === 0, lit(100.0))
       .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / avgLoss))
+  }
 
-    // ADX(14) raw directional movement inputs (backfill.py:39-44).
+  /** ATR(14): Wilder RMA of the full true-range series (backfill.py:55). */
+  def atr14(spec: WindowSpec): Column =
+    SeededAggs.rma(WI.trueRange(col("high"), col("low"), col("close"), spec), 14, spec)
+
+  /** ADX(14) over lag-derived (+DM, −DM, TR) (backfill.py:39-44). The TR
+    * series starts at row 2 where ±DM are defined, matching the
+    * diff-aligned Wilder recursion; ATR smooths the full TR series. */
+  def adx14(spec: WindowSpec): Column = {
+    val high = col("high"); val low = col("low")
     val up = high - lag(high, 1).over(spec)
     val dn = lag(low, 1).over(spec) - low
     val pdm = when(up.isNotNull, when(up > dn && up > 0, up).otherwise(lit(0.0)))
     val ndm = when(dn.isNotNull, when(dn > up && dn > 0, dn).otherwise(lit(0.0)))
-    val tr = WI.trueRange(high, low, close, spec)
-    // ADX consumes TR only from row 2 (where ±DM are defined), matching the
-    // diff-aligned Wilder recursion; ATR smooths the full TR series.
-    val trFromRow2 = when(up.isNotNull, tr)
+    val tr = WI.trueRange(high, low, col("close"), spec)
+    SeededAggs.adx(pdm, ndm, when(up.isNotNull, tr), 14, spec)
+  }
 
+  private def withIndicators(bars: DataFrame, spec: WindowSpec): DataFrame = {
+    val close = col("close"); val high = col("high"); val low = col("low")
+    val (_, bbU, bbL) = WI.bollinger(close, 20, 2.0, spec)
     bars
       .withColumn("sma_20", WI.sma(close, 20, spec))
       .withColumn("ema_10", SeededAggs.ema(close, 10, spec))
       .withColumn("ema_20", SeededAggs.ema(close, 20, spec))
       .withColumn("macd_line",
         SeededAggs.ema(close, 12, spec) - SeededAggs.ema(close, 26, spec))
-      .withColumn("adx_14", SeededAggs.adx(pdm, ndm, trFromRow2, 14, spec))
-      .withColumn("rsi_14", rsi)
+      .withColumn("adx_14", adx14(spec))
+      .withColumn("rsi_14", rsi14(spec))
       .withColumn("stoch_k_14", WI.stochK(high, low, close, 14, 3, spec))
       .withColumn("mfi_14", WI.mfi(high, low, close, col("volume"), 14, spec))
       .withColumn("bb_upper", bbU)
       .withColumn("bb_lower", bbL)
-      .withColumn("atr_14", SeededAggs.rma(tr, 14, spec))
+      .withColumn("atr_14", atr14(spec))
       .withColumn("obv", WI.obv(close, col("volume"), spec))
       .withColumn("vwap", WI.vwap(col("time"), col("symbol"), high, low, close, col("volume")))
   }
