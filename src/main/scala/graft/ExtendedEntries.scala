@@ -1,0 +1,433 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Extended pipeline operators (dedup / similarity / text analysis /
+  * multimodal / relational), each with its DuckDB oracle.
+  *
+  * Shared portability rules (see OracleSql): md5-derived integer hashes;
+  * int64-safe modular arithmetic; money as floor(x·100+0.5) integer cents
+  * so sums are order-independent and bit-exact; floor-based 4dp rounding
+  * for any true floating output; left-to-right double folds for dot
+  * products. */
+object ExtendedEntries {
+
+  private def r(c: Column): Column = floor(c * lit(10000) + lit(0.5)) / lit(10000)
+  private def r4(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000"
+
+  /** Exact integer cents — order-independent money aggregation. */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  // --------------------------------------------------------------- queries
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir))
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val st = TextAnalysis.stats(Tables.documents(s, dir))
+    st.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      r(col("mean_token_len")).as("mean_token_len"),
+      r(col("stopword_ratio")).as("stopword_ratio"),
+      r(col("distinct_ratio")).as("distinct_ratio"),
+      r(col("quality_score")).as("quality_score"))
+  }
+
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, dir))
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val li = TextAnalysis.langId(Tables.documents(s, dir))
+    li.select(col("doc_id"), col("lang_label"),
+      r(col("en_stopword_ratio")).as("en_stopword_ratio"), col("lang_pred"))
+  }
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, dir))
+
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), 0.7)
+
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), 0.7)
+
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), 10)
+
+  private def qCosineTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(Tables.embeddings(s, dir), 10, 5)
+
+  private def qCosineIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfSearch(Tables.embeddings(s, dir), 8, 10, 3)
+
+  private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Similarity.dedupPairs(Tables.embeddings(s, dir), 0.4)
+
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.features(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
+
+  /** TPC-H-Q1-style pricing summary; money in integer cents. */
+  private def qAggPricing(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val dp = cents(col("l_discount"))  // discount in integer percent-of-100
+    val tp = cents(col("l_tax"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("sq"),
+        sum(cents(col("l_extendedprice"))).as("se"),
+        sum(dp).as("sd"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - dp)).as("srev"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - dp) * (lit(100L) + tp)).as("sch"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("sq") / lit(100.0)).as("sum_qty"),
+        (col("se") / lit(100.0)).as("sum_base_price"),
+        (col("srev") / lit(10000.0)).as("sum_disc_price"),
+        (col("sch") / lit(1000000.0)).as("sum_charge"),
+        (col("sq") / lit(100.0) / col("n")).as("avg_qty"),
+        (col("se") / lit(100.0) / col("n")).as("avg_price"),
+        (col("sd") / lit(100.0) / col("n")).as("avg_disc"),
+        col("n").as("count_order"))
+  }
+
+  /** Star join: orders ⋈ customer ⋈ nation (dims broadcast), revenue per
+    * nation. */
+  private def qJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("o_totalprice"))).as("revc"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .select(col("n_name"), (col("revc") / lit(100.0)).as("revenue"),
+        col("n_orders"), col("n_customers"))
+  }
+
+  /** Gap-based sessionization (30 min inactivity) — the classic streaming
+    * windowing pattern expressed over the batch table. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    val isNew = when(gap.isNull || gap > 1800000000L, 1).otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("session_id",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("vc"))
+      .select(col("user_id"), col("session_id"), col("session_start"),
+        col("session_end"), col("n_events"), (col("vc") / lit(100.0)).as("total_value"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_text_stats" -> qTextStats,
+    "q_token_count" -> qTokenCount,
+    "q_lang_id" -> qLangId,
+    "q_fingerprint" -> qFingerprint,
+    "q_jaccard_pairs" -> qJaccardPairs,
+    "q_minhash_lsh" -> qMinhashLsh,
+    "q_simhash" -> qSimhash,
+    "q_cosine_topk" -> qCosineTopK,
+    "q_cosine_ivf" -> qCosineIvf,
+    "q_dedup_embed" -> qDedupEmbed,
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_agg_pricing" -> qAggPricing,
+    "q_join_revenue" -> qJoinRevenue,
+    "q_sessionize" -> qSessionize)
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB 60-bit md5 hash (mirrors TextAnalysis.hash60). */
+  private def oHash60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Distinct (doc_id, 31-bit shingle-hash) index (mirrors Dedup.shingleIndex). */
+  private val oShingleIdx: String =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END)) AS sh
+       |  FROM tk
+       |),
+       |shidx AS (SELECT DISTINCT doc_id, ${oHash60("sh")} % 2147483647 AS h FROM sh0),
+       |shsz AS (SELECT doc_id, count(*) AS sz FROM shidx GROUP BY doc_id)""".stripMargin
+
+  /** Verified shingle-Jaccard pairs ≥ tau (mirrors Dedup.jaccardPairs). */
+  private def oJaccard(tau: Double): String =
+    s"""inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM shidx a JOIN shidx b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |    ${r4("i / (sa.sz + sb.sz - i)")} AS jaccard,
+       |    i / (sa.sz + sb.sz - i) AS jraw
+       |  FROM inter JOIN shsz sa ON sa.doc_id = doc_a
+       |             JOIN shsz sb ON sb.doc_id = doc_b
+       |),
+       |jpairs AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jraw >= $tau)""".stripMargin
+
+  /** MinHash signature + LSH bands (mirrors Dedup.minhashSignatures/bands). */
+  private val oMinhash: String = {
+    val sig = (0 until Dedup.MinHashK)
+      .map(j => s"min((h * ${Dedup.mhA(j)} + ${Dedup.mhB(j)}) % ${Dedup.MinHashP}) AS mh$j")
+      .mkString(", ")
+    val bands = (0 until Dedup.MinHashK / 2)
+      .map(bd => s"SELECT doc_id, $bd AS band, mh${2 * bd} AS x, mh${2 * bd + 1} AS y FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""sig AS (SELECT doc_id, $sig FROM shidx GROUP BY doc_id),
+       |bands AS (
+       |  $bands
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  /** Left-to-right double dot product (mirrors Similarity.dot). */
+  private def oDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private def oCos(a: String, b: String): String =
+    s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id, n_tokens, n_distinct,
+         |    (length(text) - (n_tokens - 1)) / n_tokens AS mean_token_len,
+         |    len(list_filter(toks, x -> list_contains(
+         |      ['the','a','of','to','in','and','is','on','for','with'], x))) / n_tokens
+         |      AS stopword_ratio,
+         |    n_distinct / n_tokens AS distinct_ratio,
+         |    least(n_tokens / 50.0, 1.0) AS len_score
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  ${r4("mean_token_len")} AS mean_token_len,
+         |  ${r4("stopword_ratio")} AS stopword_ratio,
+         |  ${r4("distinct_ratio")} AS distinct_ratio,
+         |  ${r4("0.4 * len_score + 0.4 * distinct_ratio + 0.2 * (1.0 - abs(stopword_ratio - 0.1))")}
+         |    AS quality_score
+         |FROM u""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[a-z]+$')))
+        |    AS n_alpha_tokens,
+        |  CAST(list_reduce(list_transform(string_split(text, ' '),
+        |    t -> CAST((length(t) + 3) // 4 AS BIGINT)), (a, b) -> a + b) AS BIGINT)
+        |    AS n_bpe_est
+        |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS lang_label,
+         |    len(list_filter(string_split(text, ' '), x -> list_contains(
+         |      ['the','a','of','to','in','and','is','on','for','with'], x)))
+         |      / len(string_split(text, ' ')) AS ratio
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang_label, ${r4("ratio")} AS en_stopword_ratio,
+         |  CASE WHEN ratio >= 0.10 THEN 'en'
+         |       WHEN ratio >= 0.05 THEN 'mixed'
+         |       ELSE 'other' END AS lang_pred
+         |FROM t""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  CAST(list_reduce(
+         |    list_transform(range(1, len(toks) + 1),
+         |      i -> (${oHash60("toks[i]")} % 1000000007) * ((i % 97) + 1)),
+         |    (a, b) -> (a + b) % 1000000007) % 1000000007 AS BIGINT) AS fingerprint
+         |FROM t""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      s"""WITH $oShingleIdx,
+         |${oJaccard(0.7)}
+         |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin,
+
+    "q_minhash_lsh" ->
+      s"""WITH $oShingleIdx,
+         |$oMinhash,
+         |${oJaccard(0.7)}
+         |SELECT c.doc_a, c.doc_b, j.jaccard
+         |FROM cand c JOIN jpairs j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END)) AS tok
+        |  FROM tk
+        |), tokh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM tok0
+        |), bits AS (
+        |  SELECT doc_id, r.i AS i,
+        |    sum(CASE WHEN (h >> CAST(r.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM tokh, range(60) r(i) GROUP BY doc_id, r.i
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v >= 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin,
+
+    "q_cosine_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+         |), s AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${r4(oCos("qe", "e.embedding"))} AS score
+         |  FROM embeddings e, q WHERE e.vec_id != q.query_id
+         |), rk AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 5""".stripMargin,
+
+    "q_cosine_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+         |), ascore AS (
+         |  SELECT e.vec_id, c.centroid_id, e.embedding,
+         |    ${r4(oCos("e.embedding", "c.ce"))} AS cscore
+         |  FROM embeddings e, cent c
+         |), assign AS (
+         |  SELECT vec_id, centroid_id, embedding FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cscore DESC, centroid_id) AS arow
+         |    FROM ascore
+         |  ) WHERE arow = 1
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, centroid_id AS qc
+         |  FROM assign WHERE vec_id < 10
+         |), s AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    ${r4(oCos("q.qe", "a.embedding"))} AS score
+         |  FROM assign a, q
+         |  WHERE a.centroid_id = q.qc AND a.vec_id != q.query_id
+         |), rk AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 3""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${r4(oCos("a.embedding", "b.embedding"))} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+        |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
+        |  CAST(ascii(substr(text, 1, 1)) % 3 + 1 AS BIGINT) AS channels,
+        |  concat_ws(',', 0,
+        |    octet_length(encode(text)) // 4,
+        |    octet_length(encode(text)) // 2,
+        |    (octet_length(encode(text)) * 3) // 4) AS frame_offsets
+        |FROM documents""".stripMargin,
+
+    "q_agg_pricing" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ec,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dp,
+        |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tp
+        |  FROM lineitem
+        |), g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(sum(qc) AS BIGINT) AS sq, CAST(sum(ec) AS BIGINT) AS se,
+        |    CAST(sum(dp) AS BIGINT) AS sd,
+        |    CAST(sum(ec * (100 - dp)) AS BIGINT) AS srev,
+        |    CAST(sum(ec * (100 - dp) * (100 + tp)) AS BIGINT) AS sch,
+        |    count(*) AS n
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT l_returnflag, l_linestatus,
+        |  sq / 100.0 AS sum_qty, se / 100.0 AS sum_base_price,
+        |  srev / 10000.0 AS sum_disc_price, sch / 1000000.0 AS sum_charge,
+        |  sq / 100.0 / n AS avg_qty, se / 100.0 / n AS avg_price,
+        |  sd / 100.0 / n AS avg_disc, n AS count_order
+        |FROM g""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS revenue,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |        OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM e
+        |)
+        |SELECT user_id, session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS total_value
+        |FROM s GROUP BY 1, 2""".stripMargin)
+}

@@ -178,7 +178,7 @@ object SparkEntry {
 
   // ------------------------------------------------------------------ maps
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ExtendedEntries.queries ++ Map(
     "q_ema" -> qEma,
     "q_macd" -> qMacd,
     "q_rsi" -> qRsi,
@@ -212,7 +212,7 @@ object SparkEntry {
        |FROM g WHERE rnd = 1""".stripMargin,
     live = true)
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = ExtendedEntries.oracleSql ++ Map(
     "q_ema" -> recQuery(
       s"""SELECT symbol, time, ${r4(emaOut10)} AS ema_10, ${r4(emaOut20)} AS ema_20
          |FROM rec""".stripMargin),

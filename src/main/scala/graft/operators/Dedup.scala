@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for the training-data pipeline: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB): never all-pairs. Every near-dup variant generates
+  * candidates through an equi-join key — shingle inverted index, LSH band
+  * bucket, or (for SimHash at extreme scale) multi-index prefixes — so the
+  * shuffle is keyed and the pair space stays near-linear in the number of
+  * true duplicates. Verification (exact Jaccard / Hamming) runs only on
+  * candidates. All hashes are md5-derived 60-bit ints reduced mod 2^31-1
+  * so products stay inside int64 (DuckDB errors on overflow; Spark wraps).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: canonical id = smallest doc_id.
+    * One hash-aggregate shuffle; at scale this is the cheapest pass and
+    * runs first to shrink the near-dup input. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_docs"))
+
+  /** (doc_id, shingle-hash) distinct pairs — the inverted-index relation
+    * shared by Jaccard and MinHash. Hashes reduced mod 2^31−1. */
+  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shinglesFromTokens(col("toks"), n))).as("sh"))
+      .select(col("doc_id"), (TextAnalysis.hash60(col("sh")) % 2147483647L).as("h"))
+      .distinct()
+
+  /** Pairwise n-gram Jaccard ≥ tau. Candidates = pairs sharing ≥1 shingle
+    * (the index join is the blocker — no quadratic pair space). */
+  def jaccardPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
+    val idx = shingleIndex(docs, n)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = idx.as("a"); val b = idx.as("b")
+    val inter = a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sza")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "szb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
+  }
+
+  /** MinHash parameters: k hashes h_j(x) = (A_j·x + B_j) mod P over the
+    * 31-bit shingle hashes; bands of r=2 rows. */
+  val MinHashP = 2147483647L
+  val MinHashK = 16
+  def mhA(j: Int): Long = 37L * j + 11
+  def mhB(j: Int): Long = 101L * j + 7
+
+  /** Per-doc MinHash signature (k columns mh0..mh{k-1}). */
+  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
+    val idx = shingleIndex(docs, n)
+    val aggs = (0 until MinHashK).map { j =>
+      min((col("h") * mhA(j) + mhB(j)) % MinHashP).as(s"mh$j")
+    }
+    idx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: band-bucket join → candidates → exact
+    * Jaccard verification ≥ tau. The LSH bands are the only join keys, so
+    * candidate generation is an equi-join, not a cross product. */
+  def minhashLshPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
+    val sig = minhashSignatures(docs, n)
+    val bandExprs = (0 until MinHashK / 2).flatMap(bd =>
+      Seq(lit(bd), col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}")))
+    val bands = sig.select(col("doc_id"),
+      explode(expr(
+        (0 until MinHashK / 2)
+          .map(bd => s"struct(${bd} AS band, mh${2 * bd} AS x, mh${2 * bd + 1} AS y)")
+          .mkString("array(", ", ", ")"))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.x"), col("bb.y"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+          col("a.y") === col("b.y") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact shingle Jaccard
+    val verified = jaccardPairs(docs, tau, n)
+    cand.join(verified, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash over distinct 3-gram shingles (majority vote per bit).
+    * Shingles, not unigrams: with a small vocabulary every document shares
+    * most unigrams, collapsing unigram SimHashes together; word 3-grams
+    * keep near-dups at Hamming ≤ ~10 while unrelated docs sit ≥ ~13. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokHash = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shinglesFromTokens(col("toks")))).as("tok"))
+      .select(col("doc_id"), TextAnalysis.hash60(col("tok")).as("h"))
+    val bits = tokHash.select(col("doc_id"),
+        explode(sequence(lit(0), lit(59))).as("i"),
+        col("h"))
+      .groupBy("doc_id", "i")
+      .agg(sum(expr("CASE WHEN shiftright(h, CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END")).as("v"))
+    bits.groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN v >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE 0 END"))
+        .cast("long").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHam. At this corpus
+    * size a broadcast self-join is optimal; at 100 TB swap the blocker for
+    * 4-way prefix multi-index (any pair within Hamming 3 shares one of 4
+    * 15-bit prefixes) — same verify stage. */
+  def simhashPairs(docs: DataFrame, maxHam: Int): DataFrame = {
+    val sh = simhash(docs)
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHam)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class ExtendedOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under the smallest doc_id") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val out = Dedup.exact(d).orderBy("canonical_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: 3-grams, short docs yield empty array not a crash") {
+    val out = docs((1L, "a b c d"), (2L, "a b"))
+      .select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](1).isEmpty)
+  }
+
+  test("jaccard pairs: identical docs = 1.0; disjoint docs absent") {
+    val d = docs(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+    val out = Dedup.jaccardPairs(d, 0.5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH finds the identical pair and verifies its jaccard") {
+    val d = docs(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"), (3L, "q r s t u v w x y z"))
+    val out = Dedup.minhashLshPairs(d, 0.5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical docs at hamming 0; pairs bounded by threshold") {
+    val d = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
+    val out = Dedup.simhashPairs(d, 0).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 2L, 0)))
+  }
+
+  test("cosine top-k: self excluded, scores ordered, deterministic ranks") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(emb, 1, 3).orderBy("rk").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    assert(out.head.getDouble(2) == 1.0)
+    assert(out.last.getDouble(2) == 0.0)
+  }
+
+  test("IVF assignment puts every vector in its nearest centroid's cluster") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfAssign(emb, 2).orderBy("vec_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L)))
+  }
+
+  test("multimodal: stub codec agrees with the columnar feature path") {
+    val d = docs((1L, "hello world"), (2L, "spark"))
+    val media = Multimodal.mediaFromDocs(d.withColumn("lang", lit("en")))
+    val cols = Multimodal.features(media).orderBy("doc_id").collect()
+    val typed = Multimodal.decodeBatches(spark, media.orderBy("doc_id")).collect()
+      .sortBy(_.n_bytes)
+    assert(cols.map(_.getAs[Long]("n_bytes")).sorted.toSeq == typed.map(_.n_bytes).sorted.toSeq)
+    val h = cols.find(_.getLong(0) == 1L).get
+    assert(h.getAs[Long]("n_bytes") == 11L)
+    assert(h.getAs[String]("frame_offsets") == "0,2,5,8")
+    val t = typed.find(_.n_bytes == 11L).get
+    assert(t.frame_offsets == Seq(0L, 2L, 5L, 8L))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val out = TextAnalysis.fingerprint(docs((1L, "a b c"), (2L, "c b a")))
+      .select("fingerprint").collect().map(_.getLong(0))
+    assert(out(0) != out(1))
+  }
+
+  test("quality score stays in [0,1] on the real corpus") {
+    val st = TextAnalysis.stats(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(st.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+  }
+}
