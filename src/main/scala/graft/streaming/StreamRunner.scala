@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sinks.IdempotentSink
+
+/** End-to-end streaming demo without a broker:
+  * `graft.streaming.StreamRunner <sfDir> <workDir>` — Feeder renders the
+  * events table as JSON tick messages to `<workDir>/ticks`, a file-source
+  * stream consumes them through the stateful indicator pipeline, and
+  * foreachBatch applies the first-write-wins sink to `<workDir>/out`.
+  * Swap the file source/sink for format("kafka") against a real broker —
+  * the pipeline itself is identical (see StreamIngest scaladoc).
+  */
+object StreamRunner {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, workDir) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Feeder.tickMessages(spark, sfDir).select(col("value"))
+      .write.mode("overwrite").text(s"$workDir/ticks")
+
+    val raw = spark.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$workDir/ticks")
+
+    val q = StreamIngest.fromRaw(raw)
+      .select(col("row.*"), col("seq"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IdempotentSink.append(batch, s"$workDir/out", Seq("time", "symbol"), "seq")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(s"$workDir/out")
+    println(s"STREAMED_ROWS=${out.count()} SYMBOLS=${out.select("symbol").distinct().count()}")
+    spark.stop()
+  }
+}
