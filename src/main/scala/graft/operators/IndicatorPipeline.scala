@@ -79,23 +79,89 @@ object IndicatorPipeline {
     SeededAggs.adx(pdm, ndm, when(up.isNotNull, tr), 14, spec)
   }
 
+  /** Three explicit window layers so Catalyst places all independent window
+    * expressions of a layer in ONE WindowExec (sequential withColumn chains
+    * defeat CollapseWindow and yielded 9 Window operators; this shape gives
+    * 3 over the symbol spec + 1 for the day-anchored vwap, all sharing one
+    * shuffle and at most two sorts — the vwap spec's (symbol, day)
+    * clustering is satisfied by the symbol hash partitioning).
+    * Expression-for-expression identical to the naive chain (oracle
+    * parity unaffected). */
   private def withIndicators(bars: DataFrame, spec: WindowSpec): DataFrame = {
     val close = col("close"); val high = col("high"); val low = col("low")
-    val (_, bbU, bbL) = WI.bollinger(close, 20, 2.0, spec)
-    bars
-      .withColumn("sma_20", WI.sma(close, 20, spec))
-      .withColumn("ema_10", SeededAggs.ema(close, 10, spec))
-      .withColumn("ema_20", SeededAggs.ema(close, 20, spec))
-      .withColumn("macd_line",
-        SeededAggs.ema(close, 12, spec) - SeededAggs.ema(close, 26, spec))
-      .withColumn("adx_14", adx14(spec))
-      .withColumn("rsi_14", rsi14(spec))
-      .withColumn("stoch_k_14", WI.stochK(high, low, close, 14, 3, spec))
-      .withColumn("mfi_14", WI.mfi(high, low, close, col("volume"), 14, spec))
-      .withColumn("bb_upper", bbU)
-      .withColumn("bb_lower", bbL)
-      .withColumn("atr_14", atr14(spec))
-      .withColumn("obv", WI.obv(close, col("volume"), spec))
-      .withColumn("vwap", WI.vwap(col("time"), col("symbol"), high, low, close, col("volume")))
+    def w(n: Int) = spec.rowsBetween(-(n - 1), 0)
+    val tp = (high + low + close) / lit(3)
+
+    // L1: lag offsets + aggregates depending only on raw columns
+    val l1 = bars.select(col("*"),
+      lag(close, 1).over(spec).as("_pc"),
+      lag(high, 1).over(spec).as("_ph"),
+      lag(low, 1).over(spec).as("_pl"),
+      lag(tp, 1).over(spec).as("_ptp"),
+      count(close).over(w(20)).as("_c20"),
+      avg(close).over(w(20)).as("_m20"),
+      stddev_samp(close).over(w(20)).as("_sd20"),
+      count(close).over(w(14)).as("_c14"),
+      min(low).over(w(14)).as("_lo14"),
+      max(high).over(w(14)).as("_hi14"),
+      SeededAggs.ema(close, 10, spec).as("ema_10"),
+      SeededAggs.ema(close, 20, spec).as("ema_20"),
+      SeededAggs.ema(close, 12, spec).as("_e12"),
+      SeededAggs.ema(close, 26, spec).as("_e26"))
+
+    // plain expressions over L1 (no window)
+    val d = close - col("_pc")
+    val trRaw = greatest(high - low, abs(high - col("_pc")), abs(low - col("_pc")))
+    val tr = when(col("_pc").isNull, high - low).otherwise(trRaw)
+    val up = high - col("_ph")
+    val dn = col("_pl") - low
+    val pdm = when(up.isNotNull, when(up > dn && up > 0, up).otherwise(lit(0.0)))
+    val ndm = when(dn.isNotNull, when(dn > up && dn > 0, dn).otherwise(lit(0.0)))
+    val gain = when(d.isNotNull, greatest(d, lit(0.0)))
+    val loss = when(d.isNotNull, greatest(-d, lit(0.0)))
+    val tpd = tp - col("_ptp")
+    val mfRaw = tp * col("volume")
+    val mfPos = when(tpd > 0, mfRaw).otherwise(lit(0.0))
+    val mfNeg = when(tpd < 0, mfRaw).otherwise(lit(0.0))
+    val signedVol = when(d.isNull, col("volume"))
+      .when(d > 0, col("volume")).when(d < 0, -col("volume")).otherwise(lit(0L))
+    val rawK = when(col("_c14") === 14,
+      lit(100) * (close - col("_lo14")) / nullif(col("_hi14") - col("_lo14"), lit(0)))
+
+    // L2: aggregates over lag-derived series
+    val wcum = spec.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val l2 = l1.select(col("*"),
+      rawK.as("_rawk"),
+      SeededAggs.rma(gain, 14, spec).as("_ag"),
+      SeededAggs.rma(loss, 14, spec).as("_al"),
+      SeededAggs.rma(tr, 14, spec).as("atr_14"),
+      SeededAggs.adx(pdm, ndm, when(up.isNotNull, tr), 14, spec).as("adx_14"),
+      count(tpd).over(w(14)).as("_cmf"),
+      sum(when(tpd.isNotNull, mfPos)).over(w(14)).as("_pos"),
+      sum(when(tpd.isNotNull, mfNeg)).over(w(14)).as("_neg"),
+      sum(signedVol).over(wcum).cast("long").as("obv"))
+
+    // L3: windows over L2 outputs + the day-anchored vwap spec
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol"), to_date(col("time"))).orderBy(col("time"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val l3 = l2.select(col("*"),
+      count(col("_rawk")).over(w(3)).as("_ck"),
+      avg(col("_rawk")).over(w(3)).as("_k3"),
+      sum(tp * col("volume")).over(wd).as("_vnum"),
+      sum(col("volume")).over(wd).as("_vden"))
+
+    val full20 = col("_c20") === 20
+    l3.select(col("*"),
+      when(full20, col("_m20")).as("sma_20"),
+      (col("_e12") - col("_e26")).as("macd_line"),
+      when(col("_al") === 0, lit(100.0))
+        .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("_ag") / col("_al"))).as("rsi_14"),
+      when(col("_ck") === 3, col("_k3")).as("stoch_k_14"),
+      when(col("_cmf") === 14,
+        lit(100) * col("_pos") / nullif(col("_pos") + col("_neg"), lit(0))).as("mfi_14"),
+      (when(full20, col("_m20")) + lit(2.0) * when(full20, col("_sd20"))).as("bb_upper"),
+      (when(full20, col("_m20")) - lit(2.0) * when(full20, col("_sd20"))).as("bb_lower"),
+      (col("_vnum") / col("_vden")).as("vwap"))
   }
 }
