@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{FloatDotProduct, SeededAggs}
+
+/** Engine packaging: registers the custom functions with the session's
+  * FunctionRegistry so plain `spark.sql` users get them as first-class
+  * (window-)functions:
+  *
+  *   SELECT seeded_ema(close, 10) OVER (PARTITION BY symbol ORDER BY time
+  *          ROWS UNBOUNDED PRECEDING) FROM bars
+  *   SELECT wilder_rma(tr, 14) OVER (...), wilder_adx(pdm, ndm, tr, 14) OVER (...)
+  *   SELECT float_dot(a.embedding, b.embedding) FROM ...
+  *
+  * Install via `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * or `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT length, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("seeded_ema"),
+      new ExpressionInfo(classOf[SeededAggs.EmaAgg].getName, "seeded_ema"),
+      (args: Seq[Expression]) => {
+        val n = intArg(args(1), "seeded_ema")
+        SeededAggs.EmaAgg(args.head, n, 2.0 / (n + 1)).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("wilder_rma"),
+      new ExpressionInfo(classOf[SeededAggs.EmaAgg].getName, "wilder_rma"),
+      (args: Seq[Expression]) => {
+        val n = intArg(args(1), "wilder_rma")
+        SeededAggs.EmaAgg(args.head, n, 1.0 / n).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("wilder_adx"),
+      new ExpressionInfo(classOf[SeededAggs.AdxAgg].getName, "wilder_adx"),
+      (args: Seq[Expression]) => {
+        val n = intArg(args(3), "wilder_adx")
+        SeededAggs.AdxAgg(args(0), args(1), args(2), n).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))))
+
+  /** Register into an already-built session (extensions only apply at
+    * session construction; this covers shells/notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

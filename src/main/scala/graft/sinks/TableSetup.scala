@@ -1,0 +1,50 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Model
+
+/** S6 analog — the reference's DDL + hypertable setup
+  * (trading-etl-python/src/db/setup.py:43-119) re-expressed as a
+  * date-partitioned parquet table:
+  *  - `CREATE TABLE stock_indicators (...20 cols...)` → parquet schema from
+  *    Model.DbColumns;
+  *  - `create_hypertable('stock_indicators', by_range('time'))` → parquet
+  *    `PARTITIONED BY (day)`: time-range queries prune partitions exactly
+  *    like hypertable chunk exclusion, and at 100 TB the partition column
+  *    also scopes the idempotent sink's anti-join.
+  */
+object TableSetup {
+
+  /** Drop-and-recreate (setup.py drops first, :49). */
+  def setup(spark: SparkSession, path: String): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hadoopPath)) fs.delete(hadoopPath, true)
+  }
+
+  /** Append indicator rows with PK(time,symbol) first-write-wins semantics
+    * (within the batch AND against prior appends — the ON CONFLICT DO
+    * NOTHING analog), partitioned by calendar day. At scale the anti-join
+    * reads only the key columns of the partitions the batch touches. */
+  def writeIndicators(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val batch = df.select(Model.DbColumns.map(col): _*)
+      .withColumn("day", to_date(col("time")))
+      .dropDuplicates("time", "symbol")
+    val fresh =
+      try {
+        val existing = spark.read.parquet(path).select(col("time"), col("symbol")).distinct()
+        batch.join(existing, Seq("time", "symbol"), "left_anti")
+      } catch { case _: org.apache.spark.sql.AnalysisException => batch }
+    fresh.write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+  }
+
+  /** Time-range read — the filter on `day` prunes to the touched
+    * partitions (chunk exclusion). */
+  def readRange(spark: SparkSession, path: String, fromDay: String, toDay: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("day") >= lit(fromDay) && col("day") <= lit(toDay))
+      .select(Model.DbColumns.map(col): _*)
+}

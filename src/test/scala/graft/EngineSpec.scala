@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftExtensions
+import graft.sinks.TableSetup
+
+/** Engine-packaging checks: SQL function registration + the partitioned
+  * table DDL analog (setup.py:43-119). */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("seeded_ema / wilder_rma are usable from plain SQL as window functions") {
+    import spark.implicits._
+    (1 to 30).map(i => ("S", i, 100.0 + i)).toDF("symbol", "t", "close")
+      .createOrReplaceTempView("sqlbars")
+    val rows = spark.sql(
+      """SELECT t,
+        |  seeded_ema(close, 10) OVER (PARTITION BY symbol ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e10,
+        |  wilder_rma(close, 14) OVER (PARTITION BY symbol ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r14
+        |FROM sqlbars ORDER BY t""".stripMargin).collect()
+    assert(rows.take(9).forall(_.isNullAt(1)))
+    // seed at row 10 = mean of closes 101..110 = 105.5
+    assert(rows(9).getDouble(1) == 105.5)
+    assert(rows.take(13).forall(_.isNullAt(2)))
+    assert(rows(13).getDouble(2) == 107.5)
+  }
+
+  test("float_dot is usable from SQL") {
+    import spark.implicits._
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT float_dot(a, b) FROM vecs").head().getDouble(0) == 11.0)
+  }
+
+  test("TableSetup: day-partitioned write, first-write-wins across appends, pruned range read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString + "/stock_indicators"
+    def mkBars(priceOff: Double) = (0 until 60).map { i =>
+      val ts = new java.sql.Timestamp(1700000000000L + i * 3600_000L) // hourly, ~3 days
+      (ts, "A", 100.0 + i + priceOff)
+    }.toDF("time", "symbol", "close")
+      .withColumn("open", col("close")).withColumn("high", col("close"))
+      .withColumn("low", col("close")).withColumn("volume", lit(10L))
+    TableSetup.setup(spark, dir)
+    TableSetup.writeIndicators(graft.operators.IndicatorPipeline.full(mkBars(0)), dir)
+    // conflicting re-append with different prices: every key already exists
+    TableSetup.writeIndicators(graft.operators.IndicatorPipeline.full(mkBars(500)), dir)
+    val all = spark.read.parquet(dir)
+    assert(all.count() == 60)
+    assert(all.agg(max(col("close"))).head().getDouble(0) < 500) // first write won
+    val days = new java.io.File(dir).listFiles().count(_.getName.startsWith("day="))
+    assert(days >= 3)
+    val ranged = TableSetup.readRange(spark, dir, "2023-11-15", "2023-11-15")
+    assert(ranged.count() == 24)
+  }
+}
