@@ -127,7 +127,36 @@ object ExtendedEntries {
         col("session_end"), col("n_events"), (col("vc") / lit(100.0)).as("total_value"))
   }
 
+  /** As-of join: each tick enriched with the prevailing hourly bar
+    * (most recent bar at-or-before the tick). */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame =
+    operators.AsOfJoin.asof(Tables.ticks(s, dir), Tables.bars(s, dir),
+      "symbol", "time", Seq("close", "volume"))
+      .select(col("symbol"), col("time"), col("price"),
+        col("asof_time"), col("asof_close"), col("asof_volume"))
+
+  /** ROLLUP aggregation (grouping-sets family). */
+  private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(sum(cents(col("o_totalprice"))).as("revc"), count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        (col("revc") / lit(100.0)).as("revenue"), col("n_orders"))
+
+  /** Top-k per key (ORDER BY + LIMIT per group). */
+  private def qTopkPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("user_id"), col("rk"), col("event_id"), col("ts"), col("value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> qAsofJoin,
+    "q_rollup_revenue" -> qRollupRevenue,
+    "q_topk_per_key" -> qTopkPerKey,
     "q_dedup_exact" -> qDedupExact,
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
@@ -207,6 +236,28 @@ object ExtendedEntries {
     s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
 
   def oracleSql: Map[String, String] = Map(
+    "q_asof_join" -> OracleSql.withTicksBars(
+      """SELECT t.symbol, t.time, t.price,
+        |  b.time AS asof_time, b.close AS asof_close, b.volume AS asof_volume
+        |FROM ticks t ASOF LEFT JOIN bars b
+        |  ON t.symbol = b.symbol AND t.time >= b.time""".stripMargin),
+
+    "q_rollup_revenue" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q_topk_per_key" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS INTEGER) AS rk
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT user_id, rk, event_id, ts, value FROM w1 WHERE rk <= 3""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
         |  count(*) AS n_docs
