@@ -153,7 +153,12 @@ object ExtendedEntries {
       .select(col("user_id"), col("rk"), col("event_id"), col("ts"), col("value"))
   }
 
+  /** Which documents to drop: LSH pairs → components → canonical per doc. */
+  private def qDedupCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(Tables.documents(s, dir), 0.7)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_corpus" -> qDedupCorpus,
     "q_asof_join" -> qAsofJoin,
     "q_rollup_revenue" -> qRollupRevenue,
     "q_topk_per_key" -> qTopkPerKey,
@@ -236,6 +241,26 @@ object ExtendedEntries {
     s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_corpus" ->
+      s"""WITH RECURSIVE $oShingleIdx,
+         |$oMinhash,
+         |${oJaccard(0.7)},
+         |edges AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN jpairs j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |),
+         |und AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges
+         |),
+         |reach AS (
+         |  SELECT DISTINCT src AS d, src AS r FROM und
+         |  UNION
+         |  SELECT reach.d, und.dst FROM reach JOIN und ON und.src = reach.r
+         |)
+         |SELECT d AS doc_id, min(r) AS canonical_id, d != min(r) AS is_duplicate
+         |FROM reach GROUP BY d""".stripMargin,
+
     "q_asof_join" -> OracleSql.withTicksBars(
       """SELECT t.symbol, t.time, t.price,
         |  b.time AS asof_time, b.close AS asof_close, b.volume AS asof_volume

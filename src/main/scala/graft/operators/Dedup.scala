@@ -93,6 +93,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair graph by
+    * iterative min-label propagation (the standard Spark CC shape: joins,
+    * no driver-side graph). Converges in O(log(largest component)) rounds;
+    * near-dup graphs are forests of small cliques, so the loop exits after
+    * 2-3 rounds via the fixpoint check. Returns (doc_id, canonical_id =
+    * component minimum). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = und.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val msgs = und
+        .join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(msgs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint() // truncate the iterative lineage
+      converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** End-to-end near-dup corpus dedup: MinHash+LSH candidate pairs →
+    * verified Jaccard ≥ tau → connected components → keep-list decision
+    * per affected doc (canonical survives, the rest drop). */
+  def dedupCorpus(docs: DataFrame, tau: Double): DataFrame =
+    connectedComponents(minhashLshPairs(docs, tau))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+
   /** 60-bit SimHash over distinct 3-gram shingles (majority vote per bit).
     * Shingles, not unigrams: with a small vocabulary every document shares
     * most unigrams, collapsing unigram SimHashes together; word 3-grams

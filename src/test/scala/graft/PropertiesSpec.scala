@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SeededAggs, WindowIndicators => WI}
+
+/** ScalaCheck-generated property tests from SURVEY §5's plan: indicator
+  * invariants under arbitrary 2-dp price series (raw Gen sampling — the
+  * scalatest/scalacheck bridge artifact isn't available offline). */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val seriesGen: Gen[List[Double]] =
+    Gen.chooseNum(30, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1.0, 1000.0).map(v => math.rint(v * 100) / 100)))
+
+  private def samples(n: Int): Seq[List[Double]] =
+    (1 to n).map(i => seriesGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def df(vals: Seq[Double]) =
+    vals.zipWithIndex.map { case (v, i) => (new Timestamp(i * 1000L), "S", v) }
+      .toDF("time", "symbol", "close")
+
+  test("SMA within window min/max; RSI in [0,100]; EMA within running min/max (5 random series)") {
+    samples(5).foreach { vals =>
+      val spec = WI.w()
+      val wcum = spec.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val rows = df(vals)
+        .withColumn("sma", WI.sma(col("close"), 14, spec))
+        .withColumn("mn", min(col("close")).over(spec.rowsBetween(-13, 0)))
+        .withColumn("mx", max(col("close")).over(spec.rowsBetween(-13, 0)))
+        .withColumn("rsi", graft.operators.IndicatorPipeline.rsi14(spec))
+        .withColumn("ema", SeededAggs.ema(col("close"), 10, spec))
+        .withColumn("rmn", min(col("close")).over(wcum))
+        .withColumn("rmx", max(col("close")).over(wcum))
+        .collect()
+      rows.foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("sma"))) {
+          assert(r.getAs[Double]("sma") >= r.getAs[Double]("mn") - 1e-9)
+          assert(r.getAs[Double]("sma") <= r.getAs[Double]("mx") + 1e-9)
+        }
+        if (!r.isNullAt(r.fieldIndex("rsi"))) {
+          val v = r.getAs[Double]("rsi"); assert(v >= -1e-9 && v <= 100 + 1e-9)
+        }
+        if (!r.isNullAt(r.fieldIndex("ema"))) {
+          assert(r.getAs[Double]("ema") >= r.getAs[Double]("rmn") - 1e-9)
+          assert(r.getAs[Double]("ema") <= r.getAs[Double]("rmx") + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("OBV telescopes to v0 + Σ sign(Δclose)·v, exactly (5 random series)") {
+    samples(5).foreach { vals =>
+      val withVol = vals.zipWithIndex.map { case (v, i) =>
+        (new Timestamp(i * 1000L), "S", v, (i % 50 + 1).toLong)
+      }.toDF("time", "symbol", "close", "volume")
+      val lastObv = withVol
+        .select(col("time"), WI.obv(col("close"), col("volume"), WI.w()).as("obv"))
+        .orderBy(col("time").desc).limit(1).head().getLong(1)
+      var acc = 1L // volume at i=0 is (0 % 50) + 1
+      (1 until vals.length).foreach { i =>
+        val d = vals(i) - vals(i - 1)
+        if (d > 0) acc += i % 50 + 1 else if (d < 0) acc -= i % 50 + 1
+      }
+      assert(lastObv == acc)
+    }
+  }
+}
