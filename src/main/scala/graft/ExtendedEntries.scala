@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 
 /** Extended pipeline operators (dedup / similarity / text analysis /
@@ -157,7 +157,31 @@ object ExtendedEntries {
   private def qDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(Tables.documents(s, dir), 0.7)
 
+  /** Sketch aggregates (HLL distinct, approximate percentiles). No oracle:
+    * sketch implementations differ per engine, so the driver records the
+    * weaker rows-only check for this one by design. */
+  private def qSketches(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"),
+        count(lit(1)).as("n"))
+
+  /** Two-phase salted aggregation over the most frequent event type —
+    * same result as the plain aggregate (asserted in SkewSpec); exists as
+    * the skew-mitigation pattern for power-law keys. */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(
+      Tables.events(s, dir).select(col("event_type"),
+        cents(col("value")).as("vc")),
+      "event_type", "vc", 16)
+      .select(col("event_type"), (col("total") / lit(100.0)).as("total_value"), col("n"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketches" -> qSketches,
+    "q_salted_agg" -> qSaltedAgg,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_asof_join" -> qAsofJoin,
     "q_rollup_revenue" -> qRollupRevenue,
@@ -241,6 +265,14 @@ object ExtendedEntries {
     s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
 
   def oracleSql: Map[String, String] = Map(
+    // q_sketches intentionally has NO oracle entry (engine-specific sketches).
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS total_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_dedup_corpus" ->
       s"""WITH RECURSIVE $oShingleIdx,
          |$oMinhash,

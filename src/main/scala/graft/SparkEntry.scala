@@ -100,10 +100,10 @@ object SparkEntry {
   /** Read-API: key + time-range scan (roadmap /indicators) — filter reaches
     * the parquet scan as PushedFilters. */
   private def qTimeRange(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
-        col("ts") < lit("2024-01-20").cast("timestamp") &&
-        col("event_type") === "purchase")
+    Tables.eventsRange(s, dir,
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-10T00:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-20T00:00:00Z")))
+      .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
 
   /** ST4/S5: first-write-wins keyed dedup (PK (time,symbol) ON CONFLICT DO

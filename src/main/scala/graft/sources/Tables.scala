@@ -36,6 +36,20 @@ object Tables {
     val raw = table(spark, sfDir, "events")
     raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+
+  /** Time-range scan over events with the range predicate applied to the
+    * RAW ns column, so it reaches the parquet scan as a PushedFilter —
+    * a predicate on the µs-converted `ts` is a derived-column filter and
+    * cannot push (the hypertable-chunk-exclusion analog for this table). */
+  def eventsRange(spark: SparkSession, sfDir: String,
+      fromTs: java.sql.Timestamp, untilTs: java.sql.Timestamp): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fromNs = fromTs.getTime * 1000000L
+    val untilNs = untilTs.getTime * 1000000L
+    table(spark, sfDir, "events")
+      .filter(col("ts") >= fromNs && col("ts") < untilNs)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
