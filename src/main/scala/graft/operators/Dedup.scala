@@ -100,8 +100,12 @@ object Dedup {
     * 2-3 rounds via the fixpoint check. Returns (doc_id, canonical_id =
     * component minimum). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // materialize the edge list once: the loop joins it every round, and
+    // without this the whole upstream pair pipeline (LSH + verify) would
+    // re-execute per iteration
     val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = und.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var converged = false
