@@ -32,6 +32,9 @@ object Dedup {
         explode(array_distinct(TextAnalysis.shinglesFromTokens(col("toks"), n))).as("sh"))
       .select(col("doc_id"), (TextAnalysis.hash60(col("sh")) % 2147483647L).as("h"))
       .distinct()
+    // no checkpoint here on purpose: the self-joins downstream reuse the
+    // distinct's shuffle via ReuseExchange; an eager localCheckpoint
+    // measured strictly slower
 
   /** Pairwise n-gram Jaccard ≥ tau. Candidates = pairs sharing ≥1 shingle
     * (the index join is the blocker — no quadratic pair space). */
