@@ -67,6 +67,11 @@ object ExtendedEntries {
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Similarity.dedupPairs(Tables.embeddings(s, dir), 0.4)
 
+  /** Scale-path variant: same verify expression, candidates blocked to the
+    * probe's IVF cluster. */
+  private def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.dedupPairsIvf(Tables.embeddings(s, dir), 0.4, 8)
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
 
@@ -197,6 +202,7 @@ object ExtendedEntries {
     "q_cosine_topk" -> qCosineTopK,
     "q_cosine_ivf" -> qCosineIvf,
     "q_dedup_embed" -> qDedupEmbed,
+    "q_dedup_embed_ivf" -> qDedupEmbedIvf,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_agg_pricing" -> qAggPricing,
     "q_join_revenue" -> qJoinRevenue,
@@ -460,6 +466,27 @@ object ExtendedEntries {
          |  FROM s
          |)
          |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 3""".stripMargin,
+
+    "q_dedup_embed_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
+         |), ascore AS (
+         |  SELECT e.vec_id, c.centroid_id, e.embedding,
+         |    ${r4(oCos("e.embedding", "c.ce"))} AS cscore
+         |  FROM embeddings e, cent c
+         |), assign AS (
+         |  SELECT vec_id, centroid_id, embedding FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cscore DESC, centroid_id) AS arow
+         |    FROM ascore
+         |  ) WHERE arow = 1
+         |), s AS (
+         |  SELECT a.centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${r4(oCos("a.embedding", "b.embedding"))} AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |)
+         |SELECT centroid_id, vec_a, vec_b, cos FROM s WHERE cos >= 0.4""".stripMargin,
 
     "q_dedup_embed" ->
       s"""WITH s AS (

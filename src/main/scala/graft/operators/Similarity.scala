@@ -88,6 +88,27 @@ object Similarity {
     * precomputed once; at 100 TB the pair space must be blocked (LSH on
     * random hyperplanes or IVF-cluster-local pairs) — cluster-local version
     * = ivfAssign + per-cluster self-join, same verify expression. */
+  /** Cluster-blocked near-dup pairs — the 100 TB path: candidates only
+    * within the same IVF cluster, so the pair space is Σ|cluster|² instead
+    * of N². Misses cross-cluster pairs by design (standard IVF recall
+    * tradeoff; raise nCentroids' coverage with multi-assignment if
+    * needed). */
+  def dedupPairsIvf(emb: DataFrame, tau: Double, nCentroids: Int): DataFrame = {
+    val withCluster = emb
+      .join(ivfAssign(emb, nCentroids).select("vec_id", "centroid_id"), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        norm(col("embedding")).as("nrm"))
+    val a = withCluster.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withCluster.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("centroid_id"), col("vec_a"), col("vec_b"),
+        r4(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   def dedupPairs(emb: DataFrame, tau: Double): DataFrame = {
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
