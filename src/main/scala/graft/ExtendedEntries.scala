@@ -184,7 +184,41 @@ object ExtendedEntries {
       "event_type", "vc", 16)
       .select(col("event_type"), (col("total") / lit(100.0)).as("total_value"), col("n"))
 
+  /** Set operators: purchasers who never raised an error (EXCEPT) and
+    * users who did both (INTERSECT). */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+    val onlyBuy = users("purchase").except(users("error"))
+      .select(col("user_id"), lit("purchase_no_error").as("cohort"))
+    val both = users("purchase").intersect(users("error"))
+      .select(col("user_id"), lit("purchase_and_error").as("cohort"))
+    onlyBuy.unionByName(both)
+  }
+
+  /** Pivot: events per user × event_type as columns. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Exact interpolated percentiles (vs the approximate sketches in
+    * q_sketches). */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        r(expr("percentile(value, 0.5)")).as("p50"),
+        r(expr("percentile(value, 0.9)")).as("p90"),
+        r(expr("percentile(value, 0.99)")).as("p99"),
+        count(lit(1)).as("n"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_ops" -> qSetOps,
+    "q_pivot" -> qPivot,
+    "q_percentiles" -> qPercentiles,
     "q_sketches" -> qSketches,
     "q_salted_agg" -> qSaltedAgg,
     "q_dedup_corpus" -> qDedupCorpus,
@@ -272,6 +306,35 @@ object ExtendedEntries {
 
   def oracleSql: Map[String, String] = Map(
     // q_sketches intentionally has NO oracle entry (engine-specific sketches).
+    "q_set_ops" ->
+      """SELECT user_id, 'purchase_no_error' AS cohort FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error'
+        |)
+        |UNION ALL
+        |SELECT user_id, 'purchase_and_error' AS cohort FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'error'
+        |)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_percentiles" ->
+      s"""SELECT event_type,
+         |  ${r4("quantile_cont(value, 0.5)")} AS p50,
+         |  ${r4("quantile_cont(value, 0.9)")} AS p90,
+         |  ${r4("quantile_cont(value, 0.99)")} AS p99,
+         |  count(*) AS n
+         |FROM events GROUP BY event_type""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
