@@ -80,19 +80,24 @@ object ExtendedEntries {
     val li = Tables.lineitem(s, dir)
     val dp = cents(col("l_discount"))  // discount in integer percent-of-100
     val tp = cents(col("l_tax"))
+    // revenue/charge per-row products reach ~1e9/~1e11 cents³: sum as
+    // DECIMAL(38,0) so large scale factors can't wrap int64 (Spark's
+    // non-ANSI sum(long) wraps silently; DuckDB widens to HUGEINT)
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(cents(col("l_quantity"))).as("sq"),
         sum(cents(col("l_extendedprice"))).as("se"),
         sum(dp).as("sd"),
-        sum(cents(col("l_extendedprice")) * (lit(100L) - dp)).as("srev"),
-        sum(cents(col("l_extendedprice")) * (lit(100L) - dp) * (lit(100L) + tp)).as("sch"),
+        sum((cents(col("l_extendedprice")) * (lit(100L) - dp))
+          .cast("decimal(38,0)")).as("srev"),
+        sum((cents(col("l_extendedprice")) * (lit(100L) - dp) * (lit(100L) + tp))
+          .cast("decimal(38,0)")).as("sch"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"), col("l_linestatus"),
         (col("sq") / lit(100.0)).as("sum_qty"),
         (col("se") / lit(100.0)).as("sum_base_price"),
-        (col("srev") / lit(10000.0)).as("sum_disc_price"),
-        (col("sch") / lit(1000000.0)).as("sum_charge"),
+        (col("srev").cast("double") / lit(10000.0)).as("sum_disc_price"),
+        (col("sch").cast("double") / lit(1000000.0)).as("sum_charge"),
         (col("sq") / lit(100.0) / col("n")).as("avg_qty"),
         (col("se") / lit(100.0) / col("n")).as("avg_price"),
         (col("sd") / lit(100.0) / col("n")).as("avg_disc"),
@@ -565,7 +570,8 @@ object ExtendedEntries {
         |  sha256(text) AS sha256,
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
         |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
-        |  CAST(ascii(substr(text, 1, 1)) % 3 + 1 AS BIGINT) AS channels,
+        |  CAST(CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INT) % 3 + 1
+        |    AS BIGINT) AS channels,
         |  concat_ws(',', 0,
         |    octet_length(encode(text)) // 4,
         |    octet_length(encode(text)) // 2,
@@ -584,14 +590,15 @@ object ExtendedEntries {
         |  SELECT l_returnflag, l_linestatus,
         |    CAST(sum(qc) AS BIGINT) AS sq, CAST(sum(ec) AS BIGINT) AS se,
         |    CAST(sum(dp) AS BIGINT) AS sd,
-        |    CAST(sum(ec * (100 - dp)) AS BIGINT) AS srev,
-        |    CAST(sum(ec * (100 - dp) * (100 + tp)) AS BIGINT) AS sch,
+        |    sum(ec * (100 - dp)) AS srev,
+        |    sum(ec * (100 - dp) * (100 + tp)) AS sch,
         |    count(*) AS n
         |  FROM c GROUP BY 1, 2
         |)
         |SELECT l_returnflag, l_linestatus,
         |  sq / 100.0 AS sum_qty, se / 100.0 AS sum_base_price,
-        |  srev / 10000.0 AS sum_disc_price, sch / 1000000.0 AS sum_charge,
+        |  CAST(srev AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(sch AS DOUBLE) / 1000000.0 AS sum_charge,
         |  sq / 100.0 / n AS avg_qty, se / 100.0 / n AS avg_price,
         |  sd / 100.0 / n AS avg_disc, n AS count_order
         |FROM g""".stripMargin,

@@ -45,6 +45,17 @@ object SeededAggs {
     override def merge(b: T, o: T): T =
       throw new UnsupportedOperationException(
         s"$prettyName is an order-dependent fold; use it over a running window frame")
+    // inputs are cast-free folds over doubles — reject anything else at
+    // analysis time (ImplicitCastInputTypes is off-limits: AbstractDataType
+    // is private[sql] in Spark 4), otherwise SQL users get executor-time
+    // ClassCastExceptions
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (children.forall(_.dataType == DoubleType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires DOUBLE arguments, got " +
+            children.map(_.dataType.simpleString).mkString(", "))
   }
 
   /** SMA-seeded exponential smoother: EMA for alpha=2/(n+1), Wilder RMA for

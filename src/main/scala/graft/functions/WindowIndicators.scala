@@ -69,7 +69,12 @@ object WindowIndicators {
 
   /** Money Flow Index over `n` rows (backfill.py:58-60). Signed money flow
     * uses the typical-price diff; flat diffs contribute to neither side.
-    * Null volume (live path) nulls the result (consumer.py:124-127). */
+    * Volume-null handling: an all-null volume column (the live path,
+    * consumer.py:124-127) nulls the result; isolated null-volume rows
+    * inside an otherwise-populated window are excluded from the money-flow
+    * sums (sum skips nulls) rather than NaN-poisoning the window — a
+    * documented deviation from pandas' NaN propagation, matched by the
+    * oracle. */
   def mfi(high: Column, low: Column, close: Column, volume: Column, n: Int,
       spec: WindowSpec): Column = {
     val tp = typicalPrice(high, low, close)

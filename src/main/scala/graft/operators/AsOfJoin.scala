@@ -24,30 +24,35 @@ object AsOfJoin {
 
   /** `left`/`right` both carry (`key`, `time`); `rightVals` are the right
     * columns to attach (prefixed `asof_` in the output, plus
-    * `asof_time`). */
+    * `asof_time`).
+    *
+    * The right row travels as ONE struct, carried forward atomically:
+    * per-column `last(_, ignoreNulls)` would resurrect older non-null
+    * values past a newer right row's genuine NULL and could stitch fields
+    * from different right rows together. */
   def asof(left: DataFrame, right: DataFrame, key: String, time: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rstruct = struct(col(time).as("t") +: rightVals.map(col): _*)
+    val rstructType = right.select(rstruct.as("__r")).schema("__r").dataType
     val l2 = left
       .withColumn("__side", lit(1))
-      .withColumn("__rtime", lit(null).cast("timestamp"))
-      .select(Seq(col(key), col(time), col("__side"), col("__rtime")) ++
-        leftCols.filterNot(Seq(key, time).contains).map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+      .withColumn("__r", lit(null).cast(rstructType))
+      .select(Seq(col(key), col(time), col("__side"), col("__r")) ++
+        leftCols.filterNot(Seq(key, time).contains).map(col): _*)
     val r2 = right
       .withColumn("__side", lit(0))
-      .withColumn("__rtime", col(time))
-      .select(Seq(col(key), col(time), col("__side"), col("__rtime")) ++
+      .withColumn("__r", rstruct)
+      .select(Seq(col(key), col(time), col("__side"), col("__r")) ++
         leftCols.filterNot(Seq(key, time).contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(c => col(c).as(s"asof_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = l2.unionByName(r2)
-      .withColumn("asof_time", last(col("__rtime"), ignoreNulls = true).over(w))
-    val filled = rightVals.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side", "__rtime")
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .withColumn("asof_time", col("__match.t"))
+      .withColumns(rightVals.map(c => s"asof_$c" -> col(s"__match.$c")).toMap)
+      .drop("__side", "__r", "__match")
   }
 }

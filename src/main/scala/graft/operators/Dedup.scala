@@ -90,10 +90,25 @@ object Dedup {
           col("a.y") === col("b.y") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact shingle Jaccard
-    val verified = jaccardPairs(docs, tau, n)
-    cand.join(verified, Seq("doc_a", "doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // verify ONLY the candidates: start from the candidate pairs and join
+    // the shingle index to each side — work ∝ candidates × shingles, which
+    // is the point of LSH (running full jaccardPairs here would redo the
+    // near-quadratic shingle-sharing join and make the bands pure overhead)
+    val idx = shingleIndex(docs, n)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(idx.as("ia"), col("doc_a") === col("ia.doc_id"))
+      .join(idx.as("ib"), col("doc_b") === col("ib.doc_id") && col("ia.h") === col("ib.h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sza")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "szb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
   }
 
   /** Connected components over an undirected near-dup pair graph by
@@ -113,19 +128,30 @@ object Dedup {
       .withColumn("label", col("doc_id"))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 30 // pointer jumping ⇒ O(log diameter); 2^30 ≫ any graph
+    while (!converged && rounds < maxRounds) {
+      // neighbor-min step (one hop)
       val msgs = und
         .join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(msgs, Seq("doc_id"), "left")
+      val hop = labels.join(msgs, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer-jumping step: label ← label(label), doubling the distance a
+      // minimum travels per round (plain hop propagation is one edge/round)
+      val ptr = hop.as("h")
+        .join(hop.select(col("doc_id").as("label"), col("label").as("ll")).as("p"),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint() // truncate the iterative lineage
-      converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
+      converged = ptr.as("n").join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels = next
+      labels = ptr
       rounds += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds — pathological graph")
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 

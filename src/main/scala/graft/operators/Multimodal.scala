@@ -51,7 +51,9 @@ object Multimodal {
       sha2(col("payload"), 256).as("sha256"),
       (octet_length(col("payload")) % 640).cast("long").as("fake_width"),
       (octet_length(col("payload")) % 480).cast("long").as("fake_height"),
-      (expr("ascii(substring(CAST(payload AS STRING), 1, 1))") % 3 + 1)
+      // first BYTE via hex (ascii() would decode UTF-8 characters and
+      // diverge from StubCodec's byte view on any non-ASCII payload)
+      (conv(hex(expr("substring(payload, 1, 1)")), 16, 10).cast("int") % 3 + 1)
         .cast("long").as("channels"),
       concat_ws(",",
         lit(0),

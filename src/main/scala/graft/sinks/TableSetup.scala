@@ -30,9 +30,16 @@ object TableSetup {
     * reads only the key columns of the partitions the batch touches. */
   def writeIndicators(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
+    // deterministic in-batch dedup: smallest full-row tuple per key
+    // (dropDuplicates keeps an arbitrary row and varies run to run)
+    val keyW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("time"), col("symbol"))
+      .orderBy(struct(Model.DbColumns.map(col): _*))
     val batch = df.select(Model.DbColumns.map(col): _*)
       .withColumn("day", to_date(col("time")))
-      .dropDuplicates("time", "symbol")
+      .withColumn("__rn", row_number().over(keyW))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
     val fresh =
       try {
         val existing = spark.read.parquet(path).select(col("time"), col("symbol")).distinct()
