@@ -19,8 +19,10 @@ object Explain {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     val t0 = System.nanoTime()
-    val n = df.count()
-    println(s"rows=$n time=${(System.nanoTime() - t0) / 1e9}s")
+    // noop sink: full materialization (count() would let Catalyst prune)
+    df.write.format("noop").mode("overwrite").save()
+    val t1 = (System.nanoTime() - t0) / 1e9
+    println(s"rows=${df.count()} time=${t1}s")
     spark.stop()
   }
 }

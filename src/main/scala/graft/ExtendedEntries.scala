@@ -50,7 +50,7 @@ object ExtendedEntries {
     TextAnalysis.fingerprint(Tables.documents(s, dir))
 
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, dir), 0.7)
+    Dedup.jaccardPairs(Tables.documents(s, dir), 0.7, n = 3, maxDf = 100)
 
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, dir), 0.7)
@@ -452,10 +452,26 @@ object ExtendedEntries {
          |    (a, b) -> (a + b) % 1000000007) % 1000000007 AS BIGINT) AS fingerprint
          |FROM t""".stripMargin,
 
+    // stop-shingle removal mirror of Dedup.jaccardPairs: shingles with
+    // df > 100 are dropped BEFORE sizes and intersections, so both engines
+    // compute Jaccard over the same capped sets
     "q_jaccard_pairs" ->
       s"""WITH $oShingleIdx,
-         |${oJaccard(0.7)}
-         |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin,
+         |capped AS (
+         |  SELECT doc_id, h FROM (
+         |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shidx
+         |  ) WHERE df <= 100
+         |),
+         |csz AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+         |cinter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, ${r4("i / (sa.sz + sb.sz - i)")} AS jaccard
+         |FROM cinter JOIN csz sa ON sa.doc_id = doc_a
+         |            JOIN csz sb ON sb.doc_id = doc_b
+         |WHERE i / (sa.sz + sb.sz - i) >= 0.7""".stripMargin,
 
     "q_minhash_lsh" ->
       s"""WITH $oShingleIdx,

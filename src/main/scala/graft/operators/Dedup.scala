@@ -36,13 +36,44 @@ object Dedup {
     // distinct's shuffle via ReuseExchange; an eager localCheckpoint
     // measured strictly slower
 
-  /** Pairwise n-gram Jaccard ≥ tau. Candidates = pairs sharing ≥1 shingle
-    * (the index join is the blocker — no quadratic pair space). */
-  def jaccardPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
-    val idx = shingleIndex(docs, n)
+  /** Exact-Jaccard verification of candidate pairs against the full shingle
+    * index: work ∝ candidates × shingles-per-doc — only sound when the
+    * candidate set is already small (the MinHash LSH blocker). */
+  private[operators] def verifyJaccard(cand: DataFrame, idx: DataFrame,
+      tau: Double): DataFrame = {
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = idx.as("a"); val b = idx.as("b")
-    val inter = a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    val inter = cand
+      .join(idx.as("ia"), col("doc_a") === col("ia.doc_id"))
+      .join(idx.as("ib"), col("doc_b") === col("ib.doc_id") && col("ia.h") === col("ib.h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sza")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "szb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
+  }
+
+  /** Pairwise n-gram Jaccard ≥ tau over the df-capped shingle index:
+    * shingles with document frequency > maxDf (boilerplate/stop-shingles)
+    * are removed before the self-join — a shingle shared by d documents
+    * alone contributes d² join rows, the one spot where a shingle inverted
+    * index goes quadratic at corpus scale. Jaccard is computed on the
+    * capped sets (sizes AND intersections), i.e. stop-shingle removal, so
+    * the whole query is one keyed self-join + aggregate with a bounded
+    * per-key blowup of maxDf². The df count is a window over h, so the
+    * self-join reuses the same hash partitioning (one shuffle of the index,
+    * not two). */
+  def jaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
+      maxDf: Int = 100): DataFrame = {
+    val capped = cappedIndex(shingleIndex(docs, n), maxDf)
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -53,6 +84,13 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"),
         (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
+  }
+
+  /** Drop shingles with document frequency > maxDf. */
+  private def cappedIndex(idx: DataFrame, maxDf: Int): DataFrame = {
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    idx.withColumn("df", count(lit(1)).over(byH))
+      .filter(col("df") <= maxDf).drop("df")
   }
 
   /** MinHash parameters: k hashes h_j(x) = (A_j·x + B_j) mod P over the
@@ -94,21 +132,7 @@ object Dedup {
     // the shingle index to each side — work ∝ candidates × shingles, which
     // is the point of LSH (running full jaccardPairs here would redo the
     // near-quadratic shingle-sharing join and make the bands pure overhead)
-    val idx = shingleIndex(docs, n)
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(idx.as("ia"), col("doc_a") === col("ia.doc_id"))
-      .join(idx.as("ib"), col("doc_b") === col("ib.doc_id") && col("ia.h") === col("ib.h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sza")), "doc_a")
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "szb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"),
-        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
+    verifyJaccard(cand, shingleIndex(docs, n), tau)
   }
 
   /** Connected components over an undirected near-dup pair graph by
@@ -173,25 +197,47 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.shinglesFromTokens(col("toks")))).as("tok"))
       .select(col("doc_id"), TextAnalysis.hash60(col("tok")).as("h"))
-    val bits = tokHash.select(col("doc_id"),
-        explode(sequence(lit(0), lit(59))).as("i"),
-        col("h"))
-      .groupBy("doc_id", "i")
-      .agg(sum(expr("CASE WHEN shiftright(h, CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END")).as("v"))
-    bits.groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN v >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE 0 END"))
-        .cast("long").as("simhash"))
+    // 60 per-bit ±1 sums as ONE aggregation (partial/map-side combinable):
+    // the naive shape — explode 60 bit indices per hash then groupBy
+    // (doc_id, bit) — shuffles 60× the index; this shuffles it once with a
+    // 60-column payload
+    val bitAggs = (0 until 60).map { i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val majority = (0 until 60)
+      .map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokHash.groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), majority.cast("long").as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHam. At this corpus
-    * size a broadcast self-join is optimal; at 100 TB swap the blocker for
-    * 4-way prefix multi-index (any pair within Hamming 3 shares one of 4
-    * 15-bit prefixes) — same verify stage. */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHam, blocked by a
+    * prefix multi-index (the HmSearch / Manku-multi-index pigeonhole): the
+    * 60-bit signature is split into B disjoint bands with B > maxHam, so a
+    * pair within Hamming maxHam differs in at most maxHam bands and MUST
+    * share at least one band verbatim. Candidates come from an equi-join on
+    * (band_index, band_value) — a keyed shuffle, never a cartesian — and
+    * the exact Hamming check runs only on candidates, so recall is 100%
+    * (not probabilistic like MinHash bands). B = smallest divisor of 60
+    * that exceeds maxHam. */
   def simhashPairs(docs: DataFrame, maxHam: Int): DataFrame = {
+    val nBands = (1 to 60).find(b => 60 % b == 0 && b > maxHam)
+      .getOrElse(throw new IllegalArgumentException(s"maxHam=$maxHam out of range"))
+    val width = 60 / nBands
+    val mask = (1L << width) - 1
     val sh = simhash(docs)
-    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr(s"shiftright(simhash, CAST($width * band AS INT)) & ${mask}L").as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHam)
+      .distinct()
   }
 }
