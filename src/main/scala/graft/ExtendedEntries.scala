@@ -64,8 +64,10 @@ object ExtendedEntries {
   private def qCosineIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfSearch(Tables.embeddings(s, dir), 8, 10, 3)
 
-  private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
-    Similarity.dedupPairs(Tables.embeddings(s, dir), 0.4)
+  /** SRP-LSH blocked near-dup pairs (the keyed-shuffle replacement for the
+    * all-pairs cross join, which survives only as a spec baseline). */
+  private def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.dedupPairsLsh(Tables.embeddings(s, dir), 0.4)
 
   /** Scale-path variant: same verify expression, candidates blocked to the
     * probe's IVF cluster. */
@@ -240,7 +242,7 @@ object ExtendedEntries {
     "q_simhash" -> qSimhash,
     "q_cosine_topk" -> qCosineTopK,
     "q_cosine_ivf" -> qCosineIvf,
-    "q_dedup_embed" -> qDedupEmbed,
+    "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_agg_pricing" -> qAggPricing,
@@ -308,6 +310,41 @@ object ExtendedEntries {
 
   private def oCos(a: String, b: String): String =
     s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
+
+  /** SRP-LSH oracle: the ±1 plane matrix is embedded as literals from
+    * Similarity.srpPlanes (single source of truth), so both engines hash
+    * identical codes, identical bands, identical candidates. */
+  private def oDedupEmbedLsh: String = {
+    val nPlanes = 18; val bandBits = 3; val dim = 64; val tau = 0.4
+    val planes = Similarity.srpPlanes(nPlanes, dim)
+    def oSrpDot(p: Int): String = {
+      val signs = planes(p).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE) * ([$signs])[i]), (x, y) -> x + y)""".stripMargin
+    }
+    val code = (0 until nPlanes)
+      .map(p => s"(CASE WHEN ${oSrpDot(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("\n    + ")
+    val nBands = nPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding, $code AS code
+       |  FROM embeddings
+       |), bands AS (
+       |  SELECT vec_id, r.b AS band, (code >> CAST($bandBits * r.b AS INT)) & $mask AS bkey
+       |  FROM c, range($nBands) r(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+       |), v AS (
+       |  SELECT cand.vec_a, cand.vec_b,
+       |    ${r4(oCos("ea.embedding", "eb.embedding"))} AS cos
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a
+       |            JOIN embeddings eb ON eb.vec_id = cand.vec_b
+       |)
+       |SELECT vec_a, vec_b, cos FROM v WHERE cos >= $tau""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // q_sketches intentionally has NO oracle entry (engine-specific sketches).
@@ -572,13 +609,7 @@ object ExtendedEntries {
          |)
          |SELECT centroid_id, vec_a, vec_b, cos FROM s WHERE cos >= 0.4""".stripMargin,
 
-    "q_dedup_embed" ->
-      s"""WITH s AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ${r4(oCos("a.embedding", "b.embedding"))} AS cos
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |)
-         |SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4""".stripMargin,
+    "q_dedup_embed_lsh" -> oDedupEmbedLsh,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

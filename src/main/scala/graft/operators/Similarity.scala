@@ -84,10 +84,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rk"))
   }
 
-  /** Embedding near-dup pairs: cosine ≥ tau, a < b. Normalized vectors are
-    * precomputed once; at 100 TB the pair space must be blocked (LSH on
-    * random hyperplanes or IVF-cluster-local pairs) — cluster-local version
-    * = ivfAssign + per-cluster self-join, same verify expression. */
   /** Cluster-blocked near-dup pairs — the 100 TB path: candidates only
     * within the same IVF cluster, so the pair space is Σ|cluster|² instead
     * of N². Misses cross-cluster pairs by design (standard IVF recall
@@ -109,6 +105,60 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Deterministic Rademacher (±1) hyperplanes for sign-random-projection
+    * LSH, derived from md5 so the DuckDB oracle can embed the exact same
+    * matrix as literals (one source of truth: this function). */
+  def srpPlanes(nPlanes: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"srp:$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0f else -1.0f
+    }
+
+  /** SRP-LSH near-dup pairs — the keyed-shuffle alternative to the N²
+    * cross join: each vector gets an nPlanes-bit sign code (bit p = sign of
+    * the dot with hyperplane p; P[bit match] = 1 − θ/π), codes are split
+    * into bands, candidates come from an equi-join on (band, band-bits),
+    * and the exact cosine runs only on candidates. Recall is tunable with
+    * (nPlanes, bandBits): at a true near-dup threshold (τ ≥ 0.9) wide
+    * bands (8 bits × 4) block aggressively; at the low τ used on this
+    * synthetic corpus, short bands (3 bits × 6) keep recall high. The
+    * oracle mirrors the same planes/bands, so the gate checks the whole
+    * pipeline, not just the verify. */
+  def dedupPairsLsh(emb: DataFrame, tau: Double, nPlanes: Int = 18,
+      bandBits: Int = 3, dim: Int = 64): DataFrame = {
+    require(nPlanes % bandBits == 0, "nPlanes must be a multiple of bandBits")
+    val planes = srpPlanes(nPlanes, dim)
+    val code = planes.zipWithIndex.map { case (pl, p) =>
+      when(dot(col("embedding"), lit(pl)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val coded = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), code.as("code"))
+    val nBands = nPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    val bands = coded.select(col("vec_id"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("code"))
+      .select(col("vec_id"), col("band"),
+        expr(s"shiftright(code, CAST($bandBits * band AS INT)) & ${mask}L").as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(coded.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vec_a")
+      .join(coded.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        r4(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** All-pairs embedding near-dup — O(N²), correctness baseline ONLY (not a
+    * shipped query): [[dedupPairsIvf]] and [[dedupPairsLsh]] are the scale
+    * paths, spec-checked against this. */
   def dedupPairs(emb: DataFrame, tau: Double): DataFrame = {
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))

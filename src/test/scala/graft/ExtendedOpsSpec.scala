@@ -71,6 +71,26 @@ class ExtendedOpsSpec extends AnyFunSuite {
       Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L)))
   }
 
+  test("SRP-LSH dedup: subset of the brute-force baseline, exact cosines, high recall") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = pairs(Similarity.dedupPairs(emb, 0.4))
+    val lsh = pairs(Similarity.dedupPairsLsh(emb, 0.4))
+    assert(lsh.subsetOf(brute), "LSH must never invent a pair")
+    assert(lsh.size >= (brute.size * 0.6).toInt,
+      s"recall collapsed: ${lsh.size}/${brute.size}")
+  }
+
+  test("SRP planes are deterministic and balanced-ish") {
+    val p1 = Similarity.srpPlanes(18, 64)
+    val p2 = Similarity.srpPlanes(18, 64)
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+    val pos = p1.flatten.count(_ > 0)
+    assert(pos > 18 * 64 / 4 && pos < 18 * 64 * 3 / 4, s"degenerate sign balance: $pos")
+  }
+
   test("multimodal: stub codec agrees with the columnar feature path") {
     val d = docs((1L, "hello world"), (2L, "spark"))
     val media = Multimodal.mediaFromDocs(d.withColumn("lang", lit("en")))
