@@ -311,6 +311,47 @@ object ExtendedEntries {
   private def oCos(a: String, b: String): String =
     s"(${oDot(a, b)}) / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
 
+  /** Lloyd-trained IVF assignment oracle (mirrors Similarity.ivfTrain +
+    * ivfAssign): seed = first nCent vectors; each round re-assigns by
+    * 4dp-rounded cosine (tiebreak lowest centroid id) and recomputes the
+    * elementwise mean in exact integer micro-units — the same
+    * order-independent arithmetic the Spark side uses, so centroids are
+    * bit-identical. Produces a CTE chain ending in
+    * `assign(vec_id, centroid_id, embedding)`. */
+  private def oIvfAssign(nCent: Int, iters: Int, dim: Int = 64): String = {
+    def assignCte(name: String, centTable: String) =
+      s"""$name AS (
+         |  SELECT vec_id, centroid_id, embedding FROM (
+         |    SELECT e.vec_id, c.centroid_id, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${r4(oCos("e.embedding", "c.ce"))} DESC, c.centroid_id) AS arn
+         |    FROM embeddings e, $centTable c
+         |  ) WHERE arn = 1
+         |)""".stripMargin
+    val seed =
+      s"""cent0 AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce
+         |  FROM embeddings WHERE vec_id < $nCent
+         |)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      Seq(
+        assignCte(s"a$t", s"cent${t - 1}"),
+        s"""m$t AS (
+           |  SELECT centroid_id, r.i AS i,
+           |    CAST(sum(CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000 + 0.5)
+           |      AS BIGINT)) AS BIGINT) AS s,
+           |    count(*) AS n
+           |  FROM a$t, range(1, ${dim + 1}) r(i) GROUP BY 1, 2
+           |)""".stripMargin,
+        s"""cent$t AS (
+           |  SELECT centroid_id,
+           |    list(CAST(CAST(s AS DOUBLE) / (n * 1000000.0) AS FLOAT) ORDER BY i) AS ce
+           |  FROM m$t GROUP BY centroid_id
+           |)""".stripMargin).mkString(",\n")
+    }
+    (Seq(seed) ++ steps :+ assignCte("assign", s"cent$iters")).mkString(",\n")
+  }
+
   /** SRP-LSH oracle: the ±1 plane matrix is embedded as literals from
     * Similarity.srpPlanes (single source of truth), so both engines hash
     * identical codes, identical bands, identical candidates. */
@@ -560,19 +601,7 @@ object ExtendedEntries {
          |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 5""".stripMargin,
 
     "q_cosine_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
-         |), ascore AS (
-         |  SELECT e.vec_id, c.centroid_id, e.embedding,
-         |    ${r4(oCos("e.embedding", "c.ce"))} AS cscore
-         |  FROM embeddings e, cent c
-         |), assign AS (
-         |  SELECT vec_id, centroid_id, embedding FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cscore DESC, centroid_id) AS arow
-         |    FROM ascore
-         |  ) WHERE arow = 1
-         |), q AS (
+      s"""WITH ${oIvfAssign(8, 2)}, q AS (
          |  SELECT vec_id AS query_id, embedding AS qe, centroid_id AS qc
          |  FROM assign WHERE vec_id < 10
          |), s AS (
@@ -589,19 +618,7 @@ object ExtendedEntries {
          |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 3""".stripMargin,
 
     "q_dedup_embed_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8
-         |), ascore AS (
-         |  SELECT e.vec_id, c.centroid_id, e.embedding,
-         |    ${r4(oCos("e.embedding", "c.ce"))} AS cscore
-         |  FROM embeddings e, cent c
-         |), assign AS (
-         |  SELECT vec_id, centroid_id, embedding FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cscore DESC, centroid_id) AS arow
-         |    FROM ascore
-         |  ) WHERE arow = 1
-         |), s AS (
+      s"""WITH ${oIvfAssign(8, 2)}, s AS (
          |  SELECT a.centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    ${r4(oCos("a.embedding", "b.embedding"))} AS cos
          |  FROM assign a JOIN assign b

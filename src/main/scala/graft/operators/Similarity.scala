@@ -51,12 +51,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rk"))
   }
 
-  /** IVF assignment: nearest of the first nCentroids vectors (cosine,
-    * tiebreak lowest centroid id). This is the partitioning key a 100 TB
-    * corpus would be written with (`partitionBy(centroid_id)`). */
-  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
-    val cent = emb.filter(col("vec_id") < nCentroids)
+  /** Seed centroids = first k vectors (deterministic; Lloyd refines them). */
+  def ivfSeed(emb: DataFrame, k: Int): DataFrame =
+    emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+
+  /** IVF assignment against an explicit (small, broadcast) centroid table:
+    * nearest by 4dp-rounded cosine, tiebreak lowest centroid id. The
+    * centroid id is the partitioning key a 100 TB corpus would be written
+    * with (`partitionBy(centroid_id)`). */
+  def ivfAssign(emb: DataFrame, cent: DataFrame): DataFrame = {
     val scored = emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("centroid_id"),
         r4(cosine(col("embedding"), col("ce"))).as("cscore"))
@@ -66,10 +70,45 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("cscore"))
   }
 
+  /** Assignment against untrained seed centroids (spec/back-compat path). */
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame =
+    ivfAssign(emb, ivfSeed(emb, nCentroids))
+
+  /** Lloyd-trained IVF centroids: iters rounds of assign → elementwise
+    * mean. The mean is computed in exact integer micro-units
+    * (floor(x·10⁶+0.5) summed as BIGINT, divided once in double, cast to
+    * float), so it is order-independent across partitions and
+    * bit-reproducible in the DuckDB oracle — a naive double sum would
+    * depend on Spark's partition fold order. Empty clusters drop out (k
+    * shrinks), mirrored identically by the oracle. At corpus scale Lloyd
+    * runs on a bounded sample; assignment of the full corpus stays one
+    * broadcast pass. */
+  def ivfTrain(emb: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    var cent = ivfSeed(emb, k)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(emb, cent).select("vec_id", "centroid_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+      val sums = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("centroid_id", "i")
+        .agg(sum(floor(col("x").cast("double") * 1000000 + lit(0.5)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+      cent = sums
+        .withColumn("c", (col("s").cast("double") / (col("n") * lit(1000000.0))).cast("float"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("sc"))
+        .select(col("centroid_id"), expr("transform(sc, e -> e.c)").as("ce"))
+        .localCheckpoint() // k rows; truncates the iterative lineage
+    }
+    cent
+  }
+
   /** IVF search: probe only the query's own cluster (nprobe=1) — the scale
-    * path; recall vs brute force is the standard IVF tradeoff. */
-  def ivfSearch(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
-    val assign = ivfAssign(emb, nCentroids)
+    * path; recall vs brute force is the standard IVF tradeoff. Centroids
+    * are Lloyd-trained (iters rounds). */
+  def ivfSearch(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
+      iters: Int = 2): DataFrame = {
+    val assign = ivfAssign(emb, ivfTrain(emb, nCentroids, iters))
     val withCluster = emb.join(assign.select("vec_id", "centroid_id"), "vec_id")
     val q = withCluster.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -89,9 +128,11 @@ object Similarity {
     * of N². Misses cross-cluster pairs by design (standard IVF recall
     * tradeoff; raise nCentroids' coverage with multi-assignment if
     * needed). */
-  def dedupPairsIvf(emb: DataFrame, tau: Double, nCentroids: Int): DataFrame = {
+  def dedupPairsIvf(emb: DataFrame, tau: Double, nCentroids: Int,
+      iters: Int = 2): DataFrame = {
     val withCluster = emb
-      .join(ivfAssign(emb, nCentroids).select("vec_id", "centroid_id"), "vec_id")
+      .join(ivfAssign(emb, ivfTrain(emb, nCentroids, iters))
+        .select("vec_id", "centroid_id"), "vec_id")
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         norm(col("embedding")).as("nrm"))
     val a = withCluster.select(col("centroid_id"), col("vec_id").as("vec_a"),

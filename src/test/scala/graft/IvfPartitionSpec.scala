@@ -15,7 +15,8 @@ class IvfPartitionSpec extends AnyFunSuite {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"
     val assigned = emb.join(
-      Similarity.ivfAssign(emb, 8).select("vec_id", "centroid_id"), "vec_id")
+      Similarity.ivfAssign(emb, Similarity.ivfTrain(emb, 8))
+        .select("vec_id", "centroid_id"), "vec_id")
     assigned.write.partitionBy("centroid_id").parquet(dir)
 
     val corpus = spark.read.parquet(dir)
@@ -28,5 +29,21 @@ class IvfPartitionSpec extends AnyFunSuite {
     assert(probe.count() == expected && expected > 0)
     // and every cluster is nonempty-ish overall (sane assignment spread)
     assert(corpus.select("centroid_id").distinct().count() == 8)
+  }
+
+  test("Lloyd training tightens clusters vs untrained seeds and keeps spread bounded") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def meanScore(assign: org.apache.spark.sql.DataFrame): Double =
+      assign.agg(avg(col("cscore"))).collect()(0).getDouble(0)
+    val seeded = Similarity.ivfAssign(emb, 8)
+    val trained = Similarity.ivfAssign(emb, Similarity.ivfTrain(emb, 8, iters = 2))
+    // training must not make the mean vector→centroid cosine worse
+    assert(meanScore(trained) >= meanScore(seeded) - 1e-9,
+      "Lloyd iterations degraded assignment quality")
+    // cluster-size spread: no cluster may swallow the corpus (skew knob)
+    val sizes = trained.groupBy("centroid_id").count()
+      .collect().map(_.getLong(1))
+    val n = sizes.sum.toDouble
+    assert(sizes.max < n * 0.7, s"degenerate clustering: ${sizes.mkString(",")}")
   }
 }
