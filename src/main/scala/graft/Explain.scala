@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Dev utility: print the formatted physical plan and wall time of one
   * query: `graft.Explain <query> [sfDir]`. */
@@ -18,11 +19,14 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
+    // noop sink: full materialization (count() would let Catalyst prune);
+    // the row count rides along as an observed metric so the query runs once.
+    val obs = Observation("explain_rows")
     val t0 = System.nanoTime()
-    // noop sink: full materialization (count() would let Catalyst prune)
-    df.write.format("noop").mode("overwrite").save()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.format("noop").mode("overwrite").save()
     val t1 = (System.nanoTime() - t0) / 1e9
-    println(s"rows=${df.count()} time=${t1}s")
+    println(s"rows=${obs.get("rows")} time=${t1}s")
     spark.stop()
   }
 }

@@ -67,7 +67,7 @@ object ExtendedEntries {
   /** SRP-LSH blocked near-dup pairs (the keyed-shuffle replacement for the
     * all-pairs cross join, which survives only as a spec baseline). */
   private def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.dedupPairsLsh(Tables.embeddings(s, dir), 0.4)
+    Similarity.dedupPairsLsh(Tables.embeddings(s, dir))
 
   /** Scale-path variant: same verify expression, candidates blocked to the
     * probe's IVF cluster. */
@@ -356,7 +356,9 @@ object ExtendedEntries {
     * Similarity.srpPlanes (single source of truth), so both engines hash
     * identical codes, identical bands, identical candidates. */
   private def oDedupEmbedLsh: String = {
-    val nPlanes = 18; val bandBits = 3; val dim = 64; val tau = 0.4
+    // single source of truth: the Similarity constants the query also uses
+    val nPlanes = Similarity.LshPlanes; val bandBits = Similarity.LshBandBits
+    val dim = Similarity.LshDim; val tau = Similarity.LshTau
     val planes = Similarity.srpPlanes(nPlanes, dim)
     def oSrpDot(p: Int): String = {
       val signs = planes(p).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")

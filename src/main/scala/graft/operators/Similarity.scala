@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** SRP-LSH defaults, shared by the shipped query (`q_dedup_embed_lsh`)
+    * and its DuckDB oracle so the two can never drift. */
+  val LshPlanes = 18
+  val LshBandBits = 3
+  val LshDim = 64
+  val LshTau = 0.4
+
   /** Left-to-right double dot product of two float arrays (native
     * expression; ≡ aggregate(zip_with(...)) bit-for-bit). */
   def dot(a: Column, b: Column): Column = graft.functions.ArrayMath.dotF(a, b)
@@ -166,8 +173,9 @@ object Similarity {
     * synthetic corpus, short bands (3 bits × 6) keep recall high. The
     * oracle mirrors the same planes/bands, so the gate checks the whole
     * pipeline, not just the verify. */
-  def dedupPairsLsh(emb: DataFrame, tau: Double, nPlanes: Int = 18,
-      bandBits: Int = 3, dim: Int = 64): DataFrame = {
+  def dedupPairsLsh(emb: DataFrame, tau: Double = LshTau,
+      nPlanes: Int = LshPlanes, bandBits: Int = LshBandBits,
+      dim: Int = LshDim): DataFrame = {
     require(nPlanes % bandBits == 0, "nPlanes must be a multiple of bandBits")
     val planes = srpPlanes(nPlanes, dim)
     val code = planes.zipWithIndex.map { case (pl, p) =>

@@ -1,6 +1,8 @@
 package graft.sinks
 
-import java.sql.Connection
+import java.sql.{Connection, SQLException, SQLIntegrityConstraintViolationException}
+
+import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
@@ -26,12 +28,21 @@ object PostgresInsertIgnoreDialect extends InsertIgnoreDialect {
   }
 }
 
-/** ANSI MERGE fallback for engines without ON CONFLICT (Derby, H2, …):
-  * `MERGE INTO t USING (VALUES …) ON keys WHEN NOT MATCHED THEN INSERT`.
-  * Engines like Derby require typed parameters inside VALUES, so each `?`
-  * is wrapped in a CAST derived from the DataFrame schema. Identifiers are
-  * left unquoted (engines that upcase unquoted DDL keep matching). */
-object AnsiMergeInsertIgnoreDialect extends InsertIgnoreDialect {
+/** ANSI fallback for engines without ON CONFLICT (Derby, H2, …):
+  * `INSERT INTO t SELECT … FROM (VALUES …) v WHERE NOT EXISTS (key probe)`.
+  * (MERGE was rejected: Derby only accepts base tables / table functions as
+  * a MERGE source — 42XAL.) Engines like Derby require typed parameters
+  * inside VALUES, so each `?` is wrapped in a CAST derived from the
+  * DataFrame schema. Identifiers are left unquoted (engines that upcase
+  * unquoted DDL keep matching).
+  *
+  * The NOT-EXISTS probe is not atomic across concurrent writers: two
+  * partitions racing on the same key can both see "absent". The target
+  * table therefore REQUIRES a unique constraint / primary key on `keys`;
+  * with it, the losing writer raises a duplicate-key error that
+  * [[JdbcInsertIgnoreSink.write]] absorbs row-by-row (first write still
+  * wins). Without it, racing writers insert silent duplicates. */
+object AnsiInsertIgnoreDialect extends InsertIgnoreDialect {
   private def sqlType(dt: DataType): String = dt match {
     case LongType => "BIGINT"
     case IntegerType => "INTEGER"
@@ -51,10 +62,10 @@ object AnsiMergeInsertIgnoreDialect extends InsertIgnoreDialect {
     val casts = columns
       .map(c => s"CAST(? AS ${sqlType(schema(c).dataType)})").mkString(", ")
     val vcols = columns.mkString(", ")
-    val on = keys.map(k => s"t.$k = v.$k").mkString(" AND ")
-    val ins = columns.map(c => s"v.$c").mkString(", ")
-    s"MERGE INTO $table t USING (VALUES ($casts)) AS v($vcols) " +
-      s"ON $on WHEN NOT MATCHED THEN INSERT ($vcols) VALUES ($ins)"
+    val sel = columns.map(c => s"v.$c").mkString(", ")
+    val probe = keys.map(k => s"t.$k = v.$k").mkString(" AND ")
+    s"INSERT INTO $table ($vcols) SELECT $sel FROM (VALUES ($casts)) AS v($vcols) " +
+      s"WHERE NOT EXISTS (SELECT 1 FROM $table t WHERE $probe)"
   }
 }
 
@@ -73,17 +84,32 @@ object AnsiMergeInsertIgnoreDialect extends InsertIgnoreDialect {
   */
 object JdbcInsertIgnoreSink {
 
-  private def jdbcTypeOf(dt: DataType): Int = dt match {
-    case LongType => java.sql.Types.BIGINT
-    case IntegerType => java.sql.Types.INTEGER
-    case DoubleType => java.sql.Types.DOUBLE
-    case FloatType => java.sql.Types.REAL
-    case StringType => java.sql.Types.VARCHAR
-    case BooleanType => java.sql.Types.BOOLEAN
-    case TimestampType => java.sql.Types.TIMESTAMP
-    case DateType => java.sql.Types.DATE
-    case _: DecimalType => java.sql.Types.DECIMAL
-    case _ => java.sql.Types.OTHER
+  private def jdbcTypeOf(dt: DataType): Option[Int] = dt match {
+    case LongType => Some(java.sql.Types.BIGINT)
+    case IntegerType => Some(java.sql.Types.INTEGER)
+    case DoubleType => Some(java.sql.Types.DOUBLE)
+    case FloatType => Some(java.sql.Types.REAL)
+    case StringType => Some(java.sql.Types.VARCHAR)
+    case BooleanType => Some(java.sql.Types.BOOLEAN)
+    case TimestampType => Some(java.sql.Types.TIMESTAMP)
+    case DateType => Some(java.sql.Types.DATE)
+    case _: DecimalType => Some(java.sql.Types.DECIMAL)
+    case _ => None
+  }
+
+  /** SQLState class 23 = integrity-constraint violation (23505 unique in
+    * Postgres/Derby/H2); walks the chain because BatchUpdateException often
+    * wraps the real cause. */
+  private def isDuplicateKey(e: SQLException): Boolean = {
+    var cur: SQLException = e
+    var seen = 0
+    while (cur != null && seen < 8) {
+      if (cur.isInstanceOf[SQLIntegrityConstraintViolationException] ||
+        Option(cur.getSQLState).exists(_.startsWith("23"))) return true
+      cur = cur.getNextException
+      seen += 1
+    }
+    false
   }
 
   /** @param connect serializable connection factory, invoked once per
@@ -95,8 +121,14 @@ object JdbcInsertIgnoreSink {
       batchSize: Int = 500): Unit = {
     val schema = df.schema
     val columns = schema.fieldNames.toSeq
+    // Fail on the driver, before any job launches: complex types (array/
+    // map/struct/binary) would pass setObject but die per-row on the
+    // executor with an obscure driver error.
+    val bad = schema.fields.filter(f => jdbcTypeOf(f.dataType).isEmpty)
+    require(bad.isEmpty,
+      s"unsupported JDBC sink column types: ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
     val sql = dialect.insertIgnoreSql(table, columns, keys, schema)
-    val jdbcTypes = schema.fields.map(f => jdbcTypeOf(f.dataType))
+    val jdbcTypes = schema.fields.map(f => jdbcTypeOf(f.dataType).get)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val conn = connect()
@@ -104,8 +136,7 @@ object JdbcInsertIgnoreSink {
           conn.setAutoCommit(false)
           val ps = conn.prepareStatement(sql)
           try {
-            var n = 0
-            rows.foreach { row =>
+            def bind(row: Row): Unit = {
               var i = 0
               while (i < columns.length) {
                 val v = row.get(i)
@@ -113,11 +144,32 @@ object JdbcInsertIgnoreSink {
                 else ps.setObject(i + 1, v)
                 i += 1
               }
-              ps.addBatch()
-              n += 1
-              if (n % batchSize == 0) ps.executeBatch()
             }
-            if (n % batchSize != 0) ps.executeBatch()
+            // Rows of the in-flight batch are buffered so a duplicate-key
+            // batch failure (concurrent writer won the race between MERGE's
+            // probe and its insert) can be replayed row-at-a-time: the
+            // duplicate rows are skipped (first write wins), everything
+            // else still lands. Non-duplicate failures propagate → rollback.
+            val buf = new ArrayBuffer[Row](batchSize)
+            def flush(): Unit = if (buf.nonEmpty) {
+              buf.foreach { row => bind(row); ps.addBatch() }
+              try ps.executeBatch()
+              catch {
+                case e: SQLException if isDuplicateKey(e) =>
+                  ps.clearBatch()
+                  buf.foreach { row =>
+                    bind(row)
+                    try ps.executeUpdate()
+                    catch { case d: SQLException if isDuplicateKey(d) => () }
+                  }
+              }
+              buf.clear()
+            }
+            rows.foreach { row =>
+              buf += row
+              if (buf.length == batchSize) flush()
+            }
+            flush()
             conn.commit()
           } finally ps.close()
         } catch {
