@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.model.Model
 import graft.model.Model.IndicatorRow
@@ -60,11 +60,11 @@ object StreamIngest {
       .as[TickEvent]
   }
 
-  private def processSymbol(
-      symbol: String,
-      ticks: Iterator[TickEvent],
-      state: GroupState[SymbolState]): Iterator[SeqRow] = {
-    var st = state.getOption.getOrElse(SymbolState(0L, Vector.empty))
+  /** Fold one symbol's micro-batch into its state, emitting gated rows.
+    * Pure — shared by the streaming processor and unit tests. */
+  private def foldTicks(symbol: String, st0: SymbolState,
+      ticks: Iterator[TickEvent]): (SymbolState, Vector[SeqRow]) = {
+    var st = st0
     val out = Vector.newBuilder[SeqRow]
     // Within a micro-batch, process in time order (deviation from the
     // reference's arrival order; see ST6 above).
@@ -81,17 +81,44 @@ object StreamIngest {
         if (row.sma_20.isDefined) out += SeqRow(seq, row)
       }
     }
-    state.update(st)
-    out.result().iterator
+    (st, out.result())
   }
 
-  /** ticks → gated per-tick indicator rows (Append mode). */
+  /** Spark 4 arbitrary-state processor (SURVEY §1.4): the successor to
+    * flatMapGroupsWithState, running on the RocksDB state store — at scale
+    * state lives off-heap per executor and checkpoints incrementally, so
+    * symbol count is bounded by disk, not executor heap. */
+  private class IndicatorProcessor
+      extends StatefulProcessor[String, TickEvent, SeqRow] {
+    @transient private var state: ValueState[SymbolState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SymbolState]("symbolState",
+        Encoders.product[SymbolState], TTLConfig.NONE)
+
+    override def handleInputRows(symbol: String, ticks: Iterator[TickEvent],
+        timerValues: TimerValues): Iterator[SeqRow] = {
+      val st0 = if (state.exists()) state.get() else SymbolState(0L, Vector.empty)
+      val (st, out) = foldTicks(symbol, st0, ticks)
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** ticks → gated per-tick indicator rows (Append mode). Requires the
+    * RocksDB state store provider (see [[rocksdbConf]]). */
   def pipeline(ticks: Dataset[TickEvent]): Dataset[SeqRow] = {
     val spark = ticks.sparkSession
     import spark.implicits._
     ticks.groupByKey(_.symbol)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(processSymbol)
+      .transformWithState(new IndicatorProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** transformWithState only runs on RocksDB — set this on any session that
+    * starts the streaming query. */
+  val rocksdbConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** Full query: raw Kafka-shaped frame → parse → stateful indicators. */
   def fromRaw(raw: DataFrame): Dataset[SeqRow] = pipeline(parse(raw))

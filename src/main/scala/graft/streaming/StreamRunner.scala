@@ -21,6 +21,7 @@ object StreamRunner {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(StreamIngest.rocksdbConf._1, StreamIngest.rocksdbConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -18,6 +18,8 @@ object SparkTestSession {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
+      .config(graft.streaming.StreamIngest.rocksdbConf._1,
+        graft.streaming.StreamIngest.rocksdbConf._2)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
