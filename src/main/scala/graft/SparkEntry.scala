@@ -142,21 +142,18 @@ object SparkEntry {
 
   /** A4: RSI(14) via Wilder RMA of gains/losses (backfill.py:20). */
   private def qRsi(s: SparkSession, dir: String): DataFrame =
-    Tables.bars(s, dir).select(
-      col("symbol"), col("time"),
-      r(IndicatorPipeline.rsi14(WI.w())).as("rsi_14"))
+    IndicatorPipeline.withRsi14(Tables.bars(s, dir)).select(
+      col("symbol"), col("time"), r(col("rsi_14")).as("rsi_14"))
 
   /** A9: ATR(14) = RMA of true range (backfill.py:55). */
   private def qAtr(s: SparkSession, dir: String): DataFrame =
-    Tables.bars(s, dir).select(
-      col("symbol"), col("time"),
-      r(IndicatorPipeline.atr14(WI.w())).as("atr_14"))
+    IndicatorPipeline.withAtr14(Tables.bars(s, dir)).select(
+      col("symbol"), col("time"), r(col("atr_14")).as("atr_14"))
 
   /** A7: Wilder ADX(14), doubly recursive (backfill.py:39-44). */
   private def qAdx(s: SparkSession, dir: String): DataFrame =
-    Tables.bars(s, dir).select(
-      col("symbol"), col("time"),
-      r(IndicatorPipeline.adx14(WI.w())).as("adx_14"))
+    IndicatorPipeline.withAdx14(Tables.bars(s, dir)).select(
+      col("symbol"), col("time"), r(col("adx_14")).as("adx_14"))
 
   private val doubleIndicatorCols = Seq("sma_20", "ema_10", "ema_20", "macd_line",
     "adx_14", "rsi_14", "stoch_k_14", "mfi_14", "bb_upper", "bb_lower", "atr_14", "vwap")

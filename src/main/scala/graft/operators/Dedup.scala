@@ -113,9 +113,11 @@ object Dedup {
     * Jaccard verification ≥ tau. The LSH bands are the only join keys, so
     * candidate generation is an equi-join, not a cross product. */
   def minhashLshPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
-    val sig = minhashSignatures(docs, n)
-    val bandExprs = (0 until MinHashK / 2).flatMap(bd =>
-      Seq(lit(bd), col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}")))
+    // signatures are one narrow row per doc — materialize them once so the
+    // band self-join reads a cached frame instead of re-running the
+    // tokenize→shingle→16-agg pipeline per side (AQE's broadcast conversion
+    // makes the two subplans differ, so ReuseExchange cannot dedupe them)
+    val sig = minhashSignatures(docs, n).localCheckpoint()
     val bands = sig.select(col("doc_id"),
       explode(expr(
         (0 until MinHashK / 2)
@@ -154,24 +156,25 @@ object Dedup {
     var rounds = 0
     val maxRounds = 30 // pointer jumping ⇒ O(log diameter); 2^30 ≫ any graph
     while (!converged && rounds < maxRounds) {
-      // neighbor-min step (one hop)
+      // neighbor-min step (one hop); _prev carries the round's starting
+      // label so convergence is a filter over the checkpointed partitions
+      // instead of a shuffle join back against the previous frame
       val msgs = und
         .join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
       val hop = labels.join(msgs, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("_prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer-jumping step: label ← label(label), doubling the distance a
       // minimum travels per round (plain hop propagation is one edge/round)
       val ptr = hop.as("h")
         .join(hop.select(col("doc_id").as("label"), col("label").as("ll")).as("p"),
           Seq("label"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("_prev"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint() // truncate the iterative lineage
-      converged = ptr.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels = ptr
+      converged = ptr.filter(col("label") =!= col("_prev")).isEmpty
+      labels = ptr.select(col("doc_id"), col("label"))
       rounds += 1
     }
     require(converged,
@@ -226,7 +229,8 @@ object Dedup {
       .getOrElse(throw new IllegalArgumentException(s"maxHam=$maxHam out of range"))
     val width = 60 / nBands
     val mask = (1L << width) - 1
-    val sh = simhash(docs)
+    // one row per doc (doc_id, long) — materialize once; see minhashLshPairs
+    val sh = simhash(docs).localCheckpoint()
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .select(col("doc_id"), col("simhash"), col("band"),

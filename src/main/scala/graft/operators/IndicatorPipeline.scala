@@ -50,8 +50,58 @@ object IndicatorPipeline {
       .select(Model.DbColumns.map(col): _*)
   }
 
+  // The single-Column forms below inline their lag/RMA sub-expressions, and
+  // Catalyst extracts — but does not common-subexpression-eliminate —
+  // repeated window expressions: the inlined RSI plans 4 identical lags and
+  // 3 seeded RMAs where 1 and 2 suffice. The with*14 DataFrame forms layer
+  // the selects so each lag and each custom aggregate is evaluated exactly
+  // once; both window layers share one shuffle + sort on (symbol, time).
+
+  /** rsi_14 appended via layered selects — the plan-efficient form. */
+  def withRsi14(bars: DataFrame): DataFrame = {
+    val spec = WI.w()
+    val l1 = bars.select(col("*"), lag(col("close"), 1).over(spec).as("_pc"))
+    val d = col("close") - col("_pc")
+    val gain = when(d.isNotNull, greatest(d, lit(0.0)))
+    val loss = when(d.isNotNull, greatest(-d, lit(0.0)))
+    val l2 = l1.select(col("*"),
+      SeededAggs.rma(gain, 14, spec).as("_ag"),
+      SeededAggs.rma(loss, 14, spec).as("_al"))
+    l2.select(col("*"),
+      when(col("_al") === 0, lit(100.0))
+        .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("_ag") / col("_al")))
+        .as("rsi_14"))
+  }
+
+  /** atr_14 appended via layered selects — the plan-efficient form. */
+  def withAtr14(bars: DataFrame): DataFrame = {
+    val spec = WI.w()
+    val l1 = bars.select(col("*"), lag(col("close"), 1).over(spec).as("_pc"))
+    val hl = col("high") - col("low")
+    val tr = when(col("_pc").isNull, hl)
+      .otherwise(greatest(hl, abs(col("high") - col("_pc")), abs(col("low") - col("_pc"))))
+    l1.select(col("*"), SeededAggs.rma(tr, 14, spec).as("atr_14"))
+  }
+
+  /** adx_14 appended via layered selects — the plan-efficient form. */
+  def withAdx14(bars: DataFrame): DataFrame = {
+    val spec = WI.w()
+    val l1 = bars.select(col("*"),
+      lag(col("close"), 1).over(spec).as("_pc"),
+      lag(col("high"), 1).over(spec).as("_ph"),
+      lag(col("low"), 1).over(spec).as("_pl"))
+    val up = col("high") - col("_ph")
+    val dn = col("_pl") - col("low")
+    val pdm = when(up.isNotNull, when(up > dn && up > 0, up).otherwise(lit(0.0)))
+    val ndm = when(dn.isNotNull, when(dn > up && dn > 0, dn).otherwise(lit(0.0)))
+    val hl = col("high") - col("low")
+    val tr = when(col("_pc").isNull, hl)
+      .otherwise(greatest(hl, abs(col("high") - col("_pc")), abs(col("low") - col("_pc"))))
+    l1.select(col("*"), SeededAggs.adx(pdm, ndm, when(up.isNotNull, tr), 14, spec).as("adx_14"))
+  }
+
   /** RSI(14): Wilder RMA of gains/losses over close diffs (backfill.py:20);
-    * zero average loss ⇒ 100. */
+    * zero average loss ⇒ 100. Inline-Column form (see [[withRsi14]]). */
   def rsi14(spec: WindowSpec): Column = {
     val d = col("close") - lag(col("close"), 1).over(spec)
     val gain = when(d.isNotNull, greatest(d, lit(0.0)))

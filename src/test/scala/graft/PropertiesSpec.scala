@@ -56,6 +56,21 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components converges on an adversarial 10^4-node path graph") {
+    // A path graph is the worst case for min-label propagation: the minimum
+    // must travel the full diameter. Pointer jumping makes the travelled
+    // distance grow geometrically per round, so 10^4 nodes must converge
+    // well inside the maxRounds=30 guard (plain hop propagation would need
+    // 10^4 rounds and trip the require()).
+    val n = 10000
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+    val distinctLabels = labels.select("canonical_id").distinct().collect()
+    assert(distinctLabels.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(labels.count() == n)
+  }
+
   test("OBV telescopes to v0 + Σ sign(Δclose)·v, exactly (5 random series)") {
     samples(5).foreach { vals =>
       val withVol = vals.zipWithIndex.map { case (v, i) =>
