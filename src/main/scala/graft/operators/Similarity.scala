@@ -115,8 +115,14 @@ object Similarity {
     * are Lloyd-trained (iters rounds). */
   def ivfSearch(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
       iters: Int = 2): DataFrame = {
+    // materialize the (vec_id, centroid_id) assignment once: it feeds both
+    // sides of the probe join, and without this the broadcast-converted
+    // subplans differ so ReuseExchange cannot dedupe the assignment
+    // cross-join+window. At corpus scale this is the persisted assignment
+    // table the corpus is partitioned by.
     val assign = ivfAssign(emb, ivfTrain(emb, nCentroids, iters))
-    val withCluster = emb.join(assign.select("vec_id", "centroid_id"), "vec_id")
+      .select("vec_id", "centroid_id").localCheckpoint()
+    val withCluster = emb.join(assign, "vec_id")
     val q = withCluster.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("centroid_id").as("qc"))
@@ -137,9 +143,11 @@ object Similarity {
     * needed). */
   def dedupPairsIvf(emb: DataFrame, tau: Double, nCentroids: Int,
       iters: Int = 2): DataFrame = {
+    // assignment materialized once — reused by both join sides (see
+    // ivfSearch); narrow (vec_id, centroid_id) rows
     val withCluster = emb
       .join(ivfAssign(emb, ivfTrain(emb, nCentroids, iters))
-        .select("vec_id", "centroid_id"), "vec_id")
+        .select("vec_id", "centroid_id").localCheckpoint(), "vec_id")
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         norm(col("embedding")).as("nrm"))
     val a = withCluster.select(col("centroid_id"), col("vec_id").as("vec_a"),
@@ -181,8 +189,12 @@ object Similarity {
     val code = planes.zipWithIndex.map { case (pl, p) =>
       when(dot(col("embedding"), lit(pl)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // codes+norms feed the band self-join (twice) and the verify joins
+    // (twice more): compute the nPlanes dot products once and cache. At
+    // corpus scale this is the precomputed code table written next to the
+    // embeddings.
     val coded = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"), code.as("code"))
+      norm(col("embedding")).as("nrm"), code.as("code")).localCheckpoint()
     val nBands = nPlanes / bandBits
     val mask = (1L << bandBits) - 1
     val bands = coded.select(col("vec_id"),
