@@ -175,7 +175,8 @@ object SparkEntry {
 
   // ------------------------------------------------------------------ maps
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = ExtendedEntries.queries ++ Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ExtendedEntries.queries ++ CorpusEntries.queries ++ Map(
     "q_ema" -> qEma,
     "q_macd" -> qMacd,
     "q_rsi" -> qRsi,
@@ -209,7 +210,8 @@ object SparkEntry {
        |FROM g WHERE rnd = 1""".stripMargin,
     live = true)
 
-  def oracleSql: Map[String, String] = ExtendedEntries.oracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    ExtendedEntries.oracleSql ++ CorpusEntries.oracleSql ++ Map(
     "q_ema" -> recQuery(
       s"""SELECT symbol, time, ${r4(emaOut10)} AS ema_10, ${r4(emaOut20)} AS ema_20
          |FROM rec""".stripMargin),

@@ -96,6 +96,62 @@ object TextAnalysis {
       ratio.as("en_stopword_ratio"), pred.as("lang_pred"))
   }
 
+  /** Corpus vocabulary: token frequency + document frequency, top `k` by
+    * frequency (token tiebreak). One explode + one keyed aggregate — the
+    * canonical map-side-combinable word count; the final top-k is a
+    * single-partition window over an already-tiny aggregate. */
+  def vocab(docs: DataFrame, k: Int): DataFrame = {
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
+    // then k·partitions rows to one task) — the global-window equivalent
+    // would sort the whole vocabulary in a single partition
+    val top = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    top.withColumn("rk", row_number().over(w)) // window sees only k rows
+  }
+
+  /** Top `k` TF-IDF terms per document: tf·ln(N/df), ranked by the
+    * 4dp-rounded score (token tiebreak) so float noise cannot flip ranks.
+    * Two keyed aggregates + a broadcast of the corpus size. */
+  def tfidfTop(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        r4(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
+  /** Email/phone regexes kept RE2-simple (char classes + bounded repeats)
+    * so Java and RE2-based engines agree on every match. */
+  val EmailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub: count and redact email/phone patterns. A pure codegen
+    * scan — the shape used to scrub a 100 TB crawl in one pass. (The
+    * synthetic corpus contains no organic PII, so the test harness feeds
+    * this an augmented column with deterministic synthetic PII — the
+    * operator itself is input-agnostic.) */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]").as("redacted"))
+
   /** Order-sensitive rolling document fingerprint: position-weighted sum of
     * token hashes mod 1e9+7 (plus the unordered xor-style component).
     * Pure int64 arithmetic ⇒ bit-exact across engines. */

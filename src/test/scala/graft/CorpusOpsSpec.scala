@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Chunking, Sampling, TextAnalysis}
+
+/** Invariants for the corpus-curation operators (sampling / chunking /
+  * vocab / TF-IDF) that the oracle gate can't express: statistical rate
+  * bounds, coverage, and cross-run determinism. */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} common"))
+      .toDF("doc_id", "text")
+
+  test("hash sampling is deterministic, disjoint across salts, near the rate") {
+    val ids = spark.range(20000).select(col("id").as("doc_id"))
+    val once = Sampling.sample(ids, col("doc_id"), "a:", 0.25).collect().map(_.getLong(0)).toSet
+    val again = Sampling.sample(ids, col("doc_id"), "a:", 0.25).collect().map(_.getLong(0)).toSet
+    assert(once == again)                       // reproducible
+    val rate = once.size / 20000.0
+    assert(rate > 0.23 && rate < 0.27)          // uniform near 25%
+    val other = Sampling.sample(ids, col("doc_id"), "b:", 0.25).collect().map(_.getLong(0)).toSet
+    val overlap = once.intersect(other).size / once.size.toDouble
+    assert(overlap > 0.15 && overlap < 0.35)    // independent salts ⇒ ~rate²/rate
+    // nested rates: a 10% sample is a subset of the 25% sample (same salt)
+    val small = Sampling.sample(ids, col("doc_id"), "a:", 0.10).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(once))
+  }
+
+  test("chunking covers every token exactly; overlap = size - stride") {
+    val d = Seq((1L, (1 to 95).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val ch = Chunking.chunk(d, chunkSize = 40, stride = 30)
+      .orderBy("chunk_id").collect()
+    assert(ch.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(ch.map(_.getAs[Long]("start_token")).toSeq == Seq(1L, 31L, 61L, 91L))
+    assert(ch.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(40L, 40L, 35L, 5L))
+    // last token index covered = start + n - 1 = 95 for every tail
+    assert(ch.map(r => r.getAs[Long]("start_token") + r.getAs[Long]("n_chunk_tokens") - 1)
+      .max == 95L)
+  }
+
+  test("passage dedup keeps exactly one canonical occurrence per distinct chunk") {
+    val d = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = Chunking.passageDedup(Chunking.chunk(d, 4, 4)).collect()
+    assert(out.length == 3)
+    val dups = out.filter(_.getAs[Boolean]("is_duplicate"))
+    assert(dups.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+    assert(dups.head.getAs[Long]("canonical_doc_id") == 1L)
+  }
+
+  test("vocab ranks by frequency with token tiebreak; df <= freq") {
+    val rows = TextAnalysis.vocab(docs(100), 10).orderBy("rk").collect()
+    assert(rows.head.getAs[String]("token") == "common")
+    assert(rows.head.getAs[Long]("freq") == 100L)
+    val freqs = rows.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs == freqs.sortBy(-_))
+    rows.foreach(r => assert(r.getAs[Long]("df") <= r.getAs[Long]("freq")))
+  }
+
+  test("tfidf gives ubiquitous tokens zero weight") {
+    val rows = TextAnalysis.tfidfTop(docs(100), 3).collect()
+    // 'common' appears in every doc: ln(N/df) = ln(1) = 0 ⇒ never a top term
+    // unless everything ties at 0 — our docs always have a rarer token
+    rows.filter(_.getAs[Int]("rk") == 1)
+      .foreach(r => assert(r.getAs[String]("token") != "common"))
+  }
+}
