@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Sampling, TextAnalysis}
+import graft.operators.{Chunking, CorpusStats, Decontamination, Dedup, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** Corpus-curation operators (sampling / vocabulary / TF-IDF / PII /
@@ -63,13 +63,49 @@ object CorpusEntries {
     Chunking.passageDedup(
       Chunking.chunk(Tables.documents(s, dir), chunkSize = 40, stride = 30))
 
+  /** Shared decontamination parameters (eval set = doc_id ≡ 0 mod 10). */
+  private val DecontamN = 5
+  private val DecontamMinHits = 1
+
+  /** Shared repetition thresholds, tuned so the synthetic corpus splits on
+    * every flag (operator defaults are the real-corpus values). */
+  private val MaxTokenDup = 0.55
+  private val MaxDupBigram = 0.06
+  private val MaxTopBigram = 0.05
+
+  /** Temperature for the source-mix resampling weights. */
+  private val MixAlpha = 0.7
+
+  /** Incremental-dedup split (batch = odd ids) and Jaccard threshold. */
+  private val IncrTau = 0.7
+
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    Decontamination.screen(Tables.documents(s, dir),
+      pmod(col("doc_id"), lit(10)) === 0, n = DecontamN, minHits = DecontamMinHits)
+
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, dir),
+      maxTokenDup = MaxTokenDup, maxDupBigram = MaxDupBigram,
+      maxTopBigram = MaxTopBigram)
+
+  private def qSourceMix(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.sourceMix(Tables.documents(s, dir), alpha = MixAlpha)
+
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame =
+    Dedup.incremental(Tables.documents(s, dir),
+      pmod(col("doc_id"), lit(2)) === 1, tau = IncrTau)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> qSampleHash,
     "q_vocab" -> qVocab,
     "q_tfidf" -> qTfidf,
     "q_pii_redact" -> qPiiRedact,
     "q_chunks" -> qChunks,
-    "q_passage_dedup" -> qPassageDedup)
+    "q_passage_dedup" -> qPassageDedup,
+    "q_decontaminate" -> qDecontaminate,
+    "q_repetition" -> qRepetition,
+    "q_source_mix" -> qSourceMix,
+    "q_dedup_incremental" -> qDedupIncremental)
 
   // ---------------------------------------------------------------- oracle
 
@@ -95,7 +131,144 @@ object CorpusEntries {
       |  FROM ch
       |)""".stripMargin
 
+  /** Distinct (doc_id, 31-bit hash) shingle index at width `n` (mirrors
+    * Dedup.shingleIndex; the 3-gram variant in ExtendedEntries is a fixed
+    * specialization of this). */
+  private def oShingleIdx(n: Int): String = {
+    val grams = (0 until n).map(k => s"toks[i+$k]").mkString(", ")
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(toks) < $n THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(range(1, len(toks) - ${n - 2}),
+       |                i -> concat_ws(' ', $grams)) END)) AS sh
+       |  FROM tk
+       |),
+       |shidx AS (SELECT DISTINCT doc_id,
+       |  CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
+       |  FROM sh0),
+       |shsz AS (SELECT doc_id, count(*) AS sz FROM shidx GROUP BY doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH ${oShingleIdx(DecontamN)},
+         |ev AS (SELECT DISTINCT h FROM shidx WHERE doc_id % 10 = 0),
+         |tr AS (SELECT * FROM shidx WHERE doc_id % 10 != 0),
+         |sz AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+         |hits AS (
+         |  SELECT tr.doc_id, count(*) AS n_eval_hits
+         |  FROM tr JOIN ev ON tr.h = ev.h GROUP BY 1
+         |)
+         |SELECT sz.doc_id, sz.n_shingles,
+         |  coalesce(n_eval_hits, 0) AS n_eval_hits,
+         |  ${r4("coalesce(n_eval_hits, 0) * 1.0 / sz.n_shingles")}
+         |    AS contamination_frac,
+         |  coalesce(n_eval_hits, 0) >= $DecontamMinHits AS contaminated
+         |FROM sz LEFT JOIN hits ON hits.doc_id = sz.doc_id""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    ${r4("1.0 - len(list_distinct(toks)) * 1.0 / len(toks)")}
+         |      AS token_dup_frac
+         |  FROM tk
+         |),
+         |bg AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(1, len(toks)),
+         |                i -> concat_ws(' ', toks[i], toks[i+1])) END) AS g
+         |  FROM tk
+         |),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |a AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+         |    max(c) AS top_c
+         |  FROM c GROUP BY 1
+         |)
+         |SELECT b.doc_id, b.n_tokens, b.token_dup_frac,
+         |  coalesce(${r4("dup_occ * 1.0 / n2")}, 0.0) AS dup_bigram_frac,
+         |  coalesce(${r4("top_c * 1.0 / n2")}, 0.0) AS top_bigram_frac,
+         |  (b.token_dup_frac <= $MaxTokenDup
+         |   AND coalesce(${r4("dup_occ * 1.0 / n2")}, 0.0) <= $MaxDupBigram
+         |   AND coalesce(${r4("top_c * 1.0 / n2")}, 0.0) <= $MaxTopBigram) AS keep
+         |FROM base b LEFT JOIN a ON a.doc_id = b.doc_id""".stripMargin,
+
+    "q_source_mix" ->
+      s"""WITH g AS (
+         |  SELECT source, lang, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY 1, 2
+         |)
+         |SELECT source, lang, n_docs, n_tokens, n_chars,
+         |  ${r4("n_tokens * 1.0 / n_docs")} AS mean_doc_tokens,
+         |  ${r4(s"pow(n_docs, $MixAlpha) / sum(pow(n_docs, $MixAlpha)) OVER ()")}
+         |    AS mix_weight
+         |FROM g""".stripMargin,
+
+    "q_dedup_incremental" -> {
+      val sig = (0 until Dedup.MinHashK)
+        .map(j => s"min((h * ${Dedup.mhA(j)} + ${Dedup.mhB(j)}) % ${Dedup.MinHashP}) AS mh$j")
+        .mkString(", ")
+      val bands = (0 until Dedup.MinHashK / 2)
+        .map(bd => s"SELECT doc_id, $bd AS band, mh${2 * bd} AS x, mh${2 * bd + 1} AS y FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${oShingleIdx(3)},
+         |flag AS (SELECT doc_id, doc_id % 2 = 1 AS is_batch FROM documents),
+         |sig AS (SELECT doc_id, $sig FROM shidx GROUP BY doc_id),
+         |bands AS (
+         |  $bands
+         |),
+         |fb AS (SELECT bands.*, flag.is_batch FROM bands JOIN flag USING (doc_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fb a JOIN fb b
+         |    ON a.band = b.band AND a.x = b.x AND a.y = b.y
+         |   AND a.doc_id != b.doc_id AND a.is_batch
+         |   AND ((NOT b.is_batch) OR b.doc_id < a.doc_id)
+         |),
+         |inter AS (
+         |  SELECT doc_a, doc_b, count(*) AS i
+         |  FROM cand
+         |  JOIN shidx ia ON ia.doc_id = doc_a
+         |  JOIN shidx ib ON ib.doc_id = doc_b AND ia.h = ib.h
+         |  GROUP BY 1, 2
+         |),
+         |ver AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter
+         |  JOIN shsz sa ON sa.doc_id = doc_a
+         |  JOIN shsz sb ON sb.doc_id = doc_b
+         |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= $IncrTau
+         |),
+         |vb AS (SELECT ver.*, f.is_batch AS b_batch
+         |       FROM ver JOIN flag f ON f.doc_id = ver.doc_b),
+         |perdoc AS (
+         |  SELECT doc_a AS doc_id,
+         |    min(CASE WHEN NOT b_batch THEN doc_b END) AS corpus_match,
+         |    min(CASE WHEN b_batch THEN doc_b END) AS batch_match,
+         |    count(CASE WHEN NOT b_batch THEN 1 END) AS n_corpus_matches,
+         |    count(CASE WHEN b_batch THEN 1 END) AS n_batch_matches
+         |  FROM vb GROUP BY 1
+         |),
+         |pop AS (
+         |  SELECT DISTINCT shidx.doc_id FROM shidx
+         |  JOIN flag USING (doc_id) WHERE is_batch
+         |)
+         |SELECT pop.doc_id,
+         |  CASE WHEN corpus_match IS NOT NULL THEN 'dup_of_corpus'
+         |       WHEN batch_match IS NOT NULL THEN 'dup_in_batch'
+         |       ELSE 'kept' END AS status,
+         |  coalesce(corpus_match, batch_match) AS match_id,
+         |  coalesce(n_corpus_matches, 0) AS n_corpus_matches,
+         |  coalesce(n_batch_matches, 0) AS n_batch_matches
+         |FROM pop LEFT JOIN perdoc ON perdoc.doc_id = pop.doc_id""".stripMargin
+    },
+
     "q_sample_hash" ->
       s"""WITH b AS (
          |  SELECT doc_id, lang,

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition statistics: the "data mixing" view of a training
+  * corpus — per-(source, lang) volumes plus temperature-scaled resampling
+  * weights (p_i ∝ n_i^α, the multilingual/multi-domain mixing rule from
+  * the mBERT/T5 lineage; α < 1 upsamples rare strata).
+  *
+  * Scale design: one map-side-combinable aggregate over the corpus; the
+  * grouped result is strata-sized (thousands of rows at most), so the
+  * normalizing total and the window over it are free. Nothing here is a
+  * second corpus scan.
+  */
+object CorpusStats {
+
+  private def r4(c: Column): Column = floor(c * lit(10000) + lit(0.5)) / lit(10000)
+
+  /** Per-(source, lang): document/token/char volumes, mean doc length, and
+    * the α-temperature resampling weight normalized across all strata. */
+  def sourceMix(docs: DataFrame, alpha: Double): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val g = docs
+      .select(col("source"), col("lang"), size(toks).as("n_tok"), col("n_chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+    // strata-level frame: a single-partition window over ≤ thousands of rows
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("mean_doc_tokens", r4(col("n_tokens").cast("double") / col("n_docs")))
+      .withColumn("raw_w", pow(col("n_docs").cast("double"), lit(alpha)))
+      .withColumn("mix_weight", r4(col("raw_w") / sum(col("raw_w")).over(all)))
+      .drop("raw_w")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-grams with a held-out evaluation set — the standard pre-training
+  * hygiene pass (n-gram overlap against eval benchmarks).
+  *
+  * Scale design (100 TB): the eval set is benchmarks — thousands of
+  * documents, not billions — so its distinct n-gram hash set is tiny and is
+  * BROADCAST to the training-side scan. The whole operator is then one
+  * linear pass over the corpus (explode shingles → broadcast semi-join →
+  * per-doc count): no corpus-side shuffle on the n-gram key, no pairwise
+  * join. A doc counts as contaminated when it shares at least `minHits`
+  * distinct n-grams with ANY eval document.
+  */
+object Decontamination {
+
+  /** Per-training-doc contamination report.
+    *
+    * @param evalPred  rows satisfying this predicate form the eval set;
+    *                  everything else is the training side being screened.
+    * @param n         shingle width (real pipelines use 8-13; the synthetic
+    *                  corpus is short-doc so tests use 5).
+    * @param minHits   distinct shared n-grams required to flag.
+    * Output: one row per training doc that has ≥ 1 n-gram (shorter docs have
+    * nothing to match on): doc_id, n_shingles, n_eval_hits, contamination
+    * fraction (4 dp) and the contaminated flag.
+    */
+  def screen(docs: DataFrame, evalPred: Column, n: Int, minHits: Int): DataFrame = {
+    val idx = Dedup.shingleIndex(docs, n)
+    val evalIds = docs.filter(evalPred).select(col("doc_id"))
+    // distinct eval n-gram hashes: small by construction — broadcast
+    val evalGrams = idx.join(evalIds, "doc_id").select(col("h")).distinct()
+    val train = idx.join(evalIds, Seq("doc_id"), "left_anti")
+    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(broadcast(evalGrams), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_hits"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"))
+      .withColumn("contamination_frac",
+        floor(col("n_eval_hits").cast("double") / col("n_shingles") * 10000 + 0.5) / 10000)
+      .withColumn("contaminated", col("n_eval_hits") >= minHits)
+  }
+}

@@ -190,6 +190,66 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"),
         (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
 
+  /** Incremental near-dup dedup: screen an incoming BATCH of documents
+    * against the EXISTING corpus (and against itself) — the shape every
+    * continuously-ingesting training pipeline runs per crawl snapshot,
+    * rather than re-deduping the whole corpus.
+    *
+    * Candidates come from the same MinHash band buckets as
+    * [[minhashLshPairs]], but the join is CROSS-SET: batch bands against
+    * (corpus ∪ earlier-batch) bands, so the corpus side is never self-joined
+    * — at 100 TB the corpus signature table is the big side and stays
+    * partitioned by band key while the batch is the small probe. Matches are
+    * verified with exact Jaccard ≥ tau on candidates only.
+    *
+    * Decision per batch doc (deterministic, first-wins by id — NOT
+    * transitive closure, same contract as the reference's ON CONFLICT DO
+    * NOTHING): `dup_of_corpus` if any corpus doc matches (match_id = lowest
+    * such corpus id), else `dup_in_batch` if a lower-id batch doc matches,
+    * else `kept`. */
+  def incremental(docs: DataFrame, batchPred: org.apache.spark.sql.Column,
+      tau: Double, n: Int = 3): DataFrame = {
+    val flagged = docs.withColumn("_is_batch", batchPred)
+    val sig = minhashSignatures(flagged, n)
+      .join(flagged.select(col("doc_id"), col("_is_batch")), "doc_id")
+      .localCheckpoint() // narrow per-doc row; reused by both join sides
+    val bands = sig.select(col("doc_id"), col("_is_batch"),
+      explode(expr(
+        (0 until MinHashK / 2)
+          .map(bd => s"struct(${bd} AS band, mh${2 * bd} AS x, mh${2 * bd + 1} AS y)")
+          .mkString("array(", ", ", ")"))).as("bb"))
+      .select(col("doc_id"), col("_is_batch"), col("bb.band"), col("bb.x"), col("bb.y"))
+    val probe = bands.filter(col("_is_batch"))
+    // other side: corpus docs always; batch docs only with a smaller id
+    val cand = probe.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+          col("a.y") === col("b.y") && col("a.doc_id") =!= col("b.doc_id") &&
+          (!col("b._is_batch") || col("b.doc_id") < col("a.doc_id")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val idx = shingleIndex(flagged, n)
+    val verified = verifyJaccard(cand, idx, tau) // doc_a = batch doc
+      .join(flagged.select(col("doc_id").as("doc_b"), col("_is_batch").as("b_batch")),
+        "doc_b")
+    val perDoc = verified.groupBy(col("doc_a").as("doc_id")).agg(
+      min(when(!col("b_batch"), col("doc_b"))).as("corpus_match"),
+      min(when(col("b_batch"), col("doc_b"))).as("batch_match"),
+      count(when(!col("b_batch"), lit(1))).as("n_corpus_matches"),
+      count(when(col("b_batch"), lit(1))).as("n_batch_matches"))
+    // report every batch doc with ≥ 1 shingle (the screenable population)
+    val batchDocs = idx.join(flagged.filter(col("_is_batch")).select("doc_id"), "doc_id")
+      .select("doc_id").distinct()
+    batchDocs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("corpus_match").isNotNull, lit("dup_of_corpus"))
+          .when(col("batch_match").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("corpus_match"), col("batch_match")).as("match_id"),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        coalesce(col("n_batch_matches"), lit(0L)).as("n_batch_matches"))
+  }
+
   /** 60-bit SimHash over distinct 3-gram shingles (majority vote per bit).
     * Shingles, not unigrams: with a small vocabulary every document shares
     * most unigrams, collapsing unigram SimHashes together; word 3-grams

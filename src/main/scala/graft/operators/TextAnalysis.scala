@@ -152,6 +152,45 @@ object TextAnalysis {
       regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
         PhoneRe, "[PHONE]").as("redacted"))
 
+  /** Gopher-style repetition metrics per document: the fraction of token
+    * occurrences that are repeats (1 − distinct/total), the fraction of
+    * bigram occurrences belonging to a repeated bigram, and the share of
+    * the single most frequent bigram — the standard signals for detecting
+    * boilerplate / degenerate generation loops in crawl data.
+    *
+    * Shape at scale: one explode of bigrams → (doc, gram) count →
+    * per-doc aggregate (both keyed shuffles partial-aggregate down), then a
+    * per-doc join back to the codegen-only token stats. A document is kept
+    * when every metric is under its threshold. Fractions are 4-dp rounded so
+    * the flags are float-noise-stable across engines. */
+  def repetition(docs: DataFrame, maxTokenDup: Double = 0.30,
+      maxDupBigram: Double = 0.10, maxTopBigram: Double = 0.10): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+      r4(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+        .as("token_dup_frac"))
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 2)).as("g"))
+    val perGram = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_bigrams"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occ"),
+      max(col("c")).as("top_c"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("token_dup_frac"),
+        // docs with < 2 tokens have no bigrams: dup fractions are 0 by definition
+        coalesce(r4(col("dup_occ").cast("double") / col("n_bigrams")), lit(0.0))
+          .as("dup_bigram_frac"),
+        coalesce(r4(col("top_c").cast("double") / col("n_bigrams")), lit(0.0))
+          .as("top_bigram_frac"))
+      .withColumn("keep",
+        col("token_dup_frac") <= maxTokenDup &&
+          col("dup_bigram_frac") <= maxDupBigram &&
+          col("top_bigram_frac") <= maxTopBigram)
+  }
+
   /** Order-sensitive rolling document fingerprint: position-weighted sum of
     * token hashes mod 1e9+7 (plus the unordered xor-style component).
     * Pure int64 arithmetic ⇒ bit-exact across engines. */

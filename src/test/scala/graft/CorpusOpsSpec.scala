@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Chunking, Sampling, TextAnalysis}
+import graft.operators.{Chunking, CorpusStats, Decontamination, Dedup, Sampling, TextAnalysis}
 
 /** Invariants for the corpus-curation operators (sampling / chunking /
   * vocab / TF-IDF) that the oracle gate can't express: statistical rate
@@ -68,5 +68,70 @@ class CorpusOpsSpec extends AnyFunSuite {
     // unless everything ties at 0 — our docs always have a rarer token
     rows.filter(_.getAs[Int]("rk") == 1)
       .foreach(r => assert(r.getAs[String]("token") != "common"))
+  }
+
+  test("decontamination flags exactly the docs sharing eval n-grams") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"), // eval
+      (1L, "the quick brown fox jumps over a sleeping cat now"), // shares two 5-grams
+      (2L, "completely different words with no overlap at all here"),
+      (3L, "another clean document about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    val out = Decontamination.screen(d, col("doc_id") === 0, n = 5, minHits = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    val flags = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(flags(1L))      // "the quick brown fox jumps" + "quick brown fox jumps over"
+    assert(!flags(2L) && !flags(3L))
+    val hit = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(hit.getAs[Long]("n_eval_hits") == 2L)
+  }
+
+  test("repetition metrics: degenerate loop text fails, diverse text passes") {
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      // long enough that 1/n_bigrams sits under the 10% top-bigram default
+      (2L, (1 to 24).map(i => s"unique$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Double]("top_bigram_frac") > 0.4) // "buy now" dominates
+    assert(out(2L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("token_dup_frac") == 0.0)
+    assert(out(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+  }
+
+  test("source mix weights are normalized and temperature-flattened") {
+    val d = (0 until 90).map(i => (i.toLong, "a b c",
+      if (i < 81) "en" else "de", if (i < 81) "web" else "books", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusStats.sourceMix(d, alpha = 0.5).collect()
+    assert(out.length == 2)
+    val w = out.map(r => r.getAs[String]("source") -> r.getAs[Double]("mix_weight")).toMap
+    assert(math.abs(w("web") + w("books") - 1.0) < 1e-3)
+    // α=0.5 flattens: 81:9 docs → 9:3 weight ratio, not 9:1
+    assert(math.abs(w("web") / w("books") - 3.0) < 0.01)
+  }
+
+  test("incremental dedup: corpus match beats batch match; kept otherwise") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (0L, base),                                   // corpus
+      (2L, "unrelated corpus text about streaming watermarks and state stores"),
+      (1L, base),                                   // batch: dup of corpus 0
+      (3L, base + " lambda"),                       // batch: near-dup of 0 (and 1)
+      (5L, "fresh batch document with entirely novel token content here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(d, col("doc_id") % 2 === 1, tau = 0.7)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 3L, 5L))
+    assert(out(1L).getAs[String]("status") == "dup_of_corpus")
+    assert(out(1L).getAs[Long]("match_id") == 0L)
+    assert(out(3L).getAs[String]("status") == "dup_of_corpus") // corpus wins over batch 1
+    assert(out(3L).getAs[Long]("match_id") == 0L)
+    assert(out(3L).getAs[Long]("n_batch_matches") >= 1L)       // also matched batch doc 1
+    assert(out(5L).getAs[String]("status") == "kept")
+    assert(out(5L).isNullAt(out(5L).fieldIndex("match_id")))
   }
 }
