@@ -37,8 +37,13 @@ object Bench {
       materialize("q_join_revenue")
     } catch { case _: Throwable => () }
 
+    // dev-only subset filter (unset for the driver's full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
     // min of two runs per query: steady-state latency, JIT/codegen noise out
-    val runs = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val runs = names.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok =

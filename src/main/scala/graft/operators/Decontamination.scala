@@ -29,7 +29,8 @@ object Decontamination {
     * fraction (4 dp) and the contaminated flag.
     */
   def screen(docs: DataFrame, evalPred: Column, n: Int, minHits: Int): DataFrame = {
-    val idx = Dedup.shingleIndex(docs, n)
+    // three consumers (eval grams, sizes, hits) — tokenize→md5 once
+    val idx = Dedup.shingleIndex(docs, n).localCheckpoint()
     val evalIds = docs.filter(evalPred).select(col("doc_id"))
     // distinct eval n-gram hashes: small by construction — broadcast
     val evalGrams = idx.join(evalIds, "doc_id").select(col("h")).distinct()

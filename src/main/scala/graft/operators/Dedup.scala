@@ -69,7 +69,7 @@ object Dedup {
     * not two). */
   def jaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
       maxDf: Int = 100): DataFrame = {
-    val capped = cappedIndex(shingleIndex(docs, n), maxDf)
+    val capped = cappedIndex(shingleIndex(docs, n), maxDf).localCheckpoint()
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = capped.as("a")
       .join(capped.as("b"),
@@ -101,8 +101,13 @@ object Dedup {
   def mhB(j: Int): Long = 101L * j + 7
 
   /** Per-doc MinHash signature (k columns mh0..mh{k-1}). */
-  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
-    val idx = shingleIndex(docs, n)
+  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
+    minhashSignaturesFromIndex(shingleIndex(docs, n))
+
+  /** Signature aggregate over a pre-built (and possibly materialized)
+    * shingle index — callers that also verify against the index pass the
+    * same frame so tokenize→md5 runs once, not once per consumer. */
+  def minhashSignaturesFromIndex(idx: DataFrame): DataFrame = {
     val aggs = (0 until MinHashK).map { j =>
       min((col("h") * mhA(j) + mhB(j)) % MinHashP).as(s"mh$j")
     }
@@ -113,11 +118,14 @@ object Dedup {
     * Jaccard verification ≥ tau. The LSH bands are the only join keys, so
     * candidate generation is an equi-join, not a cross product. */
   def minhashLshPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
-    // signatures are one narrow row per doc — materialize them once so the
-    // band self-join reads a cached frame instead of re-running the
-    // tokenize→shingle→16-agg pipeline per side (AQE's broadcast conversion
-    // makes the two subplans differ, so ReuseExchange cannot dedupe them)
-    val sig = minhashSignatures(docs, n).localCheckpoint()
+    // materialize the shingle index once: signatures AND the Jaccard verify
+    // read it, and their subplans diverge enough (AQE broadcast conversion)
+    // that ReuseExchange cannot dedupe the tokenize→md5 pipeline
+    val idx = shingleIndex(docs, n).localCheckpoint()
+    // signatures are one narrow row per doc — materialize them too so the
+    // band self-join reads a cached frame instead of re-running the 16-agg
+    // pipeline per side
+    val sig = minhashSignaturesFromIndex(idx).localCheckpoint()
     val bands = sig.select(col("doc_id"),
       explode(expr(
         (0 until MinHashK / 2)
@@ -134,7 +142,7 @@ object Dedup {
     // the shingle index to each side — work ∝ candidates × shingles, which
     // is the point of LSH (running full jaccardPairs here would redo the
     // near-quadratic shingle-sharing join and make the bands pure overhead)
-    verifyJaccard(cand, shingleIndex(docs, n), tau)
+    verifyJaccard(cand, idx, tau)
   }
 
   /** Connected components over an undirected near-dup pair graph by
@@ -210,7 +218,9 @@ object Dedup {
   def incremental(docs: DataFrame, batchPred: org.apache.spark.sql.Column,
       tau: Double, n: Int = 3): DataFrame = {
     val flagged = docs.withColumn("_is_batch", batchPred)
-    val sig = minhashSignatures(flagged, n)
+    // one tokenize→md5 pass feeds signatures, verification, and the report
+    val idx = shingleIndex(flagged, n).localCheckpoint()
+    val sig = minhashSignaturesFromIndex(idx)
       .join(flagged.select(col("doc_id"), col("_is_batch")), "doc_id")
       .localCheckpoint() // narrow per-doc row; reused by both join sides
     val bands = sig.select(col("doc_id"), col("_is_batch"),
@@ -228,7 +238,6 @@ object Dedup {
           (!col("b._is_batch") || col("b.doc_id") < col("a.doc_id")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val idx = shingleIndex(flagged, n)
     val verified = verifyJaccard(cand, idx, tau) // doc_a = batch doc
       .join(flagged.select(col("doc_id").as("doc_b"), col("_is_batch").as("b_batch")),
         "doc_b")
