@@ -79,6 +79,9 @@ object CorpusEntries {
   /** Incremental-dedup split (batch = odd ids) and Jaccard threshold. */
   private val IncrTau = 0.7
 
+  /** Bigram-LM count cutoff. */
+  private val LmMinCount = 5L
+
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
     Decontamination.screen(Tables.documents(s, dir),
       pmod(col("doc_id"), lit(10)) === 0, n = DecontamN, minHits = DecontamMinHits)
@@ -95,6 +98,9 @@ object CorpusEntries {
     Dedup.incremental(Tables.documents(s, dir),
       pmod(col("doc_id"), lit(2)) === 1, tau = IncrTau)
 
+  private def qBigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLm(Tables.documents(s, dir), LmMinCount)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> qSampleHash,
     "q_vocab" -> qVocab,
@@ -105,7 +111,8 @@ object CorpusEntries {
     "q_decontaminate" -> qDecontaminate,
     "q_repetition" -> qRepetition,
     "q_source_mix" -> qSourceMix,
-    "q_dedup_incremental" -> qDedupIncremental)
+    "q_dedup_incremental" -> qDedupIncremental,
+    "q_bigram_lm" -> qBigramLm)
 
   // ---------------------------------------------------------------- oracle
 
@@ -151,6 +158,24 @@ object CorpusEntries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bg AS (
+         |  SELECT unnest(
+         |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(1, len(toks)),
+         |                i -> concat_ws(' ', toks[i], toks[i+1])) END) AS bigram
+         |  FROM tk
+         |),
+         |bi AS (
+         |  SELECT bigram, count(*) AS n, string_split(bigram, ' ')[1] AS w1
+         |  FROM bg GROUP BY bigram
+         |),
+         |pfx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_prefix FROM bi GROUP BY w1)
+         |SELECT bigram, n, n_prefix, ${r4("n * 1.0 / n_prefix")} AS cond_p
+         |FROM bi JOIN pfx USING (w1)
+         |WHERE n >= $LmMinCount""".stripMargin,
+
     "q_decontaminate" ->
       s"""WITH ${oShingleIdx(DecontamN)},
          |ev AS (SELECT DISTINCT h FROM shidx WHERE doc_id % 10 = 0),

@@ -135,6 +135,30 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** Corpus bigram language-model table: bigram count, prefix-continuation
+    * count (Σ bigram counts sharing the first token — the LM denominator,
+    * not the raw unigram count, so final-position tokens don't skew the
+    * estimate), and the 4-dp conditional probability P(w2 | w1). Bigrams
+    * under `minCount` are pruned AFTER the prefix sums are taken, so rare
+    * continuations still weigh in the denominator — the standard count-
+    * cutoff construction.
+    *
+    * Scale: two map-side-combinable word-count aggregates; the prefix table
+    * is vocabulary-sized, so AQE broadcasts the join at any corpus size. */
+  def bigramLm(docs: DataFrame, minCount: Long): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val bi = docs
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(shinglesFromTokens(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val prefix = bi.groupBy(col("w1")).agg(sum(col("n")).as("n_prefix"))
+    bi.filter(col("n") >= minCount)
+      .join(prefix, "w1")
+      .select(col("bigram"), col("n"), col("n_prefix"),
+        r4(col("n").cast("double") / col("n_prefix")).as("cond_p"))
+  }
+
   /** Email/phone regexes kept RE2-simple (char classes + bounded repeats)
     * so Java and RE2-based engines agree on every match. */
   val EmailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]{2,}"

@@ -120,6 +120,30 @@ object StreamIngest {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** In-stream replay dedup: drop repeats of (symbol, timestamp) while the
+    * event is inside the watermark — the streaming half of the reference's
+    * at-least-once contract. The reference absorbs producer replays at the
+    * DATABASE (ON CONFLICT DO NOTHING, consumer.py:200); putting the same
+    * first-write-wins key upstream means a replayed Kafka offset never
+    * re-enters the stateful indicator operator at all (the reference would
+    * recompute and rely on the sink to drop the row).
+    *
+    * Scale: dedup state is keyed by (symbol, timestamp) on the same
+    * partitioning as the indicator state downstream and is EVICTED at the
+    * watermark — bounded by event-rate × delay, not by stream lifetime,
+    * which is what makes it safe on an unbounded 100 TB/day feed. */
+  def dedupWithinWatermark(ticks: Dataset[TickEvent],
+      delay: String = "10 minutes"): Dataset[TickEvent] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("symbol", "timestamp")
+      .drop("event_time")
+      .as[TickEvent]
+  }
+
   /** Full query: raw Kafka-shaped frame → parse → stateful indicators. */
   def fromRaw(raw: DataFrame): Dataset[SeqRow] = pipeline(parse(raw))
 }

@@ -70,6 +70,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[String]("token") != "common"))
   }
 
+  test("bigram LM: conditional probabilities per prefix sum to 1 before pruning") {
+    val d = Seq((1L, "a b a b a c"), (2L, "a b a c a b")).toDF("doc_id", "text")
+    // bigrams: a b ×4, b a ×3, a c ×2, c a ×1 → prefix a: 6, b: 3, c: 1
+    val out = TextAnalysis.bigramLm(d, minCount = 1L).collect()
+      .map(r => r.getAs[String]("bigram") -> r).toMap
+    assert(out("a b").getAs[Long]("n") == 4L)
+    assert(out("a b").getAs[Long]("n_prefix") == 6L)
+    assert(out("a b").getAs[Double]("cond_p") == 0.6667)
+    assert(out("a c").getAs[Double]("cond_p") == 0.3333)
+    assert(out("c a").getAs[Double]("cond_p") == 1.0)
+    // pruning keeps the denominator: with minCount=2, "c a" drops but
+    // "a c" still divides by the full prefix-6
+    val pruned = TextAnalysis.bigramLm(d, minCount = 2L).collect()
+      .map(r => r.getAs[String]("bigram")).toSet
+    assert(pruned == Set("a b", "b a", "a c"))
+  }
+
   test("decontamination flags exactly the docs sharing eval n-grams") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"), // eval

@@ -46,4 +46,33 @@ class StreamWindowSpec extends AnyFunSuite {
       assert(rows.contains((h0, 2L, 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark absorbs at-least-once replays of (symbol, timestamp)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[graft.streaming.StreamIngest.TickEvent]
+    val deduped = graft.streaming.StreamIngest
+      .dedupWithinWatermark(input.toDS(), delay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    try {
+      import graft.streaming.StreamIngest.TickEvent
+      val t0 = 1700000000000L
+      input.addData(
+        TickEvent("AAPL", 150.0, t0),
+        TickEvent("AAPL", 150.0, t0),        // same-batch replay
+        TickEvent("MSFT", 310.0, t0))
+      q.processAllAvailable()
+      // cross-batch replay, still inside the watermark → dropped
+      input.addData(TickEvent("AAPL", 151.5, t0))
+      q.processAllAvailable()
+      // a genuinely new (symbol, timestamp) passes
+      input.addData(TickEvent("AAPL", 152.0, t0 + 5000L))
+      q.processAllAvailable()
+      val rows = spark.table("dedupstream").as[TickEvent].collect()
+      assert(rows.length == 3)
+      // first write wins: the replayed 151.5 price never surfaces
+      assert(rows.count(r => r.symbol == "AAPL" && r.timestamp == t0) == 1)
+      assert(rows.find(r => r.symbol == "AAPL" && r.timestamp == t0).get.price == 150.0)
+    } finally q.stop()
+  }
 }
