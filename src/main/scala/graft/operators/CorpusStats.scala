@@ -36,4 +36,26 @@ object CorpusStats {
       .withColumn("mix_weight", r4(col("raw_w") / sum(col("raw_w")).over(all)))
       .drop("raw_w")
   }
+
+  /** Global quality-decile assignment — the "keep the top X% of the
+    * corpus" primitive. A global `ntile` would sort the whole corpus in
+    * one partition; instead the nine decile thresholds are computed with
+    * one exact-percentile aggregate (a single tiny row), broadcast, and
+    * each document's decile is a codegen comparison against the threshold
+    * array — one corpus scan + one scalar broadcast, no global sort.
+    * (At extreme scale swap `percentile` for `approx_percentile`; the
+    * assignment side is unchanged.)
+    *
+    * Scores are 4-dp rounded BEFORE the percentile so thresholds that land
+    * on a tied score are bit-identical across engines. */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.stats(docs)
+      .select(col("doc_id"), r4(col("quality_score")).as("quality_score"))
+    val th = scored.agg(
+      expr(s"percentile(quality_score, array(${(1 to 9).map(_ / 10.0).mkString(", ")}))")
+        .as("th"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("quality_score"),
+        (size(expr("filter(th, t -> quality_score >= t)")) + 1).as("decile"))
+  }
 }

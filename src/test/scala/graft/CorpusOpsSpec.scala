@@ -87,6 +87,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(pruned == Set("a b", "b a", "a c"))
   }
 
+  test("quality deciles: monotone in score, all ten buckets populated, no global sort") {
+    val d = (0 until 200).map(i =>
+      (i.toLong, (0 to i % 40).map(k => s"w${(i * 7 + k) % (5 + i % 37)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.qualityDeciles(d)
+    val rows = out.collect()
+    val byScore = rows.sortBy(_.getAs[Double]("quality_score"))
+    // deciles never decrease as score increases
+    assert(byScore.map(_.getAs[Int]("decile")).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.map(_.getAs[Int]("decile")).distinct.length >= 8)
+    // scale shape: the plan must not contain a global (single-partition) sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), s"unexpected sort in plan")
+  }
+
   test("decontamination flags exactly the docs sharing eval n-grams") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"), // eval
