@@ -158,8 +158,13 @@ object Dedup {
     val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = und.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // seed labels with the first neighbor-min hop fused into initialization
+    // (label₀ = min(self, neighbors)) — for the dominant case of small
+    // cliques this IS the fixpoint, so the loop runs exactly one
+    // verification round instead of one compute + one verification round
+    var labels = und.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("doc_id"), least(col("src"), col("m")).as("label"))
     var converged = false
     var rounds = 0
     val maxRounds = 30 // pointer jumping ⇒ O(log diameter); 2^30 ≫ any graph

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate: no shipped query may plan an unkeyed join.
+  *
+  * A CartesianProduct or a BroadcastNestedLoopJoin over non-tiny inputs is
+  * the one plan shape that silently works at test scale and detonates at
+  * corpus scale (the round-1 simhash/embedding-dedup findings). This spec
+  * walks EVERY SparkEntry query at sf0.001 and fails if one ever plans a
+  * cartesian, or a BNLJ outside the known single-digit-row broadcasts
+  * (single-row corpus totals, decile thresholds, the centroid table).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * the broadcast side is a one-row aggregate, the (≤ nCentroids)-row
+    * centroid table, or the bounded query set of the brute-force ANN
+    * baseline — constant-size by construction, never corpus-sized. */
+  private val bnljAllowed = Set("q_tfidf", "q_quality_deciles",
+    "q_cosine_ivf", "q_dedup_embed_ivf", "q_cosine_topk")
+
+  test("no shipped query plans a cartesian or an unexpected nested-loop join") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.sparkPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cart || bnlj)
+          Some(s"$name: ${if (cart) "CartesianProduct" else "BroadcastNestedLoopJoin"}")
+        else None
+    }
+    assert(offenders.isEmpty, s"unkeyed joins in: ${offenders.mkString("; ")}")
+  }
+}
