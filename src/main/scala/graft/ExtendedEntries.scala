@@ -64,6 +64,10 @@ object ExtendedEntries {
   private def qCosineIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfSearch(Tables.embeddings(s, dir), 8, 10, 3)
 
+  /** Multi-probe variant: nprobe=2 — the recall knob of IVF search. */
+  private def qCosineIvfProbe(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfSearchMultiProbe(Tables.embeddings(s, dir), 8, 10, 3, nprobe = 2)
+
   /** SRP-LSH blocked near-dup pairs (the keyed-shuffle replacement for the
     * all-pairs cross join, which survives only as a spec baseline). */
   private def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
@@ -242,6 +246,7 @@ object ExtendedEntries {
     "q_simhash" -> qSimhash,
     "q_cosine_topk" -> qCosineTopK,
     "q_cosine_ivf" -> qCosineIvf,
+    "q_cosine_ivf_probe" -> qCosineIvfProbe,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -606,6 +611,32 @@ object ExtendedEntries {
       s"""WITH ${oIvfAssign(8, 2)}, q AS (
          |  SELECT vec_id AS query_id, embedding AS qe, centroid_id AS qc
          |  FROM assign WHERE vec_id < 10
+         |), s AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    ${r4(oCos("q.qe", "a.embedding"))} AS score
+         |  FROM assign a, q
+         |  WHERE a.centroid_id = q.qc AND a.vec_id != q.query_id
+         |), rk AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 3""".stripMargin,
+
+    // NB: `cent2` below is oIvfAssign's final centroid table for iters=2
+    "q_cosine_ivf_probe" ->
+      s"""WITH ${oIvfAssign(8, 2)}, qp AS (
+         |  SELECT vec_id AS query_id, centroid_id AS qc FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${r4(oCos("e.embedding", "c.ce"))} DESC, c.centroid_id) AS arn
+         |    FROM embeddings e, cent2 c
+         |    WHERE e.vec_id < 10
+         |  ) WHERE arn <= 2
+         |), q AS (
+         |  SELECT e.vec_id AS query_id, e.embedding AS qe, qp.qc
+         |  FROM embeddings e JOIN qp ON qp.query_id = e.vec_id
          |), s AS (
          |  SELECT q.query_id, a.vec_id AS neighbor_id,
          |    ${r4(oCos("q.qe", "a.embedding"))} AS score

@@ -29,18 +29,17 @@ object Decontamination {
     * fraction (4 dp) and the contaminated flag.
     */
   def screen(docs: DataFrame, evalPred: Column, n: Int, minHits: Int): DataFrame = {
-    // three consumers (eval grams, sizes, hits) — tokenize→md5 once
+    // two consumers (eval-gram set, training scan) — tokenize→md5 once
     val idx = Dedup.shingleIndex(docs, n).localCheckpoint()
     val evalIds = docs.filter(evalPred).select(col("doc_id"))
     // distinct eval n-gram hashes: small by construction — broadcast
     val evalGrams = idx.join(evalIds, "doc_id").select(col("h")).distinct()
-    val train = idx.join(evalIds, Seq("doc_id"), "left_anti")
-    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = train.join(broadcast(evalGrams), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_hits"))
-    sizes.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"))
+    // single pass: broadcast-mark each training shingle as eval-hit or not,
+    // then ONE per-doc aggregate carries both the size and the hit count
+    idx.join(evalIds, Seq("doc_id"), "left_anti")
+      .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_eval_hits"))
       .withColumn("contamination_frac",
         floor(col("n_eval_hits").cast("double") / col("n_shingles") * 10000 + 0.5) / 10000)
       .withColumn("contaminated", col("n_eval_hits") >= minHits)

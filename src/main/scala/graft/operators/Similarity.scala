@@ -67,14 +67,22 @@ object Similarity {
     * nearest by 4dp-rounded cosine, tiebreak lowest centroid id. The
     * centroid id is the partitioning key a 100 TB corpus would be written
     * with (`partitionBy(centroid_id)`). */
-  def ivfAssign(emb: DataFrame, cent: DataFrame): DataFrame = {
+  def ivfAssign(emb: DataFrame, cent: DataFrame): DataFrame =
+    ivfAssignTop(emb, cent, 1).select(col("vec_id"), col("centroid_id"), col("cscore"))
+
+  /** Top-`nprobe` clusters per vector (probe_rank 1 = nearest) — rank by
+    * 4dp-rounded cosine, tiebreak lowest centroid id. nprobe = 1 is corpus
+    * assignment; nprobe > 1 is the query-side probe set of multi-probe
+    * search. */
+  def ivfAssignTop(emb: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     val scored = emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("centroid_id"),
         r4(cosine(col("embedding"), col("ce"))).as("cscore"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("centroid_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("cscore"))
+    scored.withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("vec_id"), col("centroid_id"), col("cscore"), col("probe_rank"))
   }
 
   /** Assignment against untrained seed centroids (spec/back-compat path). */
@@ -126,6 +134,35 @@ object Similarity {
     val q = withCluster.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("centroid_id").as("qc"))
+    val scored = withCluster.join(broadcast(q),
+        col("centroid_id") === col("qc") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        r4(cosine(col("qe"), col("embedding"))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rk"))
+  }
+
+  /** Multi-probe IVF search: each query probes its `nprobe` nearest
+    * clusters instead of one — the standard recall/latency knob. The
+    * corpus keeps its single-cluster assignment (still the partitioning
+    * key at 100 TB); only the query side fans out, so a probe reads
+    * nprobe/C of the data — at scale, a union of nprobe pruned partitions.
+    * The probe set is (nQueries × nprobe) rows and stays broadcast. */
+  def ivfSearchMultiProbe(emb: DataFrame, nCentroids: Int, nQueries: Int,
+      k: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    val cent = ivfTrain(emb, nCentroids, iters) // ends checkpointed (k rows)
+    val assign = ivfAssign(emb, cent)
+      .select("vec_id", "centroid_id").localCheckpoint()
+    val withCluster = emb.join(assign, "vec_id")
+    val qe = emb.filter(col("vec_id") < nQueries)
+    val probes = ivfAssignTop(qe, cent, nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("qc"))
+    val q = qe.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(probes, "query_id")
+    // a neighbor matches at most once per query: it lives in ONE cluster
+    // and the probe set is distinct clusters — no post-join dedup needed
     val scored = withCluster.join(broadcast(q),
         col("centroid_id") === col("qc") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -31,6 +31,20 @@ class IvfPartitionSpec extends AnyFunSuite {
     assert(corpus.select("centroid_id").distinct().count() == 8)
   }
 
+  test("multi-probe search: nprobe=2 recall vs brute force >= nprobe=1 recall") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, 10, 3))
+    val p1 = pairs(Similarity.ivfSearch(emb, 8, 10, 3))
+    val p2 = pairs(Similarity.ivfSearchMultiProbe(emb, 8, 10, 3, nprobe = 2))
+    def recall(approx: Set[(Long, Long)]) =
+      approx.intersect(exact).size.toDouble / exact.size
+    assert(recall(p2) >= recall(p1))
+    assert(recall(p2) > 0.5) // probing 2 of 8 clusters must find most true neighbors
+  }
+
   test("Lloyd training tightens clusters vs untrained seeds and keeps spread bounded") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def meanScore(assign: org.apache.spark.sql.DataFrame): Double =
