@@ -252,7 +252,14 @@ object ExtendedEntries {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_agg_pricing" -> qAggPricing,
     "q_join_revenue" -> qJoinRevenue,
-    "q_sessionize" -> qSessionize)
+    "q_sessionize" -> qSessionize,
+    "q_funnel" -> ((s, dir) => operators.EventAnalytics.funnel(
+      Tables.events(s, dir), FunnelSteps)),
+    "q_cohort_retention" -> ((s, dir) => operators.EventAnalytics.cohortRetention(
+      Tables.events(s, dir))))
+
+  /** Funnel step sequence (query and oracle read the same value). */
+  private val FunnelSteps = Seq("view", "click", "purchase")
 
   // ---------------------------------------------------------------- oracle
 
@@ -394,8 +401,49 @@ object ExtendedEntries {
        |SELECT vec_a, vec_b, cos FROM v WHERE cos >= $tau""".stripMargin
   }
 
+  /** Ordered-funnel oracle: layered windows mirror EventAnalytics.funnel
+    * (strictly-before = ROWS UNBOUNDED..1 PRECEDING on (ts, event_id)). */
+  private def oFunnel(steps: Seq[String]): String = {
+    val layers = steps.zipWithIndex.tail.map { case (step, k) =>
+      s"""l$k AS (
+         |  SELECT *, CASE WHEN event_type = '$step'
+         |      AND coalesce(max(hit${k - 1}) OVER w, 0) = 1 THEN 1 ELSE 0 END AS hit$k
+         |  FROM l${k - 1}
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |)""".stripMargin
+    }
+    val maxes = steps.indices.map(k => s"max(hit$k) AS s$k").mkString(", ")
+    val rows = steps.zipWithIndex.map { case (step, k) =>
+      s"SELECT ${k + 1} AS step, '$step' AS event_type, CAST(sum(s$k) AS BIGINT) AS n_users FROM u"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+       |  FROM events
+       |), l0 AS (
+       |  SELECT *, CASE WHEN event_type = '${steps.head}' THEN 1 ELSE 0 END AS hit0
+       |  FROM e
+       |),
+       |${layers.mkString(",\n")},
+       |u AS (SELECT user_id, $maxes FROM l${steps.size - 1} GROUP BY user_id)
+       |$rows""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // q_sketches intentionally has NO oracle entry (engine-specific sketches).
+    "q_funnel" -> oFunnel(FunnelSteps),
+
+    "q_cohort_retention" ->
+      """WITH w AS (
+        |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+        |  FROM events
+        |), f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+        |d AS (SELECT DISTINCT user_id, week FROM w)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, d.week) // 7 AS INTEGER) AS week_offset,
+        |  count(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_set_ops" ->
       """SELECT user_id, 'purchase_no_error' AS cohort FROM (
         |  SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics beyond sessionization: ordered funnels and
+  * cohort retention — the two standard product-analytics queries over a
+  * (user_id, event_type, ts) stream.
+  *
+  * Both compile to single-digit keyed shuffles with no driver-side state:
+  * the funnel is one shuffle by user (layered window selects share the
+  * sort, exactly like the indicator pipeline), retention is two keyed
+  * aggregates joined on user. At 100 TB both are bounded by Σ per-user
+  * history, parallel in user cardinality.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: how many users complete step 1..N of `steps`, where
+    * each step's event must occur STRICTLY AFTER the previous step's
+    * (order on (ts, event_id) — deterministic under same-timestamp
+    * events).
+    *
+    * Plan: events sorted once per user; per step a layered select adds
+    * "did step k complete strictly before this row" via a max over the
+    * ROWS UNBOUNDED..1 PRECEDING frame, then one aggregate per user and
+    * one tiny global rollup. One shuffle, one sort, N window passes that
+    * all reuse the same ordering. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    // hit0 = this row is step 0; hitK = this row is step K and step K-1
+    // completed strictly earlier
+    val base = events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"),
+      when(col("event_type") === steps.head, lit(1)).otherwise(lit(0)).as("hit0"))
+    val layered = steps.zipWithIndex.tail.foldLeft(base) {
+      case (df, (step, k)) =>
+        df.select(col("*"),
+          when(col("event_type") === step &&
+              max(col(s"hit${k - 1}")).over(prev) === 1, lit(1))
+            .otherwise(lit(0)).as(s"hit$k"))
+    }
+    val stepAggs = steps.indices.map(k => max(col(s"hit$k")).as(s"s$k"))
+    val perUser = layered.groupBy(col("user_id"))
+      .agg(stepAggs.head, stepAggs.tail: _*)
+    // tiny rollup: one row per funnel step
+    val counts = perUser.select(steps.indices.map(k =>
+      sum(col(s"s$k")).cast("long").as(s"n$k")): _*)
+    val stepRows = steps.indices.map(k =>
+      struct(lit(k + 1).as("step"), lit(steps(k)).as("event_type"),
+        col(s"n$k").as("n_users")))
+    counts.select(explode(array(stepRows: _*)).as("r"))
+      .select(col("r.step"), col("r.event_type"), col("r.n_users"))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; for each (cohort_week, week_offset) the number of distinct
+    * users active that many weeks later. Two keyed aggregates (first-seen
+    * per user, distinct user-weeks) joined on user — both map-side
+    * combinable, output is cohort² sized (tiny). */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weeks = events.select(col("user_id"),
+      date_trunc("week", col("ts")).as("week"))
+    val firstWeek = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.distinct()
+      .join(firstWeek, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics
+
+/** Ordering semantics the dense synthetic events can't discriminate:
+  * out-of-order steps must not count, same-timestamp ties break on
+  * event_id, and retention offsets come from first-seen weeks. */
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("funnel counts only strictly-ordered step sequences") {
+    val events = Seq(
+      // user 1: view → click → purchase (completes all 3)
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(1), "click"), (1L, 3L, ts(2), "purchase"),
+      // user 2: purchase BEFORE view/click — purchase must not count
+      (2L, 4L, ts(0), "purchase"), (2L, 5L, ts(1), "view"), (2L, 6L, ts(2), "click"),
+      // user 3: view only
+      (3L, 7L, ts(0), "view"),
+      // user 4: click with no prior view — nothing counts
+      (4L, 8L, ts(0), "click"), (4L, 9L, ts(1), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("funnel same-timestamp tie breaks on event_id (strictly-before excludes the tie row)") {
+    val events = Seq(
+      // view and click share a timestamp: click(id=2) sees view(id=1) as
+      // strictly before (same ts, lower id) → counts
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(0), "click"),
+      // reversed ids: click(id=1) precedes view(id=2) in order → no count
+      (2L, 2L, ts(0), "view"), (2L, 1L, ts(0), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(events, Seq("view", "click"))
+      .collect().map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(1 -> 2L, 2 -> 1L))
+  }
+
+  test("cohort retention offsets count weeks since first-seen") {
+    val w0 = ts(0)
+    def weeks(n: Int) = new Timestamp(w0.getTime + n * 7L * 86400000L)
+    val events = Seq(
+      (1L, 1L, weeks(0), "view"), (1L, 2L, weeks(1), "view"), (1L, 3L, weeks(3), "view"),
+      (2L, 4L, weeks(0), "view"),
+      (3L, 5L, weeks(1), "view"), (3L, 6L, weeks(2), "view")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.cohortRetention(events)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getAs[Int]("week_offset")) -> r.getAs[Long]("n_users"))
+      .toMap
+    val c0 = out.keys.map(_._1).min
+    val c1 = out.keys.map(_._1).max
+    assert(c0 != c1) // two cohorts
+    assert(out((c0, 0)) == 2L) // users 1, 2 in week-0 cohort
+    assert(out((c0, 1)) == 1L && out((c0, 3)) == 1L)
+    assert(out((c1, 0)) == 1L && out((c1, 1)) == 1L) // user 3's cohort
+  }
+}
