@@ -75,4 +75,39 @@ class StreamWindowSpec extends AnyFunSuite {
       assert(rows.find(r => r.symbol == "AAPL" && r.timestamp == t0).get.price == 150.0)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: fills match ticks within the watermarked window") {
+    implicit val sq = spark.sqlContext
+    // ticks enrich fills that arrive within 5 minutes AFTER the tick —
+    // both sides watermarked so join state is bounded and evictable
+    val ticks = MemoryStream[(Timestamp, String, Double)]
+    val fills = MemoryStream[(Timestamp, String, Long)]
+    val tickDf = ticks.toDF().toDF("tick_ts", "symbol", "price")
+      .withWatermark("tick_ts", "10 minutes")
+    val fillDf = fills.toDF().toDF("fill_ts", "fsymbol", "qty")
+      .withWatermark("fill_ts", "10 minutes")
+    val joined = fillDf.join(tickDf,
+      expr("""fsymbol = symbol AND
+              tick_ts <= fill_ts AND fill_ts < tick_ts + interval 5 minutes"""))
+      .select(col("fill_ts"), col("fsymbol"), col("qty"), col("price"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      ticks.addData((new Timestamp(t0), "AAPL", 150.0))
+      fills.addData(
+        (new Timestamp(t0 + 120000L), "AAPL", 10L),   // 2 min later → joins
+        (new Timestamp(t0 + 600000L), "AAPL", 20L))   // 10 min later → outside window
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      ticks.addData((new Timestamp(t0 + 3600000L), "MSFT", 1.0))
+      fills.addData((new Timestamp(t0 + 3600000L), "MSFT", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("fsymbol", "qty", "price").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("AAPL", 10L, 150.0)))
+      assert(!rows.exists(_._2 == 20L)) // out-of-window fill never joins
+    } finally q.stop()
+  }
 }
