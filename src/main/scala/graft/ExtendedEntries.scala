@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Signals, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
+import graft.OracleSql.withTicksBars
 
 /** Extended pipeline operators (dedup / similarity / text analysis /
   * multimodal / relational), each with its DuckDB oracle.
@@ -256,7 +257,11 @@ object ExtendedEntries {
     "q_funnel" -> ((s, dir) => operators.EventAnalytics.funnel(
       Tables.events(s, dir), FunnelSteps)),
     "q_cohort_retention" -> ((s, dir) => operators.EventAnalytics.cohortRetention(
-      Tables.events(s, dir))))
+      Tables.events(s, dir))),
+    "q_zscore_outliers" -> ((s, dir) =>
+      Signals.zscoreOutliers(Tables.bars(s, dir), 20, 2.0)),
+    "q_sma_crossovers" -> ((s, dir) =>
+      Signals.smaCrossovers(Tables.bars(s, dir), 10, 20)))
 
   /** Funnel step sequence (query and oracle read the same value). */
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -431,6 +436,52 @@ object ExtendedEntries {
 
   def oracleSql: Map[String, String] = Map(
     // q_sketches intentionally has NO oracle entry (engine-specific sketches).
+    "q_zscore_outliers" -> withTicksBars(
+      """, w1 AS (
+        |  SELECT symbol, time, close,
+        |    count(close) OVER wn AS c,
+        |    avg(close) OVER wn AS m,
+        |    stddev_samp(close) OVER wn AS sd
+        |  FROM bars
+        |  WINDOW wn AS (PARTITION BY symbol ORDER BY time
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |), zz AS (
+        |  SELECT symbol, time, close,
+        |    CASE WHEN c = 20
+        |      THEN floor(((close - m) / nullif(sd, 0)) * 10000 + 0.5) / 10000 END AS z
+        |  FROM w1
+        |)
+        |SELECT symbol, time, close, z, abs(z) > 2.0 AS is_outlier
+        |FROM zz WHERE z IS NOT NULL""".stripMargin),
+
+    "q_sma_crossovers" -> withTicksBars(
+      """, w1 AS (
+        |  SELECT symbol, time,
+        |    CASE WHEN count(close) OVER w10 = 10 THEN avg(close) OVER w10 END AS s10,
+        |    CASE WHEN count(close) OVER w20 = 20 THEN avg(close) OVER w20 END AS s20
+        |  FROM bars
+        |  WINDOW w10 AS (PARTITION BY symbol ORDER BY time
+        |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+        |         w20 AS (PARTITION BY symbol ORDER BY time
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |), w2 AS (
+        |  SELECT symbol, time,
+        |    floor(s10 * 10000 + 0.5) / 10000 AS sma_10,
+        |    floor(s20 * 10000 + 0.5) / 10000 AS sma_20,
+        |    floor((s10 - s20) * 10000 + 0.5) / 10000 AS spread
+        |  FROM w1
+        |), w3 AS (
+        |  SELECT symbol, time, sma_10, sma_20, spread,
+        |    lag(spread) OVER (PARTITION BY symbol ORDER BY time) AS ps
+        |  FROM w2
+        |)
+        |SELECT symbol, time, sma_10, sma_20,
+        |  CASE WHEN ps < 0 AND spread >= 0 THEN 'golden_cross'
+        |       ELSE 'death_cross' END AS signal
+        |FROM w3
+        |WHERE spread IS NOT NULL AND ps IS NOT NULL
+        |  AND ((ps < 0 AND spread >= 0) OR (ps >= 0 AND spread < 0))""".stripMargin),
+
     "q_funnel" -> oFunnel(FunnelSteps),
 
     "q_cohort_retention" ->
