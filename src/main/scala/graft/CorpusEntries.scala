@@ -20,8 +20,9 @@ object CorpusEntries {
   private val StratRates = Map("en" -> 0.25, "de" -> 0.5)
   private val StratDefault = 0.0625
 
-  private def hex4(rate: Double): String =
-    f"${math.round(rate * 65536).toInt}%04x"
+  /** Oracle-side threshold literal — same source of truth as the query
+    * side ([[Sampling.thresholdHex]]). */
+  private def hex4(rate: Double): String = Sampling.thresholdHex(rate)
 
   // --------------------------------------------------------------- queries
 

@@ -14,39 +14,56 @@ import org.apache.spark.sql.functions._
   * Buckets are the first 4 hex chars of md5 (65536 buckets); the threshold
   * compare is done ON THE HEX STRING (fixed width, lowercase `0-9a-f`, so
   * lexicographic order == numeric order) — portable bit-for-bit to any
-  * engine with md5, which is how the DuckDB oracle mirrors it.
+  * engine with md5, which is how the DuckDB oracle mirrors it. Rates that
+  * round to the full 65536 buckets (or to 0) cannot be expressed as a
+  * 4-char compare — `keep` short-circuits them to true/false literals
+  * instead of emitting a 5-char threshold that would compare wrong.
   */
 object Sampling {
+
+  /** Integer bucket threshold for a rate in [0, 1] (0..65536). */
+  private def bucketThreshold(rate: Double): Int =
+    math.max(0, math.min(65536, math.round(rate * 65536).toInt))
+
+  /** 4-hex-char threshold literal for the DuckDB oracle mirror. Only rates
+    * strictly inside (0, 1) have one — full/empty rates are literal
+    * booleans on both sides. */
+  def thresholdHex(rate: Double): String = {
+    val t = bucketThreshold(rate)
+    require(t > 0 && t < 65536,
+      s"rate $rate rounds to $t/65536 buckets - not expressible as a 4-char threshold")
+    f"$t%04x"
+  }
 
   /** 16-bit bucket (0..65535) of a salted key: deterministic, uniform. */
   def hashBucket(key: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4), 16, 10)
       .cast("long")
 
-  /** Keep iff the salted key's bucket < rate·65536 (rate in [0,1]). */
-  def sampledBy(key: Column, salt: String, rate: Double): Column = {
-    val threshold = math.round(rate * 65536).toInt
-    substring(md5(concat(lit(salt), key.cast("string"))), 1, 4) <
-      lit(f"$threshold%04x")
-  }
+  private def bucketHex(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 4)
+
+  /** Keep iff the salted key's bucket < rate·65536 (rate in [0, 1]; rates
+    * rounding to all/none of the buckets become literal true/false). */
+  def sampledBy(key: Column, salt: String, rate: Double): Column =
+    bucketThreshold(rate) match {
+      case 0 => lit(false)
+      case 65536 => lit(true)
+      case t => bucketHex(key, salt) < lit(f"$t%04x")
+    }
 
   /** Uniform deterministic sample. */
   def sample(df: DataFrame, key: Column, salt: String, rate: Double): DataFrame =
     df.filter(sampledBy(key, salt, rate))
 
   /** Stratified deterministic sample: per-stratum rates (e.g. downsample a
-    * dominant language, upsample rare ones), default rate otherwise. The
-    * stratum column only selects the threshold — the hash stays on the key,
+    * dominant language, keep all of a rare one), default rate otherwise.
+    * The stratum column only selects the rate — the hash stays on the key,
     * so changing strata never reshuffles which rows a stratum keeps. */
   def stratifiedBy(key: Column, stratum: Column, salt: String,
-      rates: Map[String, Double], defaultRate: Double): Column = {
-    val bucket = substring(md5(concat(lit(salt), key.cast("string"))), 1, 4)
-    val threshold = rates.foldLeft(
-      lit(f"${math.round(defaultRate * 65536).toInt}%04x")) {
+      rates: Map[String, Double], defaultRate: Double): Column =
+    rates.foldLeft(sampledBy(key, salt, defaultRate)) {
       case (acc, (value, rate)) =>
-        when(stratum === value, lit(f"${math.round(rate * 65536).toInt}%04x"))
-          .otherwise(acc)
+        when(stratum === value, sampledBy(key, salt, rate)).otherwise(acc)
     }
-    bucket < threshold
-  }
 }

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.sql.{Connection, SQLException, SQLIntegrityConstraintViolationException}
+import java.sql.{Connection, SQLException}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -97,15 +97,17 @@ object JdbcInsertIgnoreSink {
     case _ => None
   }
 
-  /** SQLState class 23 = integrity-constraint violation (23505 unique in
-    * Postgres/Derby/H2); walks the chain because BatchUpdateException often
-    * wraps the real cause. */
+  /** SQLState 23505 = unique-constraint violation (Postgres/Derby/H2) —
+    * the ONLY state first-write-wins may absorb. Other class-23 errors
+    * (23502 NOT NULL, 23503 FK, 23513 CHECK) mean the row itself is bad
+    * and must propagate → rollback, not be silently dropped as a
+    * "duplicate". Walks the chain because BatchUpdateException often wraps
+    * the real cause. */
   private def isDuplicateKey(e: SQLException): Boolean = {
     var cur: SQLException = e
     var seen = 0
     while (cur != null && seen < 8) {
-      if (cur.isInstanceOf[SQLIntegrityConstraintViolationException] ||
-        Option(cur.getSQLState).exists(_.startsWith("23"))) return true
+      if (Option(cur.getSQLState).contains("23505")) return true
       cur = cur.getNextException
       seen += 1
     }

@@ -72,16 +72,27 @@ object TextIngest {
     (clean, bad)
   }
 
-  /** Curated-corpus writer: hash-partition on the directory keys so each
-    * output task writes few files (avoiding the one-file-per-(task ×
-    * partition-value) explosion), then sort within partitions so parquet
-    * row-group stats prune scans on `sortCols`. */
+  /** Curated-corpus writer: shuffle on (directory keys + a bounded salt)
+    * so each partition value fans out across up to `filesPerPartition`
+    * tasks — repartitioning on the keys alone would funnel a dominant
+    * value (80% of a crawl is one language) through ONE task, while no
+    * repartition at all writes one-file-per-(task × value). Rows are then
+    * sorted within tasks so parquet row-group min/max statistics prune
+    * scans on `sortCols`. The salt hashes the sort columns, keeping each
+    * file internally sorted AND value-clustered. */
   def writePartitioned(df: DataFrame, path: String,
-      partitionCols: Seq[String], sortCols: Seq[String]): Unit =
-    df.repartition(partitionCols.map(col): _*)
+      partitionCols: Seq[String], sortCols: Seq[String],
+      filesPerPartition: Int = 8): Unit = {
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    val salt = pmod(hash((partitionCols ++ sortCols).map(col): _*),
+      lit(filesPerPartition))
+    df.withColumn("_salt", salt)
+      .repartition(partitionCols.map(col) :+ col("_salt"): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .drop("_salt")
       .write
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
+  }
 }

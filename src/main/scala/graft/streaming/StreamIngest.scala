@@ -120,18 +120,21 @@ object StreamIngest {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** In-stream replay dedup: drop repeats of (symbol, timestamp) while the
-    * event is inside the watermark — the streaming half of the reference's
-    * at-least-once contract. The reference absorbs producer replays at the
-    * DATABASE (ON CONFLICT DO NOTHING, consumer.py:200); putting the same
-    * first-write-wins key upstream means a replayed Kafka offset never
-    * re-enters the stateful indicator operator at all (the reference would
-    * recompute and rely on the sink to drop the row).
+  /** In-stream replay dedup: drop repeats of the FULL tick payload
+    * (symbol, timestamp, price) while the event is inside the watermark —
+    * the streaming half of the reference's at-least-once contract. The
+    * reference absorbs producer replays at the DATABASE (ON CONFLICT DO
+    * NOTHING, consumer.py:200); dropping identical payloads upstream means
+    * a replayed Kafka offset never re-enters the stateful indicator
+    * operator at all. The key deliberately includes the price: a
+    * same-timestamp tick with a NEW price is not a replay but an update,
+    * which must reach the state for its last-write-wins upsert (ST5,
+    * consumer.py:160) — only byte-identical re-deliveries are dropped.
     *
-    * Scale: dedup state is keyed by (symbol, timestamp) on the same
-    * partitioning as the indicator state downstream and is EVICTED at the
-    * watermark — bounded by event-rate × delay, not by stream lifetime,
-    * which is what makes it safe on an unbounded 100 TB/day feed. */
+    * Scale: dedup state shares the symbol-keyed partitioning of the
+    * indicator state downstream and is EVICTED at the watermark — bounded
+    * by event-rate × delay, not by stream lifetime, which is what makes it
+    * safe on an unbounded 100 TB/day feed. */
   def dedupWithinWatermark(ticks: Dataset[TickEvent],
       delay: String = "10 minutes"): Dataset[TickEvent] = {
     val spark = ticks.sparkSession
@@ -139,11 +142,16 @@ object StreamIngest {
     ticks
       .withColumn("event_time", timestamp_millis(col("timestamp")))
       .withWatermark("event_time", delay)
-      .dropDuplicatesWithinWatermark("symbol", "timestamp")
+      .dropDuplicatesWithinWatermark("symbol", "timestamp", "price")
       .drop("event_time")
       .as[TickEvent]
   }
 
-  /** Full query: raw Kafka-shaped frame → parse → stateful indicators. */
-  def fromRaw(raw: DataFrame): Dataset[SeqRow] = pipeline(parse(raw))
+  /** Full query: raw Kafka-shaped frame → parse → watermarked replay
+    * dedup → stateful indicators. Replays are absorbed BEFORE the
+    * indicator state, so a re-delivered offset never recomputes (the sink's
+    * first-write-wins remains as the second, idempotency-of-last-resort
+    * layer). */
+  def fromRaw(raw: DataFrame, dedupDelay: String = "10 minutes"): Dataset[SeqRow] =
+    pipeline(dedupWithinWatermark(parse(raw), dedupDelay))
 }

@@ -29,6 +29,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     // nested rates: a 10% sample is a subset of the 25% sample (same salt)
     val small = Sampling.sample(ids, col("doc_id"), "a:", 0.10).collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(once))
+    // boundary rates: 1.0 keeps everything, 0.0 nothing (the 65536-bucket
+    // threshold is not expressible as a 4-char hex compare — regression)
+    assert(Sampling.sample(ids, col("doc_id"), "a:", 1.0).count() == 20000L)
+    assert(Sampling.sample(ids, col("doc_id"), "a:", 0.0).count() == 0L)
+    val strat = ids.withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    val keptAll = strat.filter(Sampling.stratifiedBy(col("doc_id"), col("lang"), "a:",
+      Map("de" -> 1.0), 0.25))
+    assert(keptAll.filter(col("lang") === "de").count() == 10000L)
   }
 
   test("chunking covers every token exactly; overlap = size - stride") {

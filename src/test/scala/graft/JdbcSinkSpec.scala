@@ -111,6 +111,20 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(readAll("bars_rb").isEmpty)
   }
 
+  test("NOT NULL violation (SQLState 23502) propagates — not swallowed as a duplicate") {
+    freshTable("bars_nn")
+    // ts is NOT NULL in the DDL; a null there is class-23 but NOT 23505 —
+    // first-write-wins must never absorb it as if it were a replay
+    import spark.implicits._
+    val bad = Seq(("AAPL", Some(1L), 150.0), ("MSFT", None, 300.0))
+      .toDF("symbol", "ts", "px").repartition(1)
+    intercept[org.apache.spark.SparkException] {
+      JdbcInsertIgnoreSink.write(bad, connect, "bars_nn",
+        Seq("symbol", "ts"), RawInsertDialect)
+    }
+    assert(readAll("bars_nn").isEmpty) // rolled back, nothing half-committed
+  }
+
   test("complex column types are rejected on the driver, before any job") {
     import spark.implicits._
     val withArray = Seq(("AAPL", Array(1.0, 2.0))).toDF("symbol", "path")

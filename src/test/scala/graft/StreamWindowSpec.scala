@@ -47,7 +47,7 @@ class StreamWindowSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("dropDuplicatesWithinWatermark absorbs at-least-once replays of (symbol, timestamp)") {
+  test("dropDuplicatesWithinWatermark absorbs replays but passes same-ts price updates") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[graft.streaming.StreamIngest.TickEvent]
     val deduped = graft.streaming.StreamIngest
@@ -59,20 +59,22 @@ class StreamWindowSpec extends AnyFunSuite {
       val t0 = 1700000000000L
       input.addData(
         TickEvent("AAPL", 150.0, t0),
-        TickEvent("AAPL", 150.0, t0),        // same-batch replay
+        TickEvent("AAPL", 150.0, t0),        // same-batch replay → dropped
         TickEvent("MSFT", 310.0, t0))
       q.processAllAvailable()
-      // cross-batch replay, still inside the watermark → dropped
+      // cross-batch replay of the identical payload → dropped
+      input.addData(TickEvent("AAPL", 150.0, t0))
+      // same (symbol, ts) with a NEW price: an update, not a replay —
+      // must pass through to the state's last-write-wins upsert (ST5)
       input.addData(TickEvent("AAPL", 151.5, t0))
       q.processAllAvailable()
       // a genuinely new (symbol, timestamp) passes
       input.addData(TickEvent("AAPL", 152.0, t0 + 5000L))
       q.processAllAvailable()
       val rows = spark.table("dedupstream").as[TickEvent].collect()
-      assert(rows.length == 3)
-      // first write wins: the replayed 151.5 price never surfaces
-      assert(rows.count(r => r.symbol == "AAPL" && r.timestamp == t0) == 1)
-      assert(rows.find(r => r.symbol == "AAPL" && r.timestamp == t0).get.price == 150.0)
+      assert(rows.length == 4)
+      val atT0 = rows.filter(r => r.symbol == "AAPL" && r.timestamp == t0)
+      assert(atT0.map(_.price).sorted.toSeq == Seq(150.0, 151.5))
     } finally q.stop()
   }
 
