@@ -261,7 +261,23 @@ object ExtendedEntries {
     "q_zscore_outliers" -> ((s, dir) =>
       Signals.zscoreOutliers(Tables.bars(s, dir), 20, 2.0)),
     "q_sma_crossovers" -> ((s, dir) =>
-      Signals.smaCrossovers(Tables.bars(s, dir), 10, 20)))
+      Signals.smaCrossovers(Tables.bars(s, dir), 10, 20)),
+    "q_drawdown" -> ((s, dir) => Signals.drawdown(Tables.bars(s, dir))),
+    "q_rolling_corr" -> ((s, dir) => Signals.rollingCorrelation(
+      dailyTypeSeries(s, dir), CorrPairs, 20)))
+
+  /** Daily mean value per event type — the dense aligned series feeding
+    * the rolling-correlation query. The mean is 4dp-rounded BEFORE the
+    * correlation so both engines correlate identical inputs. */
+  private def dailyTypeSeries(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type").as("key"),
+        date_trunc("day", col("ts")).as("time"))
+      .agg(r(avg(col("value"))).as("value"))
+
+  /** Event-type pairs for the rolling-correlation query (query + oracle). */
+  private val CorrPairs = Seq(("click", "view"), ("purchase", "view"),
+    ("error", "signup"))
 
   /** Funnel step sequence (query and oracle read the same value). */
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -481,6 +497,43 @@ object ExtendedEntries {
         |FROM w3
         |WHERE spread IS NOT NULL AND ps IS NOT NULL
         |  AND ((ps < 0 AND spread >= 0) OR (ps >= 0 AND spread < 0))""".stripMargin),
+
+    "q_drawdown" -> withTicksBars(
+      """SELECT symbol, time, close,
+        |  max(close) OVER wp AS peak,
+        |  floor(((close - max(close) OVER wp) / max(close) OVER wp) * 10000 + 0.5)
+        |    / 10000 AS drawdown
+        |FROM bars
+        |WINDOW wp AS (PARTITION BY symbol ORDER BY time
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "q_rolling_corr" ->
+      s"""WITH d AS (
+         |  SELECT event_type AS key,
+         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS time,
+         |    ${r4("avg(value)")} AS value
+         |  FROM events GROUP BY 1, 2
+         |), p AS (
+         |  SELECT key_a, key_b, concat(key_a, '/', key_b) AS pair
+         |  FROM (VALUES ${CorrPairs.map(p => s"('${p._1}', '${p._2}')").mkString(", ")})
+         |    v(key_a, key_b)
+         |), pa AS (
+         |  SELECT p.pair, d.time, d.value AS va FROM d JOIN p ON d.key = p.key_a
+         |), pb AS (
+         |  SELECT p.pair, d.time, d.value AS vb FROM d JOIN p ON d.key = p.key_b
+         |), j AS (
+         |  SELECT pa.pair, pa.time, va, vb
+         |  FROM pa JOIN pb ON pa.pair = pb.pair AND pa.time = pb.time
+         |), w AS (
+         |  SELECT pair, time,
+         |    count(*) OVER wn AS c,
+         |    corr(va, vb) OVER wn AS r
+         |  FROM j
+         |  WINDOW wn AS (PARTITION BY pair ORDER BY time
+         |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT pair, time, floor(r * 10000 + 0.5) / 10000 AS corr
+         |FROM w WHERE c = 20 AND r IS NOT NULL AND NOT isnan(r)""".stripMargin,
 
     "q_funnel" -> oFunnel(FunnelSteps),
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{WindowIndicators => WI}
@@ -32,6 +33,48 @@ object Signals {
         when(cnt === n, r4((col("close") - m) / nullif(sd, lit(0.0)))).as("z"))
       .withColumn("is_outlier", abs(col("z")) > threshold)
       .filter(col("z").isNotNull)
+  }
+
+  /** Running drawdown: close vs the all-time-high so far, per symbol.
+    * Running max is order-independent (exact), the ratio is one double op —
+    * fully deterministic. One window pass sharing the symbol shuffle. */
+  def drawdown(bars: DataFrame): DataFrame = {
+    val spec = WI.w()
+    val peak = max(col("close"))
+      .over(spec.rowsBetween(Window.unboundedPreceding, 0))
+    bars.select(col("symbol"), col("time"), col("close"),
+      peak.as("peak"),
+      r4((col("close") - peak) / peak).as("drawdown"))
+  }
+
+  /** Rolling Pearson correlation between explicit pairs of keyed series —
+    * the pairs-trading / co-movement signal. Input is a generic
+    * `(key, time, value)` relation (per-symbol closes, per-event-type
+    * daily means, …); each pair's two series align on time (inner join)
+    * and the window is keyed by pair, so many pairs parallelize while each
+    * series stays one bounded partition. Null until the window holds n
+    * aligned points. */
+  def rollingCorrelation(series: DataFrame, pairs: Seq[(String, String)],
+      n: Int): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val p = pairs.toDF("key_a", "key_b")
+      .withColumn("pair", concat(col("key_a"), lit("/"), col("key_b")))
+    val a = series.join(broadcast(p.select("pair", "key_a")),
+        col("key") === col("key_a"))
+      .select(col("pair"), col("time"), col("value").as("va"))
+    val b = series.join(broadcast(p.select("pair", "key_b")),
+        col("key") === col("key_b"))
+      .select(col("pair"), col("time"), col("value").as("vb"))
+    val spec = Window.partitionBy(col("pair")).orderBy(col("time"))
+      .rowsBetween(-(n - 1), 0)
+    a.join(b, Seq("pair", "time"))
+      .select(col("pair"), col("time"),
+        when(count(lit(1)).over(spec) === n,
+          r4(corr(col("va"), col("vb")).over(spec))).as("corr"))
+      // Spark yields NaN for a zero-variance window where SQL engines give
+      // NULL — drop both so the gate semantics are engine-independent
+      .filter(col("corr").isNotNull && !isnan(col("corr")))
   }
 
   /** Moving-average crossover events: rows where the fast SMA crosses the

@@ -28,6 +28,28 @@ class SignalsSpec extends AnyFunSuite {
     assert(t >= 1700000000000L + 5 * 3600000L)
   }
 
+  test("drawdown tracks the running peak exactly") {
+    val out = Signals.drawdown(bars(Seq(100.0, 120.0, 90.0, 120.0, 150.0, 75.0)))
+      .orderBy("time").collect()
+    assert(out.map(_.getAs[Double]("peak")).toSeq
+      == Seq(100.0, 120.0, 120.0, 120.0, 150.0, 150.0))
+    assert(out.map(_.getAs[Double]("drawdown")).toSeq
+      == Seq(0.0, 0.0, -0.25, 0.0, 0.0, -0.5))
+  }
+
+  test("rolling correlation: perfectly co-moving series give 1, anti-moving give -1") {
+    val rows = (0 until 12).flatMap { i =>
+      val t = new Timestamp(1700000000000L + i * 86400000L)
+      Seq(("a", t, 10.0 + i), ("b", t, 20.0 + 2 * i), ("c", t, 50.0 - i))
+    }
+    val series = rows.toDF("key", "time", "value")
+    val out = Signals.rollingCorrelation(series, Seq(("a", "b"), ("a", "c")), 10)
+      .collect().groupBy(_.getAs[String]("pair"))
+    assert(out("a/b").forall(_.getAs[Double]("corr") == 1.0))   // linear up-up
+    assert(out("a/c").forall(_.getAs[Double]("corr") == -1.0))  // linear up-down
+    assert(out("a/b").length == 3) // 12 points, window 10 → 3 full windows
+  }
+
   test("zscoreOutliers flags only the spike; warm-up rows absent") {
     val closes = Seq.fill(19)(100.0) ++ Seq(100.0, 100.0, 130.0, 100.0)
     val out = Signals.zscoreOutliers(bars(closes), 20, 2.0).collect()
