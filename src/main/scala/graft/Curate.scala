@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunking, Decontamination, Dedup, Sampling, TextAnalysis}
+import graft.sources.{Tables, TextIngest}
+
+/** End-to-end corpus curation pipeline — the composed "raw documents →
+  * training chunks" flow a real pre-training data run executes, built
+  * entirely from the library's operators:
+  *
+  *   quality filter → repetition filter → near-dup corpus dedup →
+  *   benchmark decontamination → deterministic sample → chunk →
+  *   partitioned parquet write
+  *
+  * Every stage is a DataFrame→DataFrame function, so the whole pipeline
+  * is ONE lazy plan per materialization and inherits each operator's
+  * scale shape (no collects, keyed shuffles only, broadcast where the
+  * small side is bounded). Run: `graft.Curate <sfDir> <outDir>`; prints
+  * one JSON line of per-stage survivor counts.
+  */
+object Curate {
+
+  /** Stage survivors, in order. */
+  final case class Funnel(input: Long, quality: Long, repetition: Long,
+      dedup: Long, decontaminated: Long, sampled: Long, chunks: Long)
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      tau: Double = 0.7, sampleRate: Double = 0.5): Funnel = {
+    val docs = Tables.documents(spark, sfDir)
+
+    // 1. quality gate: score floor (composite length/diversity/stopword)
+    val scored = docs.join(
+      TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score")),
+      "doc_id")
+    val quality = scored.filter(col("quality_score") >= 0.5).drop("quality_score")
+
+    // 2. repetition gate (Gopher-style thresholds tuned for the corpus)
+    val keepRep = TextAnalysis.repetition(quality,
+      maxTokenDup = 0.65, maxDupBigram = 0.10, maxTopBigram = 0.08)
+      .filter(col("keep")).select("doc_id")
+    val repetition = quality.join(keepRep, "doc_id")
+
+    // 3. near-dup corpus dedup: keep each cluster's canonical doc
+    val keepDedup = Dedup.dedupCorpus(repetition, tau)
+      .filter(col("is_duplicate")).select(col("doc_id"))
+    val deduped = repetition.join(keepDedup, Seq("doc_id"), "left_anti")
+
+    // 4. decontamination against the eval split (doc_id ≡ 0 mod 10)
+    val evalPred = pmod(col("doc_id"), lit(10)) === 0
+    val contaminated = Decontamination.screen(deduped, evalPred, n = 5, minHits = 1)
+      .filter(col("contaminated")).select("doc_id")
+    val train = deduped.filter(!evalPred)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 5. deterministic sample (reproducible across reruns)
+    val sampled = Sampling.sample(train, col("doc_id"), "curate:", sampleRate)
+
+    // 6. chunk into training windows and write the partitioned corpus
+    val chunks = Chunking.chunk(sampled, chunkSize = 40, stride = 30)
+    val out = sampled.select(col("doc_id"), col("lang"), col("source"))
+      .join(chunks, "doc_id")
+    TextIngest.writePartitioned(out, s"$outDir/chunks",
+      partitionCols = Seq("lang"), sortCols = Seq("doc_id", "chunk_id"))
+
+    Funnel(docs.count(), quality.count(), repetition.count(), deduped.count(),
+      train.count(), sampled.count(),
+      spark.read.parquet(s"$outDir/chunks").count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_curate"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val f = run(spark, sfDir, outDir)
+    println(s"""{"input":${f.input},"quality":${f.quality},"repetition":${f.repetition},""" +
+      s""""dedup":${f.dedup},"decontaminated":${f.decontaminated},""" +
+      s""""sampled":${f.sampled},"chunks":${f.chunks}}""")
+    spark.stop()
+  }
+}

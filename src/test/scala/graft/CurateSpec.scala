@@ -1,0 +1,28 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end curation pipeline: stage funnel is monotone, deterministic
+  * across reruns, and the written corpus matches the surviving chunk
+  * count. */
+class CurateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("curate pipeline: monotone funnel, reproducible, output matches") {
+    val out = Files.createTempDirectory("graft_curate").toString
+    val f = Curate.run(spark, "/root/testdata/sf0.001", out)
+    // each stage can only shrink the corpus (chunks explode rows, excluded)
+    assert(f.input >= f.quality)
+    assert(f.quality >= f.repetition)
+    assert(f.repetition >= f.dedup)
+    assert(f.dedup >= f.decontaminated)
+    assert(f.decontaminated >= f.sampled)
+    // every stage leaves a non-trivial corpus on the synthetic data
+    assert(f.sampled > 0 && f.chunks >= f.sampled)
+    // deterministic: a rerun lands the identical funnel
+    val out2 = Files.createTempDirectory("graft_curate2").toString
+    assert(Curate.run(spark, "/root/testdata/sf0.001", out2) == f)
+  }
+}
