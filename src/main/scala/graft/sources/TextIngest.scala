@@ -82,8 +82,10 @@ object TextIngest {
     * file internally sorted AND value-clustered. */
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String],
-      filesPerPartition: Int = 8): Unit = {
+      filesPerPartition: Int = 8, format: String = "parquet"): Unit = {
     require(filesPerPartition > 0, "filesPerPartition must be positive")
+    require(Set("parquet", "orc").contains(format),
+      s"unsupported columnar format $format") // both carry row-group/stripe stats
     val salt = pmod(hash((partitionCols ++ sortCols).map(col): _*),
       lit(filesPerPartition))
     df.withColumn("_salt", salt)
@@ -93,6 +95,7 @@ object TextIngest {
       .write
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
-      .parquet(path)
+      .format(format)
+      .save(path)
   }
 }

@@ -56,6 +56,53 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("sampling: nested rates are subsets; rate accuracy within 3% (7 random rates)") {
+    val ids = spark.range(8000).select(col("id").as("doc_id"))
+    val rates = (1 to 7).map(i =>
+      Gen.chooseNum(0.05, 0.95).pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val kept = rates.map { r =>
+      r -> graft.operators.Sampling.sample(ids, col("doc_id"), "p:", r)
+        .collect().map(_.getLong(0)).toSet
+    }.sortBy(_._1)
+    kept.foreach { case (r, s) =>
+      assert(math.abs(s.size / 8000.0 - r) < 0.03, s"rate $r kept ${s.size}")
+    }
+    // monotone thresholds ⇒ lower-rate samples nest inside higher-rate ones
+    kept.sliding(2).foreach { case Seq((_, lo), (_, hi)) =>
+      assert(lo.subsetOf(hi))
+    }
+  }
+
+  test("chunking: full token coverage and stride spacing for random (size, stride)") {
+    val cases = (1 to 6).map { i =>
+      val g = for {
+        n <- Gen.chooseNum(1, 200)
+        size <- Gen.chooseNum(1, 60)
+        stride <- Gen.chooseNum(1, 60)
+      } yield (n, size, stride)
+      g.pureApply(Gen.Parameters.default, Seed(100L + i))
+    }
+    cases.foreach { case (n, size, stride) =>
+      val d = Seq((1L, (1 to n).map(k => s"t$k").mkString(" "))).toDF("doc_id", "text")
+      val ch = graft.operators.Chunking.chunk(d, size, stride)
+        .orderBy("chunk_id").collect()
+      // starts advance by exactly stride from 1 while they stay ≤ n
+      assert(ch.map(_.getAs[Long]("start_token")).toSeq ==
+        (1L to n.toLong by stride.toLong).toSeq)
+      // when stride ≤ size every token is inside some chunk, and the final
+      // token is always covered by the tail chunk
+      val covered = ch.map(r =>
+        (r.getAs[Long]("start_token"), r.getAs[Long]("start_token") + r.getAs[Long]("n_chunk_tokens") - 1))
+      assert(covered.last._2 == n.toLong)
+      if (stride <= size) {
+        val holes = covered.sliding(2).collect {
+          case Array((_, e1), (s2, _)) if s2 > e1 + 1 => (e1, s2)
+        }
+        assert(holes.isEmpty, s"coverage holes at n=$n size=$size stride=$stride")
+      }
+    }
+  }
+
   test("connected components converges on an adversarial 10^4-node path graph") {
     // A path graph is the worst case for min-label propagation: the minimum
     // must travel the full diameter. Pointer jumping makes the travelled

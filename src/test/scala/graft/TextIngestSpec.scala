@@ -74,4 +74,15 @@ class TextIngestSpec extends AnyFunSuite {
       .map(_.toString).filter(_.endsWith(".parquet"))
     assert(deFiles.length == 1)
   }
+
+  test("ORC layout round-trips with the same partition pruning") {
+    val docs = Seq((1L, "a", "en"), (2L, "b", "de")).toDF("doc_id", "text", "lang")
+    val out = tmp("curated_orc")
+    TextIngest.writePartitioned(docs, out, Seq("lang"), Seq("doc_id"),
+      format = "orc")
+    val back = spark.read.orc(out).filter(col("lang") === "de")
+    assert(back.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"))
+  }
 }
