@@ -69,6 +69,17 @@ object ExtendedEntries {
   private def qCosineIvfProbe(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfSearchMultiProbe(Tables.embeddings(s, dir), 8, 10, 3, nprobe = 2)
 
+  /** Gate-friendly projection: the int8 vector rides as a CSV string (the
+    * driver's hash compare is scalar-typed; the library API keeps the
+    * typed array). */
+  private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", col("qvec")).as("qvec_csv"))
+
+  private def qCosineQ8(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopKQ8(Tables.embeddings(s, dir), 10, 5)
+
   /** SRP-LSH blocked near-dup pairs (the keyed-shuffle replacement for the
     * all-pairs cross join, which survives only as a spec baseline). */
   private def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
@@ -248,6 +259,8 @@ object ExtendedEntries {
     "q_cosine_topk" -> qCosineTopK,
     "q_cosine_ivf" -> qCosineIvf,
     "q_cosine_ivf_probe" -> qCosineIvfProbe,
+    "q_embed_quantize" -> qEmbedQuantize,
+    "q_cosine_q8" -> qCosineQ8,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
     "q_multimodal_meta" -> qMultimodalMeta,
@@ -775,6 +788,52 @@ object ExtendedEntries {
          |  FROM s
          |)
          |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 3""".stripMargin,
+
+    "q_embed_quantize" ->
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, mx / 127.0 AS scale,
+         |  array_to_string(
+         |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS INTEGER))
+         |         ELSE list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INTEGER))
+         |    END, ',') AS qvec_csv
+         |FROM m""".stripMargin,
+
+    "q_cosine_q8" -> {
+      val dim = Similarity.LshDim
+      def qdot(a: String, b: String) =
+        s"""CAST(list_reduce(list_transform(range(1, ${dim + 1}),
+           |      i -> CAST($a[i] AS BIGINT) * $b[i]), (x, y) -> x + y) AS DOUBLE)""".stripMargin
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |  FROM embeddings
+         |), qz AS (
+         |  SELECT vec_id,
+         |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS INTEGER))
+         |         ELSE list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INTEGER))
+         |    END AS qvec
+         |  FROM m
+         |), q AS (SELECT vec_id AS query_id, qvec AS qq FROM qz WHERE vec_id < 10),
+         |s AS (
+         |  SELECT q.query_id, z.vec_id AS neighbor_id,
+         |    ${r4(s"${qdot("q.qq", "z.qvec")} / sqrt(${qdot("q.qq", "q.qq")} * ${qdot("z.qvec", "z.qvec")})")}
+         |      AS score
+         |  FROM qz z, q WHERE z.vec_id != q.query_id
+         |), sf AS (SELECT * FROM s WHERE score IS NOT NULL AND NOT isnan(score)),
+         |rk AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
+         |  FROM sf
+         |)
+         |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 5""".stripMargin
+    },
 
     // NB: `cent2` below is oIvfAssign's final centroid table for iters=2
     "q_cosine_ivf_probe" ->

@@ -45,6 +45,27 @@ class IvfPartitionSpec extends AnyFunSuite {
     assert(recall(p2) > 0.5) // probing 2 of 8 clusters must find most true neighbors
   }
 
+  test("int8 quantization: per-element error < scale/2; q8 top-k recall >= 0.9 vs exact") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val joined = graft.operators.Similarity.quantizeInt8(emb).join(emb, "vec_id")
+      .collect()
+    joined.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val q = r.getAs[scala.collection.Seq[Int]]("qvec")
+      val x = r.getAs[scala.collection.Seq[Float]]("embedding")
+      q.zip(x).foreach { case (qi, xi) =>
+        assert(math.abs(qi * scale - xi) <= scale / 2 + 1e-9,
+          s"vec ${r.getAs[Long]("vec_id")}: $qi*$scale vs $xi")
+      }
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, 10, 5))
+    val q8 = pairs(graft.operators.Similarity.cosineTopKQ8(emb, 10, 5))
+    assert(q8.intersect(exact).size.toDouble / exact.size >= 0.9)
+  }
+
   test("Lloyd training tightens clusters vs untrained seeds and keeps spread bounded") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def meanScore(assign: org.apache.spark.sql.DataFrame): Double =
