@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-composition statistics: the "data mixing" view of a training
@@ -28,13 +27,14 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
-    // strata-level frame: a single-partition window over ≤ thousands of rows
-    val all = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    g.withColumn("mean_doc_tokens", r4(col("n_tokens").cast("double") / col("n_docs")))
       .withColumn("raw_w", pow(col("n_docs").cast("double"), lit(alpha)))
-      .withColumn("mix_weight", r4(col("raw_w") / sum(col("raw_w")).over(all)))
-      .drop("raw_w")
+    // normalizing total: one scalar row, broadcast — avoids the global
+    // (unpartitioned) window's single-partition exchange over the strata
+    val total = g.agg(sum(col("raw_w")).as("tot_w"))
+    g.crossJoin(broadcast(total))
+      .withColumn("mean_doc_tokens", r4(col("n_tokens").cast("double") / col("n_docs")))
+      .withColumn("mix_weight", r4(col("raw_w") / col("tot_w")))
+      .drop("raw_w", "tot_w")
   }
 
   /** Global quality-decile assignment — the "keep the top X% of the
