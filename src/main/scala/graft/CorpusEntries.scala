@@ -83,6 +83,21 @@ object CorpusEntries {
   /** Bigram-LM count cutoff. */
   private val LmMinCount = 5L
 
+  /** Unseen-bigram probability floor for the LM document score. */
+  private val LmUnseenP = 0.0001
+
+  /** Quality-rule thresholds, tightened from the operator's real-corpus
+    * defaults so the synthetic corpus splits on every flag (profiled:
+    * 10-99 words, mean word length 3.7-5.3, max word length 5-8,
+    * short-word fraction 0-0.064, distinct stopwords 1-2). */
+  private val RuleMinWords = 30
+  private val RuleMaxWords = 90
+  private val RuleMinMeanLen = 3.0
+  private val RuleMaxMeanLen = 5.0
+  private val RuleMaxWordLen = 7
+  private val RuleMinStop = 2
+  private val RuleMaxShortFrac = 0.05
+
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
     Decontamination.screen(Tables.documents(s, dir),
       pmod(col("doc_id"), lit(10)) === 0, n = DecontamN, minHits = DecontamMinHits)
@@ -105,6 +120,18 @@ object CorpusEntries {
   private def qQualityDeciles(s: SparkSession, dir: String): DataFrame =
     CorpusStats.qualityDeciles(Tables.documents(s, dir))
 
+  private def qQualityRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityRules(Tables.documents(s, dir),
+      minWords = RuleMinWords, maxWords = RuleMaxWords,
+      minMeanLen = RuleMinMeanLen, maxMeanLen = RuleMaxMeanLen,
+      maxWordLen = RuleMaxWordLen, minStopDistinct = RuleMinStop,
+      maxShortFrac = RuleMaxShortFrac)
+
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.lmScore(docs, TextAnalysis.bigramLm(docs, LmMinCount), LmUnseenP)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> qSampleHash,
     "q_vocab" -> qVocab,
@@ -117,7 +144,9 @@ object CorpusEntries {
     "q_source_mix" -> qSourceMix,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_bigram_lm" -> qBigramLm,
-    "q_quality_deciles" -> qQualityDeciles)
+    "q_quality_deciles" -> qQualityDeciles,
+    "q_quality_rules" -> qQualityRules,
+    "q_lm_score" -> qLmScore)
 
   // ---------------------------------------------------------------- oracle
 
@@ -162,7 +191,79 @@ object CorpusEntries {
        |shsz AS (SELECT doc_id, count(*) AS sz FROM shidx GROUP BY doc_id)""".stripMargin
   }
 
+  /** DuckDB literal for the langId/quality stopword marker list. */
+  private val oStopList: String =
+    graft.operators.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+
   def oracleSql: Map[String, String] = Map(
+    "q_quality_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS lc
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    ${r4("(lc - (len(toks) - 1)) * 1.0 / len(toks)")} AS mean_word_len,
+         |    list_max(list_transform(toks, x -> length(x))) AS max_word_len,
+         |    len(list_filter($oStopList, s -> list_contains(toks, s)))
+         |      AS n_stop_distinct,
+         |    ${r4("len(list_filter(toks, x -> length(x) <= 2)) * 1.0 / len(toks)")}
+         |      AS short_word_frac
+         |  FROM t
+         |), f AS (
+         |  SELECT *,
+         |    (n_words >= $RuleMinWords AND n_words <= $RuleMaxWords) AS ok_words,
+         |    (mean_word_len >= $RuleMinMeanLen AND mean_word_len <= $RuleMaxMeanLen)
+         |      AS ok_mean_len,
+         |    max_word_len <= $RuleMaxWordLen AS ok_word_len,
+         |    n_stop_distinct >= $RuleMinStop AS ok_stopwords,
+         |    short_word_frac <= $RuleMaxShortFrac AS ok_short
+         |  FROM m
+         |)
+         |SELECT *,
+         |  (ok_words AND ok_mean_len AND ok_word_len AND ok_stopwords AND ok_short)
+         |    AS keep,
+         |  CASE WHEN NOT ok_words THEN 'n_words'
+         |       WHEN NOT ok_mean_len THEN 'mean_word_len'
+         |       WHEN NOT ok_word_len THEN 'max_word_len'
+         |       WHEN NOT ok_stopwords THEN 'stopwords'
+         |       WHEN NOT ok_short THEN 'short_words'
+         |       ELSE NULL END AS fail_reason
+         |FROM f""".stripMargin,
+
+    "q_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(1, len(toks)),
+         |                i -> concat_ws(' ', toks[i], toks[i+1])) END) AS bigram
+         |  FROM tk
+         |),
+         |bi AS (
+         |  SELECT bigram, count(*) AS n, string_split(bigram, ' ')[1] AS w1
+         |  FROM bg GROUP BY bigram
+         |),
+         |pfx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_prefix FROM bi GROUP BY w1),
+         |lm AS (
+         |  SELECT bigram, ${r4("n * 1.0 / n_prefix")} AS cond_p
+         |  FROM bi JOIN pfx USING (w1) WHERE n >= $LmMinCount
+         |),
+         |a AS (
+         |  SELECT bg.doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(CASE WHEN lm.cond_p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_unseen,
+         |    CAST(sum(CAST(floor(-ln(coalesce(lm.cond_p, $LmUnseenP)) * 10000 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS s4
+         |  FROM bg LEFT JOIN lm USING (bigram) GROUP BY bg.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
+         |  ${r4("a.s4 / 10000.0 / a.n_bigrams")} AS avg_nll,
+         |  ${r4("exp(a.s4 / 10000.0 / a.n_bigrams)")} AS perplexity
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
     "q_bigram_lm" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |bg AS (

@@ -154,6 +154,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(w("web") / w("books") - 3.0) < 0.01)
   }
 
+  test("quality rules: each rule fails on its own pathology, clean doc passes") {
+    val stopful = "the cat sat on a mat and the dog is here with all of them now then"
+    val d = Seq(
+      (1L, stopful),                                        // clean: all rules pass
+      (2L, "the of and"),                                   // too few words
+      (3L, ("the of a " * 20).trim + " supercalifragilistic"), // giant word
+      (4L, ("nostopwords justplain more " * 5).trim),       // no stopwords
+      (5L, "a a a a a the of in is on and to for with word word word word word")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityRules(d, minWords = 10, maxWords = 100,
+        minMeanLen = 2.0, maxMeanLen = 12.0, maxWordLen = 15,
+        minStopDistinct = 2, maxShortFrac = 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).isNullAt(out(1L).fieldIndex("fail_reason")))
+    assert(out(2L).getAs[String]("fail_reason") == "n_words")
+    assert(out(3L).getAs[String]("fail_reason") == "max_word_len")
+    assert(out(4L).getAs[String]("fail_reason") == "stopwords")
+    assert(out(5L).getAs[String]("fail_reason") == "short_words")
+    // the gate is a pure scan: no shuffle in the plan
+    val plan = TextAnalysis.qualityRules(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("lm score: seen-bigram docs score below unseen-heavy docs; ppl = e^nll") {
+    val corpus = (0 until 30).map(i => (i.toLong, "a b a b a b a b"))
+      .toDF("doc_id", "text")
+    val lm = TextAnalysis.bigramLm(corpus, minCount = 1L)
+    val probe = Seq((100L, "a b a b a b"), (101L, "x y x y x y"), (102L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(probe, lm)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "a b" and "b a" both in-LM with p≈.57/.43 ⇒ low nll; x/y all unseen
+    assert(out(100L).getAs[Long]("n_unseen") == 0L)
+    assert(out(101L).getAs[Long]("n_unseen") == 5L)
+    assert(out(100L).getAs[Double]("avg_nll") < out(101L).getAs[Double]("avg_nll"))
+    assert(out(101L).getAs[Double]("avg_nll") == 9.2103) // -ln(1e-4)
+    // single-token doc: no bigrams, null score
+    assert(out(102L).getAs[Long]("n_bigrams") == 0L)
+    assert(out(102L).isNullAt(out(102L).fieldIndex("avg_nll")))
+    // perplexity is the exponential of the (rounded) mean nll
+    val r = out(100L)
+    assert(math.abs(r.getAs[Double]("perplexity") -
+      math.exp(r.getAs[Double]("avg_nll"))) < 0.001)
+  }
+
   test("incremental dedup: corpus match beats batch match; kept otherwise") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = Seq(
