@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, CorpusStats, Decontamination, Dedup, Sampling, TextAnalysis}
+import graft.operators.{Chunking, CorpusStats, Decontamination, Dedup, Packing, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** Corpus-curation operators (sampling / vocabulary / TF-IDF / PII /
@@ -98,6 +98,15 @@ object CorpusEntries {
   private val RuleMinStop = 2
   private val RuleMaxShortFrac = 0.05
 
+  /** Sequence-packing parameters: training-sequence length and the
+    * prefix-sum bucket size (small here so multiple buckets exist even at
+    * sf0.001 — the production default is 1024). */
+  private val PackSeqLen = 512
+  private val PackDocsPerBucket = 64
+
+  /** Exact-N stratified sample size per lang. */
+  private val ExactNPerLang = 40
+
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
     Decontamination.screen(Tables.documents(s, dir),
       pmod(col("doc_id"), lit(10)) === 0, n = DecontamN, minHits = DecontamMinHits)
@@ -132,6 +141,15 @@ object CorpusEntries {
     TextAnalysis.lmScore(docs, TextAnalysis.bigramLm(docs, LmMinCount), LmUnseenP)
   }
 
+  private def qPack(s: SparkSession, dir: String): DataFrame =
+    Packing.pack(Chunking.chunk(Tables.documents(s, dir), 40, 30),
+      seqLen = PackSeqLen, docsPerBucket = PackDocsPerBucket)
+
+  private def qSampleExactN(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedExactN(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"), SampleSalt, ExactNPerLang)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> qSampleHash,
     "q_vocab" -> qVocab,
@@ -146,7 +164,9 @@ object CorpusEntries {
     "q_bigram_lm" -> qBigramLm,
     "q_quality_deciles" -> qQualityDeciles,
     "q_quality_rules" -> qQualityRules,
-    "q_lm_score" -> qLmScore)
+    "q_lm_score" -> qLmScore,
+    "q_pack" -> qPack,
+    "q_sample_exact_n" -> qSampleExactN)
 
   // ---------------------------------------------------------------- oracle
 
@@ -196,6 +216,32 @@ object CorpusEntries {
     graft.operators.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
   def oracleSql: Map[String, String] = Map(
+    "q_pack" ->
+      s"""WITH $oChunks,
+         |o AS (
+         |  SELECT doc_id, chunk_id, start_token, n_chunk_tokens, chunk_md5,
+         |    CAST(coalesce(sum(n_chunk_tokens) OVER (
+         |      ORDER BY doc_id, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS global_offset
+         |  FROM chunks
+         |)
+         |SELECT *,
+         |  global_offset // $PackSeqLen AS seq_id,
+         |  global_offset % $PackSeqLen AS seq_offset,
+         |  (global_offset % $PackSeqLen) + n_chunk_tokens > $PackSeqLen AS spans_seq
+         |FROM o""".stripMargin,
+
+    "q_sample_exact_n" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(concat('$SampleSalt', CAST(doc_id AS VARCHAR))), doc_id)
+         |      AS BIGINT) AS sample_rank
+         |  FROM documents
+         |)
+         |SELECT * FROM r WHERE sample_rank <= $ExactNPerLang""".stripMargin,
+
     "q_quality_rules" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS lc

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Signals, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, RangeJoin, Signals, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import graft.OracleSql.withTicksBars
 
@@ -238,7 +238,25 @@ object ExtendedEntries {
         r(expr("percentile(value, 0.99)")).as("p99"),
         count(lit(1)).as("n"))
 
+  /** Interval-overlap analytics on the binned range join: deterministic
+    * 45-minute windows (anchored at every event_id ≡ 0 mod 1000) joined
+    * to the events they cover, aggregated per window. The bare range
+    * predicate would plan as BroadcastNestedLoopJoin — [[RangeJoin.binned]]
+    * turns it into one keyed shuffle on 30-minute buckets. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("ts"), col("value"))
+    val iv = ev.filter(pmod(col("event_id"), lit(1000)) === 0)
+      .select(col("event_id").as("interval_id"), col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 45 MINUTES")).as("end_ts"))
+    RangeJoin.binned(ev, col("ts"), iv, col("start_ts"), col("end_ts"),
+        bucketWidthUs = 30L * 60 * 1000000)
+      .groupBy(col("interval_id"), col("start_ts"), col("end_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))).cast("double") / lit(100.0)).as("sum_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> qRangeJoin,
     "q_set_ops" -> qSetOps,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,
@@ -921,6 +939,20 @@ object ExtendedEntries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |), iv AS (
+        |  SELECT event_id AS interval_id, ts AS start_ts,
+        |    ts + INTERVAL 45 MINUTE AS end_ts
+        |  FROM e WHERE event_id % 1000 = 0
+        |)
+        |SELECT interval_id, start_ts, end_ts, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS sum_value
+        |FROM iv JOIN e ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -66,4 +66,22 @@ object Sampling {
       case (acc, (value, rate)) =>
         when(stratum === value, sampledBy(key, salt, rate)).otherwise(acc)
     }
+
+  /** Exact-count stratified sample: the first `n` rows of each stratum in
+    * salted-hash order (key as tiebreak) — the "exactly N docs per
+    * language/source" balancing primitive, where a rate-based sample only
+    * hits N in expectation. Deterministic: the hash order is a fixed
+    * permutation per salt. One shuffle keyed by stratum; per-stratum
+    * ranking is a window, so a mega-stratum serializes into one task —
+    * at that point cap it with a rate-sample prefilter first (compose
+    * [[sampledBy]] before this). Adds `sample_rank` (1-based). */
+  def stratifiedExactN(df: DataFrame, key: Column, stratum: Column,
+      salt: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(md5(concat(lit(salt), key.cast("string"))), key)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
 }
