@@ -39,10 +39,13 @@ object Packing {
     val wLocal = Window.partitionBy(col("_bucket"))
       .orderBy(col("doc_id"), col("chunk_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // bucket base offsets: tiny frame (one row per bucket); the constant
-    // partition key keeps the frame in one task WITHOUT tripping Spark's
-    // empty-partition-spec degradation warning — the bound is documented above
-    val wBuckets = Window.partitionBy(lit(0)).orderBy(col("_bucket"))
+    // bucket base offsets: tiny frame (one row per bucket), deliberately
+    // scanned in ONE task (bound documented above). The key is constant-
+    // valued but must not be foldable: Catalyst strips a literal partition
+    // key, leaving an empty partition spec — the unbounded global-window
+    // degradation path this operator exists to avoid.
+    val wBuckets = Window.partitionBy(pmod(col("_bucket"), lit(1)))
+      .orderBy(col("_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val baseOffsets = bucketed
       .groupBy(col("_bucket")).agg(sum(col("n_chunk_tokens")).as("_tot"))

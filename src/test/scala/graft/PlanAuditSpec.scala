@@ -18,7 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * the broadcast side is a one-row aggregate, the (≤ nCentroids)-row
     * centroid table, or the bounded query set of the brute-force ANN
     * baseline — constant-size by construction, never corpus-sized. */
-  private val bnljAllowed = Set("q_tfidf", "q_quality_deciles",
+  private val bnljAllowed = Set("q_tfidf", "q_quality_deciles", "q_source_mix",
     "q_cosine_ivf", "q_cosine_ivf_probe", "q_dedup_embed_ivf", "q_cosine_topk",
     "q_cosine_q8")
 
@@ -34,5 +34,24 @@ class PlanAuditSpec extends AnyFunSuite {
         else None
     }
     assert(offenders.isEmpty, s"unkeyed joins in: ${offenders.mkString("; ")}")
+  }
+
+  /** Queries whose plan legitimately contains an unpartitioned window: the
+    * window's input is already bounded (vocab: top-k rows after a limit). */
+  private val globalWindowAllowed = Set("q_vocab")
+
+  test("no shipped query windows over an unpartitioned corpus-sized frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !globalWindowAllowed(name) =>
+        val bad = fn(spark, dir).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(s"$name: ${bad.size} unpartitioned Window(s)") else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition windows in: ${offenders.mkString("; ")}")
   }
 }
