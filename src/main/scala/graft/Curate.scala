@@ -3,16 +3,16 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Decontamination, Dedup, Sampling, TextAnalysis}
+import graft.operators.{Chunking, Decontamination, Dedup, Packing, Sampling, TextAnalysis}
 import graft.sources.{Tables, TextIngest}
 
 /** End-to-end corpus curation pipeline — the composed "raw documents →
-  * training chunks" flow a real pre-training data run executes, built
+  * training sequences" flow a real pre-training data run executes, built
   * entirely from the library's operators:
   *
-  *   quality filter → repetition filter → near-dup corpus dedup →
-  *   benchmark decontamination → deterministic sample → chunk →
-  *   partitioned parquet write
+  *   quality-score filter → structural rule gate → repetition filter →
+  *   near-dup corpus dedup → benchmark decontamination → deterministic
+  *   sample → chunk → sequence-pack → partitioned parquet write
   *
   * Every stage is a DataFrame→DataFrame function, so the whole pipeline
   * is ONE lazy plan per materialization and inherits each operator's
@@ -22,9 +22,11 @@ import graft.sources.{Tables, TextIngest}
   */
 object Curate {
 
-  /** Stage survivors, in order. */
-  final case class Funnel(input: Long, quality: Long, repetition: Long,
-      dedup: Long, decontaminated: Long, sampled: Long, chunks: Long)
+  /** Stage survivors, in order (`chunks`/`seqs` count training rows, not
+    * documents). */
+  final case class Funnel(input: Long, quality: Long, rules: Long,
+      repetition: Long, dedup: Long, decontaminated: Long, sampled: Long,
+      chunks: Long, seqs: Long)
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tau: Double = 0.7, sampleRate: Double = 0.5): Funnel = {
@@ -36,37 +38,49 @@ object Curate {
       "doc_id")
     val quality = scored.filter(col("quality_score") >= 0.5).drop("quality_score")
 
-    // 2. repetition gate (Gopher-style thresholds tuned for the corpus)
-    val keepRep = TextAnalysis.repetition(quality,
+    // 2. structural rule gate (word-count / word-length / stopword rules,
+    // thresholds tuned so the synthetic corpus splits without emptying)
+    val keepRules = TextAnalysis.qualityRules(quality,
+      minWords = 20, maxWords = 100000, minMeanLen = 3.0, maxMeanLen = 10.0,
+      maxWordLen = 10, minStopDistinct = 1, maxShortFrac = 0.1)
+      .filter(col("keep")).select("doc_id")
+    val ruled = quality.join(keepRules, "doc_id")
+
+    // 3. repetition gate (Gopher-style thresholds tuned for the corpus)
+    val keepRep = TextAnalysis.repetition(ruled,
       maxTokenDup = 0.65, maxDupBigram = 0.10, maxTopBigram = 0.08)
       .filter(col("keep")).select("doc_id")
-    val repetition = quality.join(keepRep, "doc_id")
+    val repetition = ruled.join(keepRep, "doc_id")
 
-    // 3. near-dup corpus dedup: keep each cluster's canonical doc
+    // 4. near-dup corpus dedup: keep each cluster's canonical doc
     val keepDedup = Dedup.dedupCorpus(repetition, tau)
       .filter(col("is_duplicate")).select(col("doc_id"))
     val deduped = repetition.join(keepDedup, Seq("doc_id"), "left_anti")
 
-    // 4. decontamination against the eval split (doc_id ≡ 0 mod 10)
+    // 5. decontamination against the eval split (doc_id ≡ 0 mod 10)
     val evalPred = pmod(col("doc_id"), lit(10)) === 0
     val contaminated = Decontamination.screen(deduped, evalPred, n = 5, minHits = 1)
       .filter(col("contaminated")).select("doc_id")
     val train = deduped.filter(!evalPred)
       .join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 5. deterministic sample (reproducible across reruns)
+    // 6. deterministic sample (reproducible across reruns)
     val sampled = Sampling.sample(train, col("doc_id"), "curate:", sampleRate)
 
-    // 6. chunk into training windows and write the partitioned corpus
-    val chunks = Chunking.chunk(sampled, chunkSize = 40, stride = 30)
+    // 7. chunk into training windows, pack into fixed-length sequences,
+    // write the partitioned corpus
+    val packed = Packing.pack(
+      Chunking.chunk(sampled, chunkSize = 40, stride = 30), seqLen = 512)
     val out = sampled.select(col("doc_id"), col("lang"), col("source"))
-      .join(chunks, "doc_id")
+      .join(packed, "doc_id")
     TextIngest.writePartitioned(out, s"$outDir/chunks",
       partitionCols = Seq("lang"), sortCols = Seq("doc_id", "chunk_id"))
 
-    Funnel(docs.count(), quality.count(), repetition.count(), deduped.count(),
-      train.count(), sampled.count(),
-      spark.read.parquet(s"$outDir/chunks").count())
+    val written = spark.read.parquet(s"$outDir/chunks")
+    Funnel(docs.count(), quality.count(), ruled.count(), repetition.count(),
+      deduped.count(), train.count(), sampled.count(),
+      written.count(),
+      written.select(col("seq_id")).distinct().count())
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,9 +95,10 @@ object Curate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val f = run(spark, sfDir, outDir)
-    println(s"""{"input":${f.input},"quality":${f.quality},"repetition":${f.repetition},""" +
-      s""""dedup":${f.dedup},"decontaminated":${f.decontaminated},""" +
-      s""""sampled":${f.sampled},"chunks":${f.chunks}}""")
+    println(s"""{"input":${f.input},"quality":${f.quality},"rules":${f.rules},""" +
+      s""""repetition":${f.repetition},"dedup":${f.dedup},""" +
+      s""""decontaminated":${f.decontaminated},"sampled":${f.sampled},""" +
+      s""""chunks":${f.chunks},"seqs":${f.seqs}}""")
     spark.stop()
   }
 }

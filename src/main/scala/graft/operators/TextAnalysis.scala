@@ -109,9 +109,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
+    // rank window sees only the k post-limit rows; the constant-valued but
+    // non-foldable partition key keeps them in one task without the
+    // empty-partition-spec degradation path (and its runtime warning)
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(length(col("token")), lit(1)))
       .orderBy(col("freq").desc, col("token"))
-    top.withColumn("rk", row_number().over(w)) // window sees only k rows
+    top.withColumn("rk", row_number().over(w))
   }
 
   /** Top `k` TF-IDF terms per document: tf·ln(N/df), ranked by the

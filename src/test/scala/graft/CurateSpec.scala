@@ -15,12 +15,15 @@ class CurateSpec extends AnyFunSuite {
     val f = Curate.run(spark, "/root/testdata/sf0.001", out)
     // each stage can only shrink the corpus (chunks explode rows, excluded)
     assert(f.input >= f.quality)
-    assert(f.quality >= f.repetition)
+    assert(f.quality >= f.rules)
+    assert(f.rules >= f.repetition)
     assert(f.repetition >= f.dedup)
     assert(f.dedup >= f.decontaminated)
     assert(f.decontaminated >= f.sampled)
     // every stage leaves a non-trivial corpus on the synthetic data
     assert(f.sampled > 0 && f.chunks >= f.sampled)
+    // packing: sequence count ≈ total tokens / 512, never above chunk count
+    assert(f.seqs > 0 && f.seqs <= f.chunks)
     // deterministic: a rerun lands the identical funnel
     val out2 = Files.createTempDirectory("graft_curate2").toString
     assert(Curate.run(spark, "/root/testdata/sf0.001", out2) == f)

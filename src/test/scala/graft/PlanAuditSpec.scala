@@ -36,20 +36,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unkeyed joins in: ${offenders.mkString("; ")}")
   }
 
-  /** Queries whose plan legitimately contains an unpartitioned window: the
-    * window's input is already bounded (vocab: top-k rows after a limit). */
-  private val globalWindowAllowed = Set("q_vocab")
-
-  test("no shipped query windows over an unpartitioned corpus-sized frame") {
+  test("no shipped query windows over an unpartitioned frame") {
     import org.apache.spark.sql.execution.window.WindowExec
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) if !globalWindowAllowed(name) =>
+      case (name, fn) =>
         val bad = fn(spark, dir).queryExecution.sparkPlan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
         if (bad.nonEmpty) Some(s"$name: ${bad.size} unpartitioned Window(s)") else None
-      case _ => None
     }
     assert(offenders.isEmpty,
       s"single-partition windows in: ${offenders.mkString("; ")}")
