@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, RangeJoin, Signals, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, RangeJoin, Signals, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import graft.OracleSql.withTicksBars
 
@@ -68,6 +68,24 @@ object ExtendedEntries {
   /** Multi-probe variant: nprobe=2 — the recall knob of IVF search. */
   private def qCosineIvfProbe(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfSearchMultiProbe(Tables.embeddings(s, dir), 8, 10, 3, nprobe = 2)
+
+  /** Semantic-cluster summary over the trained IVF assignment: per-cluster
+    * membership count, mean and min cosine-to-centroid — the cluster-size /
+    * cohesion view used to pick C and spot skewed clusters before
+    * partitioning a corpus by centroid_id. The mean is exact integer math
+    * over the 4dp scores (sum of score·10⁴ as int64), so it is
+    * order-independent across partitions. */
+  private def qEmbedClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfAssign(emb, Similarity.ivfTrain(emb, 8, 2))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor(col("cscore") * 10000 + lit(0.5)).cast("long")).as("s4"),
+        min(col("cscore")).as("min_cos"))
+      .select(col("centroid_id"), col("n_members"),
+        r(col("s4").cast("double") / lit(10000.0) / col("n_members")).as("mean_cos"),
+        col("min_cos"))
+  }
 
   /** Gate-friendly projection: the int8 vector rides as a CSV string (the
     * driver's hash compare is scalar-typed; the library API keeps the
@@ -255,8 +273,23 @@ object ExtendedEntries {
         (sum(cents(col("value"))).cast("double") / lit(100.0)).as("sum_value"))
   }
 
+  /** Z-order key assignment over (time-bucket, user-bucket) — the layout
+    * key a 100 TB event table is range-partitioned and sorted by at write
+    * time so min/max row-group stats prune reads filtered on EITHER
+    * dimension ([[Layout]]). Pure int64 bit math, no shuffle. */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val hourIdx = floor(unix_micros(col("ts")) / lit(3600000000.0)).cast("long")
+      .bitwiseAND(lit(65535L))
+    val ub = pmod(col("user_id"), lit(65536)).cast("long")
+    Tables.events(s, dir)
+      .select(col("event_id"), hourIdx.as("hour_idx"), ub.as("user_bucket"))
+      .withColumn("zkey",
+        Layout.zorder2(col("hour_idx"), col("user_bucket"), 16))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> qRangeJoin,
+    "q_zorder" -> qZorder,
     "q_set_ops" -> qSetOps,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,
@@ -277,6 +310,7 @@ object ExtendedEntries {
     "q_cosine_topk" -> qCosineTopK,
     "q_cosine_ivf" -> qCosineIvf,
     "q_cosine_ivf_probe" -> qCosineIvfProbe,
+    "q_embed_clusters" -> qEmbedClusters,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_cosine_q8" -> qCosineQ8,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
@@ -807,6 +841,18 @@ object ExtendedEntries {
          |)
          |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 3""".stripMargin,
 
+    "q_embed_clusters" ->
+      s"""WITH ${oIvfAssign(8, 2)}, sc AS (
+         |  SELECT a.centroid_id,
+         |    ${r4(oCos("a.embedding", "c.ce"))} AS cscore
+         |  FROM assign a JOIN cent2 c ON a.centroid_id = c.centroid_id
+         |)
+         |SELECT centroid_id, count(*) AS n_members,
+         |  ${r4("CAST(sum(CAST(floor(cscore * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 / count(*)")}
+         |    AS mean_cos,
+         |  min(cscore) AS min_cos
+         |FROM sc GROUP BY 1""".stripMargin,
+
     "q_embed_quantize" ->
       s"""WITH m AS (
          |  SELECT vec_id, embedding,
@@ -939,6 +985,18 @@ object ExtendedEntries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q_zorder" ->
+      s"""WITH e AS (
+         |  SELECT event_id,
+         |    (CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
+         |      & 65535) AS hour_idx,
+         |    user_id % 65536 AS user_bucket
+         |  FROM events
+         |)
+         |SELECT event_id, hour_idx, user_bucket,
+         |  ${Layout.zorder2Sql("hour_idx", "user_bucket", 16)} AS zkey
+         |FROM e""".stripMargin,
 
     "q_range_join" ->
       """WITH e AS (

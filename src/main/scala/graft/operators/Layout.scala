@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) keys for multi-dimensional
+  * file clustering.
+  *
+  * A 100 TB table range-partitioned and sorted on ONE column prunes on
+  * that column only; a filter on any other dimension reads everything.
+  * Interleaving the bits of two dimensions into one sort key gives every
+  * file a tight bounding box in BOTH dimensions, so parquet row-group
+  * min/max stats (and file-level pruning) cut reads for either-dimension
+  * predicates — the standard Z-order layout trick, here as a pure int64
+  * column expression (codegen, no UDF, oracle-portable integer math).
+  *
+  * Usage at write time:
+  * `df.repartitionByRange(n, zkey).sortWithinPartitions(zkey).write…` —
+  * the layout cost is one range shuffle at write, paid once, saved on
+  * every read.
+  */
+object Layout {
+
+  /** Morton-interleave two non-negative int columns, `bits` bits each
+    * (bits ≤ 31; key fits int64 for bits ≤ 31). Bit i of `a` lands at
+    * position 2i, bit i of `b` at 2i+1, so sorting by the key recursively
+    * visits quadrants of the (a, b) grid. Inputs are masked to `bits`
+    * bits — callers bucket/clamp first. */
+  def zorder2(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, "bits must be in 1..31")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** The matching DuckDB SQL expression (single source of truth for the
+    * oracle side). */
+  def zorder2Sql(a: String, b: String, bits: Int = 16): String = {
+    require(bits > 0 && bits <= 31, "bits must be in 1..31")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }
+    terms.mkString("(", " | ", ")")
+  }
+
+  /** Z-ordered write: one range shuffle on the interleaved key, sorted
+    * within partitions so row-group stats are tight on both dimensions. */
+  def writeZOrdered(df: DataFrame, zkey: Column, path: String,
+      numFiles: Int): Unit =
+    df.withColumn("_z", zkey)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** Z-order layout: bit-interleave correctness, the quadrant-locality
+  * property that makes min/max pruning work on both dimensions, and the
+  * writer round trip. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("zorder2 interleaves bits: a→even positions, b→odd") {
+    // a=5 (101₂) → positions 0,4 = 17; b=3 (011₂) → positions 1,3 = 10
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zorder2(col("a"), col("b"), 3).as("z"))
+      .head().getLong(0)
+    assert(got == 27L)
+    // SQL mirror produces the identical key for a grid of values
+    val grid = (for (a <- 0 until 8; b <- 0 until 8) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val both = grid.select(col("a"), col("b"),
+      Layout.zorder2(col("a"), col("b"), 3).as("z1"),
+      expr(Layout.zorder2Sql("a", "b", 3)).as("z2"))
+    assert(both.filter(col("z1") =!= col("z2")).count() == 0)
+  }
+
+  test("z-order sorts quadrant-contiguously: each quarter is one quadrant") {
+    val pts = (for (a <- 0 until 8; b <- 0 until 8) yield (a, b))
+    val keyed = pts.toDF("a", "b")
+      .withColumn("z", Layout.zorder2(col("a"), col("b"), 3))
+      .orderBy("z").collect()
+    // 64 points → 4 contiguous runs of 16 = the 4 quadrants of the grid
+    keyed.grouped(16).foreach { quad =>
+      val as = quad.map(_.getAs[Int]("a"))
+      val bs = quad.map(_.getAs[Int]("b"))
+      assert(as.max - as.min <= 3 && bs.max - bs.min <= 3,
+        s"quadrant spread too wide: a=[${as.min},${as.max}] b=[${bs.min},${bs.max}]")
+    }
+  }
+
+  test("writeZOrdered files have tight bounding boxes in both dimensions") {
+    val out = Files.createTempDirectory("graft_zorder").toString + "/t"
+    val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    Layout.writeZOrdered(grid,
+      Layout.zorder2(col("a"), col("b"), 5), out, numFiles = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1024L)
+    // per-file bounding boxes: a contiguous z-range clusters both dims, so
+    // every file covers far less than the full 0..31 extent in each
+    val spreads = back
+      .groupBy(input_file_name().as("f"))
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .collect()
+    assert(spreads.length == 4)
+    spreads.foreach { r =>
+      assert(r.getAs[Long]("sa") <= 23 && r.getAs[Long]("sb") <= 23,
+        s"file bounding box too wide: ${r}")
+    }
+    // a single-dimension sort would leave the OTHER dimension unclustered:
+    // every file would span the full 0..31 in b
+    val sorted1d = grid.repartitionByRange(4, col("a"))
+    val spread1d = sorted1d
+      .groupBy(spark_partition_id().as("p"))
+      .agg((max("b") - min("b")).as("sb")).collect()
+    assert(spread1d.forall(_.getAs[Long]("sb") == 31L))
+  }
+}
