@@ -30,4 +30,44 @@ class SkewSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.distinct.size > 1)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the no-salt path)") {
+    // The complement to manual salting: for plain shuffle joins we rely on
+    // AQE's skew-join rule, so prove it actually fires. Thresholds are
+    // lowered to make a test-sized hot key count as skew; all confs are
+    // session-level and restored after.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val pad = "x" * 256
+      val left = ((1 to 60000).map(_ => 0L) ++ (1 to 6000).map(i => (i % 50 + 1).toLong))
+        .toDF("k").withColumn("payload", concat(col("k").cast("string"), lit(pad)))
+      val right = (0 to 50).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // execute THIS DataFrame's query (count() would spawn a separate
+      // QueryExecution and leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 66000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join did not fire; plan:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
