@@ -151,11 +151,17 @@ object TextAnalysis {
     * is vocabulary-sized, so AQE broadcasts the join at any corpus size. */
   def bigramLm(docs: DataFrame, minCount: Long): DataFrame = {
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    // the count table feeds both the cutoff filter and the prefix sums;
+    // materialize it once (vocabulary-sized) so the corpus-wide explode +
+    // aggregate isn't recomputed per consumer — broadcast conversion of
+    // downstream joins otherwise defeats ReuseExchange (same rule as the
+    // dedup family's shingle index)
     val bi = docs
       .select(tokens(col("text")).as("toks"))
       .select(explode(shinglesFromTokens(col("toks"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .localCheckpoint()
     val prefix = bi.groupBy(col("w1")).agg(sum(col("n")).as("n_prefix"))
     bi.filter(col("n") >= minCount)
       .join(prefix, "w1")
