@@ -114,6 +114,19 @@ object JdbcInsertIgnoreSink {
     false
   }
 
+  /** Structured Streaming glue: the same first-write-wins write per
+    * micro-batch, for `writeStream.foreachBatch(...)` — the streaming shape
+    * of the reference consumer's poll→insert loop
+    * (trading-etl-python/src/processing/consumer.py:218-255). Batch
+    * replays after a failed epoch re-offer the same rows and the conflict
+    * clause absorbs them, which is exactly what makes an at-least-once
+    * stream land exactly-once rows without sink-side coordination. */
+  def foreachBatchWriter(connect: () => Connection, table: String,
+      keys: Seq[String],
+      dialect: InsertIgnoreDialect = PostgresInsertIgnoreDialect,
+      batchSize: Int = 500): (DataFrame, Long) => Unit =
+    (batch, _) => write(batch, connect, table, keys, dialect, batchSize)
+
   /** @param connect serializable connection factory, invoked once per
     *                partition on the executor (capture only strings/configs,
     *                never a Connection). */

@@ -125,6 +125,29 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(readAll("bars_nn").isEmpty) // rolled back, nothing half-committed
   }
 
+  test("streaming foreachBatch: micro-batches land once, replays absorbed") {
+    freshTable("bars_stream")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val q = input.toDF().toDF("symbol", "ts", "px")
+      .writeStream
+      .foreachBatch(JdbcInsertIgnoreSink.foreachBatchWriter(
+        connect, "bars_stream", Seq("symbol", "ts"), AnsiInsertIgnoreDialect))
+      .start()
+    try {
+      input.addData(("AAPL", 1L, 150.0), ("MSFT", 1L, 300.0))
+      q.processAllAvailable()
+      // second micro-batch replays a key with a different value (the
+      // at-least-once case) plus a genuinely new row
+      input.addData(("AAPL", 1L, 999.0), ("AAPL", 2L, 151.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(readAll("bars_stream") === Map(
+      ("AAPL", 1L) -> 150.0, ("MSFT", 1L) -> 300.0, ("AAPL", 2L) -> 151.0))
+  }
+
   test("complex column types are rejected on the driver, before any job") {
     import spark.implicits._
     val withArray = Seq(("AAPL", Array(1.0, 2.0))).toDF("symbol", "path")
