@@ -329,33 +329,16 @@ object CorpusEntries {
          |WHERE n >= $LmMinCount""".stripMargin,
 
     "q_quality_deciles" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
-         |    len(string_split(text, ' ')) AS n_tokens,
-         |    len(list_distinct(string_split(text, ' '))) AS n_distinct
-         |  FROM documents
-         |), u AS (
-         |  SELECT doc_id,
-         |    len(list_filter(toks, x -> list_contains(
-         |      ['the','a','of','to','in','and','is','on','for','with'], x))) / n_tokens
-         |      AS stopword_ratio,
-         |    n_distinct / n_tokens AS distinct_ratio,
-         |    least(n_tokens / 50.0, 1.0) AS len_score
-         |  FROM t
-         |), s AS (
-         |  SELECT doc_id,
-         |    ${r4("0.4 * len_score + 0.4 * distinct_ratio + 0.2 * (1.0 - abs(stopword_ratio - 0.1))")}
-         |      AS quality_score
-         |  FROM u
-         |), th AS (
+      s"""WITH ${OracleSql.qualityScoreCte},
+         |th AS (
          |  SELECT quantile_cont(quality_score,
          |    [${(1 to 9).map(_ / 10.0).mkString(", ")}]) AS th
-         |  FROM s
+         |  FROM qscore
          |)
          |SELECT s.doc_id, s.quality_score,
          |  CAST(1 + len(list_filter(th.th, t -> s.quality_score >= t)) AS INTEGER)
          |    AS decile
-         |FROM s, th""".stripMargin,
+         |FROM qscore s, th""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH ${oShingleIdx(DecontamN)},

@@ -287,9 +287,35 @@ object ExtendedEntries {
         Layout.zorder2(col("hour_idx"), col("user_bucket"), 16))
   }
 
+  /** Hybrid retrieval: fuse vector similarity with a document-quality
+    * prior — rank by 0.7·cosine + 0.3·quality (both 4dp-rounded before the
+    * blend so the fusion is float-stable). The quality prior is a narrow
+    * (id, score) relation joined to the corpus by id (one keyed shuffle);
+    * the query side stays broadcast exactly like [[Similarity.cosineTopK]].
+    * The standard RAG-retrieval shape: ANN candidates re-ranked by a
+    * metadata prior. */
+  private def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val quality = TextAnalysis.stats(Tables.documents(s, dir))
+      .select(col("doc_id"), r(col("quality_score")).as("quality_score"))
+    val corpus = emb.join(quality, col("vec_id") === col("doc_id"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    corpus.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        r(Similarity.cosine(col("qe"), col("embedding"))).as("cos"),
+        col("quality_score"))
+      .withColumn("hybrid",
+        r(lit(0.7) * col("cos") + lit(0.3) * col("quality_score")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("hybrid").desc, col("doc_id"))))
+      .filter(col("rk") <= 10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> qRangeJoin,
     "q_zorder" -> qZorder,
+    "q_hybrid_search" -> qHybridSearch,
     "q_set_ops" -> qSetOps,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,
@@ -985,6 +1011,28 @@ object ExtendedEntries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q_hybrid_search" ->
+      s"""WITH ${OracleSql.qualityScoreCte},
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 5
+         |), sc AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |    ${r4(oCos("q.qe", "e.embedding"))} AS cos, s.quality_score
+         |  FROM embeddings e JOIN qscore s ON s.doc_id = e.vec_id, q
+         |  WHERE e.vec_id != q.query_id
+         |), h AS (
+         |  SELECT query_id, doc_id, cos, quality_score,
+         |    ${r4("0.7 * cos + 0.3 * quality_score")} AS hybrid
+         |  FROM sc
+         |), rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hybrid DESC, doc_id) AS INTEGER) AS rk
+         |  FROM h
+         |)
+         |SELECT query_id, doc_id, cos, quality_score, hybrid, rk
+         |FROM rk WHERE rk <= 10""".stripMargin,
 
     "q_zorder" ->
       s"""WITH e AS (

@@ -211,6 +211,33 @@ object OracleSql {
 
   def r4(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000"
 
+  /** Per-document composite quality score CTE (mirrors
+    * graft.operators.TextAnalysis.stats's quality_score, 4dp-rounded):
+    * emits `qscore(doc_id, quality_score)`. Shared by the decile and
+    * hybrid-search oracles so the formula has one SQL source of truth. */
+  def qualityScoreCte: String = {
+    val stops = graft.operators.TextAnalysis.Stopwords
+      .map(s => s"'$s'").mkString("[", ",", "]")
+    s"""qt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+       |  FROM documents
+       |), qu AS (
+       |  SELECT doc_id,
+       |    len(list_filter(toks, x -> list_contains($stops, x))) / n_tokens
+       |      AS stopword_ratio,
+       |    n_distinct / n_tokens AS distinct_ratio,
+       |    least(n_tokens / 50.0, 1.0) AS len_score
+       |  FROM qt
+       |), qscore AS (
+       |  SELECT doc_id,
+       |    ${r4("0.4 * len_score + 0.4 * distinct_ratio + 0.2 * (1.0 - abs(stopword_ratio - 0.1))")}
+       |      AS quality_score
+       |  FROM qu
+       |)""".stripMargin
+  }
+
   /** Full 20-column indicator relation (DDL order), rec ⋈ window cols. */
   val fullIndicatorSelect: String =
     s"""SELECT w.time, w.symbol, w.open, w.high, w.low, w.close, w.volume,
