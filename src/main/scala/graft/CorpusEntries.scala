@@ -107,6 +107,9 @@ object CorpusEntries {
   /** Exact-N stratified sample size per lang. */
   private val ExactNPerLang = 40
 
+  /** Cross-doc duplicated-span n-gram width. */
+  private val SubstrN = 5
+
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
     Decontamination.screen(Tables.documents(s, dir),
       pmod(col("doc_id"), lit(10)) === 0, n = DecontamN, minHits = DecontamMinHits)
@@ -145,6 +148,9 @@ object CorpusEntries {
     Packing.pack(Chunking.chunk(Tables.documents(s, dir), 40, 30),
       seqLen = PackSeqLen, docsPerBucket = PackDocsPerBucket)
 
+  private def qSubstringDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDup(Tables.documents(s, dir), SubstrN)
+
   private def qSampleExactN(s: SparkSession, dir: String): DataFrame =
     Sampling.stratifiedExactN(
       Tables.documents(s, dir).select(col("doc_id"), col("lang")),
@@ -166,7 +172,8 @@ object CorpusEntries {
     "q_quality_rules" -> qQualityRules,
     "q_lm_score" -> qLmScore,
     "q_pack" -> qPack,
-    "q_sample_exact_n" -> qSampleExactN)
+    "q_sample_exact_n" -> qSampleExactN,
+    "q_substring_dup" -> qSubstringDup)
 
   // ---------------------------------------------------------------- oracle
 
@@ -231,6 +238,34 @@ object CorpusEntries {
          |  global_offset % $PackSeqLen AS seq_offset,
          |  (global_offset % $PackSeqLen) + n_chunk_tokens > $PackSeqLen AS spans_seq
          |FROM o""".stripMargin,
+
+    "q_substring_dup" -> {
+      val grams = (0 until SubstrN).map(k => s"toks[i+$k]").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(toks) < $SubstrN THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(1, len(toks) - ${SubstrN - 2}),
+         |                i -> concat_ws(' ', $grams)) END) AS g
+         |  FROM tk
+         |),
+         |hh AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+         |  FROM g
+         |),
+         |per AS (SELECT h, doc_id, count(*) AS c FROM hh GROUP BY 1, 2),
+         |nd AS (SELECT h, count(*) AS nd FROM per GROUP BY 1),
+         |a AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN nd > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_grams
+         |  FROM per JOIN nd USING (h) GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         |  coalesce(${r4("a.n_dup_grams * 1.0 / a.n_grams")}, 0.0) AS dup_frac
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
+    },
 
     "q_sample_exact_n" ->
       s"""WITH r AS (

@@ -36,6 +36,44 @@ object Dedup {
     // distinct's shuffle via ReuseExchange; an eager localCheckpoint
     // measured strictly slower
 
+  /** Per-document cross-corpus duplicated-span metric (the
+    * exact-substring-duplication signal of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", at n-gram rather than
+    * suffix-array granularity): for every stride-1 n-gram position, is
+    * that n-gram present in ANY other document? Reports per doc the total
+    * positions, the cross-doc duplicated positions, and their fraction —
+    * the "how much of this document exists elsewhere" score a span-level
+    * scrubber thresholds on.
+    *
+    * Shape at scale: explode → one aggregate keyed (hash, doc) → a
+    * hash-keyed count + join back → per-doc aggregate. The (hash, doc)
+    * relation feeds both sides, so it is materialized once
+    * (position-scale rows — at 100 TB this is the persisted intermediate
+    * a multi-stage scrub job writes between passes anyway). No pairwise
+    * join anywhere: cost is linear in corpus positions. */
+  def substringDup(docs: DataFrame, n: Int = 5): DataFrame = {
+    val r4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val grams = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesFromTokens(col("toks"), n)).as("g"))
+      .select(col("doc_id"), TextAnalysis.hash60(col("g")).as("h"))
+    val per = grams.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val nDocs = per.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    val agg = per.join(nDocs, "h")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("nd") > 1, col("c")).otherwise(0L)).as("n_dup_grams"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(r4(col("n_dup_grams").cast("double") / col("n_grams")), lit(0.0))
+          .as("dup_frac"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the full shingle
     * index: work ∝ candidates × shingles-per-doc — only sound when the
     * candidate set is already small (the MinHash LSH blocker). */

@@ -200,6 +200,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       math.exp(r.getAs[Double]("avg_nll"))) < 0.001)
   }
 
+  test("substring dup: shared spans counted per position, self-repeats excluded") {
+    val shared = "alpha beta gamma delta epsilon"
+    val d = Seq(
+      (1L, shared + " one two three four five"),       // 5-grams 1..6; #1 shared
+      (2L, "x y z " + shared),                          // 5-grams 1..4; #4 shared
+      (3L, "p q r s t u v w"),                          // nothing shared
+      (4L, "a b c d")                                   // too short: no 5-grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDup(d, n = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_grams") == 6L)
+    assert(out(1L).getAs[Long]("n_dup_grams") == 1L)    // only the shared span
+    assert(out(2L).getAs[Long]("n_grams") == 4L)
+    assert(out(2L).getAs[Long]("n_dup_grams") == 1L)
+    assert(out(2L).getAs[Double]("dup_frac") == 0.25)
+    assert(out(3L).getAs[Long]("n_dup_grams") == 0L)
+    assert(out(4L).getAs[Long]("n_grams") == 0L && out(4L).getAs[Double]("dup_frac") == 0.0)
+    // a doc repeating ITS OWN span is not cross-doc duplicated
+    val self = Seq((1L, "m n o p q m n o p q"), (2L, "u v w x y z")).toDF("doc_id", "text")
+    val so = Dedup.substringDup(self, n = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(so(1L).getAs[Long]("n_dup_grams") == 0L)
+  }
+
   test("incremental dedup: corpus match beats batch match; kept otherwise") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = Seq(
