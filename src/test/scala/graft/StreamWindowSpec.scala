@@ -47,6 +47,38 @@ class StreamWindowSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows (30min gap) merge activity and close at the watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val agg = input.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "15 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val min = 60000L
+      input.addData(
+        (new Timestamp(t0), 1L, 1.0),
+        (new Timestamp(t0 + 10 * min), 1L, 2.0), // 10min gap → same session
+        (new Timestamp(t0 + 70 * min), 1L, 5.0)) // 60min gap → new session
+      q.processAllAvailable()
+      // push the watermark far past both session ends so they emit
+      input.addData((new Timestamp(t0 + 300 * min), 9L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sesswin")
+        .select(col("session_window.start").as("ws"),
+          col("session_window.end").as("we"), col("user_id"), col("n"), col("v"))
+        .collect().map(r => (r.getAs[Timestamp]("ws").getTime,
+          r.getAs[Timestamp]("we").getTime, r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      // session end = last event + gap (the batch q_sessionize semantics)
+      assert(rows.contains((t0, t0 + 40 * min, 1L, 2L, 3.0)))
+      assert(rows.contains((t0 + 70 * min, t0 + 100 * min, 1L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark absorbs replays but passes same-ts price updates") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[graft.streaming.StreamIngest.TickEvent]
