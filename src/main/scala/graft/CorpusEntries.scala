@@ -151,6 +151,9 @@ object CorpusEntries {
   private def qSubstringDup(s: SparkSession, dir: String): DataFrame =
     Dedup.substringDup(Tables.documents(s, dir), SubstrN)
 
+  private def qSampleTemperature(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.temperatureSample(Tables.documents(s, dir), MixAlpha, SampleSalt)
+
   private def qSampleExactN(s: SparkSession, dir: String): DataFrame =
     Sampling.stratifiedExactN(
       Tables.documents(s, dir).select(col("doc_id"), col("lang")),
@@ -173,7 +176,8 @@ object CorpusEntries {
     "q_lm_score" -> qLmScore,
     "q_pack" -> qPack,
     "q_sample_exact_n" -> qSampleExactN,
-    "q_substring_dup" -> qSubstringDup)
+    "q_substring_dup" -> qSubstringDup,
+    "q_sample_temperature" -> qSampleTemperature)
 
   // ---------------------------------------------------------------- oracle
 
@@ -266,6 +270,29 @@ object CorpusEntries {
          |  coalesce(${r4("a.n_dup_grams * 1.0 / a.n_grams")}, 0.0) AS dup_frac
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
     },
+
+    "q_sample_temperature" ->
+      s"""WITH g AS (
+         |  SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2
+         |), w AS (
+         |  SELECT source, lang, n_docs,
+         |    ${r4(s"pow(n_docs, $MixAlpha) / sum(pow(n_docs, $MixAlpha)) OVER ()")}
+         |      AS mw
+         |  FROM g
+         |), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g),
+         |th AS (
+         |  SELECT source, lang,
+         |    least((t.total // 2) * CAST(floor(mw * 10000 + 0.5) AS BIGINT) * 65536
+         |      // (10000 * n_docs), 65536) AS threshold
+         |  FROM w, t
+         |), b AS (
+         |  SELECT d.doc_id, d.source, d.lang,
+         |    CAST(concat('0x', substr(md5(concat('$SampleSalt',
+         |      CAST(d.doc_id AS VARCHAR))), 1, 4)) AS BIGINT) AS bucket,
+         |    CAST(th.threshold AS BIGINT) AS threshold
+         |  FROM documents d JOIN th USING (source, lang)
+         |)
+         |SELECT * FROM b WHERE bucket < threshold""".stripMargin,
 
     "q_sample_exact_n" ->
       s"""WITH r AS (

@@ -37,6 +37,34 @@ object CorpusStats {
       .drop("raw_w", "tot_w")
   }
 
+  /** Temperature-weighted corpus resample: keep each document with its
+    * stratum's rate chosen so the KEPT corpus approaches the α-temperature
+    * mix of [[sourceMix]] at half the original size — the "rebalance the
+    * training mix by downsampling dominant strata" op, composed from the
+    * mix weights and the deterministic hash sampler.
+    *
+    * Per stratum: rate = min(1, target·w / n) with target = N/2, applied
+    * as `hashBucket(doc_id) < threshold`. The threshold is computed in
+    * PURE INT64 math — (N DIV 2)·(w·10⁴)·65536 DIV (10⁴·n) over the
+    * 4dp-quantized weight — so engines can never disagree on a boundary
+    * bucket. Strata tables are tiny (broadcast); the corpus side is one
+    * scan + codegen filter. */
+  def temperatureSample(docs: DataFrame, alpha: Double, salt: String): DataFrame = {
+    val mix = sourceMix(docs, alpha)
+      .select(col("source"), col("lang"), col("n_docs"), col("mix_weight"))
+    val total = mix.agg(sum(col("n_docs")).as("total"))
+    val th = mix.crossJoin(broadcast(total))
+      .withColumn("w4", floor(col("mix_weight") * 10000 + lit(0.5)).cast("long"))
+      .withColumn("threshold",
+        least(expr("(total DIV 2) * w4 * 65536 DIV (10000 * n_docs)"), lit(65536L)))
+      .select(col("source"), col("lang"), col("threshold"))
+    docs.join(broadcast(th), Seq("source", "lang"))
+      .withColumn("bucket", Sampling.hashBucket(col("doc_id"), salt))
+      .filter(col("bucket") < col("threshold"))
+      .select(col("doc_id"), col("source"), col("lang"), col("bucket"),
+        col("threshold"))
+  }
+
   /** Global quality-decile assignment — the "keep the top X% of the
     * corpus" primitive. A global `ntile` would sort the whole corpus in
     * one partition; instead the nine decile thresholds are computed with

@@ -224,6 +224,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(so(1L).getAs[Long]("n_dup_grams") == 0L)
   }
 
+  test("temperature resample flattens the mix and hits ~half the corpus") {
+    // 800 docs in a dominant stratum, 100 in a rare one
+    val d = ((0 until 800).map(i => (i.toLong, "text here", "en", "web", 9L)) ++
+      (800 until 900).map(i => (i.toLong, "text here", "de", "books", 9L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = CorpusStats.temperatureSample(d, alpha = 0.5, salt = "t:")
+    val counts = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total > 300 && total < 600, s"expected ~450 kept, got $total")
+    // input ratio 8:1; α=0.5 weights √8:1 ≈ 2.83:1 — the kept corpus must
+    // sit well below the input's dominance ratio
+    val ratio = counts("web").toDouble / counts("books")
+    assert(ratio < 5.0, s"mix not flattened: $ratio")
+    assert(ratio > 1.5) // but web is still the larger stratum
+    // deterministic: rerun keeps the same documents
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = CorpusStats.temperatureSample(d, 0.5, "t:")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("incremental dedup: corpus match beats batch match; kept otherwise") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = Seq(
