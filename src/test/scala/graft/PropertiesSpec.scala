@@ -103,6 +103,39 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("binned range join ≡ naive range join for random intervals and widths") {
+    import graft.operators.RangeJoin
+    val base = 1700000000000L
+    // random events over ~8 hours; random interval sets with varied lengths
+    val evGen = Gen.chooseNum(100, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 8L * 3600 * 1000)))
+    val ivGen = Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, for {
+        s <- Gen.chooseNum(0L, 8L * 3600 * 1000)
+        len <- Gen.chooseNum(1L, 2L * 3600 * 1000) // 1ms .. 2h
+      } yield (s, s + len)))
+    (1 to 4).foreach { i =>
+      val evs = evGen.pureApply(Gen.Parameters.default, Seed(100L + i))
+        .zipWithIndex.map { case (off, id) => (id.toLong, new Timestamp(base + off)) }
+        .toDF("event_id", "ts")
+      val ivs = ivGen.pureApply(Gen.Parameters.default, Seed(200L + i))
+        .zipWithIndex.map { case ((s, e), id) =>
+          (id.toLong, new Timestamp(base + s), new Timestamp(base + e)) }
+        .toDF("iv_id", "lo", "hi")
+      // widths intentionally unaligned with interval lengths
+      Seq(60000L, 1800000L, 7200000L).foreach { widthMs =>
+        val got = RangeJoin.binned(evs, col("ts"), ivs, col("lo"), col("hi"),
+            widthMs * 1000)
+          .select("event_id", "iv_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted
+        val want = evs.join(ivs, col("ts") >= col("lo") && col("ts") < col("hi"))
+          .select("event_id", "iv_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted
+        assert(got.toSeq == want.toSeq, s"seed $i width $widthMs")
+      }
+    }
+  }
+
   test("connected components converges on an adversarial 10^4-node path graph") {
     // A path graph is the worst case for min-label propagation: the minimum
     // must travel the full diameter. Pointer jumping makes the travelled
