@@ -111,6 +111,10 @@ object ExtendedEntries {
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
 
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+      Multimodal.mediaFromDocs(Tables.documents(s, dir)), stride = 2)
+
   /** TPC-H-Q1-style pricing summary; money in integer cents. */
   private def qAggPricing(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -342,6 +346,7 @@ object ExtendedEntries {
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
     "q_multimodal_meta" -> qMultimodalMeta,
+    "q_frame_sample" -> qFrameSample,
     "q_agg_pricing" -> qAggPricing,
     "q_join_revenue" -> qJoinRevenue,
     "q_sessionize" -> qSessionize,
@@ -975,6 +980,21 @@ object ExtendedEntries {
         |    octet_length(encode(text)) // 2,
         |    (octet_length(encode(text)) * 3) // 4) AS frame_offsets
         |FROM documents""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, n_bytes, CAST(r.i AS INT) AS frame_idx,
+        |    CAST(CASE r.i WHEN 0 THEN 0
+        |                  WHEN 1 THEN n_bytes // 4
+        |                  WHEN 2 THEN n_bytes // 2
+        |                  ELSE (n_bytes * 3) // 4 END AS BIGINT) AS frame_offset
+        |  FROM f, range(4) r(i)
+        |)
+        |SELECT doc_id, frame_idx, frame_offset, n_bytes
+        |FROM fr WHERE frame_idx % 2 = 0""".stripMargin,
 
     "q_agg_pricing" ->
       """WITH c AS (

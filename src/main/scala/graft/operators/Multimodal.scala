@@ -62,6 +62,23 @@ object Multimodal {
         (octet_length(col("payload")).cast("long") * 3 / 4).cast("long"))
         .as("frame_offsets"))
 
+  /** Per-frame sampling relation: one row per stub-decoded frame offset,
+    * keeping every `stride`-th frame — the deterministic frame-sample step
+    * of a video pipeline (pick k frames per clip before feature
+    * extraction). The explode multiplies ROWS, never bytes: the payload
+    * column is not carried through, so at 100 TB the sampled-frame table
+    * stays metadata-sized while the binary column is read once. */
+  def frameSample(media: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val n = octet_length(col("payload")).cast("long")
+    val offsets = array(lit(0L), (n / 4).cast("long"), (n / 2).cast("long"),
+      (n * 3 / 4).cast("long")) // = StubCodec.decode(...).frame_offsets
+    media.select(col("doc_id"), n.as("n_bytes"),
+        posexplode(offsets).as(Seq("frame_idx", "frame_offset")))
+      .filter(pmod(col("frame_idx"), lit(stride)) === 0)
+      .select(col("doc_id"), col("frame_idx"), col("frame_offset"), col("n_bytes"))
+  }
+
   /** Typed per-partition batch decode — the shape a real codec UDF takes
     * (one iterator pass per partition, no per-row JVM↔native churn). Used
     * by tests to prove the stub and the columnar path agree. */

@@ -91,6 +91,24 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(pos > 18 * 64 / 4 && pos < 18 * 64 * 3 / 4, s"degenerate sign balance: $pos")
   }
 
+  test("frame sampling keeps every stride-th stub frame, matches the codec offsets") {
+    val d = docs((1L, "hello world"), (2L, "spark"))
+    val media = Multimodal.mediaFromDocs(d)
+    val frames = Multimodal.frameSample(media, stride = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    // 4 stub frames per doc, stride 2 keeps idx 0 and 2
+    assert(frames.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"))).toSeq ==
+      Seq((1L, 0), (1L, 2), (2L, 0), (2L, 2)))
+    // offsets agree with the typed codec ("hello world" = 11 bytes → 0,2,5,8)
+    val doc1 = frames.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(doc1.map(_.getAs[Long]("frame_offset")).toSeq == Seq(0L, 5L))
+    val codec = Multimodal.StubCodec.decode("hello world".getBytes("UTF-8"))
+    assert(doc1.map(_.getAs[Long]("frame_offset")).toSet
+      .subsetOf(codec.frame_offsets.toSet))
+    // the explode never carries the payload: sampled-frame table is metadata-only
+    assert(!Multimodal.frameSample(media).columns.contains("payload"))
+  }
+
   test("multimodal: stub codec agrees with the columnar feature path") {
     val d = docs((1L, "hello world"), (2L, "spark"))
     val media = Multimodal.mediaFromDocs(d.withColumn("lang", lit("en")))
