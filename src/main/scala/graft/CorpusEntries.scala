@@ -159,10 +159,18 @@ object CorpusEntries {
       Tables.documents(s, dir).select(col("doc_id"), col("lang")),
       col("doc_id"), col("lang"), SampleSalt, ExactNPerLang)
 
+  /** BM25 query-term set + result size (query and oracle share these). */
+  private val Bm25Terms = Seq("hash", "join", "vector")
+  private val Bm25TopK = 20
+
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(Tables.documents(s, dir), Bm25Terms, Bm25TopK)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> qSampleHash,
     "q_vocab" -> qVocab,
     "q_tfidf" -> qTfidf,
+    "q_bm25" -> qBm25,
     "q_pii_redact" -> qPiiRedact,
     "q_chunks" -> qChunks,
     "q_passage_dedup" -> qPassageDedup,
@@ -571,6 +579,42 @@ object CorpusEntries {
          |  FROM s
          |)
          |SELECT doc_id, rk, token, tf, df, tfidf FROM rk WHERE rk <= 3""".stripMargin,
+
+    // mirrors TextAnalysis.bm25: same k1/b constants (interpolated from the
+    // Scala values — Double.toString round-trips, so both engines parse the
+    // identical double), token-ordered left-to-right per-doc sum
+    "q_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+         |), lens AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+         |), corpus AS (
+         |  SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM lens
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM tok
+         |  WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY token
+         |), c AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         |      * (tf.tf * ${TextAnalysis.Bm25K1 + 1.0})
+         |      / (tf.tf + ${TextAnalysis.Bm25K1} * (1.0 - ${TextAnalysis.Bm25B}
+         |         + ${TextAnalysis.Bm25B} * lens.dl
+         |           / (CAST(corpus.tot_dl AS DOUBLE) / corpus.n_docs))) AS c
+         |  FROM tf JOIN dfreq ON tf.token = dfreq.token
+         |          JOIN lens ON lens.doc_id = tf.doc_id, corpus
+         |), s AS (
+         |  SELECT doc_id, count(*) AS n_terms,
+         |    ${r4("list_reduce(list(c ORDER BY token), (x, y) -> x + y)")} AS score
+         |  FROM c GROUP BY doc_id
+         |), rk AS (
+         |  SELECT doc_id, n_terms, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+         |  FROM s
+         |)
+         |SELECT doc_id, n_terms, score, rk FROM rk WHERE rk <= $Bm25TopK""".stripMargin,
 
     "q_pii_redact" ->
       s"""WITH a AS (

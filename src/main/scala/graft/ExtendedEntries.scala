@@ -53,6 +53,15 @@ object ExtendedEntries {
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(s, dir), 0.7, n = 3, maxDf = 100)
 
+  /** Directional containment (doc-in-doc quote detection) over the same
+    * capped shingle index as q_jaccard_pairs. */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), ContainTheta, n = 3,
+      maxDf = 100)
+
+  /** Containment threshold (query and oracle read the same value). */
+  private val ContainTheta = 0.8
+
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, dir), 0.7)
 
@@ -61,6 +70,10 @@ object ExtendedEntries {
 
   private def qCosineTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), 10, 5)
+
+  /** k-NN majority-vote label prediction (50 probes, k=10). */
+  private def qKnnClassify(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnClassify(Tables.embeddings(s, dir), 50, 10)
 
   private def qCosineIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfSearch(Tables.embeddings(s, dir), 8, 10, 3)
@@ -335,9 +348,11 @@ object ExtendedEntries {
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint,
     "q_jaccard_pairs" -> qJaccardPairs,
+    "q_containment" -> qContainment,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_simhash" -> qSimhash,
     "q_cosine_topk" -> qCosineTopK,
+    "q_knn_classify" -> qKnnClassify,
     "q_cosine_ivf" -> qCosineIvf,
     "q_cosine_ivf_probe" -> qCosineIvfProbe,
     "q_embed_clusters" -> qEmbedClusters,
@@ -396,6 +411,21 @@ object ExtendedEntries {
        |),
        |shidx AS (SELECT DISTINCT doc_id, ${oHash60("sh")} % 2147483647 AS h FROM sh0),
        |shsz AS (SELECT doc_id, count(*) AS sz FROM shidx GROUP BY doc_id)""".stripMargin
+
+  /** df-capped shingle index + unordered pair intersections (mirrors
+    * Dedup.cappedIndex + the jaccard/containment self-join; df cap 100). */
+  private val oCappedIdx: String =
+    """capped AS (
+      |  SELECT doc_id, h FROM (
+      |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shidx
+      |  ) WHERE df <= 100
+      |),
+      |csz AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+      |cinter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
 
   /** Verified shingle-Jaccard pairs ≥ tau (mirrors Dedup.jaccardPairs). */
   private def oJaccard(tau: Double): String =
@@ -790,21 +820,31 @@ object ExtendedEntries {
     // compute Jaccard over the same capped sets
     "q_jaccard_pairs" ->
       s"""WITH $oShingleIdx,
-         |capped AS (
-         |  SELECT doc_id, h FROM (
-         |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shidx
-         |  ) WHERE df <= 100
-         |),
-         |csz AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
-         |cinter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
+         |$oCappedIdx
          |SELECT doc_a, doc_b, ${r4("i / (sa.sz + sb.sz - i)")} AS jaccard
          |FROM cinter JOIN csz sa ON sa.doc_id = doc_a
          |            JOIN csz sb ON sb.doc_id = doc_b
          |WHERE i / (sa.sz + sb.sz - i) >= 0.7""".stripMargin,
+
+    // mirrors Dedup.containmentPairs: the same capped index/intersection,
+    // each unordered pair fanned to its two directions, |A∩B|/|A| per side
+    "q_containment" ->
+      s"""WITH $oShingleIdx,
+         |$oCappedIdx,
+         |j AS (
+         |  SELECT doc_a, doc_b, i, sa.sz AS sza, sb.sz AS szb
+         |  FROM cinter JOIN csz sa ON sa.doc_id = doc_a
+         |              JOIN csz sb ON sb.doc_id = doc_b
+         |),
+         |d AS (
+         |  SELECT doc_a AS contained_id, doc_b AS container_id, i / sza AS craw
+         |  FROM j
+         |  UNION ALL
+         |  SELECT doc_b AS contained_id, doc_a AS container_id, i / szb AS craw
+         |  FROM j
+         |)
+         |SELECT contained_id, container_id, ${r4("craw")} AS containment
+         |FROM d WHERE craw >= $ContainTheta""".stripMargin,
 
     "q_minhash_lsh" ->
       s"""WITH $oShingleIdx,
@@ -854,6 +894,36 @@ object ExtendedEntries {
          |  FROM s
          |)
          |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 5""".stripMargin,
+
+    // mirrors Similarity.knnClassify: top-10 neighbors per probe by
+    // 4dp-rounded cosine, majority vote over neighbor labels (vote-count
+    // tiebreak = smallest label)
+    "q_knn_classify" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 50
+         |), s AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${r4(oCos("qe", "e.embedding"))} AS score
+         |  FROM embeddings e, q WHERE e.vec_id != q.query_id
+         |), rk AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rk
+         |  FROM s
+         |), v AS (
+         |  SELECT rk.query_id, e.label, count(*) AS votes
+         |  FROM rk JOIN embeddings e ON e.vec_id = rk.neighbor_id
+         |  WHERE rk.rk <= 10 GROUP BY 1, 2
+         |), p AS (
+         |  SELECT query_id, label, votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, label) AS vrk
+         |  FROM v
+         |)
+         |SELECT p.query_id, t.label AS true_label, p.label AS pred_label,
+         |  p.votes, (p.label = t.label) AS correct
+         |FROM p JOIN embeddings t ON t.vec_id = p.query_id
+         |WHERE p.vrk = 1""".stripMargin,
 
     "q_cosine_ivf" ->
       s"""WITH ${oIvfAssign(8, 2)}, q AS (

@@ -124,6 +124,37 @@ object Dedup {
         (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
   }
 
+  /** Directional containment pairs over the df-capped shingle index:
+    * containment(a in b) = |Sa∩Sb| / |Sa| — the asymmetric near-dup signal
+    * that catches a short document quoted inside a longer one, which
+    * symmetric Jaccard misses (the union denominator washes out size
+    * asymmetry). Same single keyed self-join + aggregate as
+    * [[jaccardPairs]]; each unordered intersection row fans out to its two
+    * directions only at the end (2 rows per surviving pair, not 2× the
+    * join). */
+  def containmentPairs(docs: DataFrame, theta: Double, n: Int = 3,
+      maxDf: Int = 100): DataFrame = {
+    val capped = cappedIndex(shingleIndex(docs, n), maxDf).localCheckpoint()
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sza")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "szb")), "doc_b")
+    val ab = inter.select(col("doc_a").as("contained_id"),
+      col("doc_b").as("container_id"),
+      (col("inter").cast("double") / col("sza")).as("craw"))
+    val ba = inter.select(col("doc_b").as("contained_id"),
+      col("doc_a").as("container_id"),
+      (col("inter").cast("double") / col("szb")).as("craw"))
+    ab.unionByName(ba)
+      .filter(col("craw") >= theta)
+      .select(col("contained_id"), col("container_id"),
+        (floor(col("craw") * 10000 + 0.5) / 10000).as("containment"))
+  }
+
   /** Drop shingles with document frequency > maxDf. */
   private def cappedIndex(idx: DataFrame, maxDf: Int): DataFrame = {
     val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))

@@ -198,6 +198,29 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** k-NN label classification over the labeled embedding corpus: each
+    * probe's predicted label is the majority vote of its k nearest
+    * neighbors by 4dp-rounded cosine (neighbor-id tiebreak inside the
+    * ranking; vote ties break to the smallest label). The standard
+    * embedding-quality probe over a labeled training corpus — same
+    * broadcast-probe / one-corpus-scan plan as [[cosineTopK]], plus one
+    * aggregate over nQueries·k rows (tiny), so at 100 TB the cost is the
+    * single corpus scan. */
+  def knnClassify(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val nn = cosineTopK(emb, nQueries, k)
+    val votes = nn
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("votes").desc, col("label"))
+    votes.withColumn("vrk", row_number().over(w)).filter(col("vrk") === 1)
+      .join(emb.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        "query_id")
+      .select(col("query_id"), col("true_label"), col("label").as("pred_label"),
+        col("votes"), (col("label") === col("true_label")).as("correct"))
+  }
+
   /** Per-vector symmetric int8 quantization: scale = max|x|/127, q_i =
     * floor(x_i/scale + 0.5) — the 4× memory/bandwidth lever that makes a
     * 100 TB ANN corpus fit executor memory (and the shape faiss-style

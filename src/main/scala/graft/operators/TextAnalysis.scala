@@ -139,6 +139,56 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** BM25 parameters (Robertson-Sparck Jones defaults), shared by the
+    * shipped query and its oracle. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 ranking of the corpus against a fixed query-term set: per
+    * matched (doc, term), idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf = ln(1 + (N−df+0.5)/(df+0.5)); per-doc score is the
+    * token-ordered left-to-right sum of the term contributions (summation
+    * order pinned so float addition cannot drift between engines), ranked
+    * globally top-`k` (4dp-rounded score, doc_id tiebreak).
+    *
+    * Scale shape: tokens are filtered to the query terms BEFORE the tf
+    * aggregate (the explode never leaves the scan stage for non-query
+    * tokens), df/N/avgdl are tiny aggregates broadcast to the scorer, and
+    * the global top-k plans as TakeOrderedAndProject — no full sort. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val termArr = array(terms.map(lit): _*)
+    val lens = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+    val corpus = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(array_contains(termArr, col("token")))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfreq), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("c",
+        col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        array_sort(collect_list(struct(col("token"), col("c")))).as("tc"))
+      .select(col("doc_id"), col("n_terms"),
+        r4(expr("aggregate(tc, CAST(0.0 AS DOUBLE), (a, e) -> a + e.c)")).as("score"))
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-k);
+    // the rank window then sees only the k surviving rows (same pattern as
+    // vocab: constant-valued non-foldable partition key, one tiny task)
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("doc_id"), lit(1)))
+      .orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w))
+  }
+
   /** Corpus bigram language-model table: bigram count, prefix-continuation
     * count (Σ bigram counts sharing the first token — the LM denominator,
     * not the raw unigram count, so final-position tokens don't skew the

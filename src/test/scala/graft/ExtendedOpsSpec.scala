@@ -123,6 +123,60 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(t.frame_offsets == Seq(0L, 2L, 5L, 8L))
   }
 
+  test("containment: contained doc scores 1.0 toward its container, not vice versa") {
+    // doc 2's shingle set is a strict subset of doc 1's; doc 3 is disjoint
+    val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e"), (3L, "q r s t u"))
+    val out = Dedup.containmentPairs(d, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((2L, 1L, 1.0)))
+    // at a lower threshold the reverse direction appears with |Sa∩Sb|/|S1|
+    val lo = Dedup.containmentPairs(d, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lo == Set((2L, 1L, 1.0), (1L, 2L, 0.5)))
+  }
+
+  test("containment is always >= jaccard for the same pair") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val jac = Dedup.jaccardPairs(docs, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val con = Dedup.containmentPairs(docs, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    jac.foreach { case ((a, b), j) =>
+      val c = math.max(con.getOrElse((a, b), 0.0), con.getOrElse((b, a), 0.0))
+      assert(c >= j - 1e-9, s"pair ($a,$b): containment $c < jaccard $j")
+    }
+  }
+
+  test("knn classify: majority vote with deterministic tiebreaks") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(1.0f, 0.01f), 5),
+      (2L, Array(1.0f, 0.02f), 5),
+      (3L, Array(0.9f, 0.1f), 7),
+      (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, 1, 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // 3 nearest to probe 0 are {1, 2, 3} -> labels {5, 5, 7} -> majority 5
+    assert(r.getInt(1) == 9 && r.getInt(2) == 5 && r.getLong(3) == 2L)
+    assert(!r.getBoolean(4))
+  }
+
+  test("bm25 matches a hand-computed reference on a tiny corpus") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val d = docs((1L, "x x y a"), (2L, "x a b c"), (3L, "a b c d"))
+    val out = TextAnalysis.bm25(d, Seq("x", "y"), 10)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // N=3, avgdl=4, dl=4 everywhere => denom = tf + k1
+    val idfX = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    val idfY = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    val d1 = r4(idfX * (2 * 2.2) / (2 + 1.2) + idfY * (1 * 2.2) / (1 + 1.2))
+    val d2 = r4(idfX * (1 * 2.2) / (1 + 1.2))
+    assert(out.toSeq == Seq((1L, 2L, d1, 1), (2L, 1L, d2, 2)))
+  }
+
   test("fingerprint is order-sensitive") {
     val out = TextAnalysis.fingerprint(docs((1L, "a b c"), (2L, "c b a")))
       .select("fingerprint").collect().map(_.getLong(0))
