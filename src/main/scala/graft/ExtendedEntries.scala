@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Layout, Multimodal, RangeJoin, Signals, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, FuzzyJoin, Layout, Multimodal, RangeJoin, Signals, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import graft.OracleSql.withTicksBars
 
@@ -329,7 +329,14 @@ object ExtendedEntries {
       .filter(col("rk") <= 10)
   }
 
+  /** Fuzzy entity matching: blocked Jaro-Winkler self-join over part
+    * names (prefix-3 + length-band blocking, hot-block cap, JW ≥ 0.85). */
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", tau = 0.85)
+      .select(col("name_a"), col("name_b"), r(col("sim")).as("sim"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join" -> qFuzzyJoin,
     "q_range_join" -> qRangeJoin,
     "q_zorder" -> qZorder,
     "q_hybrid_search" -> qHybridSearch,
@@ -578,6 +585,19 @@ object ExtendedEntries {
 
   def oracleSql: Map[String, String] = Map(
     // q_sketches intentionally has NO oracle entry (engine-specific sketches).
+    "q_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+        |), b AS (
+        |  SELECT name, substr(name, 1, 3) AS blk, length(name) AS len,
+        |    count(*) OVER (PARTITION BY substr(name, 1, 3)) AS blk_n
+        |  FROM names
+        |), capped AS (SELECT name, blk, len FROM b WHERE blk_n <= 1000)
+        |SELECT a.name AS name_a, c.name AS name_b,
+        |  floor(jaro_winkler_similarity(a.name, c.name) * 10000 + 0.5) / 10000 AS sim
+        |FROM capped a JOIN capped c
+        |  ON a.blk = c.blk AND a.name < c.name AND abs(a.len - c.len) <= 2
+        |WHERE jaro_winkler_similarity(a.name, c.name) >= 0.85""".stripMargin,
     "q_zscore_outliers" -> withTicksBars(
       """, w1 AS (
         |  SELECT symbol, time, close,

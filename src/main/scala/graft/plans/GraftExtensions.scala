@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatDotProduct, SeededAggs}
+import graft.functions.{FloatDotProduct, JaroWinklerSimilarity, SeededAggs}
 
 /** Engine packaging: registers the custom functions with the session's
   * FunctionRegistry so plain `spark.sql` users get them as first-class
@@ -54,7 +54,10 @@ object GraftExtensions {
       }),
     (new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
-      (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinklerSimilarity(args(0), args(1))))
 
   /** Register into an already-built session (extensions only apply at
     * session construction; this covers shells/notebooks). */

@@ -27,6 +27,8 @@ object Tables {
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
     * default; read it as raw ns (legacy conf) and truncate to a µs
     * timestamp with integer division — the same truncation DuckDB applies
