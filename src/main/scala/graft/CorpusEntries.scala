@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, CorpusStats, Decontamination, Dedup, Packing, Sampling, TextAnalysis}
+import graft.operators.{Chunking, CorpusStats, Decontamination, Dedup, Drift, Packing, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** Corpus-curation operators (sampling / vocabulary / TF-IDF / PII /
@@ -166,6 +166,17 @@ object CorpusEntries {
   private def qBm25(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25(Tables.documents(s, dir), Bm25Terms, Bm25TopK)
 
+  /** Distribution drift between two corpus snapshots (even vs odd doc_id
+    * stands in for crawl N vs crawl N+1): per-bin PSI + JS divergence over
+    * the n_chars histogram. */
+  private def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Drift.drift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "n_chars", binWidth = 100.0, maxBin = 14)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> qSampleHash,
     "q_vocab" -> qVocab,
@@ -185,7 +196,8 @@ object CorpusEntries {
     "q_pack" -> qPack,
     "q_sample_exact_n" -> qSampleExactN,
     "q_substring_dup" -> qSubstringDup,
-    "q_sample_temperature" -> qSampleTemperature)
+    "q_sample_temperature" -> qSampleTemperature,
+    "q_drift" -> qDrift)
 
   // ---------------------------------------------------------------- oracle
 
@@ -235,6 +247,47 @@ object CorpusEntries {
     graft.operators.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
   def oracleSql: Map[String, String] = Map(
+    "q_drift" ->
+      """WITH hr AS (
+        |  SELECT CAST(least(floor(CAST(n_chars AS DOUBLE) / 100), 14) AS INTEGER) AS bin,
+        |    count(*) AS cnt_ref
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+        |), hc AS (
+        |  SELECT CAST(least(floor(CAST(n_chars AS DOUBLE) / 100), 14) AS INTEGER) AS bin,
+        |    count(*) AS cnt_cur
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(hr.bin, hc.bin) AS bin,
+        |    coalesce(cnt_ref, 0) AS cnt_ref, coalesce(cnt_cur, 0) AS cnt_cur
+        |  FROM hr FULL OUTER JOIN hc ON hr.bin = hc.bin
+        |), t AS (
+        |  SELECT CAST(sum(cnt_ref) AS BIGINT) AS tot_ref,
+        |    CAST(sum(cnt_cur) AS BIGINT) AS tot_cur FROM j
+        |), pq AS (
+        |  SELECT bin, cnt_ref, cnt_cur,
+        |    CAST(cnt_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE) AS p_ref,
+        |    CAST(cnt_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE) AS p_cur
+        |  FROM j, t
+        |), terms AS (
+        |  SELECT *,
+        |    floor(((p_cur - p_ref) * ln(
+        |      (CASE WHEN p_cur = 0 THEN 1e-6 ELSE p_cur END) /
+        |      (CASE WHEN p_ref = 0 THEN 1e-6 ELSE p_ref END))) * 10000 + 0.5) / 10000
+        |      AS psi_term,
+        |    floor((0.5 * (CASE WHEN p_ref > 0
+        |        THEN p_ref * ln(p_ref / ((p_ref + p_cur) / CAST(2 AS DOUBLE))) ELSE 0 END)
+        |      + 0.5 * (CASE WHEN p_cur > 0
+        |        THEN p_cur * ln(p_cur / ((p_ref + p_cur) / CAST(2 AS DOUBLE))) ELSE 0 END))
+        |      * 10000 + 0.5) / 10000 AS js_term
+        |  FROM pq
+        |), g AS (SELECT sum(psi_term) AS psi, sum(js_term) AS js FROM terms)
+        |SELECT bin, cnt_ref, cnt_cur,
+        |  floor(p_ref * 10000 + 0.5) / 10000 AS p_ref,
+        |  floor(p_cur * 10000 + 0.5) / 10000 AS p_cur,
+        |  psi_term, js_term,
+        |  floor(psi * 10000 + 0.5) / 10000 AS psi,
+        |  floor(js * 10000 + 0.5) / 10000 AS js
+        |FROM terms, g""".stripMargin,
     "q_pack" ->
       s"""WITH $oChunks,
          |o AS (
