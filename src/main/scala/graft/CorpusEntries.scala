@@ -166,6 +166,15 @@ object CorpusEntries {
   private def qBm25(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25(Tables.documents(s, dir), Bm25Terms, Bm25TopK)
 
+  /** Shared split parameters (query and oracle read the same values). */
+  private val SplitSalt = "sp1:"
+  private val SplitCuts = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  /** Deterministic disjoint train/val/test assignment per document. */
+  private def qSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      Sampling.splitBy(col("doc_id"), SplitSalt, SplitCuts).as("split"))
+
   /** Distribution drift between two corpus snapshots (even vs odd doc_id
     * stands in for crawl N vs crawl N+1): per-bin PSI + JS divergence over
     * the n_chars histogram. */
@@ -197,7 +206,8 @@ object CorpusEntries {
     "q_sample_exact_n" -> qSampleExactN,
     "q_substring_dup" -> qSubstringDup,
     "q_sample_temperature" -> qSampleTemperature,
-    "q_drift" -> qDrift)
+    "q_drift" -> qDrift,
+    "q_split" -> qSplit)
 
   // ---------------------------------------------------------------- oracle
 
@@ -247,6 +257,17 @@ object CorpusEntries {
     graft.operators.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
   def oracleSql: Map[String, String] = Map(
+    "q_split" ->
+      s"""SELECT doc_id, source,
+         |  CASE
+         |    WHEN substr(md5('$SplitSalt' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |      < '${hex4(0.9)}' THEN 'train'
+         |    WHEN substr(md5('$SplitSalt' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |      < '${hex4(0.95)}' THEN 'val'
+         |    ELSE 'test'
+         |  END AS split
+         |FROM documents""".stripMargin,
+
     "q_drift" ->
       """WITH hr AS (
         |  SELECT CAST(least(floor(CAST(n_chars AS DOUBLE) / 100), 14) AS INTEGER) AS bin,

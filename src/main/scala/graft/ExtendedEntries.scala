@@ -376,6 +376,8 @@ object ExtendedEntries {
       Tables.events(s, dir), FunnelSteps)),
     "q_cohort_retention" -> ((s, dir) => operators.EventAnalytics.cohortRetention(
       Tables.events(s, dir))),
+    "q_scd2" -> ((s, dir) => operators.EventAnalytics.scd2(
+      Tables.events(s, dir), "user_id", "event_type")),
     "q_zscore_outliers" -> ((s, dir) =>
       Signals.zscoreOutliers(Tables.bars(s, dir), 20, 2.0)),
     "q_sma_crossovers" -> ((s, dir) =>
@@ -682,6 +684,24 @@ object ExtendedEntries {
          |FROM w WHERE c = 20 AND r IS NOT NULL AND NOT isnan(r)""".stripMargin,
 
     "q_funnel" -> oFunnel(FunnelSteps),
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |), ch AS (
+        |  SELECT *, lag(event_type) OVER w AS prev
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), opened AS (
+        |  SELECT user_id, event_type, event_id, ts FROM ch
+        |  WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_type,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM opened WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH w AS (

@@ -56,6 +56,34 @@ object EventAnalytics {
       .select(col("r.step"), col("r.event_type"), col("r.n_users"))
   }
 
+  /** Slowly-changing-dimension type 2 build: collapse a per-key change
+    * stream into validity intervals `[valid_from, valid_to)`, opening a
+    * new version only when the tracked attribute actually CHANGES
+    * (no-change events extend the current version instead of splitting
+    * it — the gaps-and-islands half that makes SCD2 more than a lead()).
+    *
+    * Plan: one shuffle by key; change detection (lag), versioning
+    * (running sum) and interval close (lead) are three window passes over
+    * the SAME (key, ts, id) sort, so CollapseWindow keeps them in one
+    * sort + no extra exchanges. valid_to is NULL on the open (current)
+    * version. At 100 TB: parallel in key cardinality, Σ per-key history
+    * per task, no global sort. */
+  def scd2(events: DataFrame, key: String, attr: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col("ts"), col("event_id"))
+    val changed = events
+      .filter(col(attr).isNotNull && col("ts").isNotNull)
+      .withColumn("_prev", lag(col(attr), 1).over(ord))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
+    val ord2 = Window.partitionBy(col(key)).orderBy(col("ts"), col("event_id"))
+    changed
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(ord2))
+      .withColumn("version", row_number().over(ord2).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(key), col(attr), col("version"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
   /** Weekly cohort retention: users grouped by the week of their first
     * event; for each (cohort_week, week_offset) the number of distinct
     * users active that many weeks later. Two keyed aggregates (first-seen

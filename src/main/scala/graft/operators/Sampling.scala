@@ -67,6 +67,24 @@ object Sampling {
         when(stratum === value, sampledBy(key, salt, rate)).otherwise(acc)
     }
 
+  /** Deterministic train/val/test assignment: the salted 16-bit bucket of
+    * the key is cut at cumulative fraction thresholds. Same guarantees as
+    * [[sampledBy]] — reproducible across runs/engines, shuffle-free, pure
+    * codegen — plus the split-specific one: the three sets are DISJOINT
+    * and EXHAUSTIVE by construction (cuts of one bucket value), which
+    * per-set rate sampling does not give. Fractions must sum to ≤ 1; any
+    * remainder falls into the last split. */
+  def splitBy(key: Column, salt: String, cuts: Seq[(String, Double)]): Column = {
+    require(cuts.size >= 2, "need at least two splits")
+    val cum = cuts.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val thresholds = cuts.init.map(_._1).zip(cum.map(bucketThreshold))
+    val bucket = bucketHex(key, salt)
+    thresholds.reverse.foldLeft(lit(cuts.last._1)) {
+      case (acc, (name, t)) =>
+        when(bucket < lit(f"$t%04x"), lit(name)).otherwise(acc)
+    }
+  }
+
   /** Exact-count stratified sample: the first `n` rows of each stratum in
     * salted-hash order (key as tiebreak) — the "exactly N docs per
     * language/source" balancing primitive, where a rate-based sample only
