@@ -21,7 +21,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed = Set("q_tfidf", "q_quality_deciles", "q_source_mix",
     "q_cosine_ivf", "q_cosine_ivf_probe", "q_embed_clusters", "q_dedup_embed_ivf",
     "q_cosine_topk", "q_cosine_q8", "q_hybrid_search", "q_sample_temperature",
-    "q_bm25", "q_knn_classify")
+    "q_bm25", "q_knn_classify", "q_drift")
 
   test("no shipped query plans a cartesian or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
@@ -49,5 +49,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"single-partition windows in: ${offenders.mkString("; ")}")
+  }
+
+  test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
+    // The cluster-scale analog of the hypertable chunk exclusion the
+    // reference gets from TimescaleDB: a fact table laid out by partition
+    // key must only read the partitions the dim filter selects, with the
+    // filter discovered at RUNTIME through the join (DPP), not hand-pushed.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val spark2 = spark
+    import spark2.implicits._
+    val fact = (1 to 10000).map(i => (i.toLong, i % 25, i * 1.5))
+      .toDF("id", "nk", "amount")
+    fact.write.mode("overwrite").partitionBy("nk").parquet(s"$dir/fact")
+    // dim must be a real scan: a local relation would constant-fold the
+    // filter away and leave DPP no selective predicate to derive from
+    (0 until 25).map(k => (k, if (k < 2) "keep" else "drop"))
+      .toDF("nk", "flag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val q = spark.read.parquet(s"$dir/fact")
+      .join(dim.filter(col("flag") === "keep"), "nk")
+      .groupBy(col("nk")).agg(sum(col("amount")).as("total"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"no dynamic partition pruning in:\n$plan")
+    assert(q.collect().length == 2)
   }
 }
