@@ -198,6 +198,22 @@ object ExtendedEntries {
       .select(col("symbol"), col("time"), col("price"),
         col("asof_time"), col("asof_close"), col("asof_volume"))
 
+  /** Forward as-of with tolerance: each tick attaches the NEXT hourly bar
+    * (right.time >= tick.time) if it arrives within 2 h of event time. */
+  private def qAsofFwd(s: SparkSession, dir: String): DataFrame =
+    operators.AsOfJoin.asof(Tables.ticks(s, dir), Tables.bars(s, dir),
+      "symbol", "time", Seq("close", "volume"),
+      direction = "forward", toleranceUs = 7200000000L)
+      .select(col("symbol"), col("time"), col("price"),
+        col("asof_time"), col("asof_close"), col("asof_volume"))
+
+  /** Nearest as-of (ties → backward, pandas semantics). */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame =
+    operators.AsOfJoin.asof(Tables.ticks(s, dir), Tables.bars(s, dir),
+      "symbol", "time", Seq("close", "volume"), direction = "nearest")
+      .select(col("symbol"), col("time"), col("price"),
+        col("asof_time"), col("asof_close"), col("asof_volume"))
+
   /** ROLLUP aggregation (grouping-sets family). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -347,6 +363,8 @@ object ExtendedEntries {
     "q_salted_agg" -> qSaltedAgg,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_fwd" -> qAsofFwd,
+    "q_asof_nearest" -> qAsofNearest,
     "q_rollup_revenue" -> qRollupRevenue,
     "q_topk_per_key" -> qTopkPerKey,
     "q_dedup_exact" -> qDedupExact,
@@ -775,6 +793,46 @@ object ExtendedEntries {
         |  b.time AS asof_time, b.close AS asof_close, b.volume AS asof_volume
         |FROM ticks t ASOF LEFT JOIN bars b
         |  ON t.symbol = b.symbol AND t.time >= b.time""".stripMargin),
+
+    "q_asof_fwd" -> OracleSql.withTicksBars(
+      """SELECT t.symbol, t.time, t.price,
+        |  CASE WHEN epoch_us(b.time) - epoch_us(t.time) <= 7200000000
+        |    THEN b.time END AS asof_time,
+        |  CASE WHEN epoch_us(b.time) - epoch_us(t.time) <= 7200000000
+        |    THEN b.close END AS asof_close,
+        |  CASE WHEN epoch_us(b.time) - epoch_us(t.time) <= 7200000000
+        |    THEN b.volume END AS asof_volume
+        |FROM ticks t ASOF LEFT JOIN bars b
+        |  ON t.symbol = b.symbol AND t.time <= b.time""".stripMargin),
+
+    "q_asof_nearest" -> OracleSql.withTicksBars(
+      """, j AS (
+        |  SELECT t.symbol, t.time, t.price,
+        |    bb.time AS tb, bb.close AS cb, bb.volume AS vb,
+        |    bf.time AS tf, bf.close AS cf, bf.volume AS vf
+        |  FROM ticks t
+        |  ASOF LEFT JOIN bars bb
+        |    ON t.symbol = bb.symbol AND t.time >= bb.time
+        |  ASOF LEFT JOIN bars bf
+        |    ON t.symbol = bf.symbol AND t.time <= bf.time
+        |), pick AS (
+        |  SELECT symbol, time, price,
+        |    CASE
+        |      WHEN tb IS NOT NULL AND tf IS NOT NULL THEN
+        |        CASE WHEN epoch_us(time) - epoch_us(tb)
+        |               <= epoch_us(tf) - epoch_us(time) THEN 0 ELSE 1 END
+        |      WHEN tb IS NOT NULL THEN 0
+        |      WHEN tf IS NOT NULL THEN 1
+        |      ELSE 2
+        |    END AS side,
+        |    tb, cb, vb, tf, cf, vf
+        |  FROM j
+        |)
+        |SELECT symbol, time, price,
+        |  CASE side WHEN 0 THEN tb WHEN 1 THEN tf END AS asof_time,
+        |  CASE side WHEN 0 THEN cb WHEN 1 THEN cf END AS asof_close,
+        |  CASE side WHEN 0 THEN vb WHEN 1 THEN vf END AS asof_volume
+        |FROM pick""".stripMargin),
 
     "q_rollup_revenue" ->
       """SELECT o_orderpriority, o_orderstatus,
