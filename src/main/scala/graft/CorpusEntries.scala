@@ -166,6 +166,18 @@ object CorpusEntries {
   private def qBm25(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25(Tables.documents(s, dir), Bm25Terms, Bm25TopK)
 
+  /** Shared priority-sample parameters. */
+  private val WeightSalt = "pw:"
+  private val WeightedN = 150
+
+  /** Exact-N weighted sample without replacement (priority sampling;
+    * weight = document length). */
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(Tables.documents(s, dir), col("doc_id"),
+      col("n_chars"), WeightSalt, WeightedN)
+      .select(col("doc_id"), col("n_chars"),
+        (floor(col("priority") * lit(10000) + lit(0.5)) / lit(10000)).as("priority"))
+
   /** Shared split parameters (query and oracle read the same values). */
   private val SplitSalt = "sp1:"
   private val SplitCuts = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
@@ -207,7 +219,8 @@ object CorpusEntries {
     "q_substring_dup" -> qSubstringDup,
     "q_sample_temperature" -> qSampleTemperature,
     "q_drift" -> qDrift,
-    "q_split" -> qSplit)
+    "q_split" -> qSplit,
+    "q_sample_weighted" -> qSampleWeighted)
 
   // ---------------------------------------------------------------- oracle
 
@@ -257,6 +270,19 @@ object CorpusEntries {
     graft.operators.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
   def oracleSql: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      s"""WITH pr AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(n_chars AS DOUBLE) /
+         |      ((CAST(CAST(concat('0x', substr(md5(concat('$WeightSalt',
+         |          CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) AS DOUBLE) + 0.5)
+         |        / 65536.0) AS priority
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_chars,
+         |  floor(priority * 10000 + 0.5) / 10000 AS priority
+         |FROM pr ORDER BY pr.priority DESC, doc_id LIMIT $WeightedN""".stripMargin,
+
     "q_split" ->
       s"""SELECT doc_id, source,
          |  CASE

@@ -214,6 +214,14 @@ object ExtendedEntries {
       .select(col("symbol"), col("time"), col("price"),
         col("asof_time"), col("asof_close"), col("asof_volume"))
 
+  /** Columns profiled by q_profile (query and oracle share the list). */
+  private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Single-scan table profile over orders (ANALYZE analog). */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    operators.Profile.profile(Tables.orders(s, dir), ProfileCols)
+
   /** ROLLUP aggregation (grouping-sets family). */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -365,6 +373,7 @@ object ExtendedEntries {
     "q_asof_join" -> qAsofJoin,
     "q_asof_fwd" -> qAsofFwd,
     "q_asof_nearest" -> qAsofNearest,
+    "q_profile" -> qProfile,
     "q_rollup_revenue" -> qRollupRevenue,
     "q_topk_per_key" -> qTopkPerKey,
     "q_dedup_exact" -> qDedupExact,
@@ -833,6 +842,14 @@ object ExtendedEntries {
         |  CASE side WHEN 0 THEN cb WHEN 1 THEN cf END AS asof_close,
         |  CASE side WHEN 0 THEN vb WHEN 1 THEN vf END AS asof_volume
         |FROM pick""".stripMargin),
+
+    "q_profile" -> ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     "q_rollup_revenue" ->
       """SELECT o_orderpriority, o_orderstatus,

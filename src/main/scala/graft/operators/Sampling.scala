@@ -67,6 +67,29 @@ object Sampling {
         when(stratum === value, sampledBy(key, salt, rate)).otherwise(acc)
     }
 
+  /** Priority sampling (Duffield–Lund–Thorup): exact-N WEIGHTED sample
+    * without replacement. Each row gets priority w / u with u uniform in
+    * (0, 1) derived from the salted hash bucket (u = (bucket + 0.5) /
+    * 65536 — never 0 or 1); the N highest priorities win. Heavier rows
+    * draw proportionally larger priorities, reproducibly.
+    *
+    * Chosen over the ln-based exponential-jitter scheme (A-ES) because
+    * w / u is PURE IEEE division — bit-identical in any engine, so the
+    * oracle can replay the exact ranking; ln() differs by ulps across
+    * libm implementations and could flip the rank-N boundary.
+    *
+    * Scale: orderBy + limit plans as TakeOrderedAndProject — per-partition
+    * top-N heaps merged on one reducer over N·#partitions rows, never a
+    * global sort. Adds `priority` (raw double). */
+  def prioritySample(df: DataFrame, key: Column, weight: Column,
+      salt: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (hashBucket(key, salt).cast("double") + lit(0.5)) / lit(65536.0)
+    df.withColumn("priority", weight.cast("double") / u)
+      .orderBy(col("priority").desc, key)
+      .limit(n)
+  }
+
   /** Deterministic train/val/test assignment: the salted 16-bit bucket of
     * the key is cut at cumulative fraction thresholds. Same guarantees as
     * [[sampledBy]] — reproducible across runs/engines, shuffle-free, pure
