@@ -214,6 +214,23 @@ object ExtendedEntries {
       .select(col("symbol"), col("time"), col("price"),
         col("asof_time"), col("asof_close"), col("asof_volume"))
 
+  /** Incremental bar maintenance: base (¾ of ticks) and delta (¼) are
+    * aggregated to mergeable partials independently, then merged — the
+    * oracle recomputes from all ticks at once, proving the merge algebra. */
+  private def qBarsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ticks = Tables.events(s, dir).select(
+      col("user_id").cast("string").as("symbol"),
+      col("ts").as("time"),
+      col("value").as("price"),
+      (col("event_id") % 97 + 1).cast("long").as("volume"),
+      col("event_id"))
+    val base = ticks.filter(col("event_id") % 4 =!= 0).drop("event_id")
+    val delta = ticks.filter(col("event_id") % 4 === 0).drop("event_id")
+    operators.Incremental.finalizeBars(operators.Incremental.mergeBars(
+      operators.Incremental.partialBars(base),
+      operators.Incremental.partialBars(delta)))
+  }
+
   /** Columns profiled by q_profile (query and oracle share the list). */
   private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -374,6 +391,7 @@ object ExtendedEntries {
     "q_asof_fwd" -> qAsofFwd,
     "q_asof_nearest" -> qAsofNearest,
     "q_profile" -> qProfile,
+    "q_bars_incremental" -> qBarsIncremental,
     "q_rollup_revenue" -> qRollupRevenue,
     "q_topk_per_key" -> qTopkPerKey,
     "q_dedup_exact" -> qDedupExact,
@@ -842,6 +860,28 @@ object ExtendedEntries {
         |  CASE side WHEN 0 THEN cb WHEN 1 THEN cf END AS asof_close,
         |  CASE side WHEN 0 THEN vb WHEN 1 THEN vf END AS asof_volume
         |FROM pick""".stripMargin),
+
+    "q_bars_incremental" ->
+      """WITH tk AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS symbol,
+        |    CAST(ts AS TIMESTAMP) AS time,
+        |    value AS price, CAST(event_id % 97 + 1 AS BIGINT) AS volume
+        |  FROM events
+        |), w AS (
+        |  SELECT symbol, date_trunc('hour', time) AS btime, time, price, volume,
+        |    row_number() OVER (PARTITION BY symbol, date_trunc('hour', time)
+        |      ORDER BY time, price) AS rn_a,
+        |    row_number() OVER (PARTITION BY symbol, date_trunc('hour', time)
+        |      ORDER BY time DESC, price DESC) AS rn_d
+        |  FROM tk
+        |)
+        |SELECT symbol, btime AS time,
+        |  max(CASE WHEN rn_a = 1 THEN price END) AS open,
+        |  max(price) AS high, min(price) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN price END) AS close,
+        |  CAST(sum(volume) AS BIGINT) AS volume,
+        |  count(*) AS n_ticks
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "q_profile" -> ProfileCols.map { c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,

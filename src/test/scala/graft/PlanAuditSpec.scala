@@ -51,6 +51,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"single-partition windows in: ${offenders.mkString("; ")}")
   }
 
+  test("runtime bloom-filter join pruning fires on a selective shuffle join") {
+    // The row-level complement of DPP: when the fact side is NOT laid out
+    // by the join key, Spark 3.3+ can still inject a bloom filter built
+    // from the filtered dim into the fact scan. Thresholds are lowered to
+    // make test-sized tables eligible; all confs restored after.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+      val spark2 = spark
+      import spark2.implicits._
+      (1 to 50000).map(i => (i.toLong, i % 1000, s"p$i"))
+        .toDF("id", "k", "payload")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      (0 until 1000).map(k => (k, if (k < 5) "keep" else "drop"))
+        .toDF("k", "flag")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val q = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim").filter(col("flag") === "keep"), "k")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter in optimized plan:\n$plan")
+      assert(q.collect().length == 5)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
     // The cluster-scale analog of the hypertable chunk exclusion the
     // reference gets from TimescaleDB: a fact table laid out by partition
