@@ -88,6 +88,27 @@ object SparkEntry {
       r(WI.vwap(col("time"), col("symbol"), col("high"), col("low"), col("close"),
         col("volume"))).as("vwap"))
 
+  /** Extended window-indicator family beyond the reference's 13 (same
+    * pandas-ta catalog the reference draws from): Williams %R(14), ROC(12),
+    * momentum(10), Donchian(20) channel, Keltner(20, ATR-SMA 10) channel,
+    * CCI(20). All pure window expressions over the one shared
+    * (symbol, time) WindowSpec — Catalyst collapses the whole family into a
+    * single WindowExec, so the marginal cost over q_indicators is zero
+    * shuffles. */
+  private def qIndicatorsExt(s: SparkSession, dir: String): DataFrame = {
+    val spec = WI.w()
+    val (dUp, dMid, dLo) = WI.donchian(col("high"), col("low"), 20, spec)
+    val (kMid, kUp, kLo) = WI.keltner(col("high"), col("low"), col("close"), 20, 10, 2.0, spec)
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(WI.williamsR(col("high"), col("low"), col("close"), 14, spec)).as("will_r_14"),
+      r(WI.roc(col("close"), 12, spec)).as("roc_12"),
+      r(WI.momentum(col("close"), 10, spec)).as("mom_10"),
+      r(dUp).as("donch_up"), r(dMid).as("donch_mid"), r(dLo).as("donch_lo"),
+      r(kMid).as("kelt_mid"), r(kUp).as("kelt_up"), r(kLo).as("kelt_lo"),
+      r(WI.cci(col("high"), col("low"), col("close"), 20, spec)).as("cci_20"))
+  }
+
   /** A13 / read-API: latest row per key (roadmap /latest_price). */
   private def qLatestPerKey(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
@@ -191,6 +212,7 @@ object SparkEntry {
     "q_mfi" -> qMfi,
     "q_obv" -> qObv,
     "q_vwap" -> qVwap,
+    "q_indicators_ext" -> qIndicatorsExt,
     "q_latest_per_key" -> qLatestPerKey,
     "q_time_range" -> qTimeRange,
     "q_dedup_first_wins" -> qDedupFirstWins)
@@ -314,6 +336,57 @@ object SparkEntry {
         |FROM w1
         |WINDOW wd AS (PARTITION BY symbol, CAST(time AS DATE) ORDER BY time
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "q_indicators_ext" -> withTicksBars(
+      s""", w1 AS (
+         |  SELECT symbol, time, high, low, close,
+         |    (high + low + close) / 3 AS tp,
+         |    lag(close) OVER w AS pc,
+         |    lag(close, 12) OVER w AS c12,
+         |    lag(close, 10) OVER w AS c10,
+         |    count(close) OVER w14 AS cnt14,
+         |    max(high) OVER w14 AS hh14,
+         |    min(low) OVER w14 AS ll14,
+         |    count(close) OVER w20 AS cnt20,
+         |    max(high) OVER w20 AS dup20,
+         |    min(low) OVER w20 AS dlo20
+         |  FROM bars
+         |  WINDOW
+         |    w AS (PARTITION BY symbol ORDER BY time),
+         |    w14 AS (PARTITION BY symbol ORDER BY time ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         |    w20 AS (PARTITION BY symbol ORDER BY time ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |), w2 AS (
+         |  SELECT *, CASE WHEN pc IS NULL THEN high - low
+         |       ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
+         |  FROM w1
+         |), w3 AS (
+         |  SELECT symbol, time, close, tp, c12, c10, cnt14, hh14, ll14,
+         |    cnt20, dup20, dlo20,
+         |    avg(tp) OVER w20 AS mtp20,
+         |    list(tp) OVER w20 AS ltp20,
+         |    count(close) OVER w10 AS cnt10,
+         |    avg(tr) OVER w10 AS atr10
+         |  FROM w2
+         |  WINDOW
+         |    w20 AS (PARTITION BY symbol ORDER BY time ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         |    w10 AS (PARTITION BY symbol ORDER BY time ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |), w4 AS (
+         |  SELECT *,
+         |    list_aggregate(list_transform(ltp20, x -> abs(x - mtp20)), 'avg') AS mad20
+         |  FROM w3
+         |)
+         |SELECT symbol, time,
+         |  ${r4("CASE WHEN cnt14 = 14 AND hh14 <> ll14 THEN -100 * (hh14 - close) / (hh14 - ll14) END")} AS will_r_14,
+         |  ${r4("CASE WHEN c12 IS NOT NULL AND c12 <> 0 THEN 100 * (close - c12) / c12 END")} AS roc_12,
+         |  ${r4("close - c10")} AS mom_10,
+         |  ${r4("CASE WHEN cnt20 = 20 THEN dup20 END")} AS donch_up,
+         |  ${r4("CASE WHEN cnt20 = 20 THEN (dup20 + dlo20) / 2 END")} AS donch_mid,
+         |  ${r4("CASE WHEN cnt20 = 20 THEN dlo20 END")} AS donch_lo,
+         |  ${r4("CASE WHEN cnt20 = 20 THEN mtp20 END")} AS kelt_mid,
+         |  ${r4("CASE WHEN cnt20 = 20 AND cnt10 = 10 THEN mtp20 + 2 * atr10 END")} AS kelt_up,
+         |  ${r4("CASE WHEN cnt20 = 20 AND cnt10 = 10 THEN mtp20 - 2 * atr10 END")} AS kelt_lo,
+         |  ${r4("CASE WHEN cnt20 = 20 AND mad20 <> 0 THEN (tp - mtp20) / (0.015 * mad20) END")} AS cci_20
+         |FROM w4""".stripMargin),
 
     "q_latest_per_key" ->
       """WITH w1 AS (

@@ -118,6 +118,68 @@ object WindowIndicators {
       .otherwise(greatest(high - low, abs(high - pc), abs(low - pc)))
   }
 
+  /** Williams %R(n): -100·(HH−close)/(HH−LL) over the trailing n rows;
+    * null until n rows or when the range is flat (zero denominator → null,
+    * not ±inf — the engine's NaN policy, SURVEY §1.2). */
+  def williamsR(high: Column, low: Column, close: Column, n: Int,
+      spec: WindowSpec): Column = {
+    val full = count(close).over(last(n, spec)) === n
+    val hh = max(high).over(last(n, spec))
+    val ll = min(low).over(last(n, spec))
+    when(full && hh =!= ll, lit(-100) * (hh - close) / (hh - ll))
+  }
+
+  /** Rate of change (n): 100·(close − close[-n])/close[-n]; null until the
+    * lag exists. */
+  def roc(c: Column, n: Int, spec: WindowSpec): Column = {
+    val prev = lag(c, n).over(spec)
+    when(prev.isNotNull && prev =!= 0, lit(100) * (c - prev) / prev)
+  }
+
+  /** Momentum (n): close − close[-n]. */
+  def momentum(c: Column, n: Int, spec: WindowSpec): Column = c - lag(c, n).over(spec)
+
+  /** Donchian channel (n): (upper, middle, lower) = trailing max(high) /
+    * midpoint / min(low); null until n rows. */
+  def donchian(high: Column, low: Column, n: Int,
+      spec: WindowSpec): (Column, Column, Column) = {
+    val full = count(high).over(last(n, spec)) === n
+    val up = when(full, max(high).over(last(n, spec)))
+    val lo = when(full, min(low).over(last(n, spec)))
+    (up, (up + lo) / 2, lo)
+  }
+
+  /** Keltner channel, SMA flavor: middle = SMA(n) of typical price, bands =
+    * middle ± k·SMA(atrN) of true range. The TR series starts at row 1
+    * (first row falls back to high−low), so the band gate is atrN rows. */
+  def keltner(high: Column, low: Column, close: Column, n: Int, atrN: Int,
+      k: Double, spec: WindowSpec): (Column, Column, Column) = {
+    val tp = typicalPrice(high, low, close)
+    val mid = sma(tp, n, spec)
+    val tr = trueRange(high, low, close, spec)
+    val atrFull = count(close).over(last(atrN, spec)) === atrN
+    val atr = when(atrFull, avg(tr).over(last(atrN, spec)))
+    (mid, mid + lit(k) * atr, mid - lit(k) * atr)
+  }
+
+  /** Commodity Channel Index (n): (tp − SMA(tp)) / (0.015·MAD), where MAD is
+    * the mean absolute deviation of the trailing n typical prices from the
+    * CURRENT window's mean. The deviation target depends on the current row's
+    * window, so no two-pass window decomposition exists — the window is
+    * materialized with collect_list and folded with the codegen'd
+    * higher-order `aggregate`, still inside the one shared WindowExec
+    * shuffle (n is a small constant, so the per-row list is O(n)). */
+  def cci(high: Column, low: Column, close: Column, n: Int,
+      spec: WindowSpec): Column = {
+    val tp = typicalPrice(high, low, close)
+    val full = count(close).over(last(n, spec)) === n
+    val m = avg(tp).over(last(n, spec))
+    val lst = collect_list(tp).over(last(n, spec))
+    val mad = aggregate(lst, lit(0.0),
+      (acc, x) => acc + abs(x - m), acc => acc / lit(n))
+    when(full && mad =!= 0, (tp - m) / (lit(0.015) * mad))
+  }
+
   /** Append the window-expressible indicator family to a bars frame
     * (time, symbol, open, high, low, close, volume). */
   def withAll(bars: DataFrame): DataFrame = {
