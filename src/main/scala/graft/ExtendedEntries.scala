@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, FuzzyJoin, Layout, Multimodal, RangeJoin, Signals, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, FuzzyJoin, Layout, Multimodal, RangeJoin, Resample, Signals, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import graft.OracleSql.withTicksBars
 
@@ -376,8 +376,25 @@ object ExtendedEntries {
     FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", tau = 0.85)
       .select(col("name_a"), col("name_b"), r(col("sim")).as("sim"))
 
+  /** Gap-filled hourly close/volume series: dense per-symbol grid, last
+    * observation carried forward (see [[Resample]] for the scale shape). */
+  private def qResampleFfill(s: SparkSession, dir: String): DataFrame =
+    Resample.ffill(
+      Tables.bars(s, dir).select(col("symbol"), col("time"), col("close"), col("volume")),
+      "symbol", "time", "1 hour", Seq("close", "volume"))
+
+  /** Long-form OHLC (melt) — the inverse of q_pivot's widening, via the
+    * native `unpivot` (one scan, no join, no shuffle). */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.bars(s, dir).unpivot(
+      Array(col("symbol"), col("time")),
+      Array(col("open"), col("high"), col("low"), col("close")),
+      "field", "value")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> qFuzzyJoin,
+    "q_resample_ffill" -> qResampleFfill,
+    "q_unpivot" -> qUnpivot,
     "q_range_join" -> qRangeJoin,
     "q_zorder" -> qZorder,
     "q_hybrid_search" -> qHybridSearch,
@@ -645,6 +662,30 @@ object ExtendedEntries {
         |FROM capped a JOIN capped c
         |  ON a.blk = c.blk AND a.name < c.name AND abs(a.len - c.len) <= 2
         |WHERE jaro_winkler_similarity(a.name, c.name) >= 0.85""".stripMargin,
+    "q_resample_ffill" -> withTicksBars(
+      """, span AS (
+        |  SELECT symbol, min(time) AS t0, max(time) AS t1 FROM bars GROUP BY symbol
+        |), grid AS (
+        |  SELECT symbol, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS time
+        |  FROM span
+        |), j AS (
+        |  SELECT g.symbol, g.time, b.close, b.volume
+        |  FROM grid g LEFT JOIN bars b ON b.symbol = g.symbol AND b.time = g.time
+        |)
+        |SELECT symbol, time,
+        |  last_value(close IGNORE NULLS) OVER w AS close,
+        |  CAST(last_value(volume IGNORE NULLS) OVER w AS BIGINT) AS volume,
+        |  CASE WHEN close IS NULL THEN 1 ELSE 0 END AS filled
+        |FROM j
+        |WINDOW w AS (PARTITION BY symbol ORDER BY time
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+    "q_unpivot" -> withTicksBars(
+      """SELECT symbol, time, field, value FROM (
+        |  SELECT symbol, time, 'open' AS field, open AS value FROM bars
+        |  UNION ALL SELECT symbol, time, 'high', high FROM bars
+        |  UNION ALL SELECT symbol, time, 'low', low FROM bars
+        |  UNION ALL SELECT symbol, time, 'close', close FROM bars
+        |) u""".stripMargin),
     "q_zscore_outliers" -> withTicksBars(
       """, w1 AS (
         |  SELECT symbol, time, close,
