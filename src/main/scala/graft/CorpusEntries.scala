@@ -46,6 +46,11 @@ object CorpusEntries {
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTop(Tables.documents(s, dir), 3)
 
+  /** Weighted (TF-IDF cosine) near-dup pairs — see
+    * [[graft.operators.Dedup.tfidfCosinePairs]]. */
+  private def qTfidfPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.tfidfCosinePairs(Tables.documents(s, dir), tau = 0.6)
+
   /** PII scrub over text augmented with deterministic synthetic PII (the
     * synthetic corpus has no organic emails/phones; both engines build the
     * same augmented column, so the regex machinery is what's tested). */
@@ -202,6 +207,7 @@ object CorpusEntries {
     "q_sample_hash" -> qSampleHash,
     "q_vocab" -> qVocab,
     "q_tfidf" -> qTfidf,
+    "q_tfidf_pairs" -> qTfidfPairs,
     "q_bm25" -> qBm25,
     "q_pii_redact" -> qPiiRedact,
     "q_chunks" -> qChunks,
@@ -679,6 +685,37 @@ object CorpusEntries {
          |  FROM s
          |)
          |SELECT doc_id, rk, token, tf, df, tfidf FROM rk WHERE rk <= 3""".stripMargin,
+
+    // mirrors Dedup.tfidfCosinePairs: df cap 100, w² quantized at 1e6 for
+    // the norm, normalized products quantized at 1e12 for the similarity —
+    // integer sums, so no float-order drift between engines
+    "q_tfidf_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY token HAVING count(*) <= 100
+         |), n AS (SELECT count(*) AS n_docs FROM documents),
+         |w AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS w
+         |  FROM tf JOIN dfreq ON tf.token = dfreq.token, n
+         |), norms AS (
+         |  SELECT doc_id,
+         |    sqrt(CAST(sum(CAST(floor(w * w * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6) AS nrm
+         |  FROM w GROUP BY doc_id
+         |), v AS (
+         |  SELECT w.token, w.doc_id, w.w / norms.nrm AS wn
+         |  FROM w JOIN norms ON w.doc_id = norms.doc_id
+         |), p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(sum(CAST(floor(a.wn * b.wn * 1e12 + 0.5) AS BIGINT)) AS BIGINT) / 1e12 AS sim
+         |  FROM v a JOIN v b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, floor(sim * 10000 + 0.5) / 10000 AS cosine
+         |FROM p WHERE sim >= 0.6""".stripMargin,
 
     // mirrors TextAnalysis.bm25: same k1/b constants (interpolated from the
     // Scala values — Double.toString round-trips, so both engines parse the

@@ -155,6 +155,52 @@ object Dedup {
         (floor(col("craw") * 10000 + 0.5) / 10000).as("containment"))
   }
 
+  /** Quantization scales shared with the DuckDB oracle: squared weights at
+    * 1e6 (norm accumulation), normalized products at 1e12 (similarity
+    * accumulation). Summing the quantized integers instead of raw doubles
+    * makes both aggregates order-independent, so the result is bit-stable
+    * across partitionings and engines (the repo's integer-cents rule
+    * applied to dot products). */
+  val CosW2Scale: Double = 1e6
+  val CosProdScale: Double = 1e12
+
+  /** Weighted near-dup pairs: TF-IDF cosine over the token inverted index —
+    * the weighted sibling of [[jaccardPairs]] (set overlap) for corpora
+    * where rare-term agreement should count more than boilerplate overlap.
+    *
+    * Per doc: w(t) = tf·ln(N/df), L2-normalized; similarity = Σ wn_a·wn_b
+    * over shared tokens, which is exactly cosine. Tokens with df > maxDf
+    * are dropped BEFORE the self-join (the same hot-key cap as Jaccard —
+    * stopword-ish tokens would otherwise make the candidate space
+    * quadratic; with IDF weighting they contribute least similarity, so
+    * the cap costs little recall). Join is keyed on token — never
+    * all-pairs. */
+  def tfidfCosinePairs(docs: DataFrame, tau: Double, maxDf: Int = 100): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfreq, "token").crossJoin(broadcast(total))
+      .withColumn("w", col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(floor(col("w") * col("w") * lit(CosW2Scale) + 0.5).cast("long")) /
+        lit(CosW2Scale)).as("nrm"))
+    val v = w.join(norms, "doc_id")
+      .select(col("token"), col("doc_id"), (col("w") / col("nrm")).as("wn"))
+      .localCheckpoint()
+    v.as("a").join(v.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        floor(col("a.wn") * col("b.wn") * lit(CosProdScale) + 0.5).cast("long").as("pq"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((sum(col("pq")) / lit(CosProdScale)).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("sim") * 10000 + 0.5) / 10000).as("cosine"))
+  }
+
   /** Drop shingles with document frequency > maxDf. */
   private def cappedIndex(idx: DataFrame, maxDf: Int): DataFrame = {
     val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))

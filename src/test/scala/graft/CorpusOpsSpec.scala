@@ -266,4 +266,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(5L).getAs[String]("status") == "kept")
     assert(out(5L).isNullAt(out(5L).fieldIndex("match_id")))
   }
+
+  test("tfidf cosine pairs: identical docs score 1.0, disjoint docs absent, keyed join") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),            // exact dup of 0
+      (2L, "alpha beta gamma delta zeta"),               // near-dup of 0/1
+      (3L, "totally different words entirely here")      // disjoint
+    ).toDF("doc_id", "text")
+    // IDF down-weights the 4 shared common tokens, so the near-dup pair
+    // scores low in this tiny corpus (≈0.25) — tau=0.1 keeps it visible
+    val out = Dedup.tfidfCosinePairs(d, tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out((0L, 1L)) - 1.0) < 1e-9)         // identical ⇒ cosine 1
+    assert(out.contains((0L, 2L)) && out((0L, 2L)) < 1.0)
+    assert(out((0L, 2L)) == out((1L, 2L)))               // symmetric by content
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
+    val plan = Dedup.tfidfCosinePairs(d, 0.1).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
 }
