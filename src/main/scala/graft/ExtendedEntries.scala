@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, FuzzyJoin, Layout, Multimodal, RangeJoin, Resample, Signals, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, FuzzyJoin, Graph, Layout, Multimodal, RangeJoin, Resample, Signals, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import graft.OracleSql.withTicksBars
 
@@ -376,6 +376,30 @@ object ExtendedEntries {
     FuzzyJoin.selfPairs(Tables.part(s, dir), "p_name", tau = 0.85)
       .select(col("name_a"), col("name_b"), r(col("sim")).as("sim"))
 
+  /** PageRank damping factor, shared with the oracle (the teleport term is
+    * interpolated as `1 - PrDamping` so both engines parse the identical
+    * IEEE double — writing 0.15 literally would NOT match 1.0 − 0.85). */
+  private val PrDamping = 0.85
+
+  /** 3-iteration PageRank over the symmetrized customer↔supplier trade
+    * graph (edges = distinct (custkey, suppkey) pairs that share an order;
+    * node ids disambiguated even/odd). Symmetrizing guarantees every node
+    * has an out-edge, so no dangling-mass pass is needed and the oracle is
+    * a mechanical 3-round unroll. Ranks surface ×1e6 (ppm) so 4dp rounding
+    * keeps resolution at any graph size. */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("supp"))
+    val od = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("cust"))
+    val pairs = li.join(od, "orderkey")
+      .select((col("cust") * 2).as("a"), (col("supp") * 2 + 1).as("b")).distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    Graph.pagerank(edges, iters = 3, d = PrDamping)
+      .select(col("node"), r(col("rank") * lit(1e6)).as("rank_ppm"))
+  }
+
   /** Gap-filled hourly close/volume series: dense per-symbol grid, last
     * observation carried forward (see [[Resample]] for the scale shape). */
   private def qResampleFfill(s: SparkSession, dir: String): DataFrame =
@@ -393,6 +417,7 @@ object ExtendedEntries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> qFuzzyJoin,
+    "q_pagerank" -> qPagerank,
     "q_resample_ffill" -> qResampleFfill,
     "q_unpivot" -> qUnpivot,
     "q_range_join" -> qRangeJoin,
@@ -662,6 +687,39 @@ object ExtendedEntries {
         |FROM capped a JOIN capped c
         |  ON a.blk = c.blk AND a.name < c.name AND abs(a.len - c.len) <= 2
         |WHERE jaro_winkler_similarity(a.name, c.name) >= 0.85""".stripMargin,
+    "q_pagerank" -> {
+      // mechanical 3-round unroll of Graph.pagerank: same 1e12 rank
+      // quantization, same interpolated damping constants
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst,
+           |    CAST(sum(CAST(floor(r.rank / o.odeg * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sumq
+           |  FROM r${i - 1} r JOIN outdeg o ON r.node = o.src
+           |  JOIN edges e ON e.src = o.src
+           |  GROUP BY e.dst
+           |), r$i AS (
+           |  SELECT nodes.node,
+           |    floor((${1 - PrDamping} / n.nn + $PrDamping * (COALESCE(c$i.sumq, 0) / 1e12)) * 1e12 + 0.5) / 1e12 AS rank
+           |  FROM nodes CROSS JOIN n LEFT JOIN c$i ON nodes.node = c$i.dst
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+         |), nodes AS (
+         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+         |), n AS (SELECT count(*) AS nn FROM nodes),
+         |outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT node, floor(1.0 / n.nn * 1e12 + 0.5) / 1e12 AS rank
+         |  FROM nodes CROSS JOIN n
+         |),
+         |$rounds
+         |SELECT node, ${r4("rank * 1e6")} AS rank_ppm FROM r3""".stripMargin
+    },
     "q_resample_ffill" -> withTicksBars(
       """, span AS (
         |  SELECT symbol, min(time) AS t0, max(time) AS t1 FROM bars GROUP BY symbol
