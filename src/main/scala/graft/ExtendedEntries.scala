@@ -247,6 +247,16 @@ object ExtendedEntries {
       .select(col("o_orderpriority"), col("o_orderstatus"),
         (col("revc") / lit(100.0)).as("revenue"), col("n_orders"))
 
+  /** CUBE — all four grouping combinations in one pass (rollup's sibling;
+    * Spark plans both as a single Expand + hash aggregate, so the cost is
+    * one scan regardless of the grouping-set count). */
+  private def qCubeRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(sum(cents(col("o_totalprice"))).as("revc"), count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        (col("revc") / lit(100.0)).as("revenue"), col("n_orders"))
+
   /** Top-k per key (ORDER BY + LIMIT per group). */
   private def qTopkPerKey(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
@@ -435,6 +445,7 @@ object ExtendedEntries {
     "q_profile" -> qProfile,
     "q_bars_incremental" -> qBarsIncremental,
     "q_rollup_revenue" -> qRollupRevenue,
+    "q_cube_revenue" -> qCubeRevenue,
     "q_topk_per_key" -> qTopkPerKey,
     "q_dedup_exact" -> qDedupExact,
     "q_text_stats" -> qTextStats,
@@ -997,6 +1008,14 @@ object ExtendedEntries {
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q_cube_revenue" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
 
     "q_topk_per_key" ->
       """WITH w1 AS (

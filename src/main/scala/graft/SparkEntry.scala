@@ -109,6 +109,16 @@ object SparkEntry {
       r(WI.cci(col("high"), col("low"), col("close"), 20, spec)).as("cci_20"))
   }
 
+  /** Rolling order statistics: trailing-20 median and p90 of close per
+    * symbol (the rolling sibling of q_percentiles' global aggregates). */
+  private def qRollingQuantile(s: SparkSession, dir: String): DataFrame = {
+    val spec = WI.w()
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(WI.rollingQuantile(col("close"), 20, 0.5, spec)).as("med_20"),
+      r(WI.rollingQuantile(col("close"), 20, 0.9, spec)).as("p90_20"))
+  }
+
   /** A13 / read-API: latest row per key (roadmap /latest_price). */
   private def qLatestPerKey(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
@@ -213,6 +223,7 @@ object SparkEntry {
     "q_obv" -> qObv,
     "q_vwap" -> qVwap,
     "q_indicators_ext" -> qIndicatorsExt,
+    "q_rolling_quantile" -> qRollingQuantile,
     "q_latest_per_key" -> qLatestPerKey,
     "q_time_range" -> qTimeRange,
     "q_dedup_first_wins" -> qDedupFirstWins)
@@ -336,6 +347,24 @@ object SparkEntry {
         |FROM w1
         |WINDOW wd AS (PARTITION BY symbol, CAST(time AS DATE) ORDER BY time
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "q_rolling_quantile" -> {
+      val (lo5, a5, b5) = WI.quantileWeights(20, 0.5)
+      val (lo9, a9, b9) = WI.quantileWeights(20, 0.9)
+      withTicksBars(
+        s""", w1 AS (
+           |  SELECT symbol, time,
+           |    count(close) OVER w20 AS cnt,
+           |    list_sort(list(close) OVER w20) AS l
+           |  FROM bars
+           |  WINDOW w20 AS (PARTITION BY symbol ORDER BY time
+           |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+           |)
+           |SELECT symbol, time,
+           |  ${r4(s"CASE WHEN cnt = 20 THEN l[${lo5 + 1}] * $a5 + l[${lo5 + 2}] * $b5 END")} AS med_20,
+           |  ${r4(s"CASE WHEN cnt = 20 THEN l[${lo9 + 1}] * $a9 + l[${lo9 + 2}] * $b9 END")} AS p90_20
+           |FROM w1""".stripMargin)
+    },
 
     "q_indicators_ext" -> withTicksBars(
       s""", w1 AS (

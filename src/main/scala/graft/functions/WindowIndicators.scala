@@ -180,6 +180,35 @@ object WindowIndicators {
     when(full && mad =!= 0, (tp - m) / (lit(0.015) * mad))
   }
 
+  /** Rolling quantile (pandas type-7 linear interpolation) over the
+    * trailing n rows: pos = (n−1)·p, value = s[⌊pos⌋] + frac·(s[⌊pos⌋+1] −
+    * s[⌊pos⌋]) on the sorted window. Like [[cci]], the window must be
+    * materialized (order statistics don't decompose into running
+    * aggregates) — collect_list + array_sort per row, O(n log n) for a
+    * small constant n, still inside the shared WindowExec. The
+    * interpolation weights are computed once in Scala so the oracle can
+    * interpolate with the bit-identical doubles. */
+  def rollingQuantile(c: Column, n: Int, p: Double, spec: WindowSpec): Column = {
+    val full = count(c).over(last(n, spec)) === n
+    val s = array_sort(collect_list(c).over(last(n, spec)))
+    val pos = (n - 1) * p
+    val lo = math.floor(pos).toInt
+    val frac = pos - lo
+    val v =
+      if (frac == 0.0) element_at(s, lo + 1)
+      else element_at(s, lo + 1) * lit(1 - frac) + element_at(s, lo + 2) * lit(frac)
+    when(full, v)
+  }
+
+  /** The (1−frac, frac) interpolation weights rollingQuantile uses — shared
+    * with oracle SQL so both engines multiply by the same doubles. */
+  def quantileWeights(n: Int, p: Double): (Int, Double, Double) = {
+    val pos = (n - 1) * p
+    val lo = math.floor(pos).toInt
+    val frac = pos - lo
+    (lo, 1 - frac, frac)
+  }
+
   /** Append the window-expressible indicator family to a bars frame
     * (time, symbol, open, high, low, close, volume). */
   def withAll(bars: DataFrame): DataFrame = {

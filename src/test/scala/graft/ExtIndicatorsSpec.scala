@@ -102,6 +102,23 @@ class ExtIndicatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling quantile matches brute-force type-7 interpolation") {
+    for (p <- Seq(0.5, 0.9)) {
+      val got = collectCol(WI.rollingQuantile(col("close"), 20, p, WI.w()))
+      for (i <- 0 until n) {
+        if (i < 19) assert(got(i).isEmpty)
+        else {
+          val win = close.slice(i - 19, i + 1).sorted
+          val pos = 19 * p
+          val lo = math.floor(pos).toInt
+          val frac = pos - lo
+          val want = if (frac == 0) win(lo) else win(lo) * (1 - frac) + win(lo + 1) * frac
+          assert(math.abs(got(i).get - want) < 1e-9, s"p=$p row $i")
+        }
+      }
+    }
+  }
+
   test("the whole family plans as window functions over one symbol partition") {
     val q = SparkEntry.queries("q_indicators_ext")(spark, "/root/testdata/sf0.001")
     assert(q.columns.toSeq == Seq("symbol", "time", "will_r_14", "roc_12", "mom_10",
