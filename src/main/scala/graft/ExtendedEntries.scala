@@ -472,6 +472,8 @@ object ExtendedEntries {
     "q_sessionize" -> qSessionize,
     "q_funnel" -> ((s, dir) => operators.EventAnalytics.funnel(
       Tables.events(s, dir), FunnelSteps)),
+    "q_attribution" -> ((s, dir) => operators.EventAnalytics.attribution(
+      Tables.events(s, dir), "purchase")),
     "q_cohort_retention" -> ((s, dir) => operators.EventAnalytics.cohortRetention(
       Tables.events(s, dir))),
     "q_scd2" -> ((s, dir) => operators.EventAnalytics.scd2(
@@ -839,6 +841,33 @@ object ExtendedEntries {
          |FROM w WHERE c = 20 AND r IS NOT NULL AND NOT isnan(r)""".stripMargin,
 
     "q_funnel" -> oFunnel(FunnelSteps),
+
+    // mirrors EventAnalytics.attribution: same (ts, event_id) ordering,
+    // same ROWS UNBOUNDED..1 PRECEDING frame, IGNORE NULLS first/last
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events
+        |), w1 AS (
+        |  SELECT *,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER w AS first_touch_type,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER w AS first_touch_id,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER w AS last_touch_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER w AS last_touch_id,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+        |      OVER w AS last_touch_ts
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, event_id AS conversion_id, ts,
+        |  first_touch_type, first_touch_id, last_touch_type, last_touch_id,
+        |  epoch_ms(ts) - epoch_ms(last_touch_ts) AS gap_ms
+        |FROM w1 WHERE event_type = 'purchase'""".stripMargin,
 
     "q_scd2" ->
       """WITH e AS (

@@ -16,6 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** First/last-touch attribution: every conversion event joined to the
+    * earliest and most-recent preceding non-conversion touch of the same
+    * user, plus the time since the last touch. One window pass over the
+    * (user, time) ordering the other event analytics already use — the
+    * `when(...)` inside `first/last(ignoreNulls)` filters touch candidates
+    * without a self-join, so there is exactly one shuffle and no
+    * event-to-event join blowup at scale. Ties on ts are broken by
+    * event_id, making the result deterministic under same-timestamp
+    * events. */
+  def attribution(events: DataFrame, conversion: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = (c: Column) => when(col("event_type") =!= conversion, c)
+    events
+      .withColumn("first_touch_type", first(touch(col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("first_touch_id", first(touch(col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_type", last(touch(col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_id", last(touch(col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_ts", last(touch(col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversion)
+      .select(col("user_id"), col("event_id").as("conversion_id"), col("ts"),
+        col("first_touch_type"), col("first_touch_id"),
+        col("last_touch_type"), col("last_touch_id"),
+        (unix_millis(col("ts")) - unix_millis(col("last_touch_ts"))).as("gap_ms"))
+  }
+
   /** Ordered funnel: how many users complete step 1..N of `steps`, where
     * each step's event must occur STRICTLY AFTER the previous step's
     * (order on (ts, event_id) — deterministic under same-timestamp

@@ -44,6 +44,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out == Map(1 -> 2L, 2 -> 1L))
   }
 
+  test("attribution picks earliest and latest preceding non-conversion touch") {
+    val events = Seq(
+      (1L, 10L, ts(0), "view", 1.0, ""),
+      (2L, 10L, ts(5), "click", 1.0, ""),
+      (3L, 10L, ts(9), "purchase", 9.0, ""),   // first=view(1), last=click(2)
+      (4L, 10L, ts(12), "click", 1.0, ""),
+      (5L, 10L, ts(20), "purchase", 5.0, ""),  // first=view(1), last=click(4)
+      (6L, 11L, ts(3), "purchase", 2.0, "")    // no touches → nulls
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = EventAnalytics.attribution(events, "purchase")
+      .collect().map(r => r.getAs[Long]("conversion_id") -> r).toMap
+    assert(out.keySet == Set(3L, 5L, 6L))
+    assert(out(3L).getAs[String]("first_touch_type") == "view")
+    assert(out(3L).getAs[Long]("last_touch_id") == 2L)
+    assert(out(3L).getAs[Long]("gap_ms") == 4 * 60000L)
+    assert(out(5L).getAs[Long]("first_touch_id") == 1L)
+    assert(out(5L).getAs[Long]("last_touch_id") == 4L)
+    assert(out(5L).getAs[Long]("gap_ms") == 8 * 60000L)
+    assert(out(6L).isNullAt(out(6L).fieldIndex("first_touch_type")))
+    assert(out(6L).isNullAt(out(6L).fieldIndex("gap_ms")))
+    // a preceding conversion is never a touch: purchase(3) not last for (5)
+    assert(out(5L).getAs[String]("last_touch_type") == "click")
+  }
+
   test("cohort retention offsets count weeks since first-seen") {
     val w0 = ts(0)
     def weeks(n: Int) = new Timestamp(w0.getTime + n * 7L * 86400000L)
