@@ -55,4 +55,34 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  /** Compact a parquet directory into ~`targetBytes`-sized files — the
+    * small-file remedy for streaming/micro-batch sinks (a 100 TB table fed
+    * by per-trigger appends degrades every scan with open/seek overhead
+    * and tiny row groups; periodic compaction restores scan bandwidth).
+    *
+    * The output file count is ⌈input bytes / targetBytes⌉, sized from the
+    * ON-DISK (compressed) listing, so the target is phrased in the same
+    * units operators reason about. With `sortKeys` the rewrite is a range
+    * shuffle + in-partition sort (re-establishing clustered layout and
+    * tight row-group stats); without, a plain round-robin repartition.
+    * Returns the file count written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long = 128L << 20,
+      sortKeys: Seq[String] = Nil): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (sortKeys.nonEmpty)
+        df.repartitionByRange(n, sortKeys.map(col): _*)
+          .sortWithinPartitions(sortKeys.map(col): _*)
+      else df.repartition(n)
+    out.write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

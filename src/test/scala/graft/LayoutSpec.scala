@@ -43,6 +43,30 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("compact rewrites a many-small-file dir to the byte-targeted count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val in = s"$dir/in"; val out = s"$dir/out"
+    // 40 tiny files
+    spark.range(20000).selectExpr("id", "id % 97 AS k")
+      .repartition(40).write.parquet(in)
+    val p = new org.apache.hadoop.fs.Path(in)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet"))
+    assert(files.length == 40)
+    val total = files.map(_.getLen).sum
+    // target half the total bytes → exactly 2 output files
+    val n = graft.operators.Layout.compact(spark, in, out, targetBytes = total / 2 + 1,
+      sortKeys = Seq("k"))
+    assert(n == 2)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    assert(outFiles.length == 2)
+    // content preserved exactly
+    assert(spark.read.parquet(out).count() == 20000)
+    assert(spark.read.parquet(out).agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) == (19999L * 20000L) / 2)
+  }
+
   test("writeZOrdered files have tight bounding boxes in both dimensions") {
     val out = Files.createTempDirectory("graft_zorder").toString + "/t"
     val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
