@@ -480,6 +480,10 @@ object ExtendedEntries {
       Tables.events(s, dir), "user_id", "event_type")),
     "q_zscore_outliers" -> ((s, dir) =>
       Signals.zscoreOutliers(Tables.bars(s, dir), 20, 2.0)),
+    "q_robust_outliers" -> ((s, dir) =>
+      Signals.robustOutliers(Tables.bars(s, dir), 20, 3.0)),
+    "q_rolling_ols" -> ((s, dir) =>
+      Signals.rollingOls(Tables.bars(s, dir), 20)),
     "q_sma_crossovers" -> ((s, dir) =>
       Signals.smaCrossovers(Tables.bars(s, dir), 10, 20)),
     "q_drawdown" -> ((s, dir) => Signals.drawdown(Tables.bars(s, dir))),
@@ -774,6 +778,59 @@ object ExtendedEntries {
         |)
         |SELECT symbol, time, close, z, abs(z) > 2.0 AS is_outlier
         |FROM zz WHERE z IS NOT NULL""".stripMargin),
+
+    // mirrors Signals.robustOutliers: same sorted-list median/MAD, same
+    // 1.4826 consistency factor, threshold on the ROUNDED z
+    "q_robust_outliers" -> withTicksBars(
+      """, w1 AS (
+        |  SELECT symbol, time, close,
+        |    count(close) OVER wn AS cnt,
+        |    list_sort(list(close) OVER wn) AS l
+        |  FROM bars
+        |  WINDOW wn AS (PARTITION BY symbol ORDER BY time
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |), w2 AS (
+        |  SELECT *, (l[10] + l[11]) / 2 AS med FROM w1
+        |), w3 AS (
+        |  SELECT *, list_sort(list_transform(l, v -> abs(v - med))) AS madl FROM w2
+        |), w4 AS (
+        |  SELECT *, (madl[10] + madl[11]) / 2 AS mad FROM w3
+        |), zz AS (
+        |  SELECT symbol, time, close,
+        |    CASE WHEN cnt = 20 AND mad <> 0
+        |      THEN floor(((close - med) / (1.4826 * mad)) * 10000 + 0.5) / 10000
+        |    END AS robust_z
+        |  FROM w4
+        |)
+        |SELECT symbol, time, close, robust_z, abs(robust_z) > 3.0 AS is_outlier
+        |FROM zz WHERE robust_z IS NOT NULL""".stripMargin),
+
+    // mirrors Signals.rollingOls: absolute row-number x (shift-invariant),
+    // decomposable window sums only
+    "q_rolling_ols" -> withTicksBars(
+      """, w0 AS (
+        |  SELECT symbol, time, close AS y,
+        |    CAST(row_number() OVER (PARTITION BY symbol ORDER BY time) AS DOUBLE) AS x
+        |  FROM bars
+        |), w1 AS (
+        |  SELECT symbol, time,
+        |    count(y) OVER wn AS cnt,
+        |    sum(x) OVER wn AS sx, sum(y) OVER wn AS sy,
+        |    sum(x * x) OVER wn AS sxx, sum(x * y) OVER wn AS sxy,
+        |    sum(y * y) OVER wn AS syy
+        |  FROM w0
+        |  WINDOW wn AS (PARTITION BY symbol ORDER BY time
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, time,
+        |  floor((CASE WHEN cnt = 20
+        |    THEN (20 * sxy - sx * sy) / (20 * sxx - sx * sx) END) * 10000 + 0.5) / 10000
+        |    AS slope_20,
+        |  floor((CASE WHEN cnt = 20 AND (20 * syy - sy * sy) <> 0
+        |    THEN (20 * sxy - sx * sy) * (20 * sxy - sx * sy)
+        |         / ((20 * sxx - sx * sx) * (20 * syy - sy * sy)) END) * 10000 + 0.5) / 10000
+        |    AS r2_20
+        |FROM w1""".stripMargin),
 
     "q_sma_crossovers" -> withTicksBars(
       """, w1 AS (

@@ -35,6 +35,58 @@ object Signals {
       .filter(col("z").isNotNull)
   }
 
+  /** Rolling OLS trend: least-squares slope (and R²) of close against
+    * time-order over the trailing n rows, per symbol. x is the absolute
+    * per-symbol row number — slope is shift-invariant in x, so absolute
+    * indices give the same line as window-relative 1..n while keeping
+    * every term a plain decomposable window sum (no list materialization,
+    * unlike the order-statistic signals). Degenerate windows (zero x or y
+    * variance) yield null. */
+  def rollingOls(bars: DataFrame, n: Int): DataFrame = {
+    val spec = WI.w()
+    val w = spec.rowsBetween(-(n - 1), 0)
+    val x = row_number().over(spec).cast("double")
+    val y = col("close")
+    val base = bars.select(col("symbol"), col("time"), y.as("y"), x.as("x"))
+    val cnt = count(col("y")).over(w)
+    val sx = sum(col("x")).over(w)
+    val sy = sum(col("y")).over(w)
+    val sxx = sum(col("x") * col("x")).over(w)
+    val sxy = sum(col("x") * col("y")).over(w)
+    val syy = sum(col("y") * col("y")).over(w)
+    val covN = lit(n) * sxy - sx * sy        // n·Σxy − Σx·Σy
+    val varxN = lit(n) * sxx - sx * sx       // n·Σx² − (Σx)²  (never 0 for n≥2)
+    val varyN = lit(n) * syy - sy * sy
+    base.select(col("symbol"), col("time"),
+      when(cnt === n, r4(covN / varxN)).as(s"slope_$n"),
+      when(cnt === n && varyN =!= 0,
+        r4(covN * covN / (varxN * varyN))).as(s"r2_$n"))
+  }
+
+  /** Robust rolling outliers: |close − median| / (1.4826·MAD) over the
+    * trailing n rows — the median/MAD analog of [[zscoreOutliers]], immune
+    * to the outlier inflating its own baseline (a spike inflates stddev
+    * and can mask itself; the median and MAD barely move). Order
+    * statistics don't decompose into running sums, so the window is
+    * materialized per row (collect_list + array_sort), O(n log n) for
+    * constant n inside the shared WindowExec. */
+  def robustOutliers(bars: DataFrame, n: Int, threshold: Double): DataFrame = {
+    require(n % 2 == 0, "even n keeps the median interpolation simple")
+    val spec = WI.w()
+    val w = spec.rowsBetween(-(n - 1), 0)
+    val cnt = count(col("close")).over(w)
+    val l = array_sort(collect_list(col("close")).over(w))
+    val med = (element_at(l, n / 2) + element_at(l, n / 2 + 1)) / 2
+    val madl = array_sort(transform(l, x => abs(x - med)))
+    val mad = (element_at(madl, n / 2) + element_at(madl, n / 2 + 1)) / 2
+    val z = (col("close") - med) / (lit(1.4826) * mad)
+    bars
+      .select(col("symbol"), col("time"), col("close"),
+        when(cnt === n && mad =!= 0, r4(z)).as("robust_z"))
+      .withColumn("is_outlier", abs(col("robust_z")) > threshold)
+      .filter(col("robust_z").isNotNull)
+  }
+
   /** Running drawdown: close vs the all-time-high so far, per symbol.
     * Running max is order-independent (exact), the ratio is one double op —
     * fully deterministic. One window pass sharing the symbol shuffle. */

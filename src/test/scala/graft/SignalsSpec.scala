@@ -50,6 +50,32 @@ class SignalsSpec extends AnyFunSuite {
     assert(out("a/b").length == 3) // 12 points, window 10 → 3 full windows
   }
 
+  test("rollingOls recovers an exact linear trend with r2 = 1") {
+    // y = 3x + 7: slope must be exactly 3, r² exactly 1, for every full window
+    val closes = (1 to 25).map(i => 3.0 * i + 7)
+    val out = Signals.rollingOls(bars(closes), 20).collect()
+      .filter(!_.isNullAt(2))
+    assert(out.length == 6) // rows 20..25
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2) - 3.0) < 1e-9, "slope")
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, "r2")
+    }
+    // flat series: slope 0, r2 null (zero y-variance)
+    val flat = Signals.rollingOls(bars(Seq.fill(22)(5.0)), 20).collect()
+      .filter(!_.isNullAt(2))
+    assert(flat.forall(r => r.getDouble(2) == 0.0 && r.isNullAt(3)))
+  }
+
+  test("robustOutliers flags a spike the classic z-score masks less cleanly") {
+    // 21 flat-ish values with one huge spike at the end
+    val closes = (1 to 21).map(i => 100.0 + (i % 3)) :+ 500.0
+    val out = Signals.robustOutliers(bars(closes), 20, 3.0).collect()
+    val spike = out.filter(_.getDouble(2) == 500.0)
+    assert(spike.length == 1 && spike.head.getAs[Boolean]("is_outlier"))
+    // the flat rows are not outliers
+    assert(out.filter(_.getDouble(2) < 200).forall(!_.getAs[Boolean]("is_outlier")))
+  }
+
   test("zscoreOutliers flags only the spike; warm-up rows absent") {
     val closes = Seq.fill(19)(100.0) ++ Seq(100.0, 100.0, 130.0, 100.0)
     val out = Signals.zscoreOutliers(bars(closes), 20, 2.0).collect()
