@@ -484,6 +484,10 @@ object ExtendedEntries {
       Signals.robustOutliers(Tables.bars(s, dir), 20, 3.0)),
     "q_rolling_ols" -> ((s, dir) =>
       Signals.rollingOls(Tables.bars(s, dir), 20)),
+    "q_returns_vol" -> ((s, dir) =>
+      Signals.returnsVol(Tables.bars(s, dir), 20)),
+    "q_rolling_beta" -> ((s, dir) =>
+      Signals.rollingBeta(Tables.bars(s, dir), 20)),
     "q_sma_crossovers" -> ((s, dir) =>
       Signals.smaCrossovers(Tables.bars(s, dir), 10, 20)),
     "q_drawdown" -> ((s, dir) => Signals.drawdown(Tables.bars(s, dir))),
@@ -804,6 +808,58 @@ object ExtendedEntries {
         |)
         |SELECT symbol, time, close, robust_z, abs(robust_z) > 3.0 AS is_outlier
         |FROM zz WHERE robust_z IS NOT NULL""".stripMargin),
+
+    // mirrors Signals.returnsVol
+    "q_returns_vol" -> withTicksBars(
+      """, w0 AS (
+        |  SELECT symbol, time, close,
+        |    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY time)) AS ret
+        |  FROM bars
+        |), w1 AS (
+        |  SELECT symbol, time, close, ret,
+        |    count(ret) OVER wn AS cnt,
+        |    stddev_samp(ret) OVER wn AS sd
+        |  FROM w0
+        |  WINDOW wn AS (PARTITION BY symbol ORDER BY time
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, time, close,
+        |  floor(ret * 10000 + 0.5) / 10000 AS log_ret,
+        |  floor((CASE WHEN cnt = 20 THEN sd END) * 10000 + 0.5) / 10000 AS vol_20
+        |FROM w1""".stripMargin),
+
+    // mirrors Signals.rollingBeta: cents-quantized equal-weight index,
+    // complete-case guaranteed by the cnt gate (see Scaladoc)
+    "q_rolling_beta" -> withTicksBars(
+      """, mkt AS (
+        |  SELECT time,
+        |    CAST(sum(CAST(floor(close * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      / (count(*) * 100.0) AS mkt_close
+        |  FROM bars GROUP BY time
+        |), mr AS (
+        |  SELECT time, ln(mkt_close / lag(mkt_close) OVER (ORDER BY time)) AS mret
+        |  FROM mkt
+        |), rt AS (
+        |  SELECT symbol, time,
+        |    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY time)) AS ret
+        |  FROM bars
+        |), j AS (
+        |  SELECT rt.symbol, rt.time, rt.ret, mr.mret
+        |  FROM rt JOIN mr ON rt.time = mr.time
+        |), w1 AS (
+        |  SELECT symbol, time,
+        |    count(ret) OVER wn AS cnt,
+        |    sum(mret) OVER wn AS sx, sum(ret) OVER wn AS sy,
+        |    sum(mret * mret) OVER wn AS sxx, sum(mret * ret) OVER wn AS sxy
+        |  FROM j
+        |  WINDOW wn AS (PARTITION BY symbol ORDER BY time
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, time,
+        |  floor((CASE WHEN cnt = 20 AND (20 * sxx - sx * sx) <> 0
+        |    THEN (20 * sxy - sx * sy) / (20 * sxx - sx * sx) END) * 10000 + 0.5) / 10000
+        |    AS beta_20
+        |FROM w1""".stripMargin),
 
     // mirrors Signals.rollingOls: absolute row-number x (shift-invariant),
     // decomposable window sums only

@@ -87,6 +87,56 @@ object Signals {
       .filter(col("robust_z").isNotNull)
   }
 
+  /** Log returns and realized volatility: ret = ln(close/close₋₁) per
+    * symbol, vol = stddev_samp of the trailing n returns. One shared
+    * window family — the quant-core derivation every risk metric builds
+    * on. */
+  def returnsVol(bars: DataFrame, n: Int): DataFrame = {
+    val spec = WI.w()
+    val w = spec.rowsBetween(-(n - 1), 0)
+    val ret = log(col("close") / lag(col("close"), 1).over(spec))
+    val base = bars.select(col("symbol"), col("time"), col("close"), ret.as("ret"))
+    val cnt = count(col("ret")).over(w)
+    base.select(col("symbol"), col("time"), col("close"),
+      r4(col("ret")).as("log_ret"),
+      when(cnt === n, r4(stddev_samp(col("ret")).over(w))).as(s"vol_$n"))
+  }
+
+  /** Rolling beta of each symbol's log returns against an equal-weight
+    * market index built from the same bars. The index price is the
+    * cents-quantized per-hour mean close (integer sums ⇒ deterministic
+    * under any partitioning); index returns join back to symbol returns
+    * by time (one keyed shuffle), and beta over the trailing n pairs is
+    * cov(ret, mret)/var(mret) — all decomposable window sums, same shape
+    * as [[rollingOls]]. */
+  def rollingBeta(bars: DataFrame, n: Int): DataFrame = {
+    val spec = WI.w()
+    val mkt = bars.groupBy(col("time"))
+      .agg((sum(floor(col("close") * 100 + lit(0.5)).cast("long")) /
+        (count(lit(1)) * 100.0)).as("mkt_close"))
+    val mspec = Window.orderBy(col("time"))
+    // the market series is one row per hour — a single tiny partition is
+    // fine (rows = hours, not events); window over it then broadcast-join
+    val mret = mkt.withColumn("mret",
+      log(col("mkt_close") / lag(col("mkt_close"), 1).over(
+        Window.partitionBy(lit(1)).orderBy(col("time")))))
+      .select(col("time"), col("mret"))
+    val ret = bars.select(col("symbol"), col("time"),
+      log(col("close") / lag(col("close"), 1).over(spec)).as("ret"))
+    val j = ret.join(broadcast(mret), "time")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+      .rowsBetween(-(n - 1), 0)
+    val cnt = count(col("ret")).over(w)
+    val sx = sum(col("mret")).over(w)
+    val sy = sum(col("ret")).over(w)
+    val sxx = sum(col("mret") * col("mret")).over(w)
+    val sxy = sum(col("mret") * col("ret")).over(w)
+    val varxN = lit(n) * sxx - sx * sx
+    j.select(col("symbol"), col("time"),
+      when(cnt === n && varxN =!= 0,
+        r4((lit(n) * sxy - sx * sy) / varxN)).as(s"beta_$n"))
+  }
+
   /** Running drawdown: close vs the all-time-high so far, per symbol.
     * Running max is order-independent (exact), the ratio is one double op —
     * fully deterministic. One window pass sharing the symbol shuffle. */

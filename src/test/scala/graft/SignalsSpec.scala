@@ -76,6 +76,25 @@ class SignalsSpec extends AnyFunSuite {
     assert(out.filter(_.getDouble(2) < 200).forall(!_.getAs[Boolean]("is_outlier")))
   }
 
+  test("returnsVol: constant growth gives constant log_ret and zero vol") {
+    val closes = (0 until 25).map(i => 100.0 * math.pow(1.01, i))
+    val out = Signals.returnsVol(bars(closes), 20).orderBy("time").collect()
+    assert(out.head.isNullAt(3))                        // first ret null
+    val want = math.floor(math.log(1.01) * 10000 + 0.5) / 10000
+    assert(out.tail.forall(_.getDouble(3) == want))
+    val vols = out.filter(!_.isNullAt(4)).map(_.getDouble(4))
+    assert(vols.nonEmpty && vols.forall(_ == 0.0))
+  }
+
+  test("rollingBeta: a lone symbol IS the market, so beta = 1") {
+    val closes = (0 until 25).map(i => 100.0 + 7 * math.sin(i) + i)
+    val out = Signals.rollingBeta(bars(closes), 20).collect()
+      .filter(!_.isNullAt(2))
+    assert(out.nonEmpty)
+    assert(out.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-3), // cents quantization
+      out.map(_.getDouble(2)).mkString(","))
+  }
+
   test("zscoreOutliers flags only the spike; warm-up rows absent") {
     val closes = Seq.fill(19)(100.0) ++ Seq(100.0, 100.0, 130.0, 100.0)
     val out = Signals.zscoreOutliers(bars(closes), 20, 2.0).collect()
