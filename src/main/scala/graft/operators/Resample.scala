@@ -27,6 +27,30 @@ object Resample {
       .select(col(key),
         explode(sequence(col("t0"), col("t1"), expr(s"INTERVAL $step"))).as(time))
 
+  /** Missing-slot runs per key — gaps-and-islands over the dense grid.
+    * Each maximal run of absent grid slots becomes one row (key,
+    * gap_start, gap_end, gap_slots): consecutive missing slots share
+    * `slot_index − row_number`, the standard islands key, so the whole
+    * detection is the grid anti-join plus one window and one aggregate on
+    * the (tiny) missing-slot set. The data-completeness audit a feed
+    * operator runs before trusting a table. */
+  def gaps(df: DataFrame, key: String, time: String, step: String,
+      stepMs: Long): DataFrame = {
+    val g = grid(df, key, time, step)
+    val missing = g.join(
+        df.select(col(key), col(time)).withColumn("obs", lit(1)),
+        Seq(key, time), "left")
+      .filter(col("obs").isNull)
+    val w = Window.partitionBy(col(key)).orderBy(col(time))
+    missing
+      .withColumn("island",
+        expr(s"unix_millis(`$time`) DIV $stepMs") - row_number().over(w))
+      .groupBy(col(key), col("island"))
+      .agg(min(col(time)).as("gap_start"), max(col(time)).as("gap_end"),
+        count(lit(1)).as("gap_slots"))
+      .select(col(key), col("gap_start"), col("gap_end"), col("gap_slots"))
+  }
+
   /** Left-join `df` onto its dense grid and forward-fill `fillCols`:
     * a missing slot carries the most recent observed value (the first slot
     * per key is always observed — the grid starts at min(time)). Adds

@@ -33,6 +33,20 @@ class ResampleSpec extends AnyFunSuite {
     assert(b.map(_.getInt(4)).toSeq == Seq(0, 0))
   }
 
+  test("gaps reports each maximal missing run once (gaps-and-islands)") {
+    // A observed 0,1,4,5,9: runs 2-3 and 6-8; B observed 2,3: no gaps
+    val df = (Seq(0, 1, 4, 5, 9).map(h => ("A", t(h), 1.0, 1L)) ++
+      Seq(2, 3).map(h => ("B", t(h), 2.0, 2L)))
+      .toDF("symbol", "time", "close", "volume")
+    val out = Resample.gaps(df, "symbol", "time", "1 hour", 3600000L)
+      .orderBy("symbol", "gap_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "A" && out(0).getTimestamp(1) == t(2) &&
+      out(0).getTimestamp(2) == t(3) && out(0).getLong(3) == 2L)
+    assert(out(1).getString(0) == "A" && out(1).getTimestamp(1) == t(6) &&
+      out(1).getTimestamp(2) == t(8) && out(1).getLong(3) == 3L)
+  }
+
   test("grid size is span/step per key — no cross-key blowup, no cartesian") {
     val df = Seq(("A", t(0), 1.0, 1L), ("A", t(23), 2.0, 2L))
       .toDF("symbol", "time", "close", "volume")
