@@ -826,20 +826,22 @@ object ExtendedEntries {
         |  SELECT *, (madl[10] + madl[11]) / 2 AS mad FROM w3
         |), zz AS (
         |  SELECT symbol, time, close,
-        |    CASE WHEN cnt = 20 AND mad <> 0
+        |    CASE WHEN mad <> 0
         |      THEN floor(((close - med) / (1.4826 * mad)) * 10000 + 0.5) / 10000
         |    END AS robust_z
-        |  FROM w4
+        |  FROM w4 WHERE cnt = 20
         |)
         |SELECT symbol, time, close, robust_z, abs(robust_z) > 3.0 AS is_outlier
-        |FROM zz WHERE robust_z IS NOT NULL""".stripMargin),
+        |FROM zz""".stripMargin),
 
-    // mirrors Signals.returnsVol
+    // mirrors Signals.returnsVol (incl. the positive-price guard)
     "q_returns_vol" -> withTicksBars(
       """, w0 AS (
         |  SELECT symbol, time, close,
-        |    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY time)) AS ret
+        |    CASE WHEN close > 0 AND (lag(close) OVER w) > 0
+        |      THEN ln(close / lag(close) OVER w) END AS ret
         |  FROM bars
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY time)
         |), w1 AS (
         |  SELECT symbol, time, close, ret,
         |    count(ret) OVER wn AS cnt,
@@ -858,8 +860,10 @@ object ExtendedEntries {
     "q_seasonality" -> withTicksBars(
       """, w0 AS (
         |  SELECT symbol, time, volume,
-        |    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY time)) AS ret
+        |    CASE WHEN close > 0 AND (lag(close) OVER w) > 0
+        |      THEN ln(close / lag(close) OVER w) END AS ret
         |  FROM bars
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY time)
         |)
         |SELECT symbol, CAST(hour(time) AS INTEGER) AS hod,
         |  floor((CAST(sum(CAST(floor(ret * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
@@ -877,12 +881,17 @@ object ExtendedEntries {
         |      / (count(*) * 100.0) AS mkt_close
         |  FROM bars GROUP BY time
         |), mr AS (
-        |  SELECT time, ln(mkt_close / lag(mkt_close) OVER (ORDER BY time)) AS mret
+        |  SELECT time,
+        |    CASE WHEN mkt_close > 0 AND (lag(mkt_close) OVER wm) > 0
+        |      THEN ln(mkt_close / lag(mkt_close) OVER wm) END AS mret
         |  FROM mkt
+        |  WINDOW wm AS (ORDER BY time)
         |), rt AS (
         |  SELECT symbol, time,
-        |    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY time)) AS ret
+        |    CASE WHEN close > 0 AND (lag(close) OVER w) > 0
+        |      THEN ln(close / lag(close) OVER w) END AS ret
         |  FROM bars
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY time)
         |), j AS (
         |  SELECT rt.symbol, rt.time, rt.ret, mr.mret
         |  FROM rt JOIN mr ON rt.time = mr.time
@@ -959,8 +968,8 @@ object ExtendedEntries {
     "q_drawdown" -> withTicksBars(
       """SELECT symbol, time, close,
         |  max(close) OVER wp AS peak,
-        |  floor(((close - max(close) OVER wp) / max(close) OVER wp) * 10000 + 0.5)
-        |    / 10000 AS drawdown
+        |  floor(((close - max(close) OVER wp) / nullif(max(close) OVER wp, 0))
+        |    * 10000 + 0.5) / 10000 AS drawdown
         |FROM bars
         |WINDOW wp AS (PARTITION BY symbol ORDER BY time
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),

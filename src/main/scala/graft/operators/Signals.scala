@@ -20,6 +20,13 @@ object Signals {
 
   private def r4(c: Column): Column = floor(c * lit(10000) + lit(0.5)) / lit(10000)
 
+  /** ln(c/p) guarded against the zero/negative prices ANSI mode turns into
+    * runtime DIVIDE_BY_ZERO errors (the synthetic feed contains exact-0
+    * prices at larger SFs; a real feed contains bad prints): null unless
+    * both prices are positive. Mirrored verbatim in every oracle. */
+  private def logRet(c: Column, p: Column): Column =
+    when(c > 0 && p > 0, log(c / p))
+
   /** Rolling z-score of close vs its n-bar mean/std (ddof=1, matching the
     * Bollinger convention); |z| > threshold flags an outlier bar. One
     * window pass; null until the window fills. */
@@ -74,17 +81,36 @@ object Signals {
     require(n % 2 == 0, "even n keeps the median interpolation simple")
     val spec = WI.w()
     val w = spec.rowsBetween(-(n - 1), 0)
-    val cnt = count(col("close")).over(w)
-    val l = array_sort(collect_list(col("close")).over(w))
-    val med = (element_at(l, n / 2) + element_at(l, n / 2 + 1)) / 2
-    val madl = array_sort(transform(l, x => abs(x - med)))
-    val mad = (element_at(madl, n / 2) + element_at(madl, n / 2 + 1)) / 2
-    val z = (col("close") - med) / (lit(1.4826) * mad)
+    // Staged projections, NOT one nested expression: inlining med into the
+    // madl lambda and mad into z re-evaluates the whole sort chain per
+    // reference (and per array element, interpreted — higher-order
+    // functions don't codegen), which measured ~40× slower. Each stage's
+    // output is referenced multiple times downstream, so CollapseProject
+    // keeps the stages separate and every value is computed once per row.
+    val mid = (c: Column) => (element_at(c, n / 2) + element_at(c, n / 2 + 1)) / 2
     bars
       .select(col("symbol"), col("time"), col("close"),
-        when(cnt === n && mad =!= 0, r4(z)).as("robust_z"))
+        count(col("close")).over(w).as("_cnt"),
+        array_sort(collect_list(col("close")).over(w)).as("_l"))
+      // Filter on the window-count attribute ONLY: a filter touching
+      // _mad/_med would be pushed below these projects with the whole
+      // chain substituted into its condition, re-evaluating it per row
+      // (measured 34 s vs 1.4 s at sf0.1). Warm-up rows are dropped here;
+      // the (degenerate, >half-constant window) mad=0 rows survive with a
+      // null score instead.
+      .filter(col("_cnt") === n)
+      // guarded per stage: ANSI element_at errors on warm-up rows' short
+      // arrays if evaluated unconditionally (belt and braces — the cnt
+      // filter above already removed them, but the guard keeps the
+      // expressions total rather than order-dependent)
+      .withColumn("_med", when(col("_cnt") === n, mid(col("_l"))))
+      .withColumn("_madl", when(col("_med").isNotNull,
+        array_sort(transform(col("_l"), x => abs(x - col("_med"))))))
+      .withColumn("_mad", when(col("_med").isNotNull, mid(col("_madl"))))
+      .select(col("symbol"), col("time"), col("close"),
+        when(col("_mad") =!= 0,
+          r4((col("close") - col("_med")) / (lit(1.4826) * col("_mad")))).as("robust_z"))
       .withColumn("is_outlier", abs(col("robust_z")) > threshold)
-      .filter(col("robust_z").isNotNull)
   }
 
   /** Log returns and realized volatility: ret = ln(close/close₋₁) per
@@ -94,7 +120,7 @@ object Signals {
   def returnsVol(bars: DataFrame, n: Int): DataFrame = {
     val spec = WI.w()
     val w = spec.rowsBetween(-(n - 1), 0)
-    val ret = log(col("close") / lag(col("close"), 1).over(spec))
+    val ret = logRet(col("close"), lag(col("close"), 1).over(spec))
     val base = bars.select(col("symbol"), col("time"), col("close"), ret.as("ret"))
     val cnt = count(col("ret")).over(w)
     base.select(col("symbol"), col("time"), col("close"),
@@ -118,11 +144,11 @@ object Signals {
     // corpus-sized) — a single-partition lag over it is the right plan;
     // PlanAuditSpec allowlists exactly this window
     val mret = mkt.withColumn("mret",
-      log(col("mkt_close") / lag(col("mkt_close"), 1).over(
+      logRet(col("mkt_close"), lag(col("mkt_close"), 1).over(
         Window.orderBy(col("time")))))
       .select(col("time"), col("mret"))
     val ret = bars.select(col("symbol"), col("time"),
-      log(col("close") / lag(col("close"), 1).over(spec)).as("ret"))
+      logRet(col("close"), lag(col("close"), 1).over(spec)).as("ret"))
     val j = ret.join(broadcast(mret), "time")
     val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
       .rowsBetween(-(n - 1), 0)
@@ -146,7 +172,7 @@ object Signals {
     * return, then one 24×symbols aggregate. */
   def seasonality(bars: DataFrame): DataFrame = {
     val spec = WI.w()
-    val ret = log(col("close") / lag(col("close"), 1).over(spec))
+    val ret = logRet(col("close"), lag(col("close"), 1).over(spec))
     bars.select(col("symbol"), hour(col("time")).as("hod"),
         ret.as("ret"), col("volume"))
       .groupBy(col("symbol"), col("hod"))
@@ -168,7 +194,9 @@ object Signals {
       .over(spec.rowsBetween(Window.unboundedPreceding, 0))
     bars.select(col("symbol"), col("time"), col("close"),
       peak.as("peak"),
-      r4((col("close") - peak) / peak).as("drawdown"))
+      // nullif: a symbol whose running peak is still 0 (bad prints) would
+      // otherwise be an ANSI DIVIDE_BY_ZERO at runtime
+      r4((col("close") - peak) / nullif(peak, lit(0.0))).as("drawdown"))
   }
 
   /** Rolling Pearson correlation between explicit pairs of keyed series —
