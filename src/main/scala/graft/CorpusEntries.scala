@@ -706,7 +706,7 @@ object CorpusEntries {
          |    sqrt(CAST(sum(CAST(floor(w * w * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6) AS nrm
          |  FROM w GROUP BY doc_id
          |), v AS (
-         |  SELECT w.token, w.doc_id, w.w / norms.nrm AS wn
+         |  SELECT w.token, w.doc_id, w.w / nullif(norms.nrm, 0) AS wn
          |  FROM w JOIN norms ON w.doc_id = norms.doc_id
          |), p AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

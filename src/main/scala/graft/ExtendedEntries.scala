@@ -430,7 +430,7 @@ object ExtendedEntries {
     "q_pagerank" -> qPagerank,
     "q_resample_ffill" -> qResampleFfill,
     "q_gaps" -> ((s, dir) => Resample.gaps(
-      Tables.bars(s, dir), "symbol", "time", "1 hour", 3600000L)),
+      Tables.bars(s, dir), "symbol", "time", "1 hour")),
     "q_unpivot" -> qUnpivot,
     "q_range_join" -> qRangeJoin,
     "q_zorder" -> qZorder,
@@ -762,21 +762,24 @@ object ExtendedEntries {
         |FROM j
         |WINDOW w AS (PARTITION BY symbol ORDER BY time
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
-    // mirrors Resample.gaps: same grid, islands key = slot − row_number
+    // mirrors Resample.gaps: islands key = grid slot ordinal − row_number
     "q_gaps" -> withTicksBars(
       """, span AS (
         |  SELECT symbol, min(time) AS t0, max(time) AS t1 FROM bars GROUP BY symbol
         |), grid AS (
         |  SELECT symbol, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS time
         |  FROM span
+        |), gslot AS (
+        |  SELECT symbol, time,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY time) AS slot
+        |  FROM grid
         |), missing AS (
-        |  SELECT g.symbol, g.time
-        |  FROM grid g LEFT JOIN bars b ON b.symbol = g.symbol AND b.time = g.time
+        |  SELECT g.symbol, g.time, g.slot
+        |  FROM gslot g LEFT JOIN bars b ON b.symbol = g.symbol AND b.time = g.time
         |  WHERE b.symbol IS NULL
         |), isl AS (
         |  SELECT symbol, time,
-        |    epoch_ms(time) // 3600000
-        |      - row_number() OVER (PARTITION BY symbol ORDER BY time) AS island
+        |    slot - row_number() OVER (PARTITION BY symbol ORDER BY time) AS island
         |  FROM missing
         |)
         |SELECT symbol, min(time) AS gap_start, max(time) AS gap_end,

@@ -191,12 +191,12 @@ object WindowIndicators {
   def rollingQuantile(c: Column, n: Int, p: Double, spec: WindowSpec): Column = {
     val full = count(c).over(last(n, spec)) === n
     val s = array_sort(collect_list(c).over(last(n, spec)))
-    val pos = (n - 1) * p
-    val lo = math.floor(pos).toInt
-    val frac = pos - lo
+    // single source of truth with the oracle SQL — both sides multiply by
+    // the same quantileWeights doubles
+    val (lo, wLo, wHi) = quantileWeights(n, p)
     val v =
-      if (frac == 0.0) element_at(s, lo + 1)
-      else element_at(s, lo + 1) * lit(1 - frac) + element_at(s, lo + 2) * lit(frac)
+      if (wHi == 0.0) element_at(s, lo + 1)
+      else element_at(s, lo + 1) * lit(wLo) + element_at(s, lo + 2) * lit(wHi)
     when(full, v)
   }
 

@@ -187,8 +187,11 @@ object Dedup {
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(floor(col("w") * col("w") * lit(CosW2Scale) + 0.5).cast("long")) /
         lit(CosW2Scale)).as("nrm"))
+    // nullif: a doc whose every surviving token has df = N gets w ≡ 0 and
+    // a zero norm — ANSI mode would turn the division into a runtime error
     val v = w.join(norms, "doc_id")
-      .select(col("token"), col("doc_id"), (col("w") / col("nrm")).as("wn"))
+      .select(col("token"), col("doc_id"),
+        (col("w") / nullif(col("nrm"), lit(0.0))).as("wn"))
       .localCheckpoint()
     v.as("a").join(v.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))

@@ -72,10 +72,19 @@ object Layout {
       sortKeys: Seq[String] = Nil): Int = {
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
-    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // recursive walk: a partitioned layout keeps its files in
+    // subdirectories — a flat listing would size the input at 0 bytes and
+    // funnel the whole table through one partition
+    def sizeOf(path: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(path, true)
+      var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+      }
+      bytes
+    }
+    val n = math.max(1, math.ceil(sizeOf(p).toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inPath)
     val out =
       if (sortKeys.nonEmpty)
@@ -83,6 +92,13 @@ object Layout {
           .sortWithinPartitions(sortKeys.map(col): _*)
       else df.repartition(n)
     out.write.mode("overwrite").parquet(outPath)
-    n
+    // range partitioning can leave empty partitions (skew, few distinct
+    // keys) which write no file — report what actually landed, not n
+    val written = fs.listFiles(new org.apache.hadoop.fs.Path(outPath), true)
+    var count = 0
+    while (written.hasNext) {
+      if (written.next().getPath.getName.endsWith(".parquet")) count += 1
+    }
+    count
   }
 }

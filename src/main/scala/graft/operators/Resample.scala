@@ -30,21 +30,22 @@ object Resample {
   /** Missing-slot runs per key — gaps-and-islands over the dense grid.
     * Each maximal run of absent grid slots becomes one row (key,
     * gap_start, gap_end, gap_slots): consecutive missing slots share
-    * `slot_index − row_number`, the standard islands key, so the whole
-    * detection is the grid anti-join plus one window and one aggregate on
-    * the (tiny) missing-slot set. The data-completeness audit a feed
-    * operator runs before trusting a table. */
-  def gaps(df: DataFrame, key: String, time: String, step: String,
-      stepMs: Long): DataFrame = {
-    val g = grid(df, key, time, step)
+    * `slot_ordinal − row_number`, the standard islands key. The slot
+    * ordinal is a row_number over the full grid, so any `step` the grid
+    * supports works unchanged (no second step parameter to keep in sync).
+    * Cost: the grid windows plus one aggregate on the (tiny) missing-slot
+    * set. The data-completeness audit a feed operator runs before
+    * trusting a table. Same contract as [[ffill]]: observations must lie
+    * exactly on the grid. */
+  def gaps(df: DataFrame, key: String, time: String, step: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time))
+    val g = grid(df, key, time, step).withColumn("slot", row_number().over(w))
     val missing = g.join(
         df.select(col(key), col(time)).withColumn("obs", lit(1)),
         Seq(key, time), "left")
       .filter(col("obs").isNull)
-    val w = Window.partitionBy(col(key)).orderBy(col(time))
     missing
-      .withColumn("island",
-        expr(s"unix_millis(`$time`) DIV $stepMs") - row_number().over(w))
+      .withColumn("island", col("slot") - row_number().over(w))
       .groupBy(col(key), col("island"))
       .agg(min(col(time)).as("gap_start"), max(col(time)).as("gap_end"),
         count(lit(1)).as("gap_slots"))
@@ -54,7 +55,13 @@ object Resample {
   /** Left-join `df` onto its dense grid and forward-fill `fillCols`:
     * a missing slot carries the most recent observed value (the first slot
     * per key is always observed — the grid starts at min(time)). Adds
-    * `filled` = 1 for manufactured rows. */
+    * `filled` = 1 for manufactured rows.
+    *
+    * CONTRACT: observations must lie exactly on the step grid anchored at
+    * each key's min(time) — i.e. the input is already bucketed (the
+    * output of [[graft.sources.Tables.bars]], a date_trunc'd series, …).
+    * An off-grid timestamp would silently miss the equality join and read
+    * as a gap; bucket first (`date_trunc`) for raw feeds. */
   def ffill(df: DataFrame, key: String, time: String, step: String,
       fillCols: Seq[String]): DataFrame = {
     val g = grid(df, key, time, step)

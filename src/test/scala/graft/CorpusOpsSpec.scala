@@ -282,7 +282,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.contains((0L, 2L)) && out((0L, 2L)) < 1.0)
     assert(out((0L, 2L)) == out((1L, 2L)))               // symmetric by content
     assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // no doc×doc cartesian; a BroadcastNestedLoop assertion would be
+    // vacuous here — the one BNLJ (the one-row corpus-total broadcast,
+    // same benign shape PlanAuditSpec allowlists) executes inside the
+    // eager localCheckpoint, so the visible plan never contains it either
+    // way. The pair join itself is the token equi-join.
     val plan = Dedup.tfidfCosinePairs(d, 0.1).queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    assert(!plan.contains("CartesianProduct"))
   }
 }

@@ -38,7 +38,7 @@ class ResampleSpec extends AnyFunSuite {
     val df = (Seq(0, 1, 4, 5, 9).map(h => ("A", t(h), 1.0, 1L)) ++
       Seq(2, 3).map(h => ("B", t(h), 2.0, 2L)))
       .toDF("symbol", "time", "close", "volume")
-    val out = Resample.gaps(df, "symbol", "time", "1 hour", 3600000L)
+    val out = Resample.gaps(df, "symbol", "time", "1 hour")
       .orderBy("symbol", "gap_start").collect()
     assert(out.length == 2)
     assert(out(0).getString(0) == "A" && out(0).getTimestamp(1) == t(2) &&
