@@ -37,17 +37,19 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+    // out-degree denormalized onto each edge ONCE — each round is then a
+    // single ranks ⋈ edges join instead of ranks ⋈ outdeg ⋈ edges
+    val eod = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
 
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), q(lit(1.0) / col("n_nodes")).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = ranks.as("rk")
-        .join(outdeg.as("od"), col("rk.node") === col("od.src"))
-        .join(e.as("eg"), col("od.src") === col("eg.src"))
+        .join(eod.as("eg"), col("rk.node") === col("eg.src"))
         .select(col("eg.dst").as("dst"),
-          floor(col("rk.rank") / col("od.outdeg") * lit(RankScale) + lit(0.5))
+          floor(col("rk.rank") / col("eg.outdeg") * lit(RankScale) + lit(0.5))
             .cast("long").as("cq"))
         .groupBy(col("dst")).agg(sum(col("cq")).as("sumq"))
       ranks = nodes.as("nd").crossJoin(broadcast(n))
