@@ -167,4 +167,54 @@ class PropertiesSpec extends AnyFunSuite {
       assert(lastObv == acc)
     }
   }
+
+  test("rollingQuantile ≡ brute-force type-7 interpolation (5 random series × 3 p)") {
+    samples(5).foreach { vals =>
+      val base = df(vals)
+      for (p <- Seq(0.25, 0.5, 0.9)) {
+        val got = base
+          .select(col("time"), WI.rollingQuantile(col("close"), 10, p, WI.w()).as("q"))
+          .orderBy("time").collect()
+          .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+        for (i <- vals.indices) {
+          if (i < 9) assert(got(i).isEmpty)
+          else {
+            val win = vals.slice(i - 9, i + 1).sorted
+            val pos = 9 * p
+            val lo = math.floor(pos).toInt
+            val frac = pos - lo
+            val want = if (frac == 0) win(lo) else win(lo) * (1 - frac) + win(lo + 1) * frac
+            assert(math.abs(got(i).get - want) < 1e-9, s"p=$p i=$i")
+          }
+        }
+      }
+    }
+  }
+
+  test("ffill/gaps duality: filled rows = grid − observations = Σ gap_slots (random subsets)") {
+    val hourMs = 3600000L
+    (1 to 5).foreach { seed =>
+      // deterministic pseudo-random subset of a 48-hour grid, endpoints kept
+      val keep = (0 until 48).filter(h =>
+        h == 0 || h == 47 || ((h * 2654435761L + seed) % 97) < 55)
+      val obs = keep.map(h => ("K", new Timestamp(1700000000000L / hourMs * hourMs + h * hourMs), h.toDouble))
+        .toDF("symbol", "time", "close")
+      val filled = graft.operators.Resample
+        .ffill(obs, "symbol", "time", "1 hour", Seq("close"))
+      assert(filled.count() == 48)
+      val nFilled = filled.filter(col("filled") === 1).count()
+      assert(nFilled == 48 - keep.size)
+      val gapSlots = graft.operators.Resample
+        .gaps(obs, "symbol", "time", "1 hour")
+        .agg(sum(col("gap_slots"))).head()
+      assert((if (gapSlots.isNullAt(0)) 0L else gapSlots.getLong(0)) == 48 - keep.size)
+      // forward fill carries the most recent kept hour's value
+      val rows = filled.orderBy("time").collect()
+      var lastKept = 0.0
+      rows.zipWithIndex.foreach { case (r, h) =>
+        if (keep.contains(h)) lastKept = h.toDouble
+        assert(r.getDouble(2) == lastKept, s"hour $h")
+      }
+    }
+  }
 }
