@@ -51,6 +51,9 @@ object CorpusEntries {
   private def qTfidfPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.tfidfCosinePairs(Tables.documents(s, dir), tau = 0.6)
 
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(Tables.documents(s, dir))
+
   /** PII scrub over text augmented with deterministic synthetic PII (the
     * synthetic corpus has no organic emails/phones; both engines build the
     * same augmented column, so the regex machinery is what's tested). */
@@ -208,6 +211,7 @@ object CorpusEntries {
     "q_vocab" -> qVocab,
     "q_tfidf" -> qTfidf,
     "q_tfidf_pairs" -> qTfidfPairs,
+    "q_char_entropy" -> qCharEntropy,
     "q_bm25" -> qBm25,
     "q_pii_redact" -> qPiiRedact,
     "q_chunks" -> qChunks,
@@ -685,6 +689,26 @@ object CorpusEntries {
          |  FROM s
          |)
          |SELECT doc_id, rk, token, tf, df, tfidf FROM rk WHERE rk <= 3""".stripMargin,
+
+    // mirrors TextAnalysis.charEntropy: per-position substr explode, each
+    // −p·ln p term quantized at 1e12 before the per-doc sum
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, substr(text, CAST(i.i AS INTEGER), 1) AS ch
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS i(i)
+        |), counts AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_total,
+        |    count(*) AS n_distinct_chars
+        |  FROM counts GROUP BY doc_id
+        |)
+        |SELECT c.doc_id, t.n_chars_total, t.n_distinct_chars,
+        |  floor((CAST(sum(CAST(floor(
+        |      -(c.c / t.n_chars_total) * ln(c.c / t.n_chars_total) * 1e12 + 0.5
+        |    ) AS BIGINT)) AS BIGINT) / 1e12) * 10000 + 0.5) / 10000 AS char_entropy
+        |FROM counts c JOIN totals t USING (doc_id)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // mirrors Dedup.tfidfCosinePairs: df cap 100, w² quantized at 1e6 for
     // the norm, normalized products quantized at 1e12 for the similarity —

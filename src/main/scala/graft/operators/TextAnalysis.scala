@@ -100,6 +100,31 @@ object TextAnalysis {
     * frequency (token tiebreak). One explode + one keyed aggregate — the
     * canonical map-side-combinable word count; the final top-k is a
     * single-partition window over an already-tiny aggregate. */
+  /** Per-document Shannon entropy of the character distribution (nats) —
+    * the gibberish/binary detector: natural prose sits in a narrow
+    * entropy band, base64/hex blobs run high, repeated-filler junk runs
+    * low. Two keyed aggregates over the exploded characters (rows ∝ total
+    * characters, the same linear explode budget as q_substring_dup);
+    * each −p·ln p term is quantized to a 1e12 integer before the per-doc
+    * sum so the cross-partition aggregation is order-independent. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+    val counts = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars_total"),
+        count(lit(1)).as("n_distinct_chars"))
+    val p = col("c") / col("n_chars_total")
+    counts.join(totals, "doc_id")
+      .groupBy(col("doc_id"), col("n_chars_total"), col("n_distinct_chars"))
+      .agg((sum(floor(-p * log(p) * lit(1e12) + lit(0.5)).cast("long")) /
+        lit(1e12)).as("raw"))
+      .select(col("doc_id"), col("n_chars_total"), col("n_distinct_chars"),
+        (floor(col("raw") * 10000 + 0.5) / 10000).as("char_entropy"))
+  }
+
   def vocab(docs: DataFrame, k: Int): DataFrame = {
     // orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
     // then k·partitions rows to one task) — the global-window equivalent

@@ -267,6 +267,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(5L).isNullAt(out(5L).fieldIndex("match_id")))
   }
 
+  test("char entropy: uniform string = ln(k), single-char = 0, base64-ish > prose-ish") {
+    val d = Seq(
+      (0L, "abcd" * 25),                         // uniform over 4 chars → ln 4
+      (1L, "a" * 80),                            // degenerate → 0
+      (2L, "QmFzZTY0IGJsb2JzIGxvb2sgbGlrZSB0aGlzIDRUdjhnWHk5"), // base64-ish
+      (3L, "the cat sat on the mat and the cat sat again")      // prose-ish
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.charEntropy(d)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(out(0L).getDouble(3) - math.log(4.0)) < 1e-3)
+    assert(out(0L).getLong(1) == 100 && out(0L).getLong(2) == 4)
+    assert(out(1L).getDouble(3) == 0.0)
+    assert(out(2L).getDouble(3) > out(3L).getDouble(3))
+  }
+
   test("tfidf cosine pairs: identical docs score 1.0, disjoint docs absent, keyed join") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon"),
