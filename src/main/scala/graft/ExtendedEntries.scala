@@ -441,6 +441,8 @@ object ExtendedEntries {
     "q_sketches" -> qSketches,
     "q_salted_agg" -> qSaltedAgg,
     "q_dedup_corpus" -> qDedupCorpus,
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.dedupCorpusKeepBest(Tables.documents(s, dir), 0.7)),
     "q_asof_join" -> qAsofJoin,
     "q_asof_fwd" -> qAsofFwd,
     "q_asof_nearest" -> qAsofNearest,
@@ -1118,6 +1120,55 @@ object ExtendedEntries {
          |)
          |SELECT d AS doc_id, min(r) AS canonical_id, d != min(r) AS is_duplicate
          |FROM reach GROUP BY d""".stripMargin,
+
+    // same CC as q_dedup_corpus + the q_text_stats quality formula; winner
+    // per cluster by (4dp quality DESC, doc_id) row_number
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $oShingleIdx,
+         |$oMinhash,
+         |${oJaccard(0.7)},
+         |edges AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN jpairs j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |),
+         |und AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges
+         |),
+         |reach AS (
+         |  SELECT DISTINCT src AS d, src AS r FROM und
+         |  UNION
+         |  SELECT reach.d, und.dst FROM reach JOIN und ON und.src = reach.r
+         |),
+         |cc AS (SELECT d AS doc_id, min(r) AS cluster_id FROM reach GROUP BY d),
+         |st AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |  FROM documents
+         |),
+         |sq AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, x -> list_contains(
+         |      ['the','a','of','to','in','and','is','on','for','with'], x))) / n_tokens
+         |      AS stopword_ratio,
+         |    n_distinct / n_tokens AS distinct_ratio,
+         |    least(n_tokens / 50.0, 1.0) AS len_score
+         |  FROM st
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |    ${r4("0.4 * len_score + 0.4 * distinct_ratio + 0.2 * (1.0 - abs(stopword_ratio - 0.1))")}
+         |      AS quality_score
+         |  FROM sq
+         |),
+         |jn AS (
+         |  SELECT cc.doc_id, cc.cluster_id, q.quality_score,
+         |    row_number() OVER (PARTITION BY cc.cluster_id
+         |      ORDER BY q.quality_score DESC, cc.doc_id) AS rn
+         |  FROM cc JOIN q USING (doc_id)
+         |)
+         |SELECT doc_id, cluster_id, quality_score, rn = 1 AS keep FROM jn""".stripMargin,
 
     "q_asof_join" -> OracleSql.withTicksBars(
       """SELECT t.symbol, t.time, t.price,

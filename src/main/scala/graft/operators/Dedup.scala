@@ -321,6 +321,29 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"),
         (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
 
+  /** Quality-aware canonical selection: within each near-dup cluster keep
+    * the HIGHEST-quality document instead of the lowest id — standard
+    * curation practice (duplicates often differ in boilerplate/truncation;
+    * min-id keeps an arbitrary one, this keeps the best). Clusters come
+    * from the same LSH→connected-components pass as [[dedupCorpus]]; the
+    * winner is row_number 1 over (4dp quality desc, doc_id) per cluster —
+    * a window portable verbatim to the oracle, unlike engine-specific
+    * arg-max-by-struct. Adds one keyed join + one window over the
+    * clustered docs only (tiny relative to the corpus). */
+  def dedupCorpusKeepBest(docs: DataFrame, tau: Double): DataFrame = {
+    val cc = connectedComponents(minhashLshPairs(docs, tau))
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+    val q = TextAnalysis.stats(docs).select(col("doc_id"),
+      (floor(col("quality_score") * 10000 + 0.5) / 10000).as("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    cc.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        (col("rn") === 1).as("keep"))
+  }
+
   /** Incremental near-dup dedup: screen an incoming BATCH of documents
     * against the EXISTING corpus (and against itself) — the shape every
     * continuously-ingesting training pipeline runs per crawl snapshot,

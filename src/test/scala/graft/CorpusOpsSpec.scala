@@ -61,6 +61,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(dups.head.getAs[Long]("canonical_doc_id") == 1L)
   }
 
+  test("keep-best dedup keeps the highest-quality doc per cluster, not min id") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val longer = base + " " + (41 to 48).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, base),                       // near-dup of 3, lower quality (shorter)
+      (2L, ("zz " * 30).trim),          // singleton filler, not in any cluster
+      (3L, longer)                      // near-dup of 1, higher quality
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupCorpusKeepBest(d, 0.7).collect()
+    // only clustered docs appear; doc 2 is a singleton
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 3L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(byId(3L) && !byId(1L))       // min-id would have kept 1; quality keeps 3
+    assert(out.map(_.getAs[Long]("cluster_id")).distinct.length == 1)
+  }
+
   test("vocab ranks by frequency with token tiebreak; df <= freq") {
     val rows = TextAnalysis.vocab(docs(100), 10).orderBy("rk").collect()
     assert(rows.head.getAs[String]("token") == "common")
