@@ -187,8 +187,8 @@ object CorpusEntries {
         (floor(col("priority") * lit(10000) + lit(0.5)) / lit(10000)).as("priority"))
 
   /** Shared split parameters (query and oracle read the same values). */
-  private val SplitSalt = "sp1:"
-  private val SplitCuts = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+  private[graft] val SplitSalt = "sp1:"
+  private[graft] val SplitCuts = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
   /** Deterministic disjoint train/val/test assignment per document. */
   private def qSplit(s: SparkSession, dir: String): DataFrame =

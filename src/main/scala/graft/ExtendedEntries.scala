@@ -443,6 +443,9 @@ object ExtendedEntries {
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
       Dedup.dedupCorpusKeepBest(Tables.documents(s, dir), 0.7)),
+    "q_split_safe" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, dir), 0.7,
+        CorpusEntries.SplitSalt, CorpusEntries.SplitCuts)),
     "q_asof_join" -> qAsofJoin,
     "q_asof_fwd" -> qAsofFwd,
     "q_asof_nearest" -> qAsofNearest,
@@ -567,6 +570,20 @@ object ExtendedEntries {
        |jpairs AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jraw >= $tau)""".stripMargin
 
   /** MinHash signature + LSH bands (mirrors Dedup.minhashSignatures/bands). */
+  /** DuckDB mirror of [[graft.operators.Sampling.splitBy]] over `keyExpr`,
+    * generated from the SAME salt/cuts constants the Spark side uses so
+    * the two can never drift. */
+  private def oSplitCase(keyExpr: String): String = {
+    val cuts = CorpusEntries.SplitCuts
+    val cum = cuts.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val probe =
+      s"substr(md5('${CorpusEntries.SplitSalt}' || CAST($keyExpr AS VARCHAR)), 1, 4)"
+    val whens = cuts.init.map(_._1).zip(cum).map { case (name, c) =>
+      s"WHEN $probe < '${graft.operators.Sampling.thresholdHex(c)}' THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${cuts.last._1}' END"
+  }
+
   private val oMinhash: String = {
     val sig = (0 until Dedup.MinHashK)
       .map(j => s"min((h * ${Dedup.mhA(j)} + ${Dedup.mhB(j)}) % ${Dedup.MinHashP}) AS mh$j")
@@ -1169,6 +1186,34 @@ object ExtendedEntries {
          |  FROM cc JOIN q USING (doc_id)
          |)
          |SELECT doc_id, cluster_id, quality_score, rn = 1 AS keep FROM jn""".stripMargin,
+
+    // same CC clusters; split cut on the CLUSTER id's salted bucket
+    // (thresholds/salt shared with q_split via CorpusEntries constants)
+    "q_split_safe" ->
+      s"""WITH RECURSIVE $oShingleIdx,
+         |$oMinhash,
+         |${oJaccard(0.7)},
+         |edges AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN jpairs j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |),
+         |und AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges
+         |),
+         |reach AS (
+         |  SELECT DISTINCT src AS d, src AS r FROM und
+         |  UNION
+         |  SELECT reach.d, und.dst FROM reach JOIN und ON und.src = reach.r
+         |),
+         |cc AS (SELECT d AS doc_id, min(r) AS cluster_id FROM reach GROUP BY d),
+         |jn AS (
+         |  SELECT dd.doc_id, coalesce(cc.cluster_id, dd.doc_id) AS cluster_id
+         |  FROM documents dd LEFT JOIN cc ON cc.doc_id = dd.doc_id
+         |)
+         |SELECT doc_id, cluster_id,
+         |  ${oSplitCase("cluster_id")} AS split
+         |FROM jn""".stripMargin,
 
     "q_asof_join" -> OracleSql.withTicksBars(
       """SELECT t.symbol, t.time, t.price,

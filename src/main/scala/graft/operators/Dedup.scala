@@ -344,6 +344,29 @@ object Dedup {
         (col("rn") === 1).as("keep"))
   }
 
+  /** Leakage-safe train/val/test split: assign each document to a split by
+    * the salted hash of its near-dup CLUSTER id, not its own id, so every
+    * member of a cluster lands in the SAME split. A per-doc split (
+    * [[graft.operators.Sampling.splitBy]] on doc_id) leaks near-duplicates
+    * of training docs into eval — the contamination mode cluster-aware
+    * splitting exists to prevent. Clusters come from the same
+    * LSH→connected-components pass as [[dedupCorpus]]; singletons (docs in
+    * no cluster) fall back to their own id via coalesce, preserving
+    * splitBy's disjoint+exhaustive cuts. Plan: one keyed left join of the
+    * corpus against the (≤ corpus-sized, usually far smaller) cluster
+    * membership, then pure-codegen split assignment — no new shuffle shape
+    * beyond the dedup pass itself. */
+  def leakageSafeSplit(docs: DataFrame, tau: Double, salt: String,
+      cuts: Seq[(String, Double)]): DataFrame = {
+    val cc = connectedComponents(minhashLshPairs(docs, tau))
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        Sampling.splitBy(col("cluster_id"), salt, cuts).as("split"))
+  }
+
   /** Incremental near-dup dedup: screen an incoming BATCH of documents
     * against the EXISTING corpus (and against itself) — the shape every
     * continuously-ingesting training pipeline runs per crawl snapshot,

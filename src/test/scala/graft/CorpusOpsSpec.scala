@@ -77,6 +77,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("cluster_id")).distinct.length == 1)
   }
 
+  test("leakage-safe split keeps every near-dup cluster in one split") {
+    import graft.operators.Sampling
+    // 30 near-dup pairs (ids 2k/2k+1 share a distinct 40-token text, the
+    // second member with a short suffix) + 5 singletons
+    val rows = (0 until 30).flatMap { k =>
+      val base = (1 to 40).map(i => s"p${k}w$i").mkString(" ")
+      Seq((2L * k, base), (2L * k + 1, base + s" extra$k"))
+    } ++ (100 until 105).map(i => (i.toLong, (1 to 20).map(j => s"s${i}w$j").mkString(" ")))
+    val d = rows.toDF("doc_id", "text")
+    val cuts = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val out = Dedup.leakageSafeSplit(d, 0.7, "sp1:", cuts).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    assert(out.size == 65)
+    // every pair: same cluster, same split
+    (0 until 30).foreach { k =>
+      assert(out(2L * k) == out(2L * k + 1), s"pair $k split apart")
+    }
+    // the property is non-vacuous: a per-doc split DOES separate some pair
+    val perDoc = d.select(col("doc_id"),
+      Sampling.splitBy(col("doc_id"), "sp1:", cuts).as("split")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert((0 until 30).exists(k => perDoc(2L * k) != perDoc(2L * k + 1)))
+    // singletons: cluster = own id, split = per-doc split
+    (100L until 105L).foreach { i =>
+      assert(out(i) == ((i, perDoc(i))))
+    }
+  }
+
   test("vocab ranks by frequency with token tiebreak; df <= freq") {
     val rows = TextAnalysis.vocab(docs(100), 10).orderBy("rk").collect()
     assert(rows.head.getAs[String]("token") == "common")
