@@ -487,6 +487,7 @@ object ExtendedEntries {
       Tables.events(s, dir), "user_id", "event_type")),
     "q_zscore_outliers" -> ((s, dir) =>
       Signals.zscoreOutliers(Tables.bars(s, dir), 20, 2.0)),
+    "q_cusum" -> ((s, dir) => Signals.cusum(Tables.bars(s, dir), 0.5, 5.0)),
     "q_robust_outliers" -> ((s, dir) =>
       Signals.robustOutliers(Tables.bars(s, dir), 20, 3.0)),
     "q_rolling_ols" -> ((s, dir) =>
@@ -812,6 +813,38 @@ object ExtendedEntries {
         |  UNION ALL SELECT symbol, time, 'low', low FROM bars
         |  UNION ALL SELECT symbol, time, 'close', close FROM bars
         |) u""".stripMargin),
+    // CUSUM via the prefix-sum identity: running sum minus its running
+    // minimum, same two-layer cumulative windows as the Spark side
+    "q_cusum" -> withTicksBars(
+      """, dd AS (
+        |  SELECT symbol, time, close,
+        |    close - lag(close) OVER (PARTITION BY symbol ORDER BY time) AS d
+        |  FROM bars
+        |), zz AS (
+        |  SELECT symbol, time, close,
+        |    floor(((d - avg(d) OVER wa) / nullif(stddev_samp(d) OVER wa, 0))
+        |      * 10000 + 0.5) / 10000 AS z
+        |  FROM dd
+        |  WINDOW wa AS (PARTITION BY symbol)
+        |), ss AS (
+        |  SELECT symbol, time, close, z,
+        |    sum(z - 0.5) OVER wc AS sp,
+        |    sum(-z - 0.5) OVER wc AS sn
+        |  FROM zz
+        |  WINDOW wc AS (PARTITION BY symbol ORDER BY time
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), mm AS (
+        |  SELECT symbol, time, close, z,
+        |    floor((sp - least(min(sp) OVER wc, 0)) * 10000 + 0.5) / 10000 AS cusum_pos,
+        |    floor((sn - least(min(sn) OVER wc, 0)) * 10000 + 0.5) / 10000 AS cusum_neg
+        |  FROM ss
+        |  WINDOW wc AS (PARTITION BY symbol ORDER BY time
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, time, close, z, cusum_pos, cusum_neg,
+        |  cusum_pos > 5.0 OR cusum_neg > 5.0 AS alarm
+        |FROM mm WHERE z IS NOT NULL""".stripMargin),
+
     "q_zscore_outliers" -> withTicksBars(
       """, w1 AS (
         |  SELECT symbol, time, close,

@@ -251,4 +251,40 @@ object Signals {
       .select(col("symbol"), col("time"), col(s"sma_$fast"), col(s"sma_$slow"),
         col("signal"))
   }
+
+  /** CUSUM changepoint detector (Page 1954) over each symbol's 1-bar close
+    * change. The textbook form is doubly recursive —
+    * `s⁺_t = max(0, s⁺_{t-1} + z_t − k)`, `s⁻_t = max(0, s⁻_{t-1} − z_t − k)`
+    * — which would force a sequential per-symbol scan (the seeded-agg
+    * machinery). Instead this uses the prefix-sum identity
+    * `s⁺_t = S_t − min(0, min_{j≤t} S_j)` with `S_t = Σ_{j≤t}(z_j − k)`:
+    * CUSUM is a running sum minus its running minimum, so the whole
+    * detector is two layers of decomposable cumulative windows over one
+    * (symbol, time) sort — one shuffle, no state, parallel across symbols.
+    *
+    * z is the z-score of the close change against the symbol's full-series
+    * mean/std (ddof=1), 4-dp-quantized BEFORE the cumulative sums so both
+    * engines accumulate identical values in identical order; k (slack) and
+    * h (alarm threshold) are in σ units. The first bar of each symbol has
+    * no change and is excluded. The alarm gate compares rounded values per
+    * this file's determinism contract. */
+  def cusum(bars: DataFrame, k: Double = 0.5, h: Double = 5.0): DataFrame = {
+    val seq = WI.w()
+    val all = Window.partitionBy(col("symbol"))
+    val cum = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = col("close") - lag(col("close"), 1).over(seq)
+    val z = r4((col("d") - avg(col("d")).over(all)) /
+      nullif(stddev_samp(col("d")).over(all), lit(0.0)))
+    val s = bars
+      .select(col("symbol"), col("time"), col("close"), d.as("d"))
+      .select(col("symbol"), col("time"), col("close"), z.as("z"))
+      .select(col("symbol"), col("time"), col("close"), col("z"),
+        sum(col("z") - lit(k)).over(cum).as("sp"),
+        sum(-col("z") - lit(k)).over(cum).as("sn"))
+      .select(col("symbol"), col("time"), col("close"), col("z"),
+        r4(col("sp") - least(min(col("sp")).over(cum), lit(0.0))).as("cusum_pos"),
+        r4(col("sn") - least(min(col("sn")).over(cum), lit(0.0))).as("cusum_neg"))
+    s.filter(col("z").isNotNull)
+      .withColumn("alarm", col("cusum_pos") > h || col("cusum_neg") > h)
+  }
 }

@@ -105,4 +105,32 @@ class SignalsSpec extends AnyFunSuite {
     assert(flagged.head.getAs[Double]("close") == 130.0)
     assert(flagged.head.getAs[Double]("z") > 2.0)
   }
+
+  test("cusum prefix-sum identity matches the textbook recursion; shift alarms") {
+    // flat-ish regime then a sustained +5 step — the shape CUSUM exists to
+    // catch (a single z-score outlier test misses slow sustained drifts)
+    val closes = (1 to 30).map(i => 100.0 + (i % 3) * 0.5) ++
+      (1 to 30).map(i => 100.0 + (i % 3) * 0.5 + i * 1.5)
+    val k = 0.5
+    val out = Signals.cusum(bars(closes), k, 3.0).orderBy("time").collect()
+    assert(out.length == closes.length - 1)      // first bar has no change
+    // reference: run the doubly-recursive definition over the SAME z series
+    var sp = 0.0; var sn = 0.0
+    out.foreach { r =>
+      val z = r.getAs[Double]("z")
+      sp = math.max(0.0, sp + z - k)
+      sn = math.max(0.0, sn - z - k)
+      assert(math.abs(r.getAs[Double]("cusum_pos") - sp) < 1e-4,
+        s"pos diverged at ${r.getAs[Timestamp]("time")}")
+      assert(math.abs(r.getAs[Double]("cusum_neg") - sn) < 1e-4,
+        s"neg diverged at ${r.getAs[Timestamp]("time")}")
+    }
+    // the sustained upward drift must trip the POSITIVE side, and only
+    // after the regime change (the negative side may alarm earlier: under
+    // full-series standardization the flat first regime sits below trend)
+    val posAlarms = out.filter(_.getAs[Double]("cusum_pos") > 3.0)
+    assert(posAlarms.nonEmpty)
+    assert(posAlarms.map(_.getAs[Timestamp]("time").getTime).min
+      >= 1700000000000L + 30 * 3600000L)
+  }
 }
