@@ -446,6 +446,8 @@ object ExtendedEntries {
     "q_split_safe" -> ((s, dir) =>
       Dedup.leakageSafeSplit(Tables.documents(s, dir), 0.7,
         CorpusEntries.SplitSalt, CorpusEntries.SplitCuts)),
+    "q_sample_dedup" -> ((s, dir) =>
+      Dedup.dedupWeightedSample(Tables.documents(s, dir), 0.7, "dw1:", 0.5)),
     "q_asof_join" -> qAsofJoin,
     "q_asof_fwd" -> qAsofFwd,
     "q_asof_nearest" -> qAsofNearest,
@@ -1247,6 +1249,42 @@ object ExtendedEntries {
          |SELECT doc_id, cluster_id,
          |  ${oSplitCase("cluster_id")} AS split
          |FROM jn""".stripMargin,
+
+    // same CC clusters; keep iff the doc's salted bucket clears the
+    // cluster-size-discounted threshold floor(round(rate*65536)/|cluster|)
+    "q_sample_dedup" ->
+      s"""WITH RECURSIVE $oShingleIdx,
+         |$oMinhash,
+         |${oJaccard(0.7)},
+         |edges AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN jpairs j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |),
+         |und AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges
+         |),
+         |reach AS (
+         |  SELECT DISTINCT src AS d, src AS r FROM und
+         |  UNION
+         |  SELECT reach.d, und.dst FROM reach JOIN und ON und.src = reach.r
+         |),
+         |cc AS (SELECT d AS doc_id, min(r) AS cluster_id FROM reach GROUP BY d),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1),
+         |jn AS (
+         |  SELECT dd.doc_id, coalesce(cc.cluster_id, dd.doc_id) AS cluster_id
+         |  FROM documents dd LEFT JOIN cc ON cc.doc_id = dd.doc_id
+         |),
+         |j2 AS (
+         |  SELECT jn.doc_id, jn.cluster_id,
+         |    coalesce(sz.cluster_size, 1) AS cluster_size
+         |  FROM jn LEFT JOIN sz ON sz.cluster_id = jn.cluster_id
+         |)
+         |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM j2
+         |WHERE CAST(concat('0x',
+         |    substr(md5(concat('dw1:', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT)
+         |  < floor(32768.0 / cluster_size)""".stripMargin,
 
     "q_asof_join" -> OracleSql.withTicksBars(
       """SELECT t.symbol, t.time, t.price,

@@ -367,6 +367,35 @@ object Dedup {
         Sampling.splitBy(col("cluster_id"), salt, cuts).as("split"))
   }
 
+  /** Duplicate-discounted sampling: keep each document with probability
+    * `rate / |cluster|`, so every near-dup cluster contributes ~`rate`
+    * expected documents regardless of how many times its content was
+    * crawled — the soft alternative to hard dedup (hard dedup keeps
+    * exactly one member and loses natural duplication signal; plain
+    * sampling over-represents heavily-duplicated boilerplate by its copy
+    * count). Deterministic: the per-doc decision is the salted 16-bit
+    * bucket of doc_id against `floor(round(rate·65536) / |cluster|)` —
+    * pure integer math, reproducible across engines and runs, and
+    * singletons degrade exactly to [[Sampling.sampledBy]] at `rate`.
+    * Plan: the LSH→CC pass, a cluster-size count over the (small) cluster
+    * membership, two keyed joins back to the corpus, codegen filter. */
+  def dedupWeightedSample(docs: DataFrame, tau: Double, salt: String,
+      rate: Double): DataFrame = {
+    require(rate > 0 && rate <= 1, "rate must be in (0, 1]")
+    val t0 = math.round(rate * 65536).toDouble
+    val cc = connectedComponents(minhashLshPairs(docs, tau))
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .filter(Sampling.hashBucket(col("doc_id"), salt) <
+        floor(lit(t0) / col("cluster_size")))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Incremental near-dup dedup: screen an incoming BATCH of documents
     * against the EXISTING corpus (and against itself) — the shape every
     * continuously-ingesting training pipeline runs per crawl snapshot,

@@ -106,6 +106,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup-weighted sampling discounts keep probability by cluster size") {
+    // 50 near-dup quadruplets (ids 4k..4k+3) + 200 singletons
+    val rows = (0 until 50).flatMap { k =>
+      val base = (1 to 40).map(i => s"c${k}w$i").mkString(" ")
+      (0 until 4).map(v => (4L * k + v, base + s" v$v"))
+    } ++ (1000 until 1200).map(i => (i.toLong, (1 to 20).map(j => s"u${i}t$j").mkString(" ")))
+    val d = rows.toDF("doc_id", "text")
+    val out = Dedup.dedupWeightedSample(d, 0.7, "dw1:", 0.5).collect()
+    val keptIds = out.map(_.getAs[Long]("doc_id")).toSet
+    // deterministic across runs
+    val again = Dedup.dedupWeightedSample(d, 0.7, "dw1:", 0.5).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds == again)
+    // quadruplet members carry cluster_size 4 and keep at rate/4 = 0.125;
+    // singletons carry size 1 and keep at the raw rate 0.5
+    val quadKept = out.filter(_.getAs[Long]("doc_id") < 1000)
+    assert(quadKept.forall(_.getAs[Long]("cluster_size") == 4L))
+    assert(quadKept.length > 7 && quadKept.length < 46,
+      s"${quadKept.length} of 200 quad docs kept, expected ~25")
+    val singleKept = out.filter(_.getAs[Long]("doc_id") >= 1000)
+    assert(singleKept.forall(_.getAs[Long]("cluster_size") == 1L))
+    assert(singleKept.length > 70 && singleKept.length < 130,
+      s"${singleKept.length} of 200 singletons kept, expected ~100")
+    // the threshold is the exact integer-math contract, not just a rate
+    import graft.operators.Sampling
+    val buckets = d.select(col("doc_id"),
+      Sampling.hashBucket(col("doc_id"), "dw1:").as("b")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("b")).toMap
+    assert(keptIds.forall(id =>
+      buckets(id) < (if (id < 1000) 8192 else 32768)))
+    assert(rows.map(_._1).filterNot(keptIds).forall(id =>
+      buckets(id) >= (if (id < 1000) 8192 else 32768)))
+  }
+
   test("vocab ranks by frequency with token tiebreak; df <= freq") {
     val rows = TextAnalysis.vocab(docs(100), 10).orderBy("rk").collect()
     assert(rows.head.getAs[String]("token") == "common")
