@@ -412,6 +412,29 @@ object ExtendedEntries {
 
   /** Gap-filled hourly close/volume series: dense per-symbol grid, last
     * observation carried forward (see [[Resample]] for the scale shape). */
+  /** Backbone of the supplier co-supply graph: suppliers are linked by the
+    * number of distinct parts both supply, and only the TopCoEdges
+    * strongest relationships survive — raw bipartite projections of
+    * high-cardinality relations saturate toward complete graphs (at sf0.1
+    * every supplier pair shares some part), so the census without the
+    * backbone cut is Θ(n³). The per-part pair expansion is bounded by the
+    * per-part supplier count (TPC-H: single digits); the cut is an
+    * orderBy+limit → TakeOrderedAndProject (per-partition heaps, no global
+    * sort) with a full (count, a, b) tiebreak for determinism. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sv")).distinct()
+    val co = ps.as("x").join(ps.as("y"),
+        col("x.pk") === col("y.pk") && col("x.sv") < col("y.sv"))
+      .groupBy(col("x.sv").as("a"), col("y.sv").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = co.orderBy(col("cnt").desc, col("a"), col("b")).limit(TopCoEdges)
+      .select(col("a").as("src"), col("b").as("dst"))
+    Graph.triangles(top)
+  }
+
+  private val TopCoEdges = 5000
+
   private def qResampleFfill(s: SparkSession, dir: String): DataFrame =
     Resample.ffill(
       Tables.bars(s, dir).select(col("symbol"), col("time"), col("close"), col("volume")),
@@ -428,6 +451,9 @@ object ExtendedEntries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_pagerank" -> qPagerank,
+    "q_triangles" -> qTriangles,
+    "q_transitions" -> ((s, dir) =>
+      operators.EventAnalytics.transitions(Tables.events(s, dir))),
     "q_resample_ffill" -> qResampleFfill,
     "q_gaps" -> ((s, dir) => Resample.gaps(
       Tables.bars(s, dir), "symbol", "time", "1 hour")),
@@ -734,6 +760,58 @@ object ExtendedEntries {
         |FROM capped a JOIN capped c
         |  ON a.blk = c.blk AND a.name < c.name AND abs(a.len - c.len) <= 2
         |WHERE jaro_winkler_similarity(a.name, c.name) >= 0.85""".stripMargin,
+    // degree-oriented triangle census, same (deg, id) total order as
+    // Graph.triangles so each triangle is counted exactly once
+    "q_triangles" ->
+      s"""WITH sup AS (
+        |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sv FROM lineitem
+        |), co AS (
+        |  SELECT x.sv AS a, y.sv AS b, count(*) AS cnt
+        |  FROM sup x JOIN sup y ON x.pk = y.pk AND x.sv < y.sv
+        |  GROUP BY 1, 2
+        |), e0 AS (
+        |  SELECT a, b FROM co ORDER BY cnt DESC, a, b LIMIT $TopCoEdges
+        |), d AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0
+        |  ) GROUP BY node
+        |), o AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+        |         THEN e0.a ELSE e0.b END AS u,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+        |         THEN e0.b ELSE e0.a END AS v
+        |  FROM e0 JOIN d da ON da.node = e0.a JOIN d db ON db.node = e0.b
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM o e1 JOIN o e2 ON e2.u = e1.v
+        |       JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(CAST(sum(deg) AS BIGINT) // 2 AS BIGINT) AS n_edges,
+        |    CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+        |  FROM d
+        |)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  floor(3.0 * n_triangles / nullif(n_wedges, 0) * 10000 + 0.5) / 10000
+        |    AS clustering
+        |FROM tot, t""".stripMargin,
+
+    "q_transitions" ->
+      """WITH nx AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  floor(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+        |    * 10000 + 0.5) / 10000 AS p
+        |FROM c""".stripMargin,
+
     "q_pagerank" -> {
       // mechanical 3-round unroll of Graph.pagerank: same 1e12 rank
       // quantization, same interpolated damping constants

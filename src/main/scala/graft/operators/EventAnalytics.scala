@@ -128,4 +128,24 @@ object EventAnalytics {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** First-order Markov transition matrix of the event stream: counts and
+    * row-normalized probabilities of consecutive (event_type →
+    * next event_type) steps within each user's (ts, event_id)-ordered
+    * history — the behavioral fingerprint behind next-action prediction
+    * and anomalous-flow detection. One shuffle by user for the `lead`,
+    * one keyed aggregate down to the O(|event types|²) matrix, and a
+    * window over `from_type` (tiny by then) for the row totals.
+    * Probabilities are 4-dp rounded per the engine-parity contract. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      (floor(col("n") / sum(col("n")).over(Window.partitionBy(col("from_type")))
+        * 10000 + lit(0.5)) / 10000).as("p"))
+  }
 }

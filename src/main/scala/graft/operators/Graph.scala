@@ -60,4 +60,46 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle count (plus node/edge/wedge totals and the global
+    * clustering coefficient) over an undirected edge list.
+    *
+    * Scale design: the classic degree-orientation algorithm. Each edge is
+    * oriented from its (degree, id)-smaller endpoint to the larger one,
+    * turning the graph into a DAG in which every triangle appears as
+    * exactly one directed wedge u→v, v→w closed by u→w. The wedge join's
+    * cost is Σ_v out(v)·in(v), which degree orientation bounds by
+    * O(m^1.5) regardless of skew — orienting by raw id instead would let
+    * one low-id hub contribute deg² wedges (the star-graph blowup). All
+    * three joins are keyed equi-joins; counts are exact integer math.
+    * Output is one row: n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering = 3·triangles/wedges (4-dp). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val keepAB = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dir = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(when(keepAB, col("a")).otherwise(col("b")).as("u"),
+        when(keepAB, col("b")).otherwise(col("a")).as("v"))
+    val tri = dir.as("e1")
+      .join(dir.as("e2"), col("e2.u") === col("e1.v"))
+      .join(dir.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val totals = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("n_wedges"))
+    totals.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (floor(lit(3.0) * col("n_triangles") / nullif(col("n_wedges"), lit(0L))
+          * 10000 + lit(0.5)) / 10000).as("clustering"))
+  }
 }

@@ -87,4 +87,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out((c0, 1)) == 1L && out((c0, 3)) == 1L)
     assert(out((c1, 0)) == 1L && out((c1, 1)) == 1L) // user 3's cohort
   }
+
+  test("transitions: per-user ordering, no cross-user steps, rows sum to 1") {
+    val events = Seq(
+      // user 1: a → b → a → c ; user 2: b → b (same-ts tie broken by id)
+      (1L, 1L, ts(0), "a"), (1L, 2L, ts(1), "b"), (1L, 3L, ts(2), "a"),
+      (1L, 4L, ts(3), "c"),
+      (2L, 5L, ts(0), "b"), (2L, 6L, ts(0), "b")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.transitions(events).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    // user 1 contributes a→b, b→a, a→c; user 2 contributes b→b; and no
+    // c→b step exists (c is user 1's last event — no cross-user stitching)
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("a", "c"), ("b", "b")))
+    assert(out(("a", "b"))._1 == 1L && out(("a", "c"))._1 == 1L)
+    assert(out(("a", "b"))._2 == 0.5 && out(("a", "c"))._2 == 0.5)  // row 'a' sums to 1
+    assert(out(("b", "a"))._2 == 0.5 && out(("b", "b"))._2 == 0.5)  // row 'b' too
+  }
 }

@@ -35,6 +35,25 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("triangles: exact census on a known graph, hub skew handled") {
+    // K4 on {1,2,3,4} (4 triangles) + a star hub 0 → 10..19 (no triangles
+    // through the hub: spokes are not interconnected) + one pendant edge
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)
+    val star = (10L to 19L).map(s => (0L, s))
+    val g = (k4 ++ star ++ Seq((20L, 21L))).toDF("src", "dst")
+    val r = Graph.triangles(g).collect().head
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    assert(r.getAs[Long]("n_nodes") == 17L)
+    assert(r.getAs[Long]("n_edges") == 17L)
+    // wedges: K4 gives 4·C(3,2)=12, hub gives C(10,2)=45, pendant 0
+    assert(r.getAs[Long]("n_wedges") == 57L)
+    assert(r.getAs[Double]("clustering") == math.floor(12.0 / 57 * 10000 + 0.5) / 10000)
+    // direction/duplicate invariance: reversed + doubled edges change nothing
+    val noisy = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+    val r2 = Graph.triangles(noisy).collect().head
+    assert(r2 == r)
+  }
+
   test("query plans keyed joins only — no cartesian beyond the scalar-N broadcast") {
     val plan = SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
