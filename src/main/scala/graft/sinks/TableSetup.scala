@@ -48,6 +48,24 @@ object TableSetup {
     fresh.write.mode(SaveMode.Append).partitionBy("day").parquet(path)
   }
 
+  /** Idempotent backfill: overwrite ONLY the partitions present in the
+    * batch (dynamic partition overwrite), leaving every other partition
+    * byte-identical — the Spark shape of the reference's re-runnable
+    * backfill window (trading-etl-python/src/db/backfill.py:150-172
+    * re-downloads a symbol/date range and re-lands it without disturbing
+    * the rest of the table). Unlike [[writeIndicators]]'s first-write-wins
+    * append, a backfill REPLACES its window: re-running with corrected
+    * upstream data must win. Static overwrite mode would truncate the
+    * whole table; the `partitionOverwriteMode=dynamic` writer option
+    * scopes the overwrite to the touched partitions only — no
+    * read-modify-write of 100 TB, no session-level conf mutation. */
+  def backfillPartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Time-range read — the filter on `day` prunes to the touched
     * partitions (chunk exclusion). */
   def readRange(spark: SparkSession, path: String, fromDay: String, toDay: String): DataFrame =

@@ -61,4 +61,28 @@ class EngineSpec extends AnyFunSuite {
     val ranged = TableSetup.readRange(spark, dir, "2023-11-15", "2023-11-15")
     assert(ranged.count() == 24)
   }
+
+  test("backfillPartitions replaces only the touched partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bf").toString + "/t"
+    def batch(rows: Seq[(String, Long, Double)]) =
+      rows.toDF("day", "k", "v")
+    // seed three day-partitions
+    TableSetup.backfillPartitions(
+      batch(Seq(("d1", 1L, 1.0), ("d2", 2L, 2.0), ("d3", 3L, 3.0))),
+      dir, Seq("day"))
+    // backfill window {d2, d4}: corrected d2 (fewer+different rows), new d4
+    TableSetup.backfillPartitions(
+      batch(Seq(("d2", 20L, 20.0), ("d4", 4L, 4.0))), dir, Seq("day"))
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("k"), r.getAs[Double]("v")))
+      .toSet
+    // d1/d3 untouched, d2 REPLACED (old row gone, not appended), d4 added
+    assert(got == Set(("d1", 1L, 1.0), ("d3", 3L, 3.0),
+      ("d2", 20L, 20.0), ("d4", 4L, 4.0)))
+    // re-running the same backfill is a no-op (idempotence)
+    TableSetup.backfillPartitions(
+      batch(Seq(("d2", 20L, 20.0), ("d4", 4L, 4.0))), dir, Seq("day"))
+    assert(spark.read.parquet(dir).count() == 4)
+  }
 }
