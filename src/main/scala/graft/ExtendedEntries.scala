@@ -474,6 +474,10 @@ object ExtendedEntries {
         CorpusEntries.SplitSalt, CorpusEntries.SplitCuts)),
     "q_sample_dedup" -> ((s, dir) =>
       Dedup.dedupWeightedSample(Tables.documents(s, dir), 0.7, "dw1:", 0.5)),
+    "q_dup_sources" -> ((s, dir) =>
+      Dedup.dupSourceMatrix(Tables.documents(s, dir), 0.7)),
+    "q_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, dir), 5)),
     "q_asof_join" -> qAsofJoin,
     "q_asof_fwd" -> qAsofFwd,
     "q_asof_nearest" -> qAsofNearest,
@@ -760,6 +764,53 @@ object ExtendedEntries {
         |FROM capped a JOIN capped c
         |  ON a.blk = c.blk AND a.name < c.name AND abs(a.len - c.len) <= 2
         |WHERE jaro_winkler_similarity(a.name, c.name) >= 0.85""".stripMargin,
+    // LSH pairs (cand ∩ jaccard >= tau) joined to each side's source;
+    // mean over integer 4dp-quantized jaccards, same as the Spark side
+    "q_dup_sources" ->
+      s"""WITH $oShingleIdx,
+         |$oMinhash,
+         |${oJaccard(0.7)},
+         |edges AS (
+         |  SELECT c.doc_a, c.doc_b, j.jaccard
+         |  FROM cand c JOIN jpairs j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |),
+         |lab AS (
+         |  SELECT least(da.source, db.source) AS source_x,
+         |    greatest(da.source, db.source) AS source_y,
+         |    CAST(floor(e.jaccard * 10000 + 0.5) AS BIGINT) AS j4
+         |  FROM edges e JOIN documents da ON da.doc_id = e.doc_a
+         |               JOIN documents db ON db.doc_id = e.doc_b
+         |)
+         |SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  floor(CAST(sum(j4) AS DOUBLE) / count(*) + 0.5) / 10000 AS avg_jaccard
+         |FROM lab GROUP BY 1, 2""".stripMargin,
+
+    "q_pmi" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |uni AS (
+        |  SELECT unnest(toks) AS token FROM tk
+        |), uc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY 1),
+        |bg AS (
+        |  SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(toks)),
+        |           i -> concat_ws(' ', toks[i], toks[i+1])) END) AS bigram
+        |  FROM tk
+        |), bc AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bg GROUP BY 1 HAVING count(*) >= 5
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM uni) AS n_uni,
+        |         (SELECT count(*) FROM bg) AS n_bi
+        |)
+        |SELECT bc.bigram, bc.n_ab, ua.cnt AS ca, ub.cnt AS cb,
+        |  floor(ln((CAST(bc.n_ab AS DOUBLE) / n_bi) /
+        |    ((CAST(ua.cnt AS DOUBLE) / n_uni) * (CAST(ub.cnt AS DOUBLE) / n_uni)))
+        |    * 10000 + 0.5) / 10000 AS pmi
+        |FROM bc
+        |JOIN uc ua ON ua.token = string_split(bc.bigram, ' ')[1]
+        |JOIN uc ub ON ub.token = string_split(bc.bigram, ' ')[2]
+        |, tot""".stripMargin,
+
     // degree-oriented triangle census, same (deg, id) total order as
     // Graph.triangles so each triangle is counted exactly once
     "q_triangles" ->

@@ -396,6 +396,30 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Cross-source duplication matrix: how many near-dup pairs exist
+    * between each unordered pair of sources, and how similar they are on
+    * average — the corpus diagnostic that shows WHICH feeds copy from
+    * which (mirror sites, syndication, self-duplication within a crawl).
+    * Pairs come from the same LSH pass as [[dedupCorpus]]; two keyed
+    * joins attach each side's source, and the matrix aggregate is
+    * O(|sources|²). The mean similarity is computed over integer
+    * 4-dp-quantized jaccards (floor(j·10⁴+0.5)), so the sum is
+    * order-independent and engine-stable. */
+  def dupSourceMatrix(docs: DataFrame, tau: Double): DataFrame = {
+    val pairs = minhashLshPairs(docs, tau)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.withColumnsRenamed(Map("doc_id" -> "doc_a", "source" -> "source_a")), "doc_a")
+      .join(src.withColumnsRenamed(Map("doc_id" -> "doc_b", "source" -> "source_b")), "doc_b")
+      .select(least(col("source_a"), col("source_b")).as("source_x"),
+        greatest(col("source_a"), col("source_b")).as("source_y"),
+        floor(col("jaccard") * 10000 + lit(0.5)).cast("long").as("j4"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"),
+        (floor(sum(col("j4")) / count(lit(1)).cast("double") + lit(0.5)) / 10000)
+          .as("avg_jaccard"))
+  }
+
   /** Incremental near-dup dedup: screen an incoming BATCH of documents
     * against the EXISTING corpus (and against itself) — the shape every
     * continuously-ingesting training pipeline runs per crawl snapshot,

@@ -398,4 +398,38 @@ object TextAnalysis {
          |  CAST(0 AS BIGINT), (acc, x) -> (acc + x) % $P)""".stripMargin)
     docs.select(col("doc_id"), size(toks).as("n_tokens"), fp.as("fingerprint"))
   }
+
+  /** PMI collocations: pointwise mutual information of adjacent token
+    * bigrams, `pmi = ln((c_ab/B) / ((c_a/N)·(c_b/N)))` — the classic
+    * collocation-extraction statistic (Church & Hanks 1990); high-PMI
+    * pairs are multi-word expressions ("new york"), near-zero pairs are
+    * independent co-occurrences. Distinct from [[bigramLm]]: PMI compares
+    * against the independence baseline, an LM estimates sequence
+    * probability. Shape: two explode→count aggregates (both
+    * partial-aggregate map-side), two keyed joins of the bigram table
+    * against the vocabulary-sized unigram table, totals ride along as a
+    * one-row broadcast. `minCount` prunes noise bigrams BEFORE the joins,
+    * which is also what keeps the join input near-linear in vocabulary at
+    * corpus scale. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val bi = toks.select(explode(shinglesFromTokens(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val totals = uni.agg(sum(col("cnt")).as("n_uni"))
+      .crossJoin(toks.select(explode(shinglesFromTokens(col("toks"), 2)).as("bg"))
+        .agg(count(lit(1)).as("n_bi")))
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    bi.join(uni.select(col("token").as("w1"), col("cnt").as("ca")), "w1")
+      .join(uni.select(col("token").as("w2"), col("cnt").as("cb")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("n_ab"), col("ca"), col("cb"),
+        r4(log((col("n_ab").cast("double") / col("n_bi")) /
+          ((col("ca").cast("double") / col("n_uni")) *
+            (col("cb").cast("double") / col("n_uni"))))).as("pmi"))
+  }
 }

@@ -140,6 +140,45 @@ class CorpusOpsSpec extends AnyFunSuite {
       buckets(id) >= (if (id < 1000) 8192 else 32768)))
   }
 
+  test("pmi matches the hand formula; minCount prunes") {
+    // corpus: "a b a b" ⇒ bigrams {a b:2, b a:1}, unigrams {a:2, b:2}
+    val d1 = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out1 = TextAnalysis.pmiCollocations(d1, minCount = 1).collect()
+      .map(r => r.getAs[String]("bigram") -> r.getAs[Double]("pmi")).toMap
+    val want = math.floor(math.log((2.0 / 3) / ((2.0 / 4) * (2.0 / 4))) * 10000 + 0.5) / 10000
+    assert(out1("a b") == want)
+    // deterministic collocation: t0 is ALWAYS followed by u0 but only
+    // occupies 1/4 of positions ⇒ pmi = ln((25/99)/(0.25·0.25)) ≈ 1.40,
+    // well above the mixed cross-pair bigrams like "u0 t1"
+    val txt = (0 until 50).map(i => s"t${i % 2} u${i % 2}").mkString(" ")
+    val d2 = Seq((1L, txt)).toDF("doc_id", "text")
+    val out2 = TextAnalysis.pmiCollocations(d2, minCount = 5).collect()
+    val m2 = out2.map(r => r.getAs[String]("bigram") -> r.getAs[Double]("pmi")).toMap
+    assert(!m2.contains("t0 u1")) // never co-occurs
+    val wantColl =
+      math.floor(math.log((25.0 / 99) / ((25.0 / 100) * (25.0 / 100))) * 10000 + 0.5) / 10000
+    assert(m2("t0 u0") == wantColl)
+    // minCount prunes: nothing below the threshold survives
+    assert(out2.forall(_.getAs[Long]("n_ab") >= 5L))
+  }
+
+  test("dupSourceMatrix attributes near-dup pairs to unordered source pairs") {
+    val base = (1 to 40).map(i => s"m$i").mkString(" ")
+    val other = (1 to 40).map(i => s"n$i").mkString(" ")
+    val d = Seq(
+      (1L, base, "crawlA"), (2L, base + " x", "crawlB"),   // cross-source pair
+      (3L, other, "crawlA"), (4L, other + " y", "crawlA"), // within-source pair
+      (5L, (1 to 30).map(i => s"z$i").mkString(" "), "crawlC") // singleton
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dupSourceMatrix(d, 0.7).collect()
+      .map(r => (r.getAs[String]("source_x"), r.getAs[String]("source_y")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("avg_jaccard"))).toMap
+    assert(out.keySet == Set(("crawlA", "crawlB"), ("crawlA", "crawlA")))
+    assert(out(("crawlA", "crawlB"))._1 == 1L)
+    assert(out(("crawlA", "crawlA"))._1 == 1L)
+    assert(out.values.forall(_._2 >= 0.7))
+  }
+
   test("vocab ranks by frequency with token tiebreak; df <= freq") {
     val rows = TextAnalysis.vocab(docs(100), 10).orderBy("rk").collect()
     assert(rows.head.getAs[String]("token") == "common")
