@@ -454,6 +454,11 @@ object ExtendedEntries {
     "q_triangles" -> qTriangles,
     "q_transitions" -> ((s, dir) =>
       operators.EventAnalytics.transitions(Tables.events(s, dir))),
+    "q_paths" -> ((s, dir) =>
+      operators.EventAnalytics.topPaths(Tables.events(s, dir), 30, 3, 20)),
+    "q_winsorize" -> ((s, dir) =>
+      operators.Profile.winsorized(Tables.events(s, dir), "event_type", "value",
+        0.05, 0.95)),
     "q_resample_ffill" -> qResampleFfill,
     "q_gaps" -> ((s, dir) => Resample.gaps(
       Tables.bars(s, dir), "symbol", "time", "1 hour")),
@@ -847,6 +852,49 @@ object ExtendedEntries {
         |  floor(3.0 * n_triangles / nullif(n_wedges, 0) * 10000 + 0.5) / 10000
         |    AS clustering
         |FROM tot, t""".stripMargin,
+
+    // same 30-min session cut as q_sessionize; path = first 3 event types
+    // in (ts, event_id) order, top 20 by (count desc, path)
+    "q_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |        OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e
+        |), p AS (
+        |  SELECT user_id, sid,
+        |    array_to_string((list(event_type ORDER BY ts, event_id))[1:3], ' > ')
+        |      AS path
+        |  FROM s GROUP BY user_id, sid
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    // exact per-group percentile clip, integer-cents means
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS plo,
+        |    quantile_cont(value, 0.95) AS phi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  floor(CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / count(*) * 10000 + 0.5) / 10000 AS mean_raw,
+        |  floor(CAST(sum(CAST(floor(least(greatest(e.value, b.plo), b.phi) * 100
+        |      + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / count(*) * 10000 + 0.5) / 10000 AS mean_wins,
+        |  floor(min(b.plo) * 10000 + 0.5) / 10000 AS p_lo,
+        |  floor(min(b.phi) * 10000 + 0.5) / 10000 AS p_hi
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
 
     "q_transitions" ->
       """WITH nx AS (

@@ -129,6 +129,37 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Top-k user journeys: the most common opening event-type sequences
+    * (first `depth` steps) across sessions — "what do users actually do
+    * first" path analysis. Sessions are the same 30-minute-gap cut as the
+    * sessionize query; the per-session path is built with
+    * `array_sort(collect_list(struct(ts, event_id, type)))` so the order
+    * is the (ts, event_id) total order REGARDLESS of partitioning
+    * (collect_list alone has no order guarantee — the classic
+    * nondeterminism trap), then truncated to `depth` and joined with
+    * " > ". One shuffle by user, one keyed session aggregate, a count by
+    * path, and a TakeOrderedAndProject for the top k (count desc, path
+    * asc tiebreak — deterministic). */
+  def topPaths(events: DataFrame, gapMinutes: Int = 30, depth: Int = 3,
+      k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60000000L
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    val sessioned = events
+      .withColumn("__new", when(gap.isNull || gap > gapUs, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sessioned
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(array_join(slice(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))), x => x.getField("event_type")),
+        1, depth), " > ").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** First-order Markov transition matrix of the event stream: counts and
     * row-normalized probabilities of consecutive (event_type →
     * next event_type) steps within each user's (ts, event_id)-ordered

@@ -55,4 +55,36 @@ object Profile {
     val a = aggs(cols, exact = false)
     unpivot(df.agg(a.head, a.tail: _*), cols)
   }
+
+  /** Winsorized robust aggregate: per group, clip `value` into its own
+    * [lo, hi] percentile band, then report the clipped mean next to the
+    * raw mean — the outlier-resistant summary (a single fat-fingered print
+    * moves a raw mean arbitrarily; the winsorized mean is bounded by the
+    * percentile band). Two keyed aggregates over the same grouping (exact
+    * percentiles, then the clipped fold) plus one keyed join of the
+    * per-group bounds back onto the rows; the bounds table is
+    * |groups|-sized, so the join broadcasts at any corpus scale. Means
+    * are summed as integer cents so the result is partition-order
+    * independent and engine-stable. */
+  def winsorized(df: DataFrame, group: String, value: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val bounds = df.groupBy(col(group))
+      .agg(percentile(col(value), lit(lo)).as("p_lo"),
+        percentile(col(value), lit(hi)).as("p_hi"))
+    val cents = (c: org.apache.spark.sql.Column) =>
+      floor(c * 100 + lit(0.5)).cast("long")
+    df.join(bounds, group)
+      .withColumn("__clip", least(greatest(col(value), col("p_lo")), col("p_hi")))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col(value))) / 100.0 / count(lit(1))).as("mean_raw"),
+        (sum(cents(col("__clip"))) / 100.0 / count(lit(1))).as("mean_wins"),
+        (floor(min(col("p_lo")) * 10000 + lit(0.5)) / 10000).as("p_lo"),
+        (floor(min(col("p_hi")) * 10000 + lit(0.5)) / 10000).as("p_hi"))
+      .select(col(group), col("n"),
+        (floor(col("mean_raw") * 10000 + lit(0.5)) / 10000).as("mean_raw"),
+        (floor(col("mean_wins") * 10000 + lit(0.5)) / 10000).as("mean_wins"),
+        col("p_lo"), col("p_hi"))
+  }
 }

@@ -105,4 +105,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(("a", "b"))._2 == 0.5 && out(("a", "c"))._2 == 0.5)  // row 'a' sums to 1
     assert(out(("b", "a"))._2 == 0.5 && out(("b", "b"))._2 == 0.5)  // row 'b' too
   }
+
+  test("topPaths: session cut, depth truncation, deterministic order") {
+    def hrs(h: Long) = new Timestamp(1700000000000L + h * 3600000L)
+    val events = Seq(
+      // user 1, session 1: a b c d → path "a > b > c" (depth 3 truncates)
+      (1L, 1L, ts(0), "a"), (1L, 2L, ts(1), "b"), (1L, 3L, ts(2), "c"),
+      (1L, 4L, ts(3), "d"),
+      // user 1, session 2 (2h gap): a b → "a > b"
+      (1L, 5L, hrs(2), "a"),
+      (1L, 6L, new Timestamp(1700000000000L + 2 * 3600000L + 60000L), "b"),
+      // user 2, one session: a b c → "a > b > c"
+      (2L, 7L, ts(0), "a"), (2L, 8L, ts(1), "b"), (2L, 9L, ts(2), "c")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.topPaths(events, 30, 3, 10).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions"))
+    assert(out.toSeq == Seq("a > b > c" -> 2L, "a > b" -> 1L))
+    // order inside a session comes from (ts, event_id), not partitioning
+    val shuffled = EventAnalytics.topPaths(events.repartition(7), 30, 3, 10)
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions"))
+    assert(shuffled.toSeq == out.toSeq)
+  }
 }

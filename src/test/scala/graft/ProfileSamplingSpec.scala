@@ -42,4 +42,25 @@ class ProfileSamplingSpec extends AnyFunSuite {
     // heavy rows are 1000× weighted: nearly all of the 100 winners
     assert(s1.count(_ <= 100) > 80)
   }
+
+  test("winsorized mean resists an outlier; symmetric data is unchanged") {
+    import spark.implicits._
+    // group "sym": uniform 1..100 (symmetric ⇒ clipping both 5% tails
+    // cancels); group "out": 1..99 plus one 10000.0 fat-finger print
+    val rows = (1 to 100).map(i => ("sym", i.toDouble)) ++
+      (1 to 99).map(i => ("out", i.toDouble)) :+ (("out", 10000.0))
+    val df = rows.toDF("g", "v").repartition(5)
+    val out = Profile.winsorized(df, "g", "v", 0.05, 0.95).collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_raw"),
+          r.getAs[Double]("mean_wins"), r.getAs[Double]("p_lo"),
+          r.getAs[Double]("p_hi"))).toMap
+    val (nS, rawS, winS, _, _) = out("sym")
+    assert(nS == 100L && rawS == 50.5 && winS == 50.5)
+    val (nO, rawO, winO, loO, hiO) = out("out")
+    assert(nO == 100L)
+    assert(rawO > 149)               // the outlier drags the raw mean up ~100
+    assert(winO < 55 && winO > 45)   // the clipped mean stays near the bulk
+    assert(loO < hiO && hiO < 10000) // p95 is a bulk value, not the outlier
+  }
 }
