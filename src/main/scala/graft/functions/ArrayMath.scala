@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -15,10 +15,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * loop on a 2M-pair similarity join. This expression computes the same
   * left-to-right double fold (bit-identical result, so the DuckDB oracle
   * mirror `list_reduce(list_transform(...))` still matches) in one
-  * per-row call over the underlying ArrayData.
+  * per-row call over the underlying ArrayData — and, unlike a
+  * CodegenFallback, participates in whole-stage codegen: the generated
+  * Java loop is inlined into the surrounding stage, so the ANN hot path
+  * keeps one fused WholeStageCodegen span instead of breaking at every
+  * dot product to box an InternalRow for an interpreted eval() call.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
@@ -46,6 +50,22 @@ case class FloatDotProduct(left: Expression, right: Expression)
     }
     acc
   }
+
+  /** Same left-to-right fold as [[nullSafeEval]], emitted as straight-line
+    * Java inside the enclosing whole-stage-codegen function. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatDotProduct =
     copy(left = l, right = r)

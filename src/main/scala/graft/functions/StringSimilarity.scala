@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * unblocked cross join.
   */
 case class JaroWinklerSimilarity(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_winkler"
@@ -41,6 +41,16 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     StringSimilarity.jaroWinkler(
       a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+
+  /** Whole-stage codegen: a static call into the same Scala kernel
+    * [[nullSafeEval]] uses (one shared implementation, no Java-string
+    * transliteration to drift) — enough to keep the enclosing stage fused
+    * instead of breaking at every similarity call like a CodegenFallback
+    * would. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.StringSimilarity.jaroWinkler(" +
+        s"$a.toString(), $b.toString());")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSimilarity =
     copy(left = l, right = r)
