@@ -127,4 +127,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(r => (r.getAs[Timestamp]("time").getTime, r.getAs[Double]("close"))).toSeq ==
       Seq((1000L, 1.0), (2000L, 3.0), (3000L, 4.0)))
   }
+
+  test("streaming CUSUM == batch CUSUM bit-for-bit across micro-batch splits") {
+    import graft.streaming.CusumMonitor
+    import graft.operators.Signals
+    // one symbol, drift after 30 bars — same shape as the batch spec
+    val closes = (1 to 30).map(i => 100.0 + (i % 3) * 0.5) ++
+      (1 to 30).map(i => 100.0 + (i % 3) * 0.5 + i * 1.5)
+    val bars = closes.zipWithIndex.map { case (c, i) =>
+      ("X", new Timestamp(1700000000000L + i * 3600000L), c, c, c, c, 1L)
+    }.toDF("symbol", "time", "open", "high", "low", "close", "volume")
+    val batch = Signals.cusum(bars, 0.5, 5.0).orderBy("time").collect()
+    // the monitor watches the DIFF stream against batch-fitted (mu, sigma)
+    val diffs = closes.zip(closes.tail).map { case (p, c) => c - p }
+    val mu = diffs.sum / diffs.size
+    val sigma = math.sqrt(diffs.map(d => (d - mu) * (d - mu)).sum / (diffs.size - 1))
+    val obs = diffs.zipWithIndex.map { case (d, i) =>
+      CusumMonitor.Obs("X", 1700000000000L + (i + 1) * 3600000L, d)
+    }
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[CusumMonitor.Obs]
+    val q = CusumMonitor.pipeline(input.toDS(), mu, sigma, 0.5, 5.0)
+      .writeStream.format("memory").queryName("s_cusum").outputMode("append").start()
+    try {
+      // split unevenly across three micro-batches: state must carry over
+      Seq(obs.take(10), obs.slice(10, 41), obs.drop(41)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val stream = spark.table("s_cusum").orderBy("ts").collect()
+      assert(stream.length == batch.length)
+      stream.zip(batch).foreach { case (s, b) =>
+        assert(s.getAs[Long]("ts") == b.getAs[Timestamp]("time").getTime)
+        assert(s.getAs[Double]("z") == b.getAs[Double]("z"), "z")
+        assert(s.getAs[Double]("cusum_pos") == b.getAs[Double]("cusum_pos"), "pos")
+        assert(s.getAs[Double]("cusum_neg") == b.getAs[Double]("cusum_neg"), "neg")
+        assert(s.getAs[Boolean]("alarm") == b.getAs[Boolean]("alarm"), "alarm")
+      }
+    } finally q.stop()
+  }
 }
