@@ -525,6 +525,8 @@ object ExtendedEntries {
     "q_zscore_outliers" -> ((s, dir) =>
       Signals.zscoreOutliers(Tables.bars(s, dir), 20, 2.0)),
     "q_cusum" -> ((s, dir) => Signals.cusum(Tables.bars(s, dir), 0.5, 5.0)),
+    "q_corr_matrix" -> ((s, dir) =>
+      Signals.corrMatrix(Tables.bars(s, dir), 10)),
     "q_robust_outliers" -> ((s, dir) =>
       Signals.robustOutliers(Tables.bars(s, dir), 20, 3.0)),
     "q_rolling_ols" -> ((s, dir) =>
@@ -992,6 +994,35 @@ object ExtendedEntries {
         |  UNION ALL SELECT symbol, time, 'low', low FROM bars
         |  UNION ALL SELECT symbol, time, 'close', close FROM bars
         |) u""".stripMargin),
+    // exact-integer Pearson over 1e-4-quantized log returns, same guarded
+    // log and quantization as the Spark side
+    "q_corr_matrix" -> withTicksBars(
+      """, rr AS (
+        |  SELECT symbol, time,
+        |    CAST(floor(
+        |      CASE WHEN close > 0 AND lag(close) OVER w > 0
+        |           THEN ln(close / (lag(close) OVER w)) END * 10000 + 0.5)
+        |      AS BIGINT) AS r
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY time)
+        |), rn AS (SELECT * FROM rr WHERE r IS NOT NULL
+        |), g AS (
+        |  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.r) AS BIGINT) AS sx, CAST(sum(b.r) AS BIGINT) AS sy,
+        |    CAST(sum(a.r * a.r) AS BIGINT) AS sxx,
+        |    CAST(sum(b.r * b.r) AS BIGINT) AS syy,
+        |    CAST(sum(a.r * b.r) AS BIGINT) AS sxy
+        |  FROM rn a JOIN rn b ON a.time = b.time AND a.symbol < b.symbol
+        |  GROUP BY 1, 2 HAVING count(*) >= 10
+        |)
+        |SELECT symbol_a, symbol_b, n,
+        |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / nullif(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0)
+        |    * 10000 + 0.5) / 10000 AS corr
+        |FROM g""".stripMargin),
+
     // CUSUM via the prefix-sum identity: running sum minus its running
     // minimum, same two-layer cumulative windows as the Spark side
     "q_cusum" -> withTicksBars(

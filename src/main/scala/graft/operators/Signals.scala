@@ -252,6 +252,40 @@ object Signals {
         col("signal"))
   }
 
+  /** Full pairwise correlation matrix of per-symbol log returns — the
+    * quant-desk covariance-input primitive ([[rollingCorrelation]] tracks
+    * NAMED pairs over time; this is the all-pairs snapshot). Returns are
+    * 1e-4-quantized to integers BEFORE the pair join, so every aggregate
+    * (n, Σx, Σy, Σx², Σy², Σxy) is an exact long and the Pearson formula
+    * runs on identical inputs in both engines — no float summation order
+    * anywhere. Shape: one self-equi-join on the time key (per-time fanout
+    * is |symbols|², bounded by listing count, never corpus-sized) and one
+    * aggregate down to the |symbols|²/2 matrix; pairs with fewer than
+    * `minOverlap` common bars or zero variance yield null. */
+  def corrMatrix(bars: DataFrame, minOverlap: Int = 10): DataFrame = {
+    val q4 = (c: Column) => floor(c * 10000 + lit(0.5)).cast("long")
+    val ret = bars
+      .select(col("symbol"), col("time"),
+        q4(logRet(col("close"), lag(col("close"), 1).over(WI.w()))).as("r"))
+      .filter(col("r").isNotNull)
+    val j = ret.as("a").join(ret.as("b"),
+      col("a.time") === col("b.time") && col("a.symbol") < col("b.symbol"))
+    val g = j.groupBy(col("a.symbol").as("symbol_a"), col("b.symbol").as("symbol_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.r")).as("sx"), sum(col("b.r")).as("sy"),
+        sum(col("a.r") * col("a.r")).as("sxx"),
+        sum(col("b.r") * col("b.r")).as("syy"),
+        sum(col("a.r") * col("b.r")).as("sxy"))
+      .filter(col("n") >= minOverlap)
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy") - col("sx").cast("double") * col("sy")
+    val vx = nD * col("sxx") - col("sx").cast("double") * col("sx")
+    val vy = nD * col("syy") - col("sy").cast("double") * col("sy")
+    g.select(col("symbol_a"), col("symbol_b"), col("n"),
+      (floor(cov / nullif(sqrt(vx * vy), lit(0.0)) * 10000 + lit(0.5)) / 10000)
+        .as("corr"))
+  }
+
   /** CUSUM changepoint detector (Page 1954) over each symbol's 1-bar close
     * change. The textbook form is doubly recursive —
     * `s⁺_t = max(0, s⁺_{t-1} + z_t − k)`, `s⁻_t = max(0, s⁻_{t-1} − z_t − k)`

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Signals
@@ -104,6 +105,28 @@ class SignalsSpec extends AnyFunSuite {
     assert(flagged.length == 1)
     assert(flagged.head.getAs[Double]("close") == 130.0)
     assert(flagged.head.getAs[Double]("z") > 2.0)
+  }
+
+  test("corrMatrix: co-moving pairs 1, anti-moving -1, minOverlap filters") {
+    val rows = (0 until 30).flatMap { i =>
+      val t = new Timestamp(1700000000000L + i * 3600000L)
+      // b moves with a (same log-return sign/shape), c moves against
+      val a = 100.0 * math.pow(1.01, i) * (if (i % 2 == 0) 1.002 else 1.0)
+      Seq(("a", t, a), ("b", t, 2 * a), ("c", t, 1e6 / a)) ++
+        // d shares only 3 bars with the rest: below minOverlap
+        (if (i < 3) Seq(("d", t, a)) else Nil)
+    }
+    val bars = rows.toDF("symbol", "time", "close")
+      .withColumn("open", col("close")).withColumn("high", col("close"))
+      .withColumn("low", col("close")).withColumn("volume", lit(1L))
+    val out = Signals.corrMatrix(bars, minOverlap = 10).collect()
+      .map(r => (r.getAs[String]("symbol_a"), r.getAs[String]("symbol_b")) ->
+        r.getAs[Double]("corr")).toMap
+    // d is filtered by overlap; the remaining matrix is the 3 pairs
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b")) > 0.999)   // identical returns (2x scale drops out)
+    assert(out(("a", "c")) < -0.999)  // inverse price ⇒ negated log returns
+    assert(out(("b", "c")) < -0.999)
   }
 
   test("cusum prefix-sum identity matches the textbook recursion; shift alarms") {
