@@ -503,6 +503,8 @@ object ExtendedEntries {
     "q_cosine_topk" -> qCosineTopK,
     "q_knn_classify" -> qKnnClassify,
     "q_cosine_ivf" -> qCosineIvf,
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.embedOutliers(Tables.embeddings(s, dir), 8, 2, 0.05)),
     "q_cosine_ivf_probe" -> qCosineIvfProbe,
     "q_embed_clusters" -> qEmbedClusters,
     "q_embed_quantize" -> qEmbedQuantize,
@@ -1766,6 +1768,24 @@ object ExtendedEntries {
          |  p.votes, (p.label = t.label) AS correct
          |FROM p JOIN embeddings t ON t.vec_id = p.query_id
          |WHERE p.vrk = 1""".stripMargin,
+
+    // same trained centroids/assignment as the IVF family; bottom-frac by
+    // cosine-to-own-centroid per cluster
+    "q_embed_outliers" ->
+      s"""WITH ${oIvfAssign(8, 2)}, sc AS (
+         |  SELECT a.vec_id, a.centroid_id,
+         |    ${r4(oCos("a.embedding", "c.ce"))} AS cscore
+         |  FROM assign a JOIN cent2 c ON c.centroid_id = a.centroid_id
+         |), rk AS (
+         |  SELECT vec_id, centroid_id, cscore,
+         |    CAST(row_number() OVER (PARTITION BY centroid_id
+         |      ORDER BY cscore, vec_id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT) AS cluster_n
+         |  FROM sc
+         |)
+         |SELECT vec_id, centroid_id, cscore, rk, cluster_n,
+         |  rk <= ceil(cluster_n * 0.05) AS is_outlier
+         |FROM rk""".stripMargin,
 
     "q_cosine_ivf" ->
       s"""WITH ${oIvfAssign(8, 2)}, q AS (

@@ -118,6 +118,28 @@ object Similarity {
     cent
   }
 
+  /** Embedding outlier detection: flag the vectors LEAST similar to their
+    * own Lloyd-trained cluster centroid — the curation signal for noise,
+    * mislabeled, or out-of-distribution embeddings (a clean embedding sits
+    * near some cluster's center; junk sits near nothing). Per cluster, the
+    * bottom `frac` by cosine-to-centroid (4dp, vec_id tiebreak) is
+    * flagged, so the threshold adapts to each cluster's own density
+    * instead of a global cutoff that over-flags sparse clusters. Shape:
+    * Lloyd training (bounded-sample at corpus scale) + one broadcast
+    * assignment pass + one window keyed by centroid — the same
+    * partitioning the corpus would be laid out with. */
+  def embedOutliers(emb: DataFrame, nCentroids: Int, iters: Int,
+      frac: Double): DataFrame = {
+    require(frac > 0 && frac < 1, "frac must be in (0, 1)")
+    val asg = ivfAssign(emb, ivfTrain(emb, nCentroids, iters))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id"))
+    val w = byCluster.orderBy(col("cscore"), col("vec_id"))
+    asg.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cluster_n", count(lit(1)).over(byCluster))
+      .withColumn("is_outlier", col("rk") <= ceil(col("cluster_n") * frac))
+  }
+
   /** IVF search: probe only the query's own cluster (nprobe=1) — the scale
     * path; recall vs brute force is the standard IVF tradeoff. Centroids
     * are Lloyd-trained (iters rounds). */

@@ -81,4 +81,30 @@ class IvfPartitionSpec extends AnyFunSuite {
     val n = sizes.sum.toDouble
     assert(sizes.max < n * 0.7, s"degenerate clustering: ${sizes.mkString(",")}")
   }
+
+  test("embedOutliers flags the planted junk vector, not the cluster bulk") {
+    import spark.implicits._
+    def jit(base: Array[Float], i: Int, eps: Float) = {
+      val v = base.clone(); v(2) = eps * (i % 3); v
+    }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val rows =
+      // vec 0 in A and vec 1 in B so the k=2 seeds start one per cluster
+      Seq((0L, a), (1L, b)) ++
+        (2L to 11L).map(i => (i, jit(a, i.toInt, 0.02f))) ++
+        (12L to 21L).map(i => (i, jit(b, i.toInt, 0.02f))) :+
+        ((22L, Array(0.5f, 0.45f, 0.74f, 0f)))   // junk: near neither center
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.embedOutliers(emb, nCentroids = 2, iters = 2, frac = 0.06)
+      .collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Long]("vec_id"))
+    // ceil(cluster_n * 0.06) = 1 per cluster: the junk vector must be the
+    // flagged member of its cluster, and its rank is the cluster's worst
+    assert(flagged.contains(22L), s"junk not flagged; flagged=${flagged.mkString(",")}")
+    val junk = out.find(_.getAs[Long]("vec_id") == 22L).get
+    assert(junk.getAs[Long]("rk") == 1L)
+    // bulk members of the OTHER cluster are not flagged beyond its 1 slot
+    assert(flagged.length == 2)
+  }
 }
