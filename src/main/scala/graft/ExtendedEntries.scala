@@ -470,6 +470,9 @@ object ExtendedEntries {
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,
     "q_sketches" -> qSketches,
+    "q_sketch_rollup" -> ((s, dir) =>
+      operators.Sketches.rollupUsers(
+        operators.Sketches.dailyUserSketches(Tables.events(s, dir)))),
     "q_salted_agg" -> qSaltedAgg,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
