@@ -459,6 +459,15 @@ object ExtendedEntries {
     "q_winsorize" -> ((s, dir) =>
       operators.Profile.winsorized(Tables.events(s, dir), "event_type", "value",
         0.05, 0.95)),
+    "q_integrity" -> ((s, dir) => operators.Profile.integrity(Seq(
+      ("lineitem.l_orderkey -> orders.o_orderkey",
+        Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+      ("orders.o_custkey -> customer.c_custkey",
+        Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey"),
+      ("customer.c_nationkey -> nation.n_nationkey",
+        Tables.customer(s, dir), "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
+      ("supplier.s_nationkey -> nation.n_nationkey",
+        Tables.supplier(s, dir), "s_nationkey", Tables.nation(s, dir), "n_nationkey")))),
     "q_resample_ffill" -> qResampleFfill,
     "q_gaps" -> ((s, dir) => Resample.gaps(
       Tables.bars(s, dir), "symbol", "time", "1 hour")),
@@ -999,6 +1008,33 @@ object ExtendedEntries {
         |  UNION ALL SELECT symbol, time, 'low', low FROM bars
         |  UNION ALL SELECT symbol, time, 'close', close FROM bars
         |) u""".stripMargin),
+    "q_integrity" -> {
+      def chk(name: String, child: String, fk: String, parent: String,
+          pk: String) =
+        s"""SELECT '$name' AS relationship,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child WHERE $fk IS NULL)
+           |    AS n_null_fk,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child c
+           |   WHERE c.$fk IS NOT NULL
+           |     AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
+           |    AS n_orphans,
+           |  (SELECT count(*) FROM $child c
+           |   WHERE c.$fk IS NOT NULL
+           |     AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) = 0
+           |    AS ok""".stripMargin
+      Seq(
+        chk("lineitem.l_orderkey -> orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        chk("orders.o_custkey -> customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"),
+        chk("customer.c_nationkey -> nation.n_nationkey",
+          "customer", "c_nationkey", "nation", "n_nationkey"),
+        chk("supplier.s_nationkey -> nation.n_nationkey",
+          "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("\nUNION ALL\n")
+    },
+
     // exact-integer Pearson over 1e-4-quantized log returns, same guarded
     // log and quantization as the Spark side
     "q_corr_matrix" -> withTicksBars(

@@ -56,6 +56,27 @@ object Profile {
     unpivot(df.agg(a.head, a.tail: _*), cols)
   }
 
+  /** Referential-integrity audit: for each declared (child, fk) →
+    * (parent, pk) relationship, count child rows whose key has no parent —
+    * the data-quality gate a warehouse load runs before publishing. Each
+    * check is one left-anti join (keyed shuffle; the parent side is
+    * key-projected and deduplicated first, so at 100 TB the probe build is
+    * the parent's KEY cardinality, not its row count) plus one total
+    * count; results union into one small report. Null FKs are counted
+    * separately — a null is "relationship absent", not "dangling". */
+  def integrity(checks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    checks.map { case (name, child, fk, parent, pk) =>
+      val keys = parent.select(col(pk).as("__pk")).distinct()
+      val c = child.select(col(fk).as("__fk"))
+      val nonNull = c.filter(col("__fk").isNotNull)
+      nonNull.join(keys, col("__fk") === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_rows"),
+          count(when(col("__fk").isNull, 1)).as("n_null_fk"))))
+        .select(lit(name).as("relationship"), col("n_rows"), col("n_null_fk"),
+          col("n_orphans"), (col("n_orphans") === 0).as("ok"))
+    }.reduce(_.unionByName(_))
+
   /** Winsorized robust aggregate: per group, clip `value` into its own
     * [lo, hi] percentile band, then report the clipped mean next to the
     * raw mean — the outlier-resistant summary (a single fat-fingered print

@@ -43,6 +43,21 @@ class ProfileSamplingSpec extends AnyFunSuite {
     assert(s1.count(_ <= 100) > 80)
   }
 
+  test("integrity: planted orphan and null FK are counted separately") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk") // 99 dangles
+    val clean = Seq(Some(3L)).toDF("fk")
+    val out = Profile.integrity(Seq(
+      ("child->parent", child, "fk", parent, "pk"),
+      ("clean->parent", clean, "fk", parent, "pk"))).collect()
+      .map(r => r.getAs[String]("relationship") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null_fk"),
+          r.getAs[Long]("n_orphans"), r.getAs[Boolean]("ok"))).toMap
+    assert(out("child->parent") == ((4L, 1L, 1L, false)))
+    assert(out("clean->parent") == ((1L, 0L, 0L, true)))
+  }
+
   test("winsorized mean resists an outlier; symmetric data is unchanged") {
     import spark.implicits._
     // group "sym": uniform 1..100 (symmetric ⇒ clipping both 5% tails
