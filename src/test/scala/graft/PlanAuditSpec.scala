@@ -23,6 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cosine_topk", "q_cosine_q8", "q_hybrid_search", "q_sample_temperature",
     "q_bm25", "q_knn_classify", "q_drift",
     "q_embed_outliers", // ≤ nCentroids-row centroid broadcast
+    "q_integrity", // one-row per-relationship totals broadcast
     "q_pmi", // one-row unigram/bigram-total broadcast
     "q_triangles", // one-row census × one-row totals join
     "q_pagerank") // one-row node-count broadcast rides along every round
