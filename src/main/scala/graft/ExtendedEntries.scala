@@ -456,6 +456,8 @@ object ExtendedEntries {
       operators.EventAnalytics.transitions(Tables.events(s, dir))),
     "q_paths" -> ((s, dir) =>
       operators.EventAnalytics.topPaths(Tables.events(s, dir), 30, 3, 20)),
+    "q_peak_concurrency" -> ((s, dir) =>
+      operators.EventAnalytics.peakConcurrency(Tables.events(s, dir), 30)),
     "q_winsorize" -> ((s, dir) =>
       operators.Profile.winsorized(Tables.events(s, dir), "event_type", "value",
         0.05, 0.95)),
@@ -893,6 +895,47 @@ object ExtendedEntries {
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    // same session CTE as q_sessionize, then the sweep: +1 at clipped
+    // start / -1 after clipped end per overlapped day, running sum with
+    // starts-first tie order, per-day max (tie order within a delta class
+    // cannot move the max - see EventAnalytics.peakConcurrency)
+    "q_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |        OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+        |  FROM s GROUP BY user_id, sid
+        |), byday AS (
+        |  SELECT unnest(generate_series(CAST(st AS DATE), CAST(en AS DATE),
+        |      INTERVAL 1 DAY))::DATE AS day, st, en
+        |  FROM sess
+        |), clipped AS (
+        |  SELECT day,
+        |    greatest(st, CAST(day AS TIMESTAMP)) AS cs,
+        |    least(en, CAST(day + INTERVAL 1 DAY AS TIMESTAMP)) AS ce
+        |  FROM byday
+        |), points AS (
+        |  SELECT day, cs AS t, 1 AS delta FROM clipped
+        |  UNION ALL SELECT day, ce AS t, -1 AS delta FROM clipped
+        |), sweep AS (
+        |  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM points
+        |)
+        |SELECT day, CAST(max(c) AS BIGINT) AS peak_concurrent,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_sessions
+        |FROM sweep GROUP BY day""".stripMargin,
 
     // exact per-group percentile clip, integer-cents means
     "q_winsorize" ->

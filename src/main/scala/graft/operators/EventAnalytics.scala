@@ -160,6 +160,45 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Peak concurrent sessions per day — the capacity-planning metric,
+    * computed as a sweep line re-expressed in DataFrame terms: each
+    * session (same 30-minute-gap cut as sessionize) emits a +1 at its
+    * clipped start and a −1 after its clipped end within every day it
+    * overlaps, and the per-day peak is the max of the running sum ordered
+    * by (t, +1-before-−1) — starts processed first at a shared timestamp,
+    * so the row-level max equals the instant-level max for closed
+    * intervals (tie order WITHIN the starts can't change it: the largest
+    * value is after all of them). Partitioned by day, so the window never
+    * goes global; sessions explode only into the days they span (bounded
+    * by session length). One user shuffle for sessions, one day shuffle
+    * for the sweep. */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60000000L
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    val sess = events
+      .withColumn("__new", when(gap.isNull || gap > gapUs, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val byDay = sess
+      .select(col("s"), col("e"),
+        explode(sequence(to_date(col("s")), to_date(col("e")))).as("day"))
+      .select(col("day"),
+        greatest(col("s"), col("day").cast("timestamp")).as("cs"),
+        least(col("e"), (col("day") + lit(1)).cast("timestamp")).as("ce"))
+    val points = byDay.select(col("day"), col("cs").as("t"), lit(1).as("delta"))
+      .unionByName(byDay.select(col("day"), col("ce").as("t"), lit(-1).as("delta")))
+    val sweep = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    points.withColumn("c", sum(col("delta")).over(sweep))
+      .groupBy(col("day"))
+      .agg(max(col("c")).cast("long").as("peak_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_sessions"))
+  }
+
   /** First-order Markov transition matrix of the event stream: counts and
     * row-normalized probabilities of consecutive (event_type →
     * next event_type) steps within each user's (ts, event_id)-ordered

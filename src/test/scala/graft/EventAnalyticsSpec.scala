@@ -106,6 +106,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(("b", "a"))._2 == 0.5 && out(("b", "b"))._2 == 0.5)  // row 'b' too
   }
 
+  test("peakConcurrency: overlap counting, closed intervals, midnight split") {
+    // fixed midnight base so day clipping is exercised deterministically
+    val day0 = java.sql.Timestamp.valueOf("2023-11-15 00:00:00").getTime
+    def at(h: Double) = new Timestamp(day0 + (h * 3600000L).toLong)
+    var id = 0L
+    def burst(u: Long, fromH: Double, toH: Double) = {
+      // events every 15 min => one session spanning [fromH, toH]
+      val n = ((toH - fromH) * 4).toInt
+      (0 to n).map { i => id += 1; (u, id, at(fromH + i * 0.25), "e") }
+    }
+    val events = (burst(1L, 10.0, 11.0) ++ burst(2L, 10.5, 12.0) ++
+      burst(3L, 11.5, 11.75) ++
+      burst(4L, 23.0, 25.0)) // crosses midnight into day 2
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.peakConcurrency(events, 30).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("peak_concurrent"), r.getAs[Long]("n_sessions"))).toMap
+    // day 1: A[10,11] B[10.5,12] C[11.5,11.75] D[23,24) ⇒ peak 2
+    // (A∩B on [10.5,11], B∩C on [11.5,11.75]); 4 sessions touch day 1
+    assert(out("2023-11-15") == ((2L, 4L)))
+    // day 2: only D's tail [0,1] ⇒ peak 1
+    assert(out("2023-11-16") == ((1L, 1L)))
+  }
+
   test("topPaths: session cut, depth truncation, deterministic order") {
     def hrs(h: Long) = new Timestamp(1700000000000L + h * 3600000L)
     val events = Seq(
