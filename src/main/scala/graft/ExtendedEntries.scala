@@ -543,6 +543,8 @@ object ExtendedEntries {
     "q_cusum" -> ((s, dir) => Signals.cusum(Tables.bars(s, dir), 0.5, 5.0)),
     "q_corr_matrix" -> ((s, dir) =>
       Signals.corrMatrix(Tables.bars(s, dir), 10)),
+    "q_leadlag" -> ((s, dir) =>
+      Signals.leadLagMarket(Tables.bars(s, dir), 2, 10)),
     "q_robust_outliers" -> ((s, dir) =>
       Signals.robustOutliers(Tables.bars(s, dir), 20, 3.0)),
     "q_rolling_ols" -> ((s, dir) =>
@@ -1077,6 +1079,47 @@ object ExtendedEntries {
           "supplier", "s_nationkey", "nation", "n_nationkey"))
         .mkString("\nUNION ALL\n")
     },
+
+    // same market CTE as q_rolling_beta; both return series 1e-4-quantized
+    // to integers, hour-shifted equi-join, exact-long Pearson sums
+    "q_leadlag" -> withTicksBars(
+      """, mkt AS (
+        |  SELECT time,
+        |    CAST(sum(CAST(floor(close * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      / (count(*) * 100.0) AS mkt_close
+        |  FROM bars GROUP BY time
+        |), mr AS (
+        |  SELECT CAST(floor(epoch(time) / 3600) AS BIGINT) AS mth,
+        |    CAST(floor((CASE WHEN mkt_close > 0 AND (lag(mkt_close) OVER wm) > 0
+        |      THEN ln(mkt_close / lag(mkt_close) OVER wm) END) * 10000 + 0.5)
+        |      AS BIGINT) AS mrq
+        |  FROM mkt WINDOW wm AS (ORDER BY time)
+        |), mrn AS (SELECT * FROM mr WHERE mrq IS NOT NULL
+        |), rt AS (
+        |  SELECT symbol, CAST(floor(epoch(time) / 3600) AS BIGINT) AS th,
+        |    CAST(floor((CASE WHEN close > 0 AND (lag(close) OVER w) > 0
+        |      THEN ln(close / lag(close) OVER w) END) * 10000 + 0.5)
+        |      AS BIGINT) AS r
+        |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY time)
+        |), rn AS (SELECT * FROM rt WHERE r IS NOT NULL
+        |), lagged AS (
+        |  SELECT rn.symbol, lg.lag, rn.r, mrn.mrq
+        |  FROM rn CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) lg
+        |       JOIN mrn ON mrn.mth = rn.th + lg.lag
+        |), g AS (
+        |  SELECT symbol, lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r) AS BIGINT) AS sy, CAST(sum(mrq) AS BIGINT) AS sx,
+        |    CAST(sum(r * r) AS BIGINT) AS syy,
+        |    CAST(sum(mrq * mrq) AS BIGINT) AS sxx,
+        |    CAST(sum(r * mrq) AS BIGINT) AS sxy
+        |  FROM lagged GROUP BY 1, 2 HAVING count(*) >= 10
+        |)
+        |SELECT symbol, lag, n,
+        |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / nullif(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0)
+        |    * 10000 + 0.5) / 10000 AS corr
+        |FROM g""".stripMargin),
 
     // exact-integer Pearson over 1e-4-quantized log returns, same guarded
     // log and quantization as the Spark side

@@ -252,6 +252,52 @@ object Signals {
         col("signal"))
   }
 
+  /** Lead-lag profile of each symbol against the equal-weight market
+    * index: corr(r_sym(t), r_mkt(t + lag·1h)) for lag ∈ [−maxLag,
+    * +maxLag] — positive-lag correlation means the symbol MOVES BEFORE
+    * the market (leads), the price-discovery diagnostic behind lead-lag
+    * trading studies. The market series is the same cents-quantized
+    * per-hour mean close as [[rollingBeta]] (one row per hour, tiny, its
+    * single-partition lag is the allowlisted bounded window); returns on
+    * both sides are 1e-4-quantized integers so all Pearson sums are exact
+    * longs. Shape: the symbol-return frame fans out ×(2·maxLag+1) via a
+    * lag explode, equi-joins the broadcast market series on the shifted
+    * hour key, and aggregates straight down to |symbols|·lags rows. */
+  def leadLagMarket(bars: DataFrame, maxLag: Int = 2,
+      minOverlap: Int = 10): DataFrame = {
+    val q4 = (c: Column) => floor(c * 10000 + lit(0.5)).cast("long")
+    val th = (t: Column) => floor(unix_seconds(t) / 3600).cast("long")
+    val mkt = bars.groupBy(col("time"))
+      .agg((sum(floor(col("close") * 100 + lit(0.5)).cast("long")) /
+        (count(lit(1)) * 100.0)).as("mkt_close"))
+    val mret = mkt
+      .withColumn("mr", q4(logRet(col("mkt_close"),
+        lag(col("mkt_close"), 1).over(Window.orderBy(col("time"))))))
+      .filter(col("mr").isNotNull)
+      .select(th(col("time")).as("mth"), col("mr"))
+    val ret = bars
+      .select(col("symbol"), th(col("time")).as("th"),
+        q4(logRet(col("close"), lag(col("close"), 1).over(WI.w()))).as("r"))
+      .filter(col("r").isNotNull)
+    val g = ret
+      .withColumn("lg", explode(array((-maxLag to maxLag).map(lit(_)): _*)))
+      .join(broadcast(mret), col("mth") === col("th") + col("lg"))
+      .groupBy(col("symbol"), col("lg").as("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r")).as("sy"), sum(col("mr")).as("sx"),
+        sum(col("r") * col("r")).as("syy"),
+        sum(col("mr") * col("mr")).as("sxx"),
+        sum(col("r") * col("mr")).as("sxy"))
+      .filter(col("n") >= minOverlap)
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy") - col("sx").cast("double") * col("sy")
+    val vx = nD * col("sxx") - col("sx").cast("double") * col("sx")
+    val vy = nD * col("syy") - col("sy").cast("double") * col("sy")
+    g.select(col("symbol"), col("lag"), col("n"),
+      (floor(cov / nullif(sqrt(vx * vy), lit(0.0)) * 10000 + lit(0.5)) / 10000)
+        .as("corr"))
+  }
+
   /** Full pairwise correlation matrix of per-symbol log returns — the
     * quant-desk covariance-input primitive ([[rollingCorrelation]] tracks
     * NAMED pairs over time; this is the all-pairs snapshot). Returns are

@@ -46,7 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * input: q_rolling_beta lags the equal-weight market index, which is
     * one row per HOUR (O(calendar span), ~100k rows for a decade of
     * hours) — never corpus-sized, so one partition is the right plan. */
-  private val globalWindowAllowed = Set("q_rolling_beta")
+  private val globalWindowAllowed = Set("q_rolling_beta", "q_leadlag")
 
   test("no shipped query windows over an unpartitioned frame") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -129,6 +129,15 @@ class SignalsSpec extends AnyFunSuite {
     assert(out(("b", "c")) < -0.999)
   }
 
+  test("leadLagMarket: a lone symbol IS the market — corr 1 at lag 0 only") {
+    val closes = (0 until 40).map(i => 100.0 + 10 * math.sin(i * 0.7) + i)
+    val out = Signals.leadLagMarket(bars(closes), 2, 10).collect()
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("corr")).toMap
+    assert(out.keySet == Set(-2, -1, 0, 1, 2))
+    assert(out(0) > 0.999)                       // self vs self, aligned
+    assert(out(0) > out(1) && out(0) > out(-1))  // misaligned shifts decay
+  }
+
   test("cusum prefix-sum identity matches the textbook recursion; shift alarms") {
     // flat-ish regime then a sustained +5 step — the shape CUSUM exists to
     // catch (a single z-score outlier test misses slow sustained drifts)
