@@ -1358,12 +1358,21 @@ object ExtendedEntries {
         |  AND ((ps < 0 AND spread >= 0) OR (ps >= 0 AND spread < 0))""".stripMargin),
 
     "q_drawdown" -> withTicksBars(
-      """SELECT symbol, time, close,
-        |  max(close) OVER wp AS peak,
-        |  floor(((close - max(close) OVER wp) / nullif(max(close) OVER wp, 0))
-        |    * 10000 + 0.5) / 10000 AS drawdown
-        |FROM bars
-        |WINDOW wp AS (PARTITION BY symbol ORDER BY time
+      """, dbase AS (
+        |  SELECT symbol, time, close,
+        |    max(close) OVER wp AS peak,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY time) AS rn
+        |  FROM bars
+        |  WINDOW wp AS (PARTITION BY symbol ORDER BY time
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, time, close, peak,
+        |  floor(((close - peak) / nullif(peak, 0)) * 10000 + 0.5) / 10000
+        |    AS drawdown,
+        |  CAST(rn - max(CASE WHEN close >= peak THEN rn END) OVER wc AS BIGINT)
+        |    AS underwater_bars
+        |FROM dbase
+        |WINDOW wc AS (PARTITION BY symbol ORDER BY time
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
 
     "q_rolling_corr" ->

@@ -185,18 +185,28 @@ object Signals {
         r4(col("mean_ret_raw")).as("mean_ret"), col("volume"), col("n_rets"))
   }
 
-  /** Running drawdown: close vs the all-time-high so far, per symbol.
-    * Running max is order-independent (exact), the ratio is one double op —
-    * fully deterministic. One window pass sharing the symbol shuffle. */
+  /** Running drawdown: close vs the all-time-high so far, per symbol,
+    * plus the UNDERWATER DURATION — bars since the peak was last touched
+    * (the drawdown-duration risk stat: how long capital has been below
+    * its high-water mark). Running max is order-independent (exact); the
+    * duration is `rn − max(rn where at peak)`, two cumulative windows
+    * stacked on the same symbol sort. Equality with the running max is
+    * exact double comparison — both engines read identical parquet
+    * doubles, so the at-peak set matches bit-for-bit. */
   def drawdown(bars: DataFrame): DataFrame = {
     val spec = WI.w()
-    val peak = max(col("close"))
-      .over(spec.rowsBetween(Window.unboundedPreceding, 0))
-    bars.select(col("symbol"), col("time"), col("close"),
-      peak.as("peak"),
+    val cum = spec.rowsBetween(Window.unboundedPreceding, 0)
+    val peak = max(col("close")).over(cum)
+    val rn = row_number().over(spec)
+    val base = bars.select(col("symbol"), col("time"), col("close"),
+      peak.as("peak"), rn.as("__rn"))
+    base.select(col("symbol"), col("time"), col("close"), col("peak"),
       // nullif: a symbol whose running peak is still 0 (bad prints) would
       // otherwise be an ANSI DIVIDE_BY_ZERO at runtime
-      r4((col("close") - peak) / nullif(peak, lit(0.0))).as("drawdown"))
+      r4((col("close") - col("peak")) / nullif(col("peak"), lit(0.0)))
+        .as("drawdown"),
+      (col("__rn") - max(when(col("close") >= col("peak"), col("__rn")))
+        .over(cum)).cast("long").as("underwater_bars"))
   }
 
   /** Rolling Pearson correlation between explicit pairs of keyed series —

@@ -29,13 +29,16 @@ class SignalsSpec extends AnyFunSuite {
     assert(t >= 1700000000000L + 5 * 3600000L)
   }
 
-  test("drawdown tracks the running peak exactly") {
+  test("drawdown tracks the running peak exactly; underwater bars reset at peaks") {
     val out = Signals.drawdown(bars(Seq(100.0, 120.0, 90.0, 120.0, 150.0, 75.0)))
       .orderBy("time").collect()
     assert(out.map(_.getAs[Double]("peak")).toSeq
       == Seq(100.0, 120.0, 120.0, 120.0, 150.0, 150.0))
     assert(out.map(_.getAs[Double]("drawdown")).toSeq
       == Seq(0.0, 0.0, -0.25, 0.0, 0.0, -0.5))
+    // bar 3 re-touches the 120 peak, so it resets the underwater clock
+    assert(out.map(_.getAs[Long]("underwater_bars")).toSeq
+      == Seq(0L, 0L, 1L, 0L, 0L, 1L))
   }
 
   test("rolling correlation: perfectly co-moving series give 1, anti-moving give -1") {
