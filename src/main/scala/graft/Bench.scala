@@ -56,11 +56,18 @@ object Bench {
     }
     val ok = runs.collect { case (n, Some(t)) => n -> t }
     val errors = runs.collect { case (n, None) => n }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
+    // Truncation armor (round-4 BENCH lost the head of the line to the
+    // driver's tail capture): 3-decimal times shrink the line ~4x, the map
+    // is sorted ascending by time so the expensive queries sit at the END
+    // (the part a tail capture keeps), and the total is repeated in a
+    // trailing key so it survives even if the head is cut.
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = ok.sortBy(_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"queries":$qs,"total_sec":${f3(total)},"n_queries":${ok.size}}""")
     spark.stop()
   }
 }

@@ -271,17 +271,57 @@ object ExtendedEntries {
   private def qDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(Tables.documents(s, dir), 0.7)
 
-  /** Sketch aggregates (HLL distinct, approximate percentiles). No oracle:
-    * sketch implementations differ per engine, so the driver records the
-    * weaker rows-only check for this one by design. */
+  /** Sketch aggregates (HLL distinct, approximate percentiles), made fully
+    * oracle-checkable: the raw estimates differ per engine, so the query
+    * emits (a) exact companion aggregates DuckDB reproduces bit-for-bit and
+    * (b) booleans asserting each estimate sits inside its guaranteed error
+    * band — Spark computes the real sketch-vs-exact comparison, the oracle
+    * asserts literal TRUE, so a sketch drifting out of contract flips the
+    * hash red. Bands: HLL++ rsd 0.05 → 3σ = 15% bound; percentile_approx
+    * accuracy 1000 → rank error ε = n/1000, checked against the exact
+    * quantiles at rank ±5% (≫ ε here). Raw estimate values stay spec-gated
+    * in SketchSpec. */
   private def qSketches(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50a"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99a"),
+        expr("percentile(value, 0.45)").as("p45x"),
+        expr("percentile(value, 0.55)").as("p55x"),
+        expr("percentile(value, 0.985)").as("p985x"),
+        expr("percentile(value, 0.995)").as("p995x"))
+      .select(col("event_type"), col("n"), col("exact_users"),
+        (abs(col("au") - col("exact_users")) <=
+          col("exact_users") * lit(0.15)).as("users_in_band"),
+        col("p50a").between(col("p45x"), col("p55x")).as("p50_in_band"),
+        col("p99a").between(col("p985x"), col("p995x")).as("p99_in_band"))
+
+  /** Mergeable-sketch rollup (the 100 TB distinct-count architecture:
+    * per-day HLL sketches persisted once, later rollups merge sketches
+    * instead of re-scanning raw data), made oracle-checkable the same way
+    * as q_sketches: exact companions (n_events, n_days — pure relational
+    * aggregates DuckDB mirrors) plus a boolean pinning the MERGED estimate
+    * inside the sketch's error band vs the exact distinct count.
+    * DataSketches HLL at the default lgK=12 has rsd ≈ 1.6%, so the 10%
+    * band is ≫ 3σ. The exact-distinct join exists only to power the band
+    * check at verify SF; the merged estimate itself is what ships, and
+    * merge == direct is pinned bit-exactly in SketchSpec. */
+  private def qSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val rolled = operators.Sketches.rollupUsers(
+      operators.Sketches.dailyUserSketches(ev))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    rolled.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("n_days"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.10)).as("merged_in_band"))
+  }
 
   /** Two-phase salted aggregation over the most frequent event type —
     * same result as the plain aggregate (asserted in SkewSpec); exists as
@@ -391,21 +431,38 @@ object ExtendedEntries {
     * IEEE double — writing 0.15 literally would NOT match 1.0 − 0.85). */
   private val PrDamping = 0.85
 
-  /** 3-iteration PageRank over the symmetrized customer↔supplier trade
-    * graph (edges = distinct (custkey, suppkey) pairs that share an order;
-    * node ids disambiguated even/odd). Symmetrizing guarantees every node
-    * has an out-edge, so no dangling-mass pass is needed and the oracle is
-    * a mechanical 3-round unroll. Ranks surface ×1e6 (ppm) so 4dp rounding
-    * keeps resolution at any graph size. */
-  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct (custkey·2, suppkey·2+1) trade pairs that share an order —
+    * the node-disambiguated bipartite relation both PageRank queries rank. */
+  private def tradePairs(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("supp"))
     val od = Tables.orders(s, dir)
       .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("cust"))
-    val pairs = li.join(od, "orderkey")
+    li.join(od, "orderkey")
       .select((col("cust") * 2).as("a"), (col("supp") * 2 + 1).as("b")).distinct()
+  }
+
+  /** 3-iteration PageRank over the symmetrized customer↔supplier trade
+    * graph. Symmetrizing gives every node an out-edge, so the dangling
+    * term in [[Graph.pagerank]] contributes an exact +0.0 here. Ranks
+    * surface ×1e6 (ppm) so 4dp rounding keeps resolution at any graph
+    * size. */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = tradePairs(s, dir)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    Graph.pagerank(edges, iters = 3, d = PrDamping)
+      .select(col("node"), r(col("rank") * lit(1e6)).as("rank_ppm"))
+  }
+
+  /** 3-iteration PageRank over the DIRECTED customer→supplier graph (no
+    * symmetrization): every supplier node is a sink, so roughly half the
+    * total rank is dangling each round — the live fixture proving
+    * [[Graph.pagerank]]'s dangling-mass redistribution against the same
+    * mechanically unrolled oracle. */
+  private def qPagerankDangling(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradePairs(s, dir)
+      .select(col("a").as("src"), col("b").as("dst"))
     Graph.pagerank(edges, iters = 3, d = PrDamping)
       .select(col("node"), r(col("rank") * lit(1e6)).as("rank_ppm"))
   }
@@ -451,6 +508,7 @@ object ExtendedEntries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_pagerank" -> qPagerank,
+    "q_pagerank_dangling" -> qPagerankDangling,
     "q_triangles" -> qTriangles,
     "q_transitions" -> ((s, dir) =>
       operators.EventAnalytics.transitions(Tables.events(s, dir))),
@@ -481,9 +539,7 @@ object ExtendedEntries {
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,
     "q_sketches" -> qSketches,
-    "q_sketch_rollup" -> ((s, dir) =>
-      operators.Sketches.rollupUsers(
-        operators.Sketches.dailyUserSketches(Tables.events(s, dir)))),
+    "q_sketch_rollup" -> qSketchRollup,
     "q_salted_agg" -> qSaltedAgg,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
@@ -774,8 +830,59 @@ object ExtendedEntries {
        |$rows""".stripMargin
   }
 
+  /** Mechanical 3-round unroll of [[Graph.pagerank]]: same 1e12 rank
+    * quantization, same interpolated damping constants, and the same
+    * per-round dangling-mass CTE (quantized rank sum of nodes absent from
+    * `outdeg`, redistributed as d·D/N — on a sink-free graph dq = 0 and
+    * the term is an exact IEEE `+ 0.0`). `edgesSql` supplies the
+    * `pairs`/`edges` CTEs. */
+  private def pagerankUnrollSql(edgesSql: String): String = {
+    val rounds = (1 to 3).map { i =>
+      s"""d$i AS (
+         |  SELECT CAST(COALESCE(sum(CAST(floor(r.rank * 1e12 + 0.5) AS BIGINT)), 0) AS BIGINT) AS dq
+         |  FROM r${i - 1} r LEFT JOIN outdeg o ON r.node = o.src
+         |  WHERE o.src IS NULL
+         |), c$i AS (
+         |  SELECT e.dst,
+         |    CAST(sum(CAST(floor(r.rank / o.odeg * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sumq
+         |  FROM r${i - 1} r JOIN outdeg o ON r.node = o.src
+         |  JOIN edges e ON e.src = o.src
+         |  GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT nodes.node,
+         |    floor((${1 - PrDamping} / n.nn + $PrDamping * (COALESCE(c$i.sumq, 0) / 1e12 + d$i.dq / 1e12 / n.nn)) * 1e12 + 0.5) / 1e12 AS rank
+         |  FROM nodes CROSS JOIN n CROSS JOIN d$i
+         |  LEFT JOIN c$i ON nodes.node = c$i.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql, nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+       |), n AS (SELECT count(*) AS nn FROM nodes),
+       |outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+       |r0 AS (
+       |  SELECT node, floor(1.0 / n.nn * 1e12 + 0.5) / 1e12 AS rank
+       |  FROM nodes CROSS JOIN n
+       |),
+       |$rounds
+       |SELECT node, ${r4("rank * 1e6")} AS rank_ppm FROM r3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
-    // q_sketches intentionally has NO oracle entry (engine-specific sketches).
+    // Sketch queries: the engine-specific estimates are re-expressed as
+    // exact companions + in-band booleans (see qSketches scaladoc), so the
+    // oracle asserts the exact aggregates AND that every estimate honors
+    // its error contract (literal TRUE: a sketch out of band flips the hash).
+    "q_sketches" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS users_in_band, TRUE AS p50_in_band, TRUE AS p99_in_band
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_sketch_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS merged_in_band
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_fuzzy_join" ->
       """WITH names AS (
         |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
@@ -972,39 +1079,19 @@ object ExtendedEntries {
         |    * 10000 + 0.5) / 10000 AS p
         |FROM c""".stripMargin,
 
-    "q_pagerank" -> {
-      // mechanical 3-round unroll of Graph.pagerank: same 1e12 rank
-      // quantization, same interpolated damping constants
-      val rounds = (1 to 3).map { i =>
-        s"""c$i AS (
-           |  SELECT e.dst,
-           |    CAST(sum(CAST(floor(r.rank / o.odeg * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sumq
-           |  FROM r${i - 1} r JOIN outdeg o ON r.node = o.src
-           |  JOIN edges e ON e.src = o.src
-           |  GROUP BY e.dst
-           |), r$i AS (
-           |  SELECT nodes.node,
-           |    floor((${1 - PrDamping} / n.nn + $PrDamping * (COALESCE(c$i.sumq, 0) / 1e12)) * 1e12 + 0.5) / 1e12 AS rank
-           |  FROM nodes CROSS JOIN n LEFT JOIN c$i ON nodes.node = c$i.dst
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
-         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |), edges AS (
-         |  SELECT a AS src, b AS dst FROM pairs
-         |  UNION ALL SELECT b AS src, a AS dst FROM pairs
-         |), nodes AS (
-         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
-         |), n AS (SELECT count(*) AS nn FROM nodes),
-         |outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
-         |r0 AS (
-         |  SELECT node, floor(1.0 / n.nn * 1e12 + 0.5) / 1e12 AS rank
-         |  FROM nodes CROSS JOIN n
-         |),
-         |$rounds
-         |SELECT node, ${r4("rank * 1e6")} AS rank_ppm FROM r3""".stripMargin
-    },
+    "q_pagerank" -> pagerankUnrollSql(
+      """pairs AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+        |)""".stripMargin),
+    "q_pagerank_dangling" -> pagerankUnrollSql(
+      """pairs AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), edges AS (SELECT a AS src, b AS dst FROM pairs)""".stripMargin),
     "q_resample_ffill" -> withTicksBars(
       """, span AS (
         |  SELECT symbol, min(time) AS t0, max(time) AS t1 FROM bars GROUP BY symbol

@@ -24,41 +24,80 @@ object Graph {
 
   /** Fixed-iteration PageRank over a directed edge list `(src, dst)`.
     *
-    * r₀ = 1/N; rᵢ₊₁(v) = (1−d)/N + d·Σ_{u→v} rᵢ(u)/outdeg(u). Nodes are
-    * the union of both endpoints; nodes without in-edges keep the teleport
-    * term. The caller guarantees every node has at least one out-edge
-    * (e.g. by symmetrizing a bipartite relation) — so no dangling-mass
-    * redistribution is needed and the oracle stays a mechanical unroll.
+    * r₀ = 1/N; rᵢ₊₁(v) = (1−d)/N + d·(Σ_{u→v} rᵢ(u)/outdeg(u) + Dᵢ/N)
+    * where Dᵢ is the round's dangling mass — the summed rank of sink
+    * nodes (no out-edges), redistributed uniformly so total rank stays 1
+    * on any graph. Nodes are the union of both endpoints; nodes without
+    * in-edges keep the teleport term. On a graph with no sinks the
+    * dangling aggregate is empty, Dᵢ = 0, and the term adds an exact
+    * IEEE `+ 0.0` — results are bit-identical to the no-dangling formula.
     *
-    * Everything stays declarative: N rides along via a broadcast scalar
-    * crossJoin, never a driver-side collect. */
+    * Everything stays declarative: N and Dᵢ ride along via broadcast
+    * scalar crossJoins, never a driver-side collect. The dangling sum is
+    * quantized to integer 1e-12 units (like every rank) so both engines
+    * fold it identically. */
   def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // nodes carry a sink flag computed ONCE — the per-round dangling mass
+    // is then a filter + aggregate over the ranks frame, never a join
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outdeg.select(col("src").as("node"), lit(true).as("has_out")),
+        Seq("node"), "left")
+      .select(col("node"), col("has_out").isNull.as("is_sink"))
+      .localCheckpoint()
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     // out-degree denormalized onto each edge ONCE — each round is then a
     // single ranks ⋈ edges join instead of ranks ⋈ outdeg ⋈ edges
-    val eod = e.join(
-        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+    val eod = e.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
 
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("node"), q(lit(1.0) / col("n_nodes")).as("rank"))
+    // One driver-side probe (tiny scan of the checkpointed nodes frame,
+    // same precedent as the CC fixpoint isEmpty): a sink-free graph — the
+    // common case after symmetrization — skips the dangling machinery
+    // entirely. The skipped term is an exact IEEE `+ 0.0`, so both paths
+    // are bit-identical where both apply; the sink-free path keeps the
+    // whole loop one fused lazy job with no per-round broadcast jobs.
+    val hasSinks = !nodes.filter(col("is_sink")).isEmpty
+
+    // With sinks, ranks is consumed twice per round (dangling aggregate +
+    // contribution join), so each round lazily persists — without this the
+    // lineage doubles per iteration (2^iters leaf scans). persist (not an
+    // eager checkpoint) keeps each round's join computed exactly once,
+    // inside the broadcast/final jobs that run anyway.
+    def keep(df: DataFrame): DataFrame = if (hasSinks) df.persist() else df
+
+    var ranks = keep(nodes.crossJoin(broadcast(n))
+      .select(col("node"), col("is_sink"),
+        q(lit(1.0) / col("n_nodes")).as("rank")))
     for (_ <- 1 to iters) {
+      // round's dangling mass: summed (quantized) rank of sink nodes
+      val dangTerm =
+        if (!hasSinks) lit(0L) / lit(RankScale) / col("n_nodes")
+        else col("dangq") / lit(RankScale) / col("n_nodes")
       val contrib = ranks.as("rk")
         .join(eod.as("eg"), col("rk.node") === col("eg.src"))
         .select(col("eg.dst").as("dst"),
           floor(col("rk.rank") / col("eg.outdeg") * lit(RankScale) + lit(0.5))
             .cast("long").as("cq"))
         .groupBy(col("dst")).agg(sum(col("cq")).as("sumq"))
-      ranks = nodes.as("nd").crossJoin(broadcast(n))
+      var base = nodes.as("nd").crossJoin(broadcast(n))
+      if (hasSinks) {
+        val dang = ranks.filter(col("is_sink"))
+          .agg(coalesce(
+            sum(floor(col("rank") * lit(RankScale) + lit(0.5)).cast("long")),
+            lit(0L)).as("dangq"))
+        base = base.crossJoin(broadcast(dang))
+      }
+      ranks = keep(base
         .join(contrib.as("ct"), col("nd.node") === col("ct.dst"), "left")
-        .select(col("nd.node").as("node"),
+        .select(col("nd.node").as("node"), col("nd.is_sink").as("is_sink"),
           q(lit(1 - d) / col("n_nodes") +
-            lit(d) * (coalesce(col("sumq"), lit(0L)) / lit(RankScale))).as("rank"))
+            lit(d) * (coalesce(col("sumq"), lit(0L)) / lit(RankScale) +
+              dangTerm)).as("rank")))
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Exact triangle count (plus node/edge/wedge totals and the global

@@ -27,6 +27,19 @@ class GraphSpec extends AnyFunSuite {
     assert((1L to 5L).map(r).distinct.size == 1)
   }
 
+  test("dangling mass is redistributed: sinks conserve total rank") {
+    // chain 0→1→2 plus a feeder 3→2: nodes 2 is a pure sink; without the
+    // dangling term ~a quarter of the mass would leak every round
+    val g = Seq((0L, 1L), (1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val r = Graph.pagerank(g, iters = 5).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r.size == 4)
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"mass leaked: ${r.values.sum}")
+    // the sink absorbs the most rank; sources hold only teleport + dangling
+    assert(r(2L) > r(1L) && r(1L) > r(0L))
+    assert(math.abs(r(0L) - r(3L)) < 1e-12)               // symmetric sources
+  }
+
   test("pagerank is deterministic across repartitionings") {
     val a = Graph.pagerank(edges.repartition(7), iters = 3)
       .orderBy("node").collect().map(_.getDouble(1)).toSeq

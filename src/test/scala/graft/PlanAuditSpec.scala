@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_integrity", // one-row per-relationship totals broadcast
     "q_pmi", // one-row unigram/bigram-total broadcast
     "q_triangles", // one-row census × one-row totals join
-    "q_pagerank") // one-row node-count broadcast rides along every round
+    // one-row node-count + dangling-mass broadcasts ride along every round
+    "q_pagerank", "q_pagerank_dangling")
 
   test("no shipped query plans a cartesian or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
