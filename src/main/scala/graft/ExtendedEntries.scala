@@ -128,6 +128,30 @@ object ExtendedEntries {
     Multimodal.frameSample(
       Multimodal.mediaFromDocs(Tables.documents(s, dir)), stride = 2)
 
+  /** Real-container codec pass: synthesize a valid PCM WAV per doc, parse
+    * its RIFF header back with codegen expressions. The oracle recomputes
+    * every field (and the 44 header bytes) arithmetically from doc_id, so
+    * a single bit wrong in either direction of the codec fails the hash. */
+  private def qMediaWav(s: SparkSession, dir: String): DataFrame =
+    Multimodal.parseWav(Multimodal.synthWav(Tables.documents(s, dir)))
+
+  private def qMediaBmp(s: SparkSession, dir: String): DataFrame =
+    Multimodal.parseBmp(Multimodal.synthBmp(Tables.documents(s, dir)))
+
+  /** Mixed-modality corpus inventory: evens are audio, odds are images. */
+  private def qMediaStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Multimodal.modalityStats(
+      Multimodal.parseWav(Multimodal.synthWav(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0))),
+      Multimodal.parseBmp(Multimodal.synthBmp(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))))
+  }
+
+  private def qPackInterleaved(s: SparkSession, dir: String): DataFrame =
+    Multimodal.packInterleaved(Tables.documents(s, dir), chunkSize = 40,
+      stride = 30, tokensPerFrame = 64, seqLen = 512, docsPerBucket = 64)
+
   /** TPC-H-Q1-style pricing summary; money in integer cents. */
   private def qAggPricing(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -583,6 +607,10 @@ object ExtendedEntries {
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_frame_sample" -> qFrameSample,
+    "q_media_wav" -> qMediaWav,
+    "q_media_bmp" -> qMediaBmp,
+    "q_media_stats" -> qMediaStats,
+    "q_pack_interleaved" -> qPackInterleaved,
     "q_agg_pricing" -> qAggPricing,
     "q_join_revenue" -> qJoinRevenue,
     "q_sessionize" -> qSessionize,
@@ -638,6 +666,12 @@ object ExtendedEntries {
   /** DuckDB 60-bit md5 hash (mirrors TextAnalysis.hash60). */
   private def oHash60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB little-endian n-byte uppercase hex of a nonnegative integer
+    * expression (mirrors Multimodal.leHex). */
+  private def oLe(e: String, n: Int): String =
+    (0 until n).map(i => s"lpad(hex((($e) // ${1L << (8 * i)}) % 256), 2, '0')")
+      .mkString("concat(", ", ", ")")
 
   /** Distinct (doc_id, 31-bit shingle-hash) index (mirrors Dedup.shingleIndex). */
   private val oShingleIdx: String =
@@ -2148,6 +2182,121 @@ object ExtendedEntries {
         |)
         |SELECT doc_id, frame_idx, frame_offset, n_bytes
         |FROM fr WHERE frame_idx % 2 = 0""".stripMargin,
+
+    "q_media_wav" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    1 + doc_id % 2 AS channels,
+         |    8000 * (1 + doc_id % 5) AS rate
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, channels, rate,
+         |    channels * 2 AS block_align,
+         |    rate * channels * 2 AS byte_rate,
+         |    (doc_id % 100 + 1) * channels * 2 AS data_size
+         |  FROM f
+         |)
+         |SELECT doc_id, TRUE AS is_wav,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(rate AS BIGINT) AS sample_rate,
+         |  CAST(byte_rate AS BIGINT) AS byte_rate,
+         |  CAST(block_align AS BIGINT) AS block_align,
+         |  CAST(16 AS BIGINT) AS bits_per_sample,
+         |  CAST(data_size AS BIGINT) AS data_size,
+         |  CAST(44 + data_size AS BIGINT) AS n_bytes,
+         |  concat('52494646', ${oLe("data_size + 36", 4)},
+         |    '57415645', '666D7420', ${oLe("16", 4)}, ${oLe("1", 2)},
+         |    ${oLe("channels", 2)}, ${oLe("rate", 4)},
+         |    ${oLe("byte_rate", 4)}, ${oLe("block_align", 2)},
+         |    ${oLe("16", 2)}, '64617461', ${oLe("data_size", 4)})
+         |    AS header_hex,
+         |  CAST((data_size * 1000000) // byte_rate AS BIGINT) AS duration_us
+         |FROM g""".stripMargin,
+
+    "q_media_bmp" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    16 + doc_id % 64 AS width,
+         |    16 + doc_id % 48 AS height
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, width, height,
+         |    ((width * 3 + 3) // 4) * 4 AS stride
+         |  FROM f
+         |), h AS (
+         |  SELECT doc_id, width, height, stride,
+         |    stride * height AS image_size
+         |  FROM g
+         |)
+         |SELECT doc_id, TRUE AS is_bmp,
+         |  CAST(image_size + 54 AS BIGINT) AS file_size,
+         |  CAST(54 AS BIGINT) AS pixel_offset,
+         |  CAST(width AS BIGINT) AS width,
+         |  CAST(height AS BIGINT) AS height,
+         |  CAST(24 AS BIGINT) AS bpp,
+         |  CAST(image_size AS BIGINT) AS image_size,
+         |  CAST(image_size + 54 AS BIGINT) AS n_bytes,
+         |  concat('424D', ${oLe("image_size + 54", 4)}, '00000000',
+         |    ${oLe("54", 4)}, ${oLe("40", 4)}, ${oLe("width", 4)},
+         |    ${oLe("height", 4)}, ${oLe("1", 2)}, ${oLe("24", 2)},
+         |    ${oLe("0", 4)}, ${oLe("image_size", 4)}, ${oLe("2835", 4)},
+         |    ${oLe("2835", 4)}, ${oLe("0", 4)}, ${oLe("0", 4)})
+         |    AS header_hex,
+         |  CAST(stride AS BIGINT) AS stride
+         |FROM h""".stripMargin,
+
+    "q_media_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    (doc_id % 100 + 1) * (1 + doc_id % 2) * 2 AS data_size,
+        |    8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2 AS byte_rate
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), b AS (
+        |  SELECT doc_id, 16 + doc_id % 64 AS width, 16 + doc_id % 48 AS height,
+        |    (((16 + doc_id % 64) * 3 + 3) // 4) * 4 * (16 + doc_id % 48)
+        |      AS image_size
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), u AS (
+        |  SELECT 'audio/wav' AS modality, 44 + data_size AS n_bytes,
+        |    (data_size * 1000000) // byte_rate AS units FROM w
+        |  UNION ALL
+        |  SELECT 'image/bmp', 54 + image_size, width * height FROM b
+        |)
+        |SELECT modality, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(units) AS BIGINT) AS total_units,
+        |  CAST(sum(units) // count(*) AS BIGINT) AS avg_unit
+        |FROM u GROUP BY modality""".stripMargin,
+
+    "q_pack_interleaved" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 30)) AS start
+        |  FROM tk
+        |), ch AS (
+        |  SELECT doc_id, CAST((start - 1) // 30 AS BIGINT) AS chunk_id,
+        |    toks[start:least(start + 39, len(toks))] AS ctoks
+        |  FROM st
+        |), items AS (
+        |  SELECT doc_id, chunk_id * 2 AS chunk_id, 'text' AS kind,
+        |    CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens
+        |  FROM ch
+        |  UNION ALL
+        |  SELECT doc_id, CAST(fi * 2 + 1 AS BIGINT), 'frame', CAST(64 AS BIGINT)
+        |  FROM (SELECT doc_id, unnest([0, 2]) AS fi FROM documents)
+        |), o AS (
+        |  SELECT doc_id, chunk_id, kind, n_chunk_tokens,
+        |    CAST(coalesce(sum(n_chunk_tokens) OVER (
+        |      ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS global_offset
+        |  FROM items
+        |)
+        |SELECT *,
+        |  global_offset // 512 AS seq_id,
+        |  global_offset % 512 AS seq_offset,
+        |  (global_offset % 512) + n_chunk_tokens > 512 AS spans_seq
+        |FROM o""".stripMargin,
 
     "q_agg_pricing" ->
       """WITH c AS (

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MatOps
 
 /** Benchmark decontamination: flag training documents that share word
   * n-grams with a held-out evaluation set — the standard pre-training
@@ -30,7 +31,7 @@ object Decontamination {
     */
   def screen(docs: DataFrame, evalPred: Column, n: Int, minHits: Int): DataFrame = {
     // two consumers (eval-gram set, training scan) — tokenize→md5 once
-    val idx = Dedup.shingleIndex(docs, n).localCheckpoint()
+    val idx = Dedup.shingleIndex(docs, n).materialize
     val evalIds = docs.filter(evalPred).select(col("doc_id"))
     // distinct eval n-gram hashes: small by construction — broadcast
     val evalGrams = idx.join(evalIds, "doc_id").select(col("h")).distinct()

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MatOps
 
 /** Deduplication family for the training-data pipeline: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash.
@@ -60,7 +61,7 @@ object Dedup {
         explode(TextAnalysis.shinglesFromTokens(col("toks"), n)).as("g"))
       .select(col("doc_id"), TextAnalysis.hash60(col("g")).as("h"))
     val per = grams.groupBy(col("h"), col("doc_id"))
-      .agg(count(lit(1)).as("c")).localCheckpoint()
+      .agg(count(lit(1)).as("c")).materialize
     val nDocs = per.groupBy(col("h")).agg(count(lit(1)).as("nd"))
     val agg = per.join(nDocs, "h")
       .groupBy(col("doc_id"))
@@ -107,7 +108,7 @@ object Dedup {
     * not two). */
   def jaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
       maxDf: Int = 100): DataFrame = {
-    val capped = cappedIndex(shingleIndex(docs, n), maxDf).localCheckpoint()
+    val capped = cappedIndex(shingleIndex(docs, n), maxDf).materialize
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = capped.as("a")
       .join(capped.as("b"),
@@ -134,7 +135,7 @@ object Dedup {
     * join). */
   def containmentPairs(docs: DataFrame, theta: Double, n: Int = 3,
       maxDf: Int = 100): DataFrame = {
-    val capped = cappedIndex(shingleIndex(docs, n), maxDf).localCheckpoint()
+    val capped = cappedIndex(shingleIndex(docs, n), maxDf).materialize
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = capped.as("a")
       .join(capped.as("b"),
@@ -192,7 +193,7 @@ object Dedup {
     val v = w.join(norms, "doc_id")
       .select(col("token"), col("doc_id"),
         (col("w") / nullif(col("nrm"), lit(0.0))).as("wn"))
-      .localCheckpoint()
+      .materialize
     v.as("a").join(v.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -239,11 +240,11 @@ object Dedup {
     // materialize the shingle index once: signatures AND the Jaccard verify
     // read it, and their subplans diverge enough (AQE broadcast conversion)
     // that ReuseExchange cannot dedupe the tokenize→md5 pipeline
-    val idx = shingleIndex(docs, n).localCheckpoint()
+    val idx = shingleIndex(docs, n).materialize
     // signatures are one narrow row per doc — materialize them too so the
     // band self-join reads a cached frame instead of re-running the 16-agg
     // pipeline per side
-    val sig = minhashSignaturesFromIndex(idx).localCheckpoint()
+    val sig = minhashSignaturesFromIndex(idx).materialize
     val bands = sig.select(col("doc_id"),
       explode(expr(
         (0 until MinHashK / 2)
@@ -275,7 +276,7 @@ object Dedup {
     // re-execute per iteration
     val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .materialize
     // seed labels with the first neighbor-min hop fused into initialization
     // (label₀ = min(self, neighbors)) — for the dominant case of small
     // cliques this IS the fixpoint, so the loop runs exactly one
@@ -303,7 +304,7 @@ object Dedup {
           Seq("label"), "left")
         .select(col("doc_id"), col("_prev"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint() // truncate the iterative lineage
+        .materialize // truncate the iterative lineage
       converged = ptr.filter(col("label") =!= col("_prev")).isEmpty
       labels = ptr.select(col("doc_id"), col("label"))
       rounds += 1
@@ -441,10 +442,10 @@ object Dedup {
       tau: Double, n: Int = 3): DataFrame = {
     val flagged = docs.withColumn("_is_batch", batchPred)
     // one tokenize→md5 pass feeds signatures, verification, and the report
-    val idx = shingleIndex(flagged, n).localCheckpoint()
+    val idx = shingleIndex(flagged, n).materialize
     val sig = minhashSignaturesFromIndex(idx)
       .join(flagged.select(col("doc_id"), col("_is_batch")), "doc_id")
-      .localCheckpoint() // narrow per-doc row; reused by both join sides
+      .materialize // narrow per-doc row; reused by both join sides
     val bands = sig.select(col("doc_id"), col("_is_batch"),
       explode(expr(
         (0 until MinHashK / 2)
@@ -521,7 +522,7 @@ object Dedup {
     val width = 60 / nBands
     val mask = (1L << width) - 1
     // one row per doc (doc_id, long) — materialize once; see minhashLshPairs
-    val sh = simhash(docs).localCheckpoint()
+    val sh = simhash(docs).materialize
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .select(col("doc_id"), col("simhash"), col("band"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MatOps
 
 /** Iterative graph analytics on edge lists (beyond the connected-components
   * pass in [[Dedup]]): fixed-iteration PageRank.
@@ -9,8 +10,8 @@ import org.apache.spark.sql.functions._
   * Scale design: each iteration is one keyed join (ranks ⋈ edges on src)
   * plus one aggregate (sum of contributions by dst) — the standard
   * Pregel-as-DataFrame shape. Iterations only grow the logical plan (no
-  * driver-side data); for deep iteration counts callers should
-  * `localCheckpoint` between rounds like the CC loop does. Ranks are
+  * driver-side data); structural frames go through [[Materialize]] (local /
+  * persist / reliable-checkpoint, cluster-selectable). Ranks are
   * re-quantized to integers at every round so float summation order cannot
   * drift between partitionings or engines (the repo's integer-cents rule).
   */
@@ -37,7 +38,7 @@ object Graph {
     * quantized to integer 1e-12 units (like every rank) so both engines
     * fold it identically. */
   def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().materialize
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // nodes carry a sink flag computed ONCE — the per-round dangling mass
     // is then a filter + aggregate over the ranks frame, never a join
@@ -46,12 +47,12 @@ object Graph {
       .join(outdeg.select(col("src").as("node"), lit(true).as("has_out")),
         Seq("node"), "left")
       .select(col("node"), col("has_out").isNull.as("is_sink"))
-      .localCheckpoint()
+      .materialize
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     // out-degree denormalized onto each edge ONCE — each round is then a
     // single ranks ⋈ edges join instead of ranks ⋈ outdeg ⋈ edges
     val eod = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
+      .select(col("src"), col("dst"), col("outdeg")).materialize
 
     // One driver-side probe (tiny scan of the checkpointed nodes frame,
     // same precedent as the CC fixpoint isEmpty): a sink-free graph — the
@@ -117,9 +118,9 @@ object Graph {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct().materialize
     val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg")).localCheckpoint()
+      .groupBy("node").agg(count(lit(1)).as("deg")).materialize
     val keepAB = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val dir = und

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MatOps
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`).
   *
@@ -113,7 +114,7 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("sc"))
         .select(col("centroid_id"), expr("transform(sc, e -> e.c)").as("ce"))
-        .localCheckpoint() // k rows; truncates the iterative lineage
+        .materialize // k rows; truncates the iterative lineage
     }
     cent
   }
@@ -151,7 +152,7 @@ object Similarity {
     // cross-join+window. At corpus scale this is the persisted assignment
     // table the corpus is partitioned by.
     val assign = ivfAssign(emb, ivfTrain(emb, nCentroids, iters))
-      .select("vec_id", "centroid_id").localCheckpoint()
+      .select("vec_id", "centroid_id").materialize
     val withCluster = emb.join(assign, "vec_id")
     val q = withCluster.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -176,7 +177,7 @@ object Similarity {
       k: Int, nprobe: Int, iters: Int = 2): DataFrame = {
     val cent = ivfTrain(emb, nCentroids, iters) // ends checkpointed (k rows)
     val assign = ivfAssign(emb, cent)
-      .select("vec_id", "centroid_id").localCheckpoint()
+      .select("vec_id", "centroid_id").materialize
     val withCluster = emb.join(assign, "vec_id")
     val qe = emb.filter(col("vec_id") < nQueries)
     val probes = ivfAssignTop(qe, cent, nprobe)
@@ -206,7 +207,7 @@ object Similarity {
     // ivfSearch); narrow (vec_id, centroid_id) rows
     val withCluster = emb
       .join(ivfAssign(emb, ivfTrain(emb, nCentroids, iters))
-        .select("vec_id", "centroid_id").localCheckpoint(), "vec_id")
+        .select("vec_id", "centroid_id").materialize, "vec_id")
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         norm(col("embedding")).as("nrm"))
     val a = withCluster.select(col("centroid_id"), col("vec_id").as("vec_a"),
@@ -268,7 +269,7 @@ object Similarity {
     * rounded rank score with neighbor-id tiebreak. Same broadcast-probe
     * plan as [[cosineTopK]], ~4× less data moved per vector. */
   def cosineTopKQ8(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val quant = quantizeInt8(emb).localCheckpoint() // one quantization pass
+    val quant = quantizeInt8(emb).materialize // one quantization pass
     val q = quant.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qvec").as("qq"))
     val qdot = expr(
@@ -320,7 +321,7 @@ object Similarity {
     // corpus scale this is the precomputed code table written next to the
     // embeddings.
     val coded = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"), code.as("code")).localCheckpoint()
+      norm(col("embedding")).as("nrm"), code.as("code")).materialize
     val nBands = nPlanes / bandBits
     val mask = (1L << bandBits) - 1
     val bands = coded.select(col("vec_id"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MatOps
 
 /** Text-analysis operators for the large-scale training-data pipeline:
   * language ID, quality scoring, token counting, fingerprinting.
@@ -236,7 +237,7 @@ object TextAnalysis {
       .select(explode(shinglesFromTokens(col("toks"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      .localCheckpoint()
+      .materialize
     val prefix = bi.groupBy(col("w1")).agg(sum(col("n")).as("n_prefix"))
     bi.filter(col("n") >= minCount)
       .join(prefix, "w1")

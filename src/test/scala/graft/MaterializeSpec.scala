@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Graph, Materialize}
+
+/** The materialization strategy moves bytes, never values: the iterative
+  * consumers (CC fixpoint loop, PageRank rounds) must produce bit-identical
+  * frames under local / persist / checkpoint. `persist` + `checkpoint` are
+  * the cluster-mode paths (recompute-on-loss / durable truncation) that a
+  * local[_] run cannot exercise for fault tolerance — but it CAN pin that
+  * swapping the strategy never changes a result. */
+class MaterializeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // two 3-cliques bridged to nothing + one chain + isolated pair: several
+  // components, >1 CC round, and a sink-heavy directed graph for pagerank
+  private def pairs = Seq(
+    (1L, 2L), (2L, 3L), (1L, 3L),
+    (10L, 11L), (11L, 12L),
+    (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L),
+    (30L, 31L)).toDF("doc_a", "doc_b")
+
+  private def edges = pairs.select(
+    org.apache.spark.sql.functions.col("doc_a").as("src"),
+    org.apache.spark.sql.functions.col("doc_b").as("dst"))
+
+  private def withStrategy[A](s: String)(f: => A): A = {
+    spark.conf.set(Materialize.ConfKey, s)
+    try f finally spark.conf.unset(Materialize.ConfKey)
+  }
+
+  test("CC and PageRank results are identical under all three strategies") {
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    def ccRun() = Dedup.connectedComponents(pairs)
+      .orderBy("doc_id").collect().toSeq
+    def prRun() = Graph.pagerank(edges, iters = 3)
+      .orderBy("node").collect().toSeq
+    val (ccLocal, prLocal) = (ccRun(), prRun())            // default: local
+    for (s <- Seq("persist", "checkpoint")) withStrategy(s) {
+      assert(ccRun() == ccLocal, s"CC drifted under strategy=$s")
+      assert(prRun() == prLocal, s"PageRank drifted under strategy=$s")
+    }
+  }
+
+  test("unknown strategy fails fast") {
+    withStrategy("bogus") {
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs).collect()
+      }
+    }
+  }
+}
