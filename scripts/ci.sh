@@ -1,9 +1,26 @@
 #!/usr/bin/env bash
 # One-command green gate (mirrors the reference's lint+pytest CI shape):
 #   compile + unit suites + the end-to-end oracle gate at sf0.001/sf0.01.
-# Usage: scripts/ci.sh [--fast]   (--fast: sf0.001 oracle gate only)
+# Usage: scripts/ci.sh [--fast|--bench]
+#   --fast   sf0.001 oracle gate only
+#   --bench  perf-floor mode: run graft.Bench at sf0.1 and fail on any
+#            query slower than 2x its committed floor (scripts/bench_floor.json,
+#            the min-of-N times from past rounds) — catches regressions like
+#            round 5's q_simhash before a round ships. Refresh the floor with:
+#            python3 scripts/bench_floor.py --update bench_out.json
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+if [[ "${1:-}" == "--bench" ]]; then
+  echo "== sbt compile =="
+  sbt -batch compile
+  echo "== bench perf floor (sf0.1, 2x gate) =="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=bench_out.json \
+    sbt -batch "runMain graft.Bench"
+  python3 scripts/bench_floor.py bench_out.json
+  echo "CI BENCH GREEN"
+  exit 0
+fi
 
 echo "== sbt Test/compile =="
 sbt -batch Test/compile

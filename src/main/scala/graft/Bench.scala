@@ -37,10 +37,18 @@ object Bench {
       materialize("q_join_revenue")
     } catch { case _: Throwable => () }
 
-    // dev-only subset filter (unset for the driver's full run)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    // dev-only subset filter (unset for the driver's full run). An empty or
+    // whitespace-only value is treated as unset — Set("") would otherwise
+    // silently filter out EVERY query with no signal in the output.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names = all.filter(n => only.forall(_.contains(n)))
+    only.foreach { _ =>
+      System.err.println(
+        s"[bench] SPARK_GRAFT_ONLY active: running ${names.size}/${all.size} queries")
+    }
 
     // min of two runs per query: steady-state latency, JIT/codegen noise out
     val runs = names.map { name =>
@@ -56,18 +64,25 @@ object Bench {
     }
     val ok = runs.collect { case (n, Some(t)) => n -> t }
     val errors = runs.collect { case (n, None) => n }
-    // Truncation armor (round-4 BENCH lost the head of the line to the
-    // driver's tail capture): 3-decimal times shrink the line ~4x, the map
-    // is sorted ascending by time so the expensive queries sit at the END
-    // (the part a tail capture keeps), and the total is repeated in a
-    // trailing key so it survives even if the head is cut.
-    def f3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT pins the decimal separator — "%.3f" under a comma-decimal
+    // default locale (de_DE) would emit invalid JSON ("value":0,123).
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = ok.sortBy(_._2)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"queries":$qs,"total_sec":${f3(total)},"n_queries":${ok.size}}""")
+    // The full per-query JSON goes to a FILE (the round-5 line, even with
+    // 3-dp + ascending-sort armor, still overflowed the driver's capture
+    // window and parsed as null). Stdout is a short totals-first pointer
+    // line that always fits; the complete artifact lives in bench_out.json
+    // and is committed with the round.
+    val fullJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"queries":$qs,"total_sec":${f3(total)},"n_queries":${ok.size}}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","total_sec":${f3(total)},"n_queries":${ok.size},"errors":$errs,"file":"$outFile"}""")
     spark.stop()
   }
 }

@@ -82,6 +82,11 @@ object ExtendedEntries {
   private def qCosineIvfProbe(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfSearchMultiProbe(Tables.embeddings(s, dir), 8, 10, 3, nprobe = 2)
 
+  /** ANN quality metric: recall@5 of the nprobe=2 IVF search vs the exact
+    * brute-force top-5 on the same 10 queries. */
+  private def qIvfRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfRecall(Tables.embeddings(s, dir), 8, 10, 5, nprobe = 2)
+
   /** Semantic-cluster summary over the trained IVF assignment: per-cluster
     * membership count, mean and min cosine-to-centroid — the cluster-size /
     * cohesion view used to pick C and spot skewed clusters before
@@ -147,6 +152,19 @@ object ExtendedEntries {
       Multimodal.parseBmp(Multimodal.synthBmp(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1))))
   }
+
+  /** PNG chunk-chain walk: synthesize real multi-chunk PNGs (variable
+    * chunk count + lengths, real CRC-32s) and parse them back by walking
+    * the offset-chained chunk list in pure codegen. */
+  private def qMediaPng(s: SparkSession, dir: String): DataFrame =
+    Multimodal.parsePng(Multimodal.synthPng(Tables.documents(s, dir)))
+
+  /** Corrupt-payload quarantine: deterministic corruptions (bad magic /
+    * bad CRC / truncated chain) routed to a reason-tagged quarantine
+    * relation by the integrity gate of the PNG walk. */
+  private def qMediaQuarantine(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pngQuarantine(
+      Multimodal.parsePng(Multimodal.synthPngCorrupt(Tables.documents(s, dir))))
 
   private def qPackInterleaved(s: SparkSession, dir: String): DataFrame =
     Multimodal.packInterleaved(Tables.documents(s, dir), chunkSize = 40,
@@ -600,6 +618,7 @@ object ExtendedEntries {
     "q_embed_outliers" -> ((s, dir) =>
       Similarity.embedOutliers(Tables.embeddings(s, dir), 8, 2, 0.05)),
     "q_cosine_ivf_probe" -> qCosineIvfProbe,
+    "q_ivf_recall" -> qIvfRecall,
     "q_embed_clusters" -> qEmbedClusters,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_cosine_q8" -> qCosineQ8,
@@ -610,6 +629,8 @@ object ExtendedEntries {
     "q_media_wav" -> qMediaWav,
     "q_media_bmp" -> qMediaBmp,
     "q_media_stats" -> qMediaStats,
+    "q_media_png" -> qMediaPng,
+    "q_media_quarantine" -> qMediaQuarantine,
     "q_pack_interleaved" -> qPackInterleaved,
     "q_agg_pricing" -> qAggPricing,
     "q_join_revenue" -> qJoinRevenue,
@@ -2143,6 +2164,52 @@ object ExtendedEntries {
          |)
          |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 3""".stripMargin,
 
+    // recall@5 of the nprobe=2 IVF ranking vs the exact brute-force top-5
+    // (both rankings deterministic: 4dp scores, neighbor_id tiebreak)
+    "q_ivf_recall" ->
+      s"""WITH ${oIvfAssign(8, 2)}, qp AS (
+         |  SELECT vec_id AS query_id, centroid_id AS qc FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${r4(oCos("e.embedding", "c.ce"))} DESC, c.centroid_id) AS arn
+         |    FROM embeddings e, cent2 c
+         |    WHERE e.vec_id < 10
+         |  ) WHERE arn <= 2
+         |), q AS (
+         |  SELECT e.vec_id AS query_id, e.embedding AS qe, qp.qc
+         |  FROM embeddings e JOIN qp ON qp.query_id = e.vec_id
+         |), s AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    ${r4(oCos("q.qe", "a.embedding"))} AS score
+         |  FROM assign a, q
+         |  WHERE a.centroid_id = q.qc AND a.vec_id != q.query_id
+         |), ap AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS rk
+         |    FROM s
+         |  ) WHERE rk <= 5
+         |), xq AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+         |), xs AS (
+         |  SELECT xq.query_id, e.vec_id AS neighbor_id,
+         |    ${r4(oCos("xq.qe", "e.embedding"))} AS score
+         |  FROM embeddings e, xq WHERE e.vec_id != xq.query_id
+         |), ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS rk
+         |    FROM xs
+         |  ) WHERE rk <= 5
+         |)
+         |SELECT ex.query_id, 5 AS k, count(ap.neighbor_id) AS hits,
+         |  ${r4("count(ap.neighbor_id) / 5.0")} AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin,
+
     "q_dedup_embed_ivf" ->
       s"""WITH ${oIvfAssign(8, 2)}, s AS (
          |  SELECT a.centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -2244,6 +2311,65 @@ object ExtendedEntries {
          |    AS header_hex,
          |  CAST(stride AS BIGINT) AS stride
          |FROM h""".stripMargin,
+
+    // PNG walk oracle: expectations re-derived from the shared generation
+    // rule (DuckDB has no crc32, so crc_ok/iend_ok are asserted from the
+    // rule — the in-band error-contract pattern of the sketch queries; the
+    // Spark side REALLY recomputes each CRC from the bytes)
+    "q_media_png" ->
+      """WITH t AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(12 + 9 + (d.doc_id + j.i) % 21) AS BIGINT) AS text_bytes,
+        |    CAST(sum(9 + (d.doc_id + j.i) % 21) AS BIGINT) AS text_len,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM documents d, range(1, 5) j(i)
+        |  WHERE j.i <= 1 + d.doc_id % 4
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT doc_id, TRUE AS is_png,
+        |  CAST(1 + doc_id % 128 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 96 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END
+        |    AS BIGINT) AS color_type,
+        |  CAST(doc_id % 2 AS BIGINT) AS interlace,
+        |  CAST(3 + k AS BIGINT) AS n_chunks,
+        |  concat('IHDR', repeat(',tEXt', CAST(k AS INT)), ',IDAT,IEND')
+        |    AS chunk_types,
+        |  CAST(13 + text_len + 1 + doc_id % 50 AS BIGINT) AS total_data_len,
+        |  TRUE AS crc_ok, TRUE AS iend_ok,
+        |  CAST(8 + 25 + text_bytes + 12 + 1 + doc_id % 50 + 12 AS BIGINT)
+        |    AS n_bytes
+        |FROM t""".stripMargin,
+
+    // corruption rule precedence (bad_crc > bad_magic > truncated) is the
+    // SYNTH-side application order; the parse-side reason precedence
+    // (bad_magic > bad_crc > truncated) maps 1:1 because each corruption
+    // trips exactly its own gate
+    "q_media_quarantine" ->
+      """WITH t AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(12 + 9 + (d.doc_id + j.i) % 21) AS BIGINT) AS text_bytes,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM documents d, range(1, 5) j(i)
+        |  WHERE j.i <= 1 + d.doc_id % 4
+        |  GROUP BY d.doc_id
+        |), c AS (
+        |  SELECT doc_id, k,
+        |    8 + 25 + text_bytes + 12 + 1 + doc_id % 50 + 12 AS nb,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'bad_crc'
+        |         WHEN doc_id % 11 = 0 THEN 'bad_magic'
+        |         WHEN doc_id % 13 = 0 THEN 'truncated' END AS reason
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN reason = 'truncated' THEN nb - 12 ELSE nb END
+        |    AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN reason = 'bad_magic' THEN 0
+        |            WHEN reason = 'truncated' THEN 2 + k
+        |            ELSE 3 + k END AS BIGINT) AS n_chunks,
+        |  reason
+        |FROM c WHERE reason IS NOT NULL""".stripMargin,
 
     "q_media_stats" ->
       """WITH w AS (

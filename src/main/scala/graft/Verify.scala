@@ -15,8 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-only subset filter (unset for the driver's full run)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // dev-only subset filter (unset for the driver's full run). Empty /
+    // whitespace-only values are treated as unset — Set("") would silently
+    // filter out every query (empty output dir, no error, zeroed round).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { o =>
+      val run = SparkEntry.queries.keys.count(o.contains)
+      System.err.println(
+        s"[verify] SPARK_GRAFT_ONLY active: running $run/${SparkEntry.queries.size} queries")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -287,6 +287,7 @@ object Dedup {
     var converged = false
     var rounds = 0
     val maxRounds = 30 // pointer jumping ⇒ O(log diameter); 2^30 ≫ any graph
+    var prevMat: Option[DataFrame] = None
     while (!converged && rounds < maxRounds) {
       // neighbor-min step (one hop); _prev carries the round's starting
       // label so convergence is a filter over the checkpointed partitions
@@ -305,7 +306,18 @@ object Dedup {
         .select(col("doc_id"), col("_prev"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .materialize // truncate the iterative lineage
-      converged = ptr.filter(col("label") =!= col("_prev")).isEmpty
+      // count() (not isEmpty) so the convergence probe fully materializes
+      // EVERY partition of this round under the lazy `persist` strategy —
+      // isEmpty's limit-1 short-circuit could leave the round half-cached.
+      // Once the round is fully resident, the SUPERSEDED round's blocks are
+      // released so cache residency stays bounded at 2 frames instead of
+      // growing linearly with rounds (ADVICE r5: MEMORY_AND_DISK spill
+      // pressure at deep iteration). Safe for all three strategies: persist
+      // keeps lineage for recompute, localCheckpoint/checkpoint rounds are
+      // already fully materialized and self-contained.
+      converged = ptr.filter(col("label") =!= col("_prev")).count() == 0L
+      prevMat.foreach(_.unpersist(false))
+      prevMat = Some(ptr)
       labels = ptr.select(col("doc_id"), col("label"))
       rounds += 1
     }

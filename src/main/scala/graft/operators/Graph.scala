@@ -58,47 +58,68 @@ object Graph {
     // same precedent as the CC fixpoint isEmpty): a sink-free graph — the
     // common case after symmetrization — skips the dangling machinery
     // entirely. The skipped term is an exact IEEE `+ 0.0`, so both paths
-    // are bit-identical where both apply; the sink-free path keeps the
-    // whole loop one fused lazy job with no per-round broadcast jobs.
+    // are bit-identical where both apply.
     val hasSinks = !nodes.filter(col("is_sink")).isEmpty
 
-    // With sinks, ranks is consumed twice per round (dangling aggregate +
-    // contribution join), so each round lazily persists — without this the
-    // lineage doubles per iteration (2^iters leaf scans). persist (not an
-    // eager checkpoint) keeps each round's join computed exactly once,
-    // inside the broadcast/final jobs that run anyway.
-    def keep(df: DataFrame): DataFrame = if (hasSinks) df.persist() else df
+    def contribOf(ranks: DataFrame): DataFrame = ranks.as("rk")
+      .join(eod.as("eg"), col("rk.node") === col("eg.src"))
+      .select(col("eg.dst").as("dst"),
+        floor(col("rk.rank") / col("eg.outdeg") * lit(RankScale) + lit(0.5))
+          .cast("long").as("cq"))
+      .groupBy(col("dst")).agg(sum(col("cq")).as("sumq"))
 
-    var ranks = keep(nodes.crossJoin(broadcast(n))
-      .select(col("node"), col("is_sink"),
-        q(lit(1.0) / col("n_nodes")).as("rank")))
-    for (_ <- 1 to iters) {
-      // round's dangling mass: summed (quantized) rank of sink nodes
-      val dangTerm =
-        if (!hasSinks) lit(0L) / lit(RankScale) / col("n_nodes")
-        else col("dangq") / lit(RankScale) / col("n_nodes")
-      val contrib = ranks.as("rk")
-        .join(eod.as("eg"), col("rk.node") === col("eg.src"))
-        .select(col("eg.dst").as("dst"),
-          floor(col("rk.rank") / col("eg.outdeg") * lit(RankScale) + lit(0.5))
-            .cast("long").as("cq"))
-        .groupBy(col("dst")).agg(sum(col("cq")).as("sumq"))
-      var base = nodes.as("nd").crossJoin(broadcast(n))
-      if (hasSinks) {
+    if (!hasSinks) {
+      // Sink-free fast path: the flag column is shed right after the probe
+      // so every round frame stays two-column (node, rank) — the round-5
+      // shape that carried is_sink through every join taxed the hot path
+      // for a column the formula never reads. The whole loop is one fused
+      // lazy job: no per-round broadcast jobs, no persisted rounds.
+      val nd = nodes.select(col("node"))
+      var ranks = nd.crossJoin(broadcast(n))
+        .select(col("node"), q(lit(1.0) / col("n_nodes")).as("rank"))
+      for (_ <- 1 to iters) {
+        val contrib = contribOf(ranks)
+        ranks = nd.as("nd").crossJoin(broadcast(n))
+          .join(contrib.as("ct"), col("nd.node") === col("ct.dst"), "left")
+          .select(col("nd.node").as("node"),
+            q(lit(1 - d) / col("n_nodes") +
+              lit(d) * (coalesce(col("sumq"), lit(0L)) / lit(RankScale)))
+              .as("rank"))
+      }
+      ranks
+    } else {
+      // Sink path: ranks is consumed twice per round (dangling aggregate +
+      // contribution join), so each round persists and is materialized
+      // eagerly (count) — then the SUPERSEDED round unpersists, keeping
+      // cache residency bounded at 2 frames regardless of iters instead of
+      // growing linearly (MEMORY_AND_DISK spill pressure at deep
+      // iteration). The final frame stays persisted for the caller's
+      // action — O(1), released by Spark's ContextCleaner when dropped.
+      var ranks = nodes.crossJoin(broadcast(n))
+        .select(col("node"), col("is_sink"),
+          q(lit(1.0) / col("n_nodes")).as("rank"))
+        .persist()
+      for (_ <- 1 to iters) {
         val dang = ranks.filter(col("is_sink"))
           .agg(coalesce(
             sum(floor(col("rank") * lit(RankScale) + lit(0.5)).cast("long")),
             lit(0L)).as("dangq"))
-        base = base.crossJoin(broadcast(dang))
+        val next = nodes.as("nd").crossJoin(broadcast(n))
+          .crossJoin(broadcast(dang))
+          .join(contribOf(ranks).as("ct"),
+            col("nd.node") === col("ct.dst"), "left")
+          .select(col("nd.node").as("node"), col("nd.is_sink").as("is_sink"),
+            q(lit(1 - d) / col("n_nodes") +
+              lit(d) * (coalesce(col("sumq"), lit(0L)) / lit(RankScale) +
+                col("dangq") / lit(RankScale) / col("n_nodes")))
+              .as("rank"))
+          .persist()
+        next.count()
+        ranks.unpersist(false)
+        ranks = next
       }
-      ranks = keep(base
-        .join(contrib.as("ct"), col("nd.node") === col("ct.dst"), "left")
-        .select(col("nd.node").as("node"), col("nd.is_sink").as("is_sink"),
-          q(lit(1 - d) / col("n_nodes") +
-            lit(d) * (coalesce(col("sumq"), lit(0L)) / lit(RankScale) +
-              dangTerm)).as("rank")))
+      ranks.select(col("node"), col("rank"))
     }
-    ranks.select(col("node"), col("rank"))
   }
 
   /** Exact triangle count (plus node/edge/wedge totals and the global

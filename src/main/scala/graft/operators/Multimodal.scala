@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MatOps
 
 /** Multimodal-column plumbing: media as opaque BINARY payloads with typed
   * metadata, processed in batches.
@@ -211,6 +212,192 @@ object Multimodal {
       .withColumn("stride",
         expr("CAST(image_size DIV height AS BIGINT)"))
   }
+
+  // ------------------------------------------- PNG: offset-chained walk
+  //
+  // Unlike WAV/BMP (fixed-offset headers), PNG is a CHUNKED container:
+  // 8-byte signature, then [len BE4 | type 4 | data len | crc BE4]* — the
+  // offset of chunk i+1 depends on the LENGTH read from chunk i, so the
+  // parser must walk the chain. The walk below is a bounded unroll
+  // (PngMaxChunks steps) of pure codegen expressions; every chunk's CRC-32
+  // is REALLY verified (Spark's codegen `crc32` over type+data is exactly
+  // the PNG CRC), and malformed payloads (bad magic / bad CRC / truncated
+  // chain) are routed to a quarantine relation — the TextIngest precedent
+  // for binary columns. At 100 TB this is the header-sniff + integrity
+  // gate of an image pipeline: one columnar scan, no decode.
+
+  /** Unroll bound for the chunk walk: IHDR + up to 4 tEXt + IDAT + IEND. */
+  val PngMaxChunks = 8
+
+  /** Big-endian unsigned int of `n` bytes at COLUMN offset `off`
+    * (1-based); NULL-safe −1 when the read runs past the payload. */
+  private def beUIntAt(p: Column, off: Column, n: Int): Column =
+    coalesce(conv(nullif(hex(call_function("substring", p, off.cast("int"), lit(n))),
+      lit("")), 16, 10).cast("long"), lit(-1L))
+
+  /** Value (0 ≤ v < 2^(8·n)) → big-endian `n`-byte uppercase hex. */
+  def beHex(v: Column, n: Int): Column = lpad(hex(v.cast("long")), 2 * n, "0")
+
+  /** CRC-32 of a chunk built as hex (type || data) — PNG stores exactly
+    * this CRC, big-endian, after the data. */
+  private def chunkCrcHex(typeAndDataHex: Column): Column =
+    beHex(crc32(unhex(typeAndDataHex)), 4)
+
+  /** PNG field derivations from doc_id (query + oracle share the rule):
+    * 1–128 px wide, 1–96 tall, bit depth 8, color type ∈ {0,2,6},
+    * 1–4 tEXt chunks of varying length, 1–50 byte IDAT. */
+  private def pngFields(id: Column): (Column, Column, Column, Column, Column) = {
+    val width = lit(1L) + pmod(id, lit(128L))
+    val height = lit(1L) + pmod(id, lit(96L))
+    val colorType = element_at(array(lit(0L), lit(2L), lit(6L)),
+      (pmod(id, lit(3L)) + 1).cast("int"))
+    val nText = lit(1L) + pmod(id, lit(4L))
+    val idatLen = lit(1L) + pmod(id, lit(50L))
+    (width, height, colorType, nText, idatLen)
+  }
+
+  /** Length of tEXt chunk `j` (1-based) for a document: 9–29 bytes,
+    * varying with both doc and position so chunk offsets are non-uniform
+    * across the corpus (the walk cannot be constant-folded). */
+  private def textLen(id: Column, j: Int): Column =
+    lit(9L) + pmod(id + lit(j.toLong), lit(21L))
+
+  /** Synthesize a VALID PNG per document: signature, IHDR, 1–4 tEXt
+    * chunks, IDAT filler, IEND — every chunk carrying its REAL CRC-32
+    * (computed by codegen `crc32`, the PNG polynomial). The whole file is
+    * built as one hex string and `unhex`ed once. */
+  def synthPng(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val (width, height, colorType, nText, idatLen) = pngFields(id)
+    val ihdrData = concat(beHex(width, 4), beHex(height, 4),
+      lit("08"), beHex(colorType, 1), lit("0000"), beHex(pmod(id, lit(2L)), 1))
+    val ihdr = concat(beHex(lit(13L), 4), lit("49484452"), ihdrData,
+      chunkCrcHex(concat(lit("49484452"), ihdrData)))
+    val texts = (1 to 4).map { j =>
+      val len = textLen(id, j)
+      val data = call_function("repeat", lit("41"), len.cast("int"))
+      when(lit(j.toLong) <= nText,
+        concat(beHex(len, 4), lit("74455874"), data,
+          chunkCrcHex(concat(lit("74455874"), data))))
+        .otherwise(lit(""))
+    }
+    val idatData = call_function("repeat", lit("00"), idatLen.cast("int"))
+    val idat = concat(beHex(idatLen, 4), lit("49444154"), idatData,
+      chunkCrcHex(concat(lit("49444154"), idatData)))
+    val iend = lit("0000000049454E44AE426082") // len 0, 'IEND', fixed CRC
+    val hexAll = concat(Seq(lit("89504E470D0A1A0A"), ihdr) ++ texts ++
+      Seq(idat, iend): _*)
+    docs.select(id, lit("image/png").as("media_type"),
+      unhex(hexAll).as("payload"))
+  }
+
+  /** Deterministic corruption for the quarantine path (precedence shared
+    * with the oracle): doc_id%7=0 → IHDR CRC overwritten (bad_crc);
+    * else %11=0 → first signature byte zeroed (bad_magic); else %13=0 →
+    * IEND chunk dropped (truncated). Everything else passes unmodified. */
+  def synthPngCorrupt(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    // materialize the valid bytes first: the corruption branches reference
+    // the payload ~5× and the downstream walk ~50×; composed symbolically
+    // with the synth expression tree, projection collapse would multiply
+    // them into an OOM-sized plan. A real pipeline parses stored bytes —
+    // this barrier reproduces that shape.
+    val media = synthPng(docs).materialize
+    val h = hex(col("payload"))
+    val n2 = length(h) // hex chars = 2 × bytes
+    // IHDR CRC sits at bytes 30–33 → hex chars 59–66 (1-based)
+    val badCrc = concat(call_function("substring", h, lit(1), lit(58)),
+      lit("DEADBEEF"), call_function("substring", h, lit(67), n2))
+    val badMagic = concat(lit("00"), call_function("substring", h, lit(3), n2))
+    val truncated = call_function("substring", h, lit(1), n2 - 24)
+    media.select(col("doc_id"), col("media_type"),
+      unhex(when(pmod(id, lit(7L)) === 0, badCrc)
+        .when(pmod(id, lit(11L)) === 0, badMagic)
+        .when(pmod(id, lit(13L)) === 0, truncated)
+        .otherwise(h)).as("payload"))
+  }
+
+  /** Walk the PNG chunk chain and parse IHDR — no UDF, no driver loop.
+    * Per chunk the stored CRC-32 is checked against `crc32(type||data)`
+    * recomputed from the bytes.
+    *
+    * The walk is a single `aggregate` higher-order function folding a
+    * chunk-cursor struct over `sequence(1, PngMaxChunks)`. This shape is
+    * load-bearing: a symbolic unroll (withColumn per step) embeds step
+    * i's offset expression inside step i+1's several times over, so the
+    * plan tree grows EXPONENTIALLY with the unroll depth — at 8 steps the
+    * analyzer/optimizer OOMs before a single row moves. The fold's lambda
+    * exists once in the plan regardless of depth (linear analysis cost,
+    * runtime iteration), which is also what lets the bound grow to
+    * hundreds of chunks for real-world files.
+    *
+    * Output: is_png (signature), IHDR fields, n_chunks (walked until
+    * IEND), chunk_types (comma-joined ASCII), total_data_len, crc_ok
+    * (every walked chunk's CRC matches), iend_ok (chain ends in a clean
+    * IEND exactly at end-of-file). */
+  def parsePng(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val nBytes = octet_length(p).cast("long")
+    val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A"
+    def state(off: Column, n: Column, tdl: Column, crcok: Column,
+        live: Column, ended: Column, types: Column): Column =
+      struct(off.as("off"), n.as("n"), tdl.as("tdl"), crcok.as("crcok"),
+        live.as("live"), ended.as("ended"), types.as("types"))
+    val init = state(lit(9L), lit(0L), lit(0L), lit(true), isPng,
+      lit(false), lit(""))
+    val walk = aggregate(
+      sequence(lit(1), lit(PngMaxChunks)),
+      init,
+      (st, _) => {
+        val off = st.getField("off")
+        val len = beUIntAt(p, off, 4)
+        val fits = len >= 0 && off + lit(11L) + len <= nBytes
+        val typeHex = hex(call_function("substring", p, (off + 4).cast("int"), lit(4)))
+        val body = call_function("substring", p, (off + 4).cast("int"),
+          (len + 4).cast("int"))
+        val stored = beUIntAt(p, off + 8 + len, 4)
+        val isEnd = typeHex === "49454E44"
+        when(!st.getField("live"), st)
+          .when(!fits, state(off, st.getField("n"), st.getField("tdl"),
+            st.getField("crcok"), lit(false), st.getField("ended"),
+            st.getField("types")))
+          .otherwise(state(
+            off + 12 + len,
+            st.getField("n") + 1,
+            st.getField("tdl") + len,
+            st.getField("crcok") && (stored === crc32(body)),
+            !isEnd,
+            isEnd && (off + 12 + len === nBytes + 1),
+            concat(st.getField("types"),
+              when(st.getField("n") === 0, "").otherwise(","),
+              decode(unhex(typeHex), "US-ASCII"))))
+      })
+    media
+      .select(col("doc_id"), p, nBytes.as("n_bytes"), isPng.as("is_png"),
+        walk.as("w"))
+      .select(col("doc_id"), col("is_png"),
+        when(col("is_png"), beUIntAt(p, lit(17L), 4)).otherwise(lit(-1L)).as("width"),
+        when(col("is_png"), beUIntAt(p, lit(21L), 4)).otherwise(lit(-1L)).as("height"),
+        when(col("is_png"), beUIntAt(p, lit(25L), 1)).otherwise(lit(-1L)).as("bit_depth"),
+        when(col("is_png"), beUIntAt(p, lit(26L), 1)).otherwise(lit(-1L)).as("color_type"),
+        when(col("is_png"), beUIntAt(p, lit(29L), 1)).otherwise(lit(-1L)).as("interlace"),
+        col("w.n").as("n_chunks"), col("w.types").as("chunk_types"),
+        col("w.tdl").as("total_data_len"), col("w.crcok").as("crc_ok"),
+        col("w.ended").as("iend_ok"), col("n_bytes"))
+  }
+
+  /** Quarantine relation over a parsed-PNG frame: rows failing the
+    * integrity gate, with a precedence-ordered reason (bad_magic >
+    * bad_crc > truncated) — the binary-column analog of TextIngest's
+    * bad-JSON quarantine. Valid rows never appear here; the main pipeline
+    * proceeds on `parsed.filter(ok)`. */
+  def pngQuarantine(parsed: DataFrame): DataFrame =
+    parsed.select(col("doc_id"), col("n_bytes"), col("n_chunks"),
+        when(!col("is_png"), "bad_magic")
+          .when(!col("crc_ok"), "bad_crc")
+          .when(!col("iend_ok"), "truncated")
+          .as("reason"))
+      .filter(col("reason").isNotNull)
 
   /** Per-modality corpus stats over the parsed header tables: item count,
     * byte totals, and a modality-native unit total (microseconds of audio

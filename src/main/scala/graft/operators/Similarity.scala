@@ -196,6 +196,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rk"))
   }
 
+  /** Recall@k of IVF multi-probe search against the exact brute-force
+    * top-k on the same queries — the ANN quality metric: proves the index
+    * is *good*, not merely deterministic. One row per query:
+    * (query_id, k, hits, recall). Both rankings are fully deterministic
+    * (4dp-rounded scores, neighbor_id tiebreak), so the recall fraction
+    * replays exactly in the SQL oracle. Shape: the exact side is the
+    * one-scan broadcast top-k, the approx side the nprobe-pruned search;
+    * the comparison joins two (nQueries·k)-row frames — negligible next to
+    * either search. In production this runs on a held-out query sample to
+    * tune nprobe/nCentroids before partitioning the corpus. */
+  def ivfRecall(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
+      nprobe: Int, iters: Int = 2): DataFrame = {
+    val exact = cosineTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfSearchMultiProbe(emb, nCentroids, nQueries, k, nprobe, iters)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("an")).as("hits"))
+      .select(col("query_id"), lit(k).as("k"), col("hits"),
+        r4(col("hits") / lit(k.toDouble)).as("recall"))
+  }
+
   /** Cluster-blocked near-dup pairs — the 100 TB path: candidates only
     * within the same IVF cluster, so the pair space is Σ|cluster|² instead
     * of N². Misses cross-cluster pairs by design (standard IVF recall

@@ -165,4 +165,43 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("out-of-order block converges to the in-order truth; the reference's positional append would corrupt (ST6)") {
+    import graft.streaming.IndicatorMath
+    import graft.streaming.IndicatorMath.BarState
+    val n = 41
+    def ts(i: Int): Long = 1700000000000L + i * 5000L
+    def p(i: Int): Double = prices(n)(i)
+    // delivery: 0..29 on time, then 35..39 EARLY, then the 30..34 block
+    // LATE (a delayed partition / replayed segment), then 40
+    val order = (0 until 30) ++ (35 until 40) ++ (30 until 35) ++ Seq(40)
+    val batches = Seq((0 until 30), (35 until 40), (30 until 35), Seq(40))
+      .map(_.map(i => tickJson("A", p(i), ts(i))))
+    val rows = runStream(batches, "s_ooo")
+    val last = rows.maxBy(_.getAs[Long]("seq"))
+    assert(last.getAs[Timestamp]("time").getTime == ts(40))
+
+    // in-order truth: the batch pipeline over time-sorted bars
+    val bars = (0 until n)
+      .map(i => (new Timestamp(ts(i)), "A", p(i), p(i), p(i), p(i), None: Option[Long]))
+      .toDF("time", "symbol", "open", "high", "low", "close", "volume")
+    val exp = IndicatorPipeline.gated(bars).collect()
+      .find(_.getAs[Timestamp]("time").getTime == ts(40)).get
+    for (c <- Seq("sma_20", "ema_10", "ema_20", "rsi_14", "atr_14", "stoch_k_14")) {
+      assert(exp.getAs[java.lang.Double](c).doubleValue ==
+        last.getAs[java.lang.Double](c).doubleValue,
+        s"$c: sorted-state streaming must equal the in-order batch truth")
+    }
+
+    // the reference's shape (consumer.py appends positionally): the late
+    // block lands at the END of the frame, so order-sensitive recursions
+    // run over a time-corrupted history — provably different values
+    val refFrame = order
+      .map(i => BarState(ts(i), p(i), p(i), p(i), p(i), None))
+      .toVector.takeRight(graft.model.Model.LookbackRows)
+    val corrupt = IndicatorMath.latestRow("A", refFrame)
+    assert(corrupt.ema_20.get != last.getAs[java.lang.Double]("ema_20").doubleValue ||
+      corrupt.rsi_14.get != last.getAs[java.lang.Double]("rsi_14").doubleValue,
+      "positional append must corrupt at least one order-sensitive indicator")
+  }
 }
