@@ -29,28 +29,47 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default; read it as raw ns (legacy conf) and truncate to a µs
-    * timestamp with integer division — the same truncation DuckDB applies
-    * when casting TIMESTAMP_NS → TIMESTAMP, keeping oracle parity. */
+  /** `events.ts` has shifted physical type across driver data generations:
+    * parquet TIMESTAMP(NANOS) (Spark 4 refuses it by default — the legacy
+    * conf reads it as raw ns LONG), and plain TIMESTAMP(MICROS) without the
+    * UTC flag (Spark reads TIMESTAMP_NTZ). Normalize every variant to a µs
+    * instant TIMESTAMP so downstream code and the DuckDB oracle (which
+    * truncates TIMESTAMP_NS → TIMESTAMP the same way) see one schema.
+    * NTZ reinterpretation relies on the engine-wide session.timeZone=UTC
+    * invariant (every entry point sets it). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, sfDir, "events")
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(table(spark, sfDir, "events"), "ts")
   }
 
+  private def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, col(c).cast("timestamp"))
+      case _ => df
+    }
+
   /** Time-range scan over events with the range predicate applied to the
-    * RAW ns column, so it reaches the parquet scan as a PushedFilter —
-    * a predicate on the µs-converted `ts` is a derived-column filter and
-    * cannot push (the hypertable-chunk-exclusion analog for this table). */
+    * RAW stored column (in its native type), so it reaches the parquet scan
+    * as a PushedFilter — a predicate on a converted `ts` is a
+    * derived-column filter and cannot push (the hypertable-chunk-exclusion
+    * analog for this table). */
   def eventsRange(spark: SparkSession, sfDir: String,
       fromTs: java.sql.Timestamp, untilTs: java.sql.Timestamp): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fromNs = fromTs.getTime * 1000000L
-    val untilNs = untilTs.getTime * 1000000L
-    table(spark, sfDir, "events")
-      .filter(col("ts") >= fromNs && col("ts") < untilNs)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(spark, sfDir, "events")
+    val (lo, hi) = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (lit(fromTs.getTime * 1000000L), lit(untilTs.getTime * 1000000L))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        def ntz(t: java.sql.Timestamp) = lit(java.time.LocalDateTime.ofInstant(
+          t.toInstant, java.time.ZoneOffset.UTC))
+        (ntz(fromTs), ntz(untilTs))
+      case _ => (lit(fromTs), lit(untilTs))
+    }
+    normalizeTs(raw.filter(col("ts") >= lo && col("ts") < hi), "ts")
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
