@@ -7,6 +7,13 @@ slower than FACTOR x its floor fails the gate — the automated catch for
 regressions like round 5's q_simhash 4x. Queries without a floor entry
 (new queries) pass with a note and should be added on the next --update.
 
+Host-contention awareness (round 7): graft.Bench emits a `noise_factor`
+(calibration loop vs the committed quiet-host `_cal_sec` floor). The gate
+refuses to FAIL on a noisy run (breaches are reported as UNATTRIBUTABLE —
+rerun on a quiet host), and --update refuses to ingest one entirely, so a
+contended run can neither poison the floors nor masquerade as a
+regression. Floors only ever go DOWN (min-merge); `_cal_sec` likewise.
+
 Usage:
   python3 scripts/bench_floor.py bench_out.json            # gate (exit 1 on breach)
   python3 scripts/bench_floor.py --update bench_out.json   # merge mins into the floor
@@ -14,6 +21,7 @@ Usage:
 import json, os, sys
 
 FACTOR = 2.0
+NOISE_MAX = 1.3   # max calibration slowdown accepted as a "quiet host"
 FLOOR = os.path.join(os.path.dirname(__file__), "bench_floor.json")
 
 def main():
@@ -21,14 +29,31 @@ def main():
     update = "--update" in args
     args = [a for a in args if a != "--update"]
     bench_file = args[0] if args else "bench_out.json"
-    queries = json.load(open(bench_file))["queries"]
+    bench = json.load(open(bench_file))
+    queries = bench["queries"]
+    noise = bench.get("noise_factor")
+    cal = [bench.get(k) for k in ("cal_before_sec", "cal_after_sec")]
+    cal = [c for c in cal if c is not None]
     floor = json.load(open(FLOOR)) if os.path.exists(FLOOR) else {}
+    noisy = noise is not None and noise > NOISE_MAX
 
     if update:
+        if noisy:
+            print(f"REFUSED: noise_factor {noise:.2f} > {NOISE_MAX:g} — "
+                  "this run was host-contended; floors must come from a quiet host")
+            return 1
+        if noise is None and "_cal_sec" in floor:
+            print("REFUSED: run has no noise_factor but a calibration floor "
+                  "exists — re-run with the current graft.Bench")
+            return 1
         for q, t in queries.items():
             floor[q] = round(min(t, floor.get(q, t)), 3)
+        if cal:
+            c = min(cal)
+            floor["_cal_sec"] = round(min(c, floor.get("_cal_sec", c)), 3)
         json.dump(floor, open(FLOOR, "w"), indent=1, sort_keys=True)
-        print(f"floor updated: {len(floor)} queries -> {FLOOR}")
+        print(f"floor updated: {len(floor)} entries -> {FLOOR}"
+              + (f" (noise_factor {noise:.2f})" if noise is not None else ""))
         return 0
 
     breaches, new = [], []
@@ -41,11 +66,21 @@ def main():
     for q in new:
         print(f"NOTE {q}: no floor entry (new query) - run --update to add")
     for q, t, f in breaches:
-        print(f"BREACH {q}: {t:.3f}s > {FACTOR:g}x floor {f:.3f}s")
+        tag = "UNATTRIBUTABLE (noisy host)" if noisy else "BREACH"
+        print(f"{tag} {q}: {t:.3f}s > {FACTOR:g}x floor {f:.3f}s")
+    if breaches and noisy:
+        print(f"PERF FLOOR INCONCLUSIVE: {len(breaches)} over-floor quer"
+              f"{'y' if len(breaches) == 1 else 'ies'} on a contended host "
+              f"(noise_factor {noise:.2f} > {NOISE_MAX:g}) — rerun quiet to attribute")
+        return 0
     if breaches:
-        print(f"PERF FLOOR FAILED: {len(breaches)} breach(es)")
+        print(f"PERF FLOOR FAILED: {len(breaches)} breach(es)"
+              + (f" (noise_factor {noise:.2f}: host quiet — these are real)"
+                 if noise is not None else ""))
         return 1
-    print(f"perf floor ok: {len(queries) - len(new)} gated, {len(new)} new")
+    gated = len(queries) - len(new)
+    print(f"perf floor ok: {gated} gated, {len(new)} new"
+          + (f", noise_factor {noise:.2f}" if noise is not None else ""))
     return 0
 
 if __name__ == "__main__":

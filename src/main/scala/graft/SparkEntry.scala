@@ -206,6 +206,14 @@ object SparkEntry {
 
   // ------------------------------------------------------------------ maps
 
+  /** Oracle-side verification companions: they exist to hash-check a sketch
+    * query's error contract at the correctness gate (exact aggregates +
+    * in-band booleans), and deliberately pay for exact distinct / exact
+    * percentiles the shipped sketch plan avoids. Verify runs them; Bench
+    * excludes them so the sketch queries' timings measure the sketch, not
+    * its oracle. */
+  val verifyOnly: Set[String] = Set("q_sketches_check", "q_sketch_rollup_check")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExtendedEntries.queries ++ CorpusEntries.queries ++ Map(
     "q_ema" -> qEma,

@@ -42,14 +42,29 @@ object Tables {
     normalizeTs(table(spark, sfDir, "events"), "ts")
   }
 
-  private def normalizeTs(df: DataFrame, c: String): DataFrame =
+  private def normalizeTs(df: DataFrame, c: String): DataFrame = {
+    // The NTZ→TIMESTAMP cast below reinterprets wall-clock fields in the
+    // session zone; anywhere but UTC silently shifts every NTZ-generation
+    // timestamp. Assert the invariant HERE so a new entry point that forgot
+    // to set it fails at the read, not as an oracle hash mismatch far away.
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events reader requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+        "NTZ parquet timestamps are reinterpreted in the session zone")
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn(c, col(c).cast("timestamp"))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      // A new driver data generation with yet another physical type (string,
+      // INT96, ...) must fail AT THE SOURCE — flowing through unnormalized
+      // would surface as oracle mismatches with no pointer back to the cause.
+      case other => throw new IllegalStateException(
+        s"events.$c has unsupported physical type $other; " +
+          "extend Tables.normalizeTs for this data generation")
     }
+  }
 
   /** Time-range scan over events with the range predicate applied to the
     * RAW stored column (in its native type), so it reaches the parquet scan
@@ -60,9 +75,16 @@ object Tables {
       fromTs: java.sql.Timestamp, untilTs: java.sql.Timestamp): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
+    // ns bounds via Instant so both branches share boundary precision —
+    // Timestamp.getTime truncates to ms, which would make sub-ms bounds
+    // select different rows depending on which generation is on disk.
+    def ns(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000000L + i.getNano
+    }
     val (lo, hi) = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        (lit(fromTs.getTime * 1000000L), lit(untilTs.getTime * 1000000L))
+        (lit(ns(fromTs)), lit(ns(untilTs)))
       case org.apache.spark.sql.types.TimestampNTZType =>
         def ntz(t: java.sql.Timestamp) = lit(java.time.LocalDateTime.ofInstant(
           t.toInstant, java.time.ZoneOffset.UTC))

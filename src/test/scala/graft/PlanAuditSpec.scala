@@ -131,4 +131,108 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no dynamic partition pruning in:\n$plan")
     assert(q.collect().length == 2)
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime (OptimizeSkewedJoin)") {
+    // SCALE.md leans on "AQE handles residual skew" for the power-law keys
+    // salting doesn't cover — prove it live like bloom/DPP above: build a
+    // join where 90% of the left side lands on one key, force a sort-merge
+    // join, and assert the EXECUTED plan (post-AQE re-plan) carries the
+    // skew=true marker OptimizeSkewedJoin stamps on the split join node.
+    // Thresholds are lowered so a test-sized shuffle is eligible; restored
+    // after.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // left: 200k rows, 90% on key 0 (one hot shuffle partition), the rest
+      // spread over 997 keys; right: all 1000 keys, too big to broadcast
+      // only because broadcasting is disabled — the point is the shuffle.
+      // Downstream is a GLOBAL aggregate on purpose: a groupBy on the join
+      // key would let the agg reuse the join's hash partitioning, and
+      // splitting the hot partition would break that copartitioning, so
+      // OptimizeSkewedJoin (without force) would correctly decline.
+      // payload = md5(id): high-entropy so the hot partition's shuffle bytes
+      // don't compress below the skew threshold (180k identical join keys
+      // alone deflate to a few KB), and aggregated downstream so column
+      // pruning can't strip it from the shuffle.
+      val left = spark.range(200000).select(
+        when(col("id") % 10 < 9, lit(0L))
+          .otherwise(pmod(col("id"), lit(997))).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(1000).select(
+        col("id").as("k"), (col("id") * 2).as("weight"))
+      val q = left.join(right, "k")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("weight")) + sum(length(col("payload")))).as("w"))
+      // execute THIS dataset, then read its post-AQE final plan
+      assert(q.collect().head.getLong(0) == 200000L) // every left key is in right
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not split the hot partition; executed plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("events range predicate pushes to the parquet scan for every physical ts variant") {
+    // The driver has regenerated testdata with three different physical
+    // types for events.ts across rounds (TIMESTAMP µs-instant, TIMESTAMP
+    // NTZ, TIMESTAMP(NANOS) read as raw ns LONG). Tables.eventsRange
+    // deliberately filters the RAW column in its native type so the range
+    // predicate reaches the scan as a PushedFilter; this pins that for ALL
+    // variants, so the next regeneration can't silently un-push it and turn
+    // the read API into a full scan (commit ed5daff is the live hazard).
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tsvariants")
+    val instants = (0 until 1000).map(i =>
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 3600L))
+    val rows = instants.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    // micro-instant TIMESTAMP
+    val utcDir = s"$base/utc"
+    rows.map { case (id, t) => (id, java.sql.Timestamp.from(t)) }
+      .toDF("event_id", "ts").write.parquet(s"$utcDir/events.parquet")
+    // TIMESTAMP_NTZ (wall-clock, no UTC flag)
+    val ntzDir = s"$base/ntz"
+    rows.toDF("event_id", "ts")
+      .select(col("event_id"), to_timestamp_ntz(col("ts")).as("ts"))
+      .write.parquet(s"$ntzDir/events.parquet")
+    // raw ns LONG (how Spark reads TIMESTAMP(NANOS) under the legacy conf)
+    val nsDir = s"$base/ns"
+    rows.map { case (id, t) =>
+      (id, t.getEpochSecond * 1000000000L + t.getNano)
+    }.toDF("event_id", "ts").write.parquet(s"$nsDir/events.parquet")
+
+    val from = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T00:00:00Z"))
+    val until = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-10T00:00:00Z"))
+    val expected = instants.count(t =>
+      !t.isBefore(from.toInstant) && t.isBefore(until.toInstant))
+    for (dir <- Seq(utcDir, ntzDir, nsDir)) {
+      val q = graft.sources.Tables.eventsRange(spark, dir, from, until)
+      val scanLine = q.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+      assert(scanLine.contains("GreaterThanOrEqual(ts") && scanLine.contains("LessThan(ts"),
+        s"$dir: range predicate not pushed to the parquet scan: $scanLine")
+      assert(q.count() == expected, s"$dir: wrong row count after normalization")
+      // normalized output is variant-invariant: same instants either way
+      val minTs = q.agg(min(col("ts"))).head.getTimestamp(0)
+      assert(minTs.toInstant == from.toInstant, s"$dir: min ts ${minTs.toInstant}")
+    }
+  }
 }
