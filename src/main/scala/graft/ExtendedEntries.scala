@@ -159,12 +159,29 @@ object ExtendedEntries {
   private def qMediaPng(s: SparkSession, dir: String): DataFrame =
     Multimodal.parsePng(Multimodal.synthPng(Tables.documents(s, dir)))
 
-  /** Corrupt-payload quarantine: deterministic corruptions (bad magic /
-    * bad CRC / truncated chain) routed to a reason-tagged quarantine
-    * relation by the integrity gate of the PNG walk. */
-  private def qMediaQuarantine(s: SparkSession, dir: String): DataFrame =
-    Multimodal.pngQuarantine(
-      Multimodal.parsePng(Multimodal.synthPngCorrupt(Tables.documents(s, dir))))
+  /** JPEG marker-segment walk: variable-length self-counting segment
+    * lengths, SOF0 dimensions captured mid-walk, and the entropy span
+    * closed by SCANNING for EOI (no length field exists — the structural
+    * wrinkle PNG's indexed chain doesn't have). */
+  private def qMediaJpeg(s: SparkSession, dir: String): DataFrame =
+    Multimodal.parseJpeg(Multimodal.synthJpeg(Tables.documents(s, dir)))
+
+  /** Corrupt-payload quarantine across BOTH walked formats: deterministic
+    * corruptions (bad magic / bad CRC / bad marker prefix / truncated)
+    * routed to one reason-tagged, modality-tagged quarantine relation by
+    * the integrity gates of the PNG and JPEG walks. */
+  private def qMediaQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val png = Multimodal.pngQuarantine(
+      Multimodal.parsePng(Multimodal.synthPngCorrupt(docs)))
+      .select(col("doc_id"), lit("image/png").as("modality"),
+        col("n_bytes"), col("n_chunks"), col("reason"))
+    val jpg = Multimodal.jpegQuarantine(
+      Multimodal.parseJpeg(Multimodal.synthJpegCorrupt(docs)))
+      .select(col("doc_id"), lit("image/jpeg").as("modality"),
+        col("n_bytes"), col("n_chunks"), col("reason"))
+    png.unionByName(jpg)
+  }
 
   private def qPackInterleaved(s: SparkSession, dir: String): DataFrame =
     Multimodal.packInterleaved(Tables.documents(s, dir), chunkSize = 40,
@@ -313,17 +330,33 @@ object ExtendedEntries {
   private def qDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(Tables.documents(s, dir), 0.7)
 
-  /** Sketch aggregates (HLL distinct, approximate percentiles), made fully
-    * oracle-checkable: the raw estimates differ per engine, so the query
-    * emits (a) exact companion aggregates DuckDB reproduces bit-for-bit and
-    * (b) booleans asserting each estimate sits inside its guaranteed error
-    * band — Spark computes the real sketch-vs-exact comparison, the oracle
-    * asserts literal TRUE, so a sketch drifting out of contract flips the
-    * hash red. Bands: HLL++ rsd 0.05 → 3σ = 15% bound; percentile_approx
-    * accuracy 1000 → rank error ε = n/1000, checked against the exact
-    * quantiles at rank ±5% (≫ ε here). Raw estimate values stay spec-gated
-    * in SketchSpec. */
+  /** Sketch aggregates (HLL distinct, approximate percentiles) — the
+    * SHIPPED plan, and the one the bench times: sketch cost only. The
+    * estimates are engine-specific (no DuckDB mirror) so this query is
+    * rows-only at the oracle gate; the full hash-checked error-band
+    * verification lives in the verify-only companion [[qSketchesCheck]]
+    * (round 6 benched the companion's four exact percentiles + exact
+    * distinct as if they were the sketch's cost — the sketch was paying
+    * for its oracle). Raw estimate values stay spec-gated in SketchSpec. */
   private def qSketches(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_approx"))
+
+  /** Verify-only oracle companion for [[qSketches]] (SparkEntry.verifyOnly
+    * — runs at the correctness gate, excluded from the bench sweep): exact
+    * companion aggregates DuckDB reproduces bit-for-bit plus booleans
+    * asserting each estimate sits inside its guaranteed error band — Spark
+    * computes the real sketch-vs-exact comparison, the oracle asserts
+    * literal TRUE, so a sketch drifting out of contract flips the hash
+    * red. Bands: HLL++ rsd 0.05 → 3σ = 15% bound; percentile_approx
+    * accuracy 1000 → rank error ε = n/1000, checked against the exact
+    * quantiles at rank ±5% (≫ ε here). */
+  private def qSketchesCheck(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -344,15 +377,24 @@ object ExtendedEntries {
 
   /** Mergeable-sketch rollup (the 100 TB distinct-count architecture:
     * per-day HLL sketches persisted once, later rollups merge sketches
-    * instead of re-scanning raw data), made oracle-checkable the same way
-    * as q_sketches: exact companions (n_events, n_days — pure relational
-    * aggregates DuckDB mirrors) plus a boolean pinning the MERGED estimate
-    * inside the sketch's error band vs the exact distinct count.
-    * DataSketches HLL at the default lgK=12 has rsd ≈ 1.6%, so the 10%
-    * band is ≫ 3σ. The exact-distinct join exists only to power the band
-    * check at verify SF; the merged estimate itself is what ships, and
-    * merge == direct is pinned bit-exactly in SketchSpec. */
-  private def qSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    * instead of re-scanning raw data) — the SHIPPED plan: sketch + merge
+    * cost only, rows-only at the oracle gate (the merged estimate is
+    * engine-specific binary). The exact-distinct band check lives in the
+    * verify-only companion [[qSketchRollupCheck]]; merge == direct is
+    * pinned bit-exactly in SketchSpec. */
+  private def qSketchRollup(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.rollupUsers(
+      operators.Sketches.dailyUserSketches(Tables.events(s, dir)))
+      .select(col("event_type"), col("n_events"), col("n_days"),
+        col("approx_users"))
+
+  /** Verify-only oracle companion for [[qSketchRollup]]: exact companions
+    * (n_events, n_days — pure relational aggregates DuckDB mirrors) plus a
+    * boolean pinning the MERGED estimate inside the sketch's error band vs
+    * the exact distinct count. DataSketches HLL at the default lgK=12 has
+    * rsd ≈ 1.6%, so the 10% band is ≫ 3σ. The exact-distinct join exists
+    * only to power the band check at verify SF. */
+  private def qSketchRollupCheck(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val rolled = operators.Sketches.rollupUsers(
       operators.Sketches.dailyUserSketches(ev))
@@ -581,7 +623,9 @@ object ExtendedEntries {
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,
     "q_sketches" -> qSketches,
+    "q_sketches_check" -> qSketchesCheck,
     "q_sketch_rollup" -> qSketchRollup,
+    "q_sketch_rollup_check" -> qSketchRollupCheck,
     "q_salted_agg" -> qSaltedAgg,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
@@ -630,6 +674,7 @@ object ExtendedEntries {
     "q_media_bmp" -> qMediaBmp,
     "q_media_stats" -> qMediaStats,
     "q_media_png" -> qMediaPng,
+    "q_media_jpeg" -> qMediaJpeg,
     "q_media_quarantine" -> qMediaQuarantine,
     "q_pack_interleaved" -> qPackInterleaved,
     "q_agg_pricing" -> qAggPricing,
@@ -923,16 +968,20 @@ object ExtendedEntries {
   }
 
   def oracleSql: Map[String, String] = Map(
-    // Sketch queries: the engine-specific estimates are re-expressed as
-    // exact companions + in-band booleans (see qSketches scaladoc), so the
-    // oracle asserts the exact aggregates AND that every estimate honors
-    // its error contract (literal TRUE: a sketch out of band flips the hash).
-    "q_sketches" ->
+    // Sketch queries: the shipped q_sketches / q_sketch_rollup plans are
+    // sketch-only (engine-specific estimates, no DuckDB mirror → rows-only
+    // at the oracle gate, so the bench measures the sketch, not its
+    // oracle). The hash-checked error contract lives in the verify-only
+    // _check companions: exact companions + in-band booleans (see
+    // qSketchesCheck scaladoc) — the oracle asserts the exact aggregates
+    // AND that every estimate honors its error contract (literal TRUE: a
+    // sketch out of band flips the hash).
+    "q_sketches_check" ->
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS exact_users,
         |  TRUE AS users_in_band, TRUE AS p50_in_band, TRUE AS p99_in_band
         |FROM events GROUP BY event_type""".stripMargin,
-    "q_sketch_rollup" ->
+    "q_sketch_rollup_check" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days,
         |  count(DISTINCT user_id) AS exact_users,
@@ -2342,10 +2391,40 @@ object ExtendedEntries {
         |    AS n_bytes
         |FROM t""".stripMargin,
 
-    // corruption rule precedence (bad_crc > bad_magic > truncated) is the
-    // SYNTH-side application order; the parse-side reason precedence
-    // (bad_magic > bad_crc > truncated) maps 1:1 because each corruption
-    // trips exactly its own gate
+    // JPEG walk oracle: every field re-derived from the shared generation
+    // rule (marker chain + SOF0 + scanned entropy span), like q_media_png
+    "q_media_jpeg" ->
+      """WITH a AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(11 + (d.doc_id + j.i) % 19) AS BIGINT) AS app_bytes,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM documents d, range(1, 4) j(i)
+        |  WHERE j.i <= 1 + d.doc_id % 3
+        |  GROUP BY d.doc_id
+        |), f AS (
+        |  SELECT doc_id, app_bytes, k,
+        |    1 + (doc_id % 2) * 2 AS ncomp,
+        |    5 + doc_id % 40 AS elen
+        |  FROM a
+        |)
+        |SELECT doc_id, TRUE AS is_jpeg,
+        |  CAST(16 + doc_id % 255 AS BIGINT) AS width,
+        |  CAST(16 + doc_id % 185 AS BIGINT) AS height,
+        |  CAST(ncomp AS BIGINT) AS n_components,
+        |  CAST(4 + k AS BIGINT) AS n_segments,
+        |  concat('E0', CASE CAST(k AS INT) WHEN 1 THEN ',E1'
+        |    WHEN 2 THEN ',E1,E2' ELSE ',E1,E2,E3' END, ',DB,C0,DA')
+        |    AS marker_types,
+        |  TRUE AS marker_ok,
+        |  CAST(elen AS BIGINT) AS entropy_len,
+        |  TRUE AS eoi_ok,
+        |  CAST(109 + app_bytes + 5 * ncomp + elen AS BIGINT) AS n_bytes
+        |FROM f""".stripMargin,
+
+    // corruption rule precedence (bad_crc > bad_magic > truncated for PNG,
+    // bad_marker > bad_magic > truncated for JPEG) is the SYNTH-side
+    // application order; the parse-side reason precedence maps 1:1 because
+    // each corruption trips exactly its own gate
     "q_media_quarantine" ->
       """WITH t AS (
         |  SELECT d.doc_id,
@@ -2361,15 +2440,38 @@ object ExtendedEntries {
         |         WHEN doc_id % 11 = 0 THEN 'bad_magic'
         |         WHEN doc_id % 13 = 0 THEN 'truncated' END AS reason
         |  FROM t
+        |), ja AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(11 + (d.doc_id + j.i) % 19) AS BIGINT) AS app_bytes,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM documents d, range(1, 4) j(i)
+        |  WHERE j.i <= 1 + d.doc_id % 3
+        |  GROUP BY d.doc_id
+        |), jc AS (
+        |  SELECT doc_id, k,
+        |    109 + app_bytes + 5 * (1 + (doc_id % 2) * 2) + 5 + doc_id % 40 AS nb,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'bad_marker'
+        |         WHEN doc_id % 11 = 0 THEN 'bad_magic'
+        |         WHEN doc_id % 13 = 0 THEN 'truncated' END AS reason
+        |  FROM ja
         |)
-        |SELECT doc_id,
+        |SELECT doc_id, 'image/png' AS modality,
         |  CAST(CASE WHEN reason = 'truncated' THEN nb - 12 ELSE nb END
         |    AS BIGINT) AS n_bytes,
         |  CAST(CASE WHEN reason = 'bad_magic' THEN 0
         |            WHEN reason = 'truncated' THEN 2 + k
         |            ELSE 3 + k END AS BIGINT) AS n_chunks,
         |  reason
-        |FROM c WHERE reason IS NOT NULL""".stripMargin,
+        |FROM c WHERE reason IS NOT NULL
+        |UNION ALL
+        |SELECT doc_id, 'image/jpeg' AS modality,
+        |  CAST(CASE WHEN reason = 'truncated' THEN nb - 2 ELSE nb END
+        |    AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN reason = 'bad_magic' THEN 0
+        |            WHEN reason = 'bad_marker' THEN 1 + k
+        |            ELSE 4 + k END AS BIGINT) AS n_chunks,
+        |  reason
+        |FROM jc WHERE reason IS NOT NULL""".stripMargin,
 
     "q_media_stats" ->
       """WITH w AS (

@@ -392,10 +392,209 @@ object Multimodal {
     * bad-JSON quarantine. Valid rows never appear here; the main pipeline
     * proceeds on `parsed.filter(ok)`. */
   def pngQuarantine(parsed: DataFrame): DataFrame =
-    parsed.select(col("doc_id"), col("n_bytes"), col("n_chunks"),
+    // barrier before the filter: the quarantine predicate is built from
+    // DERIVED columns (walk fold + integrity gates); pushed below the parse
+    // projection it would re-substitute the whole fold into the filter
+    // condition and evaluate it several more times per row. The parsed
+    // frame is metadata-sized (payload dropped), so the barrier is cheap.
+    parsed.materialize
+      .select(col("doc_id"), col("n_bytes"), col("n_chunks"),
         when(!col("is_png"), "bad_magic")
           .when(!col("crc_ok"), "bad_crc")
           .when(!col("iend_ok"), "truncated")
+          .as("reason"))
+      .filter(col("reason").isNotNull)
+
+  // ------------------------------------------- JPEG: marker-segment walk
+  //
+  // The PNG walk generalized to the variable-length MARKER format real
+  // image pipelines sniff. Two wrinkles PNG doesn't have: (1) segment
+  // lengths live in a 2-byte big-endian field that COUNTS ITSELF (payload
+  // bytes = len − 2), and each segment must begin with an 0xFF marker
+  // prefix — a chain can break on a bad marker byte, not just a bad
+  // length; (2) after SOS the entropy-coded data has NO length field at
+  // all — the only way to find EOI is to SCAN for it, which is done here
+  // with one codegen byte-aligned regex scan over the hex image, not a fold
+  // per byte. Same bounded `aggregate` fold as PNG for the segment chain
+  // (the load-bearing plan-size choice, see [[parsePng]]).
+
+  /** Unroll bound for the segment walk: APP0 + up to 3 APPn + DQT + SOF0
+    * + SOS, plus one spare. */
+  val JpegMaxSegments = 8
+
+  /** JPEG field derivations from doc_id (query + oracle share the rule):
+    * 1–3 extra APPn segments, 16–270 px wide, 16–200 tall, 1 or 3
+    * components, 5–44 bytes of entropy-coded data. */
+  private def jpegFields(id: Column): (Column, Column, Column, Column, Column) = {
+    val nApp = lit(1L) + pmod(id, lit(3L))
+    val width = lit(16L) + pmod(id, lit(255L))
+    val height = lit(16L) + pmod(id, lit(185L))
+    val nComp = lit(1L) + pmod(id, lit(2L)) * 2
+    val entropyLen = lit(5L) + pmod(id, lit(40L))
+    (nApp, width, height, nComp, entropyLen)
+  }
+
+  /** Data length of extra APPn segment `j` (1-based): 7–25 bytes, varying
+    * with doc and position so segment offsets are non-uniform. */
+  private def appLen(id: Column, j: Int): Column =
+    lit(7L) + pmod(id + lit(j.toLong), lit(19L))
+
+  /** Synthesize a VALID baseline JPEG header stream per document: SOI,
+    * JFIF APP0, 1–3 APPn segments of varying length, DQT, SOF0 (carrying
+    * the real dimensions/components), SOS, entropy filler (0x25 bytes —
+    * no 0xFF, so the EOI scan is unambiguous), EOI. */
+  def synthJpeg(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val (nApp, width, height, nComp, entropyLen) = jpegFields(id)
+    // APP0/JFIF: 'JFIF\0', v1.1, dpi units, 72x72, no thumbnail
+    val app0 = lit("FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+      "0048" + "0048" + "0000")
+    val apps = (1 to 3).map { j =>
+      val dl = appLen(id, j)
+      when(lit(j.toLong) <= nApp,
+        concat(lit(s"FFE$j"), beHex(dl + lit(2L), 2),
+          call_function("repeat", lit("41"), dl.cast("int"))))
+        .otherwise(lit(""))
+    }
+    val dqt = concat(lit("FFDB" + "0043" + "00"),
+      call_function("repeat", lit("10"), lit(64)))
+    val sofComps = when(nComp === 1, lit("011100"))
+      .otherwise(lit("011100" + "021100" + "031100"))
+    val sof0 = concat(lit("FFC0"), beHex(lit(8L) + nComp * 3, 2), lit("08"),
+      beHex(height, 2), beHex(width, 2), beHex(nComp, 1), sofComps)
+    val sosComps = when(nComp === 1, lit("0100"))
+      .otherwise(lit("0100" + "0200" + "0300"))
+    val sos = concat(lit("FFDA"), beHex(lit(6L) + nComp * 2, 2),
+      beHex(nComp, 1), sosComps, lit("003F00"))
+    val entropy = call_function("repeat", lit("25"), entropyLen.cast("int"))
+    val hexAll = concat(Seq(lit("FFD8"), app0) ++ apps ++
+      Seq(dqt, sof0, sos, entropy, lit("FFD9")): _*)
+    docs.select(id, lit("image/jpeg").as("media_type"),
+      unhex(hexAll).as("payload"))
+  }
+
+  /** Deterministic corruption for the quarantine path (precedence shared
+    * with the oracle): doc_id%7=0 → DQT's 0xFF marker prefix zeroed
+    * (bad_marker — the chain breaks mid-walk on a byte PNG's format
+    * doesn't even have); else %11=0 → first SOI byte zeroed (bad_magic);
+    * else %13=0 → EOI dropped (truncated — the SCAN finds no end marker).
+    * Everything else passes unmodified. */
+  def synthJpegCorrupt(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val media = synthJpeg(docs).materialize // same plan barrier as PNG
+    val h = hex(col("payload"))
+    val n2 = length(h)
+    val (nApp, _, _, _, _) = jpegFields(id)
+    // byte offset (0-based) of DQT's FF prefix = SOI(2) + APP0(18) + APPn's
+    val dqtOff = lit(20L) + (1 to 3).map(j =>
+      when(lit(j.toLong) <= nApp, appLen(id, j) + lit(4L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val badMarker = concat(
+      call_function("substring", h, lit(1), (dqtOff * 2).cast("int")),
+      lit("00"),
+      call_function("substring", h, (dqtOff * 2 + 3).cast("int"), n2))
+    val badMagic = concat(lit("00"), call_function("substring", h, lit(3), n2))
+    val truncated = call_function("substring", h, lit(1), n2 - 4)
+    media.select(col("doc_id"), col("media_type"),
+      unhex(when(pmod(id, lit(7L)) === 0, badMarker)
+        .when(pmod(id, lit(11L)) === 0, badMagic)
+        .when(pmod(id, lit(13L)) === 0, truncated)
+        .otherwise(h)).as("payload"))
+  }
+
+  /** Walk the JPEG marker-segment chain — no UDF, no driver loop. Each
+    * step checks the 0xFF marker prefix, reads the self-counting BE16
+    * length, and hops to the next segment; SOF0's dimensions/components
+    * are captured in-flight. After SOS the entropy span is closed by
+    * SCANNING for the EOI marker (one byte-aligned regex over the hex image
+    * — entropy data carries no length field; this is the structural
+    * difference from PNG's fully indexed chain).
+    *
+    * Output: is_jpeg (SOI magic), width/height/n_components (from SOF0),
+    * n_segments, marker_types (comma-joined hex), marker_ok (every walked
+    * segment began with 0xFF), entropy_len (scanned), eoi_ok (EOI found
+    * exactly at end-of-file), n_bytes. */
+  def parseJpeg(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val nBytes = octet_length(p).cast("long")
+    val isJpeg = hex(substring(p, 1, 2)) === "FFD8"
+    def state(off: Column, n: Column, h: Column, w: Column, nc: Column,
+        sosEnd: Column, mok: Column, live: Column, types: Column): Column =
+      struct(off.as("off"), n.as("n"), h.as("h"), w.as("w"), nc.as("nc"),
+        sosEnd.as("sosend"), mok.as("mok"), live.as("live"),
+        types.as("types"))
+    val init = state(lit(3L), lit(0L), lit(-1L), lit(-1L), lit(-1L),
+      lit(-1L), lit(true), isJpeg, lit(""))
+    val walk = aggregate(
+      sequence(lit(1), lit(JpegMaxSegments)),
+      init,
+      (st, _) => {
+        val off = st.getField("off")
+        val prefix = beUIntAt(p, off, 1)
+        val m = beUIntAt(p, off + 1, 1)
+        val len = beUIntAt(p, off + 2, 2)
+        val isSos = m === 218L // 0xDA
+        val isSof = m === 192L // 0xC0
+        val fits = len >= 2 && off + 2 + len <= nBytes + 1
+        val stepped = state(
+          off + 2 + len,
+          st.getField("n") + 1,
+          when(isSof, beUIntAt(p, off + 5, 2)).otherwise(st.getField("h")),
+          when(isSof, beUIntAt(p, off + 7, 2)).otherwise(st.getField("w")),
+          when(isSof, beUIntAt(p, off + 9, 1)).otherwise(st.getField("nc")),
+          when(isSos, off + 2 + len).otherwise(st.getField("sosend")),
+          st.getField("mok"),
+          !isSos,
+          concat(st.getField("types"),
+            when(st.getField("n") === 0, "").otherwise(","), beHex(m, 1)))
+        when(!st.getField("live"), st)
+          .when(prefix =!= 255L || m < 0,
+            state(off, st.getField("n"), st.getField("h"), st.getField("w"),
+              st.getField("nc"), st.getField("sosend"), lit(false),
+              lit(false), st.getField("types")))
+          .when(!fits,
+            state(off, st.getField("n"), st.getField("h"), st.getField("w"),
+              st.getField("nc"), st.getField("sosend"), st.getField("mok"),
+              lit(false), st.getField("types")))
+          .otherwise(stepped)
+      })
+    val sosEnd = col("w").getField("sosend")
+    // EOI scan over the entropy span: hex chars from the first entropy byte
+    // onward. The match must respect BYTE alignment — a bare substring
+    // search would hit phantom markers straddling byte boundaries (bytes
+    // 2F FD 9A hex-print as 2FFD9A, containing a misaligned FFD9) — so the
+    // scan is an anchored non-greedy pair-wise regex: the first FFD9 at an
+    // even byte offset wins, phantoms inside pairs are invisible.
+    val hexAll = hex(p)
+    val tail = call_function("substring", hexAll,
+      ((sosEnd - 1) * 2 + 1).cast("int"), length(hexAll).cast("int"))
+    val entHex = regexp_extract(tail, "^((?:[0-9A-F]{2})*?)FFD9", 1)
+    val found = sosEnd > 0 && tail.rlike("^(?:[0-9A-F]{2})*?FFD9")
+    val entropyLen = when(found, (length(entHex) / 2).cast("long"))
+      .otherwise(lit(-1L))
+    media
+      .select(col("doc_id"), p, nBytes.as("n_bytes"), isJpeg.as("is_jpeg"),
+        walk.as("w"))
+      .select(col("doc_id"), col("is_jpeg"),
+        col("w.w").as("width"), col("w.h").as("height"),
+        col("w.nc").as("n_components"), col("w.n").as("n_segments"),
+        col("w.types").as("marker_types"), col("w.mok").as("marker_ok"),
+        entropyLen.as("entropy_len"),
+        (found && sosEnd + (length(entHex) / 2).cast("long") + 1 === col("n_bytes"))
+          .as("eoi_ok"),
+        col("n_bytes"))
+  }
+
+  /** Quarantine relation over a parsed-JPEG frame, mirroring
+    * [[pngQuarantine]]: precedence bad_magic > bad_marker > truncated. */
+  def jpegQuarantine(parsed: DataFrame): DataFrame =
+    // same derived-column filter barrier as [[pngQuarantine]]
+    parsed.materialize
+      .select(col("doc_id"), col("n_bytes"),
+        col("n_segments").as("n_chunks"),
+        when(!col("is_jpeg"), "bad_magic")
+          .when(!col("marker_ok"), "bad_marker")
+          .when(!col("eoi_ok"), "truncated")
           .as("reason"))
       .filter(col("reason").isNotNull)
 
