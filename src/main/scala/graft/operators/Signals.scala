@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{WindowIndicators => WI}
+import graft.operators.Materialize.MatOps
 
 /** Derived trading signals on top of the indicator machinery: rolling
   * z-score outliers and moving-average crossover events — the alert-side
@@ -314,19 +315,39 @@ object Signals {
     * 1e-4-quantized to integers BEFORE the pair join, so every aggregate
     * (n, Σx, Σy, Σx², Σy², Σxy) is an exact long and the Pearson formula
     * runs on identical inputs in both engines — no float summation order
-    * anywhere. Shape: one self-equi-join on the time key (per-time fanout
-    * is |symbols|², bounded by listing count, never corpus-sized) and one
-    * aggregate down to the |symbols|²/2 matrix; pairs with fewer than
-    * `minOverlap` common bars or zero variance yield null. */
+    * anywhere. Shape: the return frame (|bars| rows, 3 narrow columns) is
+    * materialized ONCE and self-equi-joined on the time key — without the
+    * barrier the self-join re-executes the whole events→bars→returns
+    * pipeline (scan, bar aggregation, per-symbol lag window) once per
+    * side. Symbols are dictionary-encoded to ints through a broadcast
+    * before the join, so the |symbols|²-per-time fanout (bounded by
+    * listing count, never corpus-sized) hash-aggregates on two int keys
+    * instead of two strings — measured 6.4 s → 4.4 s at sf0.1, the string
+    * hashing of 16M fanout rows was the dominant constant. (A
+    * per-time-slice array expansion — collect_list + nested higher-order
+    * transforms — was measured 2× SLOWER than the join: Spark evaluates
+    * lambda functions interpreted, outside whole-stage codegen.) Pairs
+    * with fewer than `minOverlap` common bars or zero variance yield
+    * null. */
   def corrMatrix(bars: DataFrame, minOverlap: Int = 10): DataFrame = {
     val q4 = (c: Column) => floor(c * 10000 + lit(0.5)).cast("long")
     val ret = bars
       .select(col("symbol"), col("time"),
         q4(logRet(col("close"), lag(col("close"), 1).over(WI.w()))).as("r"))
       .filter(col("r").isNotNull)
-    val j = ret.as("a").join(ret.as("b"),
-      col("a.time") === col("b.time") && col("a.symbol") < col("b.symbol"))
-    val g = j.groupBy(col("a.symbol").as("symbol_a"), col("b.symbol").as("symbol_b"))
+      .materialize
+    // dictionary-encode symbols (row_number over the sorted distinct list:
+    // id order == string order, so sid_a < sid_b ⇔ symbol_a < symbol_b and
+    // the emitted pair set is unchanged). The dict is O(|symbols|) rows —
+    // its single-partition window is allowlisted in PlanAuditSpec.
+    val ids = ret.select(col("symbol")).distinct()
+      .select(col("symbol"),
+        row_number().over(Window.orderBy(col("symbol"))).as("sid"))
+    val r2 = ret.join(broadcast(ids), "symbol")
+      .select(col("sid"), col("time"), col("r"))
+    val j = r2.as("a").join(r2.as("b"),
+      col("a.time") === col("b.time") && col("a.sid") < col("b.sid"))
+    val g = j.groupBy(col("a.sid").as("sa"), col("b.sid").as("sb"))
       .agg(count(lit(1)).as("n"),
         sum(col("a.r")).as("sx"), sum(col("b.r")).as("sy"),
         sum(col("a.r") * col("a.r")).as("sxx"),
@@ -337,10 +358,13 @@ object Signals {
     val cov = nD * col("sxy") - col("sx").cast("double") * col("sy")
     val vx = nD * col("sxx") - col("sx").cast("double") * col("sx")
     val vy = nD * col("syy") - col("sy").cast("double") * col("sy")
-    g.select(col("symbol_a"), col("symbol_b"), col("n"),
-      (floor(cov / nullif(sqrt(vx * vy), lit(0.0)) * 10000 + lit(0.5)) / 10000)
-        .as("corr"))
+    g.join(broadcast(ids.select(col("sid").as("sa"), col("symbol").as("symbol_a"))), "sa")
+      .join(broadcast(ids.select(col("sid").as("sb"), col("symbol").as("symbol_b"))), "sb")
+      .select(col("symbol_a"), col("symbol_b"), col("n"),
+        (floor(cov / nullif(sqrt(vx * vy), lit(0.0)) * 10000 + lit(0.5)) / 10000)
+          .as("corr"))
   }
+
 
   /** CUSUM changepoint detector (Page 1954) over each symbol's 1-bar close
     * change. The textbook form is doubly recursive —

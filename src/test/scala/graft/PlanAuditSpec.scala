@@ -47,8 +47,11 @@ class PlanAuditSpec extends AnyFunSuite {
   /** Queries whose single-partition window runs over a provably bounded
     * input: q_rolling_beta lags the equal-weight market index, which is
     * one row per HOUR (O(calendar span), ~100k rows for a decade of
-    * hours) — never corpus-sized, so one partition is the right plan. */
-  private val globalWindowAllowed = Set("q_rolling_beta", "q_leadlag")
+    * hours) — never corpus-sized, so one partition is the right plan.
+    * q_corr_matrix row-numbers the DISTINCT SYMBOL dictionary
+    * (O(listing count) rows) to dictionary-encode its pair keys. */
+  private val globalWindowAllowed =
+    Set("q_rolling_beta", "q_leadlag", "q_corr_matrix")
 
   test("no shipped query windows over an unpartitioned frame") {
     import org.apache.spark.sql.execution.window.WindowExec
