@@ -494,6 +494,69 @@ object Dedup {
         coalesce(col("n_batch_matches"), lit(0L)).as("n_batch_matches"))
   }
 
+  /** One micro-batch step of CONTINUOUS near-dup screening — the streaming
+    * decomposition of [[incremental]]: screen a batch's shingle index
+    * against a flagged reference index (corpus docs + stream docs admitted
+    * in earlier micro-batches) plus the batch's own smaller ids.
+    *
+    * `refIdx` carries (doc_id, h, is_corpus): is_corpus=true rows produce
+    * `dup_of_corpus` decisions, is_corpus=false rows (earlier stream docs)
+    * produce `dup_in_batch` — exactly how [[incremental]] classifies them
+    * when the whole stream is screened as one batch, so feeding id-ordered
+    * micro-batches through this step reproduces the batch report
+    * bit-for-bit (StreamDedupSpec pins it). Decision contract is
+    * arrival-order first-wins, the streaming analog of incremental's
+    * id-order (an online screener never re-opens the past — late
+    * out-of-order ids get the batch detector, like CusumMonitor).
+    *
+    * Scale shape: the reference index is the big side and stays
+    * partitioned by its keys; the batch is the small probe. Nothing here
+    * is ever self-joined corpus×corpus. */
+  def screenBatch(refIdx: DataFrame, batchIdx: DataFrame, tau: Double): DataFrame = {
+    val idx = refIdx
+      .select(col("doc_id"), col("h"), col("is_corpus"), lit(false).as("_is_batch"))
+      .unionByName(batchIdx.select(col("doc_id"), col("h"),
+        lit(false).as("is_corpus"), lit(true).as("_is_batch")))
+      .materialize
+    val flags = idx.select(col("doc_id"), col("is_corpus"), col("_is_batch")).distinct()
+    val sig = minhashSignaturesFromIndex(idx.select(col("doc_id"), col("h")))
+      .join(flags, "doc_id")
+      .materialize
+    val bands = sig.select(col("doc_id"), col("is_corpus"), col("_is_batch"),
+      explode(expr(
+        (0 until MinHashK / 2)
+          .map(bd => s"struct(${bd} AS band, mh${2 * bd} AS x, mh${2 * bd + 1} AS y)")
+          .mkString("array(", ", ", ")"))).as("bb"))
+      .select(col("doc_id"), col("is_corpus"), col("_is_batch"),
+        col("bb.band"), col("bb.x"), col("bb.y"))
+    val probe = bands.filter(col("_is_batch"))
+    // reference docs always eligible; same-batch docs only with smaller id
+    val cand = probe.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+          col("a.y") === col("b.y") && col("a.doc_id") =!= col("b.doc_id") &&
+          (!col("b._is_batch") || col("b.doc_id") < col("a.doc_id")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verified = verifyJaccard(cand, idx.select(col("doc_id"), col("h")), tau)
+      .join(flags.select(col("doc_id").as("doc_b"), col("is_corpus").as("b_corpus")),
+        "doc_b")
+    val perDoc = verified.groupBy(col("doc_a").as("doc_id")).agg(
+      min(when(col("b_corpus"), col("doc_b"))).as("corpus_match"),
+      min(when(!col("b_corpus"), col("doc_b"))).as("batch_match"),
+      count(when(col("b_corpus"), lit(1))).as("n_corpus_matches"),
+      count(when(!col("b_corpus"), lit(1))).as("n_batch_matches"))
+    val batchDocs = batchIdx.select(col("doc_id")).distinct()
+    batchDocs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("corpus_match").isNotNull, lit("dup_of_corpus"))
+          .when(col("batch_match").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("corpus_match"), col("batch_match")).as("match_id"),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        coalesce(col("n_batch_matches"), lit(0L)).as("n_batch_matches"))
+  }
+
   /** 60-bit SimHash over distinct 3-gram shingles (majority vote per bit).
     * Shingles, not unigrams: with a small vocabulary every document shares
     * most unigrams, collapsing unigram SimHashes together; word 3-grams

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.StreamDedup
+
+/** Stream == batch parity for near-dup screening (the CusumMonitor parity
+  * pattern applied to the LLM-pipeline side): the same documents screened
+  * (a) in one shot by Dedup.incremental and (b) through StreamDedup in
+  * uneven id-ordered micro-batches must produce IDENTICAL per-doc
+  * decisions — statuses, match ids, and match counts.
+  */
+class StreamDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // corpus: 6 distinct docs; stream: near-dups of corpus docs, near-dups
+  // of each other, and fresh docs — all ≥3 tokens so each has shingles
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog in the park"),
+    (1L, "machine learning models require large amounts of training data"),
+    (2L, "the stock market closed higher on strong earnings reports today"),
+    (3L, "a recipe for sourdough bread needs flour water salt and patience"),
+    (4L, "the committee approved the annual budget after long deliberation"),
+    (5L, "solar panels convert sunlight directly into electrical energy"))
+
+  private val streamDocs = Seq(
+    // near-dup of corpus 1 (one token changed)
+    (100L, "machine learning models require huge amounts of training data"),
+    // fresh
+    (101L, "quantum computers exploit superposition to explore many states"),
+    // near-dup of corpus 2
+    (102L, "the stock market closed higher on strong earnings reports friday"),
+    // near-dup of 101 (dup_in_batch across micro-batches)
+    (103L, "quantum computers exploit superposition to explore several states"),
+    // fresh
+    (104L, "migrating birds navigate using the earth magnetic field lines"),
+    // near-dup of 104 (dup_in_batch within the final micro-batch)
+    (105L, "migrating birds navigate using the earth magnetic field maps"),
+    // near-dup of corpus 1 again (second corpus dup, later id)
+    (106L, "machine learning models require large amounts of labeled data"))
+
+  test("streamed micro-batches reproduce the one-shot incremental report bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val tau = 0.5
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val streamDf = streamDocs.toDF("doc_id", "text")
+
+    // batch truth: everything screened as ONE batch against the corpus
+    val batch = Dedup.incremental(
+        corpusDf.unionByName(streamDf), col("doc_id") >= 100L, tau)
+      .orderBy("doc_id").collect()
+
+    // stream: same docs in three uneven id-ordered micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup.run(input.toDF().toDF("doc_id", "text"),
+      corpusDf, dir, tau)
+    try {
+      Seq(streamDocs.take(2), streamDocs.slice(2, 3), streamDocs.drop(3))
+        .foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val stream = StreamDedup.decisions(spark, dir).orderBy("doc_id").collect()
+    assert(stream.length == batch.length)
+    stream.zip(batch).foreach { case (sr, br) =>
+      assert(sr.getAs[Long]("doc_id") == br.getAs[Long]("doc_id"))
+      assert(sr.getAs[String]("status") == br.getAs[String]("status"),
+        s"doc ${sr.getAs[Long]("doc_id")} status")
+      assert(sr.getAs[java.lang.Long]("match_id") == br.getAs[java.lang.Long]("match_id"),
+        s"doc ${sr.getAs[Long]("doc_id")} match_id")
+      assert(sr.getAs[Long]("n_corpus_matches") == br.getAs[Long]("n_corpus_matches"),
+        s"doc ${sr.getAs[Long]("doc_id")} n_corpus")
+      assert(sr.getAs[Long]("n_batch_matches") == br.getAs[Long]("n_batch_matches"),
+        s"doc ${sr.getAs[Long]("doc_id")} n_batch")
+    }
+    // and the report is non-trivial: every decision class is exercised
+    val statuses = stream.map(_.getAs[String]("status")).toSet
+    assert(statuses == Set("kept", "dup_of_corpus", "dup_in_batch"))
+  }
+}
