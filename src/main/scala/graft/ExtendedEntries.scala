@@ -166,6 +166,18 @@ object ExtendedEntries {
   private def qMediaJpeg(s: SparkSession, dir: String): DataFrame =
     Multimodal.parseJpeg(Multimodal.synthJpeg(Tables.documents(s, dir)))
 
+  /** EXIF TIFF-IFD parse: the APP1 block is located by the marker walk,
+    * then read in the PER-FILE byte order its TIFF header declares (II
+    * for even doc ids, MM for odd) — endian-switching reads over IFD0's
+    * tag entries, cross-checked against the SOF0 frame header. */
+  private def qMediaExif(s: SparkSession, dir: String): DataFrame =
+    // barrier between synth and parse: the endian-branched synth fused
+    // with the marker walk overflows the 64 KB codegen method limit and
+    // drops the stage to interpreted eval (a real pipeline parses stored
+    // bytes anyway — same shape as synthPngCorrupt's barrier)
+    Multimodal.parseExif(
+      operators.Materialize(Multimodal.synthJpegExif(Tables.documents(s, dir))))
+
   /** Corrupt-payload quarantine across BOTH walked formats: deterministic
     * corruptions (bad magic / bad CRC / bad marker prefix / truncated)
     * routed to one reason-tagged, modality-tagged quarantine relation by
@@ -675,6 +687,7 @@ object ExtendedEntries {
     "q_media_stats" -> qMediaStats,
     "q_media_png" -> qMediaPng,
     "q_media_jpeg" -> qMediaJpeg,
+    "q_media_exif" -> qMediaExif,
     "q_media_quarantine" -> qMediaQuarantine,
     "q_pack_interleaved" -> qPackInterleaved,
     "q_agg_pricing" -> qAggPricing,
@@ -2420,6 +2433,21 @@ object ExtendedEntries {
         |  TRUE AS eoi_ok,
         |  CAST(109 + app_bytes + 5 * ncomp + elen AS BIGINT) AS n_bytes
         |FROM f""".stripMargin,
+
+    // EXIF oracle: byte order, IFD0 tag values, and the SOF0 cross-check
+    // re-derived from the shared generation rule; the Spark side REALLY
+    // reads them back endian-switched from the bytes
+    "q_media_exif" ->
+      """SELECT doc_id, TRUE AS has_exif,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(3 AS BIGINT) AS n_tags,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |  CAST(16 + doc_id % 255 AS BIGINT) AS exif_width,
+        |  CAST(16 + doc_id % 185 AS BIGINT) AS exif_height,
+        |  TRUE AS dims_match,
+        |  CAST(151 + 5 * (1 + (doc_id % 2) * 2) + 5 + doc_id % 40 AS BIGINT)
+        |    AS n_bytes
+        |FROM documents""".stripMargin,
 
     // corruption rule precedence (bad_crc > bad_magic > truncated for PNG,
     // bad_marker > bad_magic > truncated for JPEG) is the SYNTH-side

@@ -443,6 +443,24 @@ object Multimodal {
     * JFIF APP0, 1–3 APPn segments of varying length, DQT, SOF0 (carrying
     * the real dimensions/components), SOS, entropy filler (0x25 bytes —
     * no 0xFF, so the EOI scan is unambiguous), EOI. */
+  /** DQT + SOF0 + SOS + entropy hex — the shared tail of every synthesized
+    * JPEG variant. */
+  private def jpegTailHex(width: Column, height: Column, nComp: Column,
+      entropyLen: Column): Column = {
+    val dqt = concat(lit("FFDB" + "0043" + "00"),
+      call_function("repeat", lit("10"), lit(64)))
+    val sofComps = when(nComp === 1, lit("011100"))
+      .otherwise(lit("011100" + "021100" + "031100"))
+    val sof0 = concat(lit("FFC0"), beHex(lit(8L) + nComp * 3, 2), lit("08"),
+      beHex(height, 2), beHex(width, 2), beHex(nComp, 1), sofComps)
+    val sosComps = when(nComp === 1, lit("0100"))
+      .otherwise(lit("0100" + "0200" + "0300"))
+    val sos = concat(lit("FFDA"), beHex(lit(6L) + nComp * 2, 2),
+      beHex(nComp, 1), sosComps, lit("003F00"))
+    val entropy = call_function("repeat", lit("25"), entropyLen.cast("int"))
+    concat(dqt, sof0, sos, entropy)
+  }
+
   def synthJpeg(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val (nApp, width, height, nComp, entropyLen) = jpegFields(id)
@@ -456,19 +474,41 @@ object Multimodal {
           call_function("repeat", lit("41"), dl.cast("int"))))
         .otherwise(lit(""))
     }
-    val dqt = concat(lit("FFDB" + "0043" + "00"),
-      call_function("repeat", lit("10"), lit(64)))
-    val sofComps = when(nComp === 1, lit("011100"))
-      .otherwise(lit("011100" + "021100" + "031100"))
-    val sof0 = concat(lit("FFC0"), beHex(lit(8L) + nComp * 3, 2), lit("08"),
-      beHex(height, 2), beHex(width, 2), beHex(nComp, 1), sofComps)
-    val sosComps = when(nComp === 1, lit("0100"))
-      .otherwise(lit("0100" + "0200" + "0300"))
-    val sos = concat(lit("FFDA"), beHex(lit(6L) + nComp * 2, 2),
-      beHex(nComp, 1), sosComps, lit("003F00"))
-    val entropy = call_function("repeat", lit("25"), entropyLen.cast("int"))
     val hexAll = concat(Seq(lit("FFD8"), app0) ++ apps ++
-      Seq(dqt, sof0, sos, entropy, lit("FFD9")): _*)
+      Seq(jpegTailHex(width, height, nComp, entropyLen), lit("FFD9")): _*)
+    docs.select(id, lit("image/jpeg").as("media_type"),
+      unhex(hexAll).as("payload"))
+  }
+
+  /** Synthesize a JPEG whose APP1 is a REAL EXIF block: 'Exif\0\0', a
+    * TIFF header in a PER-DOCUMENT byte order ('II' little-endian for
+    * even ids, 'MM' big-endian for odd), and IFD0 with three entries in
+    * ascending tag order — ImageWidth (0x0100, LONG), ImageLength
+    * (0x0101, LONG), Orientation (0x0112, SHORT, left-justified in its
+    * 4-byte value field per the TIFF rule). The tag dimensions equal the
+    * SOF0 dimensions, so the parser can cross-check the two sources. */
+  def synthJpegExif(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val (_, width, height, nComp, entropyLen) = jpegFields(id)
+    val le = pmod(id, lit(2L)) === 0
+    val orientation = lit(1L) + pmod(id, lit(8L))
+    def u16(v: Column) = when(le, leHex(v, 2)).otherwise(beHex(v, 2))
+    def u32(v: Column) = when(le, leHex(v, 4)).otherwise(beHex(v, 4))
+    def entry(tag: Long, typ: Long, value: Column, short: Boolean) =
+      concat(u16(lit(tag)), u16(lit(typ)), u32(lit(1L)),
+        if (short) concat(u16(value), lit("0000")) else u32(value))
+    val tiff = concat(
+      when(le, lit("49492A00" + "08000000"))        // 'II', 42 LE, IFD0 @ 8
+        .otherwise(lit("4D4D002A" + "00000008")),   // 'MM', 42 BE, IFD0 @ 8
+      u16(lit(3L)),                                 // 3 IFD0 entries
+      entry(0x0100L, 4L, width, short = false),
+      entry(0x0101L, 4L, height, short = false),
+      entry(0x0112L, 3L, orientation, short = true),
+      lit("00000000"))                              // no IFD1
+    // APP1 data = 'Exif\0\0' (6) + TIFF block (50) = 56; len field = 58
+    val app1 = concat(lit("FFE1"), beHex(lit(58L), 2), lit("457869660000"), tiff)
+    val hexAll = concat(lit("FFD8"), app1,
+      jpegTailHex(width, height, nComp, entropyLen), lit("FFD9"))
     docs.select(id, lit("image/jpeg").as("media_type"),
       unhex(hexAll).as("payload"))
   }
@@ -514,18 +554,20 @@ object Multimodal {
     * n_segments, marker_types (comma-joined hex), marker_ok (every walked
     * segment began with 0xFF), entropy_len (scanned), eoi_ok (EOI found
     * exactly at end-of-file), n_bytes. */
-  def parseJpeg(media: DataFrame): DataFrame = {
-    val p = col("payload")
-    val nBytes = octet_length(p).cast("long")
-    val isJpeg = hex(substring(p, 1, 2)) === "FFD8"
+  /** The segment-chain fold shared by [[parseJpeg]] and [[parseExif]].
+    * State fields: off (cursor), n (segments walked), h/w/nc (SOF0),
+    * sosend (first entropy byte), e1 (data offset of the first APP1 —
+    * where an EXIF block lives), mok, live, types. */
+  private def jpegWalk(p: Column, nBytes: Column, isJpeg: Column): Column = {
     def state(off: Column, n: Column, h: Column, w: Column, nc: Column,
-        sosEnd: Column, mok: Column, live: Column, types: Column): Column =
+        sosEnd: Column, e1: Column, mok: Column, live: Column,
+        types: Column): Column =
       struct(off.as("off"), n.as("n"), h.as("h"), w.as("w"), nc.as("nc"),
-        sosEnd.as("sosend"), mok.as("mok"), live.as("live"),
+        sosEnd.as("sosend"), e1.as("e1"), mok.as("mok"), live.as("live"),
         types.as("types"))
     val init = state(lit(3L), lit(0L), lit(-1L), lit(-1L), lit(-1L),
-      lit(-1L), lit(true), isJpeg, lit(""))
-    val walk = aggregate(
+      lit(-1L), lit(-1L), lit(true), isJpeg, lit(""))
+    aggregate(
       sequence(lit(1), lit(JpegMaxSegments)),
       init,
       (st, _) => {
@@ -535,6 +577,7 @@ object Multimodal {
         val len = beUIntAt(p, off + 2, 2)
         val isSos = m === 218L // 0xDA
         val isSof = m === 192L // 0xC0
+        val isE1 = m === 225L  // 0xE1
         val fits = len >= 2 && off + 2 + len <= nBytes + 1
         val stepped = state(
           off + 2 + len,
@@ -543,6 +586,8 @@ object Multimodal {
           when(isSof, beUIntAt(p, off + 7, 2)).otherwise(st.getField("w")),
           when(isSof, beUIntAt(p, off + 9, 1)).otherwise(st.getField("nc")),
           when(isSos, off + 2 + len).otherwise(st.getField("sosend")),
+          when(isE1 && st.getField("e1") < 0, off + 4)
+            .otherwise(st.getField("e1")),
           st.getField("mok"),
           !isSos,
           concat(st.getField("types"),
@@ -550,14 +595,21 @@ object Multimodal {
         when(!st.getField("live"), st)
           .when(prefix =!= 255L || m < 0,
             state(off, st.getField("n"), st.getField("h"), st.getField("w"),
-              st.getField("nc"), st.getField("sosend"), lit(false),
-              lit(false), st.getField("types")))
+              st.getField("nc"), st.getField("sosend"), st.getField("e1"),
+              lit(false), lit(false), st.getField("types")))
           .when(!fits,
             state(off, st.getField("n"), st.getField("h"), st.getField("w"),
-              st.getField("nc"), st.getField("sosend"), st.getField("mok"),
-              lit(false), st.getField("types")))
+              st.getField("nc"), st.getField("sosend"), st.getField("e1"),
+              st.getField("mok"), lit(false), st.getField("types")))
           .otherwise(stepped)
       })
+  }
+
+  def parseJpeg(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val nBytes = octet_length(p).cast("long")
+    val isJpeg = hex(substring(p, 1, 2)) === "FFD8"
+    val walk = jpegWalk(p, nBytes, isJpeg)
     val sosEnd = col("w").getField("sosend")
     // EOI scan over the entropy span: hex chars from the first entropy byte
     // onward. The match must respect BYTE alignment — a bare substring
@@ -582,6 +634,103 @@ object Multimodal {
         entropyLen.as("entropy_len"),
         (found && sosEnd + (length(entHex) / 2).cast("long") + 1 === col("n_bytes"))
           .as("eoi_ok"),
+        col("n_bytes"))
+  }
+
+  /** Unroll bound for IFD0 entries the parser inspects. */
+  val ExifMaxTags = 4
+
+  /** Parse the EXIF APP1 block located by the marker walk: 'Exif\0\0',
+    * then a TIFF stream whose BYTE ORDER is declared per file ('II'
+    * little-endian / 'MM' big-endian) — every subsequent read switches
+    * endianness on that flag, the wrinkle fixed-endian formats (WAV
+    * little, PNG big) never exercise. IFD0's entries are scanned (bounded
+    * unroll) for ImageWidth (0x0100, LONG), ImageLength (0x0101, LONG)
+    * and Orientation (0x0112, SHORT — left-justified in its 4-byte value
+    * field per the TIFF value-packing rule, so a 2-byte read at the field
+    * start is correct in BOTH byte orders).
+    *
+    * Output: doc_id, has_exif, byte_order, n_tags, orientation,
+    * exif_width, exif_height, dims_match (EXIF tags vs the SOF0 frame
+    * header — the consistency check a real curation pipeline applies
+    * before trusting either source), n_bytes.
+    *
+    * Two codegen-bounded stages with a materialize barrier between them
+    * (fused, the generated method crossed the JVM's 64 KB limit and the
+    * whole stage silently fell back to interpreted eval — 8.2 s at
+    * sf0.1): stage 1 runs the marker walk and extracts the candidate
+    * TIFF block as ONE short hex string (payload dropped); stage 2 does
+    * every endian-switched read as a small substring over that string —
+    * one hex conversion per FIELD, not per byte. */
+  def parseExif(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val nBytes = octet_length(p).cast("long")
+    val isJpeg = hex(substring(p, 1, 2)) === "FFD8"
+    val walk = jpegWalk(p, nBytes, isJpeg)
+    // TIFF block bound: header 8 + count 2 + ExifMaxTags×12 + next-IFD 4
+    val tiffLen = 8 + 2 + ExifMaxTags * 12 + 4
+    val staged = media
+      .select(col("doc_id"), p, nBytes.as("n_bytes"), walk.as("w0"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("w0.e1").as("_e1"), col("w0.w").as("_sof_w"),
+        col("w0.h").as("_sof_h"),
+        when(col("w0.e1") > 0,
+          hex(call_function("substring", p, col("w0.e1").cast("int"), lit(6))))
+          .as("_exif_hdr"),
+        when(col("w0.e1") > 0,
+          hex(call_function("substring", p, (col("w0.e1") + 6).cast("int"),
+            lit(tiffLen)))).as("_tiff"))
+      .materialize
+    // stage 2: all reads address the stored _tiff hex string. Each
+    // projection stores its intermediates as real columns (le flag, ifd0
+    // offset, per-slot tag ids and values) — referenced multiple times
+    // downstream and non-cheap, so CollapseProject keeps the stages
+    // separate and no single generated method re-inlines the whole read
+    // tree (the fused form crossed 64 KB and fell back to interpreted,
+    // paying a multi-second failed-compile tax per stage).
+    def hx(off: Column, n: Int): Column = call_function("substring",
+      col("_tiff"), (off * 2 + 1).cast("int"), lit(2 * n))
+    def swapped(off: Column, n: Int): Column =
+      concat((n - 1 to 0 by -1).map(i => call_function("substring",
+        col("_tiff"), ((off + i) * 2 + 1).cast("int"), lit(2))): _*)
+    def u(off: Column, n: Int): Column =
+      coalesce(conv(nullif(when(col("_le"), swapped(off, n))
+        .otherwise(hx(off, n)), lit("")), 16, 10).cast("long"), lit(-1L))
+    val slots = staged
+      .withColumn("_has",
+        col("_e1") > 0 && col("_exif_hdr") === "457869660000")
+      .withColumn("_le", substring(col("_tiff"), 1, 4) === "4949")
+      .withColumn("_magic", u(lit(2L), 2) === 42L)
+      .withColumn("_ifd0", u(lit(4L), 4))
+      .withColumn("_ntags", u(col("_ifd0"), 2))
+    val withTags = (0 until ExifMaxTags).foldLeft(slots) { (df, i) =>
+      val e = col("_ifd0") + 2 + 12 * i
+      df.withColumn(s"_tag$i",
+          when(lit(i.toLong) < col("_ntags"), u(e, 2)).otherwise(lit(-1L)))
+        .withColumn(s"_v16$i", u(e + 8, 2))
+        .withColumn(s"_v32$i", u(e + 8, 4))
+    }
+    def tagValue(tag: Long, short: Boolean): Column =
+      (0 until ExifMaxTags).map { i =>
+        when(col(s"_tag$i") === tag,
+          if (short) col(s"_v16$i") else col(s"_v32$i"))
+      }.reduce(coalesce(_, _))
+    val ok = col("_has") && col("_magic")
+    val width = tagValue(0x0100L, short = false)
+    val height = tagValue(0x0101L, short = false)
+    val orientation = tagValue(0x0112L, short = true)
+    withTags
+      .select(col("doc_id"), ok.as("has_exif"),
+        when(ok, when(col("_le"), "II").otherwise("MM")).as("byte_order"),
+        when(ok, col("_ntags")).otherwise(lit(-1L)).as("n_tags"),
+        when(ok, coalesce(orientation, lit(-1L)))
+          .otherwise(lit(-1L)).as("orientation"),
+        when(ok, coalesce(width, lit(-1L)))
+          .otherwise(lit(-1L)).as("exif_width"),
+        when(ok, coalesce(height, lit(-1L)))
+          .otherwise(lit(-1L)).as("exif_height"),
+        (ok && width === col("_sof_w") && height === col("_sof_h"))
+          .as("dims_match"),
         col("n_bytes"))
   }
 
