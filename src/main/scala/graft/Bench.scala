@@ -28,6 +28,11 @@ import org.apache.spark.sql.SparkSession
   *      automatically re-run min-of-3 after the sweep, and BOTH numbers are
   *      recorded under "reruns" — transient contention shows up as
   *      first >> rerun, a real regression as first ≈ rerun.
+  * Heap sizing note (measured, round 7): run this with a MODERATE heap
+  * (-Xmx16g). A 64 GiB heap made a handful of text/window queries run
+  * 5-8x slower in the full sweep (GC geometry, not code — the same
+  * binaries at 16g hit every committed floor; 134.1 s vs 109.0 s total
+  * for identical code and data).
   *   3. The tail stays parseable: the known-benign WindowExec warning flood
   *      (two allowlisted O(calendar) unpartitioned windows, see
   *      PlanAuditSpec) is silenced to ERROR, and the short pointer line is
