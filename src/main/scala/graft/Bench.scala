@@ -29,10 +29,13 @@ import org.apache.spark.sql.SparkSession
   *      recorded under "reruns" — transient contention shows up as
   *      first >> rerun, a real regression as first ≈ rerun.
   * Heap sizing note (measured, round 7): run this with a MODERATE heap
-  * (-Xmx16g). A 64 GiB heap made a handful of text/window queries run
-  * 5-8x slower in the full sweep (GC geometry, not code — the same
-  * binaries at 16g hit every committed floor; 134.1 s vs 109.0 s total
-  * for identical code and data).
+  * (-Xmx16g). A full 127-query sweep at -Xmx64g showed several queries
+  * 5-8x over floor CONSISTENTLY within that JVM (q_bigram_lm 5.1 s
+  * first pass AND 5.8 s end-of-sweep re-run) yet at floor in a fresh
+  * JVM at either heap size and in the identical sweep at 16g (134.1 s
+  * vs 109.0 s total, same code and data) — an interaction between the
+  * large heap and accumulated sweep state (storage-memory/GC geometry),
+  * not a property of any query. The committed floors are 16g numbers.
   *   3. The tail stays parseable: the known-benign WindowExec warning flood
   *      (two allowlisted O(calendar) unpartitioned windows, see
   *      PlanAuditSpec) is silenced to ERROR, and the short pointer line is
