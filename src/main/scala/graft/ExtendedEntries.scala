@@ -178,6 +178,14 @@ object ExtendedEntries {
     Multimodal.parseExif(
       operators.Materialize(Multimodal.synthJpegExif(Tables.documents(s, dir))))
 
+  /** Nested-container walk: minimal ISO-BMFF (MP4) files — ftyp, moov
+    * holding mvhd + trak ▸ tkhd, mdat — parsed by chained bounded folds,
+    * one per nesting level, each scoped to the extent its parent level
+    * recorded. */
+  private def qMediaMp4(s: SparkSession, dir: String): DataFrame =
+    Multimodal.parseMp4(
+      operators.Materialize(Multimodal.synthMp4(Tables.documents(s, dir))))
+
   /** Corrupt-payload quarantine across BOTH walked formats: deterministic
     * corruptions (bad magic / bad CRC / bad marker prefix / truncated)
     * routed to one reason-tagged, modality-tagged quarantine relation by
@@ -688,6 +696,7 @@ object ExtendedEntries {
     "q_media_png" -> qMediaPng,
     "q_media_jpeg" -> qMediaJpeg,
     "q_media_exif" -> qMediaExif,
+    "q_media_mp4" -> qMediaMp4,
     "q_media_quarantine" -> qMediaQuarantine,
     "q_pack_interleaved" -> qPackInterleaved,
     "q_agg_pricing" -> qAggPricing,
@@ -2447,6 +2456,20 @@ object ExtendedEntries {
         |  TRUE AS dims_match,
         |  CAST(151 + 5 * (1 + (doc_id % 2) * 2) + 5 + doc_id % 40 AS BIGINT)
         |    AS n_bytes
+        |FROM documents""".stripMargin,
+
+    // MP4 oracle: every parsed field re-derived from the shared
+    // generation rule; the Spark side walks the real nested box tree
+    "q_media_mp4" ->
+      """SELECT doc_id, TRUE AS is_mp4, 'isom' AS major_brand,
+        |  CAST(3 AS BIGINT) AS n_top_boxes, TRUE AS sizes_ok,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(1000 + doc_id % 60000 AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 30 AS BIGINT) AS track_id,
+        |  CAST(160 + doc_id % 1280 AS BIGINT) AS width,
+        |  CAST(120 + doc_id % 720 AS BIGINT) AS height,
+        |  CAST(10 + doc_id % 80 AS BIGINT) AS mdat_len,
+        |  CAST(244 + 10 + doc_id % 80 AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
 
     // corruption rule precedence (bad_crc > bad_magic > truncated for PNG,

@@ -747,6 +747,155 @@ object Multimodal {
           .as("reason"))
       .filter(col("reason").isNotNull)
 
+  // --------------------------------------- MP4 / ISO-BMFF: nested boxes
+  //
+  // The last structural wrinkle in the container family: ISO base-media
+  // files are NESTED length-prefixed boxes ([size BE4][type 4][payload],
+  // size counts the 8-byte header; containers like moov/trak hold child
+  // boxes directly). A fold can't recurse, so nesting is expressed as
+  // CHAINED bounded folds — level N's walk records the extent of the
+  // container, level N+1 walks inside that recorded extent. WAV/BMP were
+  // fixed-offset, PNG offset-chained, JPEG marker-scanned, EXIF
+  // endian-switched; MP4 adds hierarchy.
+
+  /** Unroll bound per nesting level (top: ftyp/moov/mdat + spare; inner:
+    * mvhd/trak + spare). */
+  val Mp4MaxBoxes = 4
+
+  /** MP4 field derivations from doc_id (query + oracle share the rule):
+    * 1-61 s duration at timescale 1000, track id 1-30, 160-1439 ×
+    * 120-839 px, 10-89 byte mdat. */
+  private def mp4Fields(id: Column): (Column, Column, Column, Column, Column) = {
+    val durationMs = lit(1000L) + pmod(id, lit(60000L))
+    val trackId = lit(1L) + pmod(id, lit(30L))
+    val width = lit(160L) + pmod(id, lit(1280L))
+    val height = lit(120L) + pmod(id, lit(720L))
+    val mdatLen = lit(10L) + pmod(id, lit(80L))
+    (durationMs, trackId, width, height, mdatLen)
+  }
+
+  /** Unity transform matrix (9 × 16.16/2.30 fixed, 36 bytes). */
+  private val Mp4Matrix = "00010000" + "00000000" + "00000000" +
+    "00000000" + "00010000" + "00000000" +
+    "00000000" + "00000000" + "40000000"
+
+  /** Synthesize a VALID minimal ISO-BMFF file per document:
+    * ftyp(isom), moov ▸ [ mvhd(timescale 1000, duration),
+    * trak ▸ tkhd(track_id, duration, width/height as 16.16 fixed) ],
+    * mdat filler. All fields big-endian per the spec. */
+  def synthMp4(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val (durationMs, trackId, width, height, mdatLen) = mp4Fields(id)
+    val ftyp = lit("00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D")
+    val mvhd = concat(lit("0000006C" + "6D766864" + "00000000" +
+      "00000000" + "00000000"),                  // v/flags, ctime, mtime
+      beHex(lit(1000L), 4), beHex(durationMs, 4),
+      lit("00010000" + "0100" + "00000000000000000000"), // rate, vol, rsvd
+      lit(Mp4Matrix), lit("0" * 48),             // matrix, 24B predefined
+      beHex(trackId + 1, 4))                     // next track id
+    val tkhd = concat(lit("0000005C" + "746B6864" + "0000000F" +
+      "00000000" + "00000000"),                  // v/flags(enabled), times
+      beHex(trackId, 4), lit("00000000"), beHex(durationMs, 4),
+      lit("0" * 16 + "0000" + "0000" + "0000" + "0000"), // rsvd, layer...
+      lit(Mp4Matrix),
+      beHex(width, 2), lit("0000"), beHex(height, 2), lit("0000")) // 16.16
+    val trak = concat(lit("00000064" + "7472616B"), tkhd)
+    val moov = concat(lit("000000D8" + "6D6F6F76"), mvhd, trak)
+    val mdat = concat(beHex(mdatLen + 8, 4), lit("6D646174"),
+      call_function("repeat", lit("AB"), mdatLen.cast("int")))
+    docs.select(id, lit("video/mp4").as("media_type"),
+      unhex(concat(ftyp, moov, mdat)).as("payload"))
+  }
+
+  /** One level of the box walk: fold over up to [[Mp4MaxBoxes]] boxes in
+    * [from, until), recording the extent of `want` (offset AFTER its
+    * header, and its end) plus the box count and a size-chain check. */
+  private def boxLevel(p: Column, from: Column, until: Column,
+      wantTypeHex: String): Column = {
+    def st(off: Column, n: Column, foundOff: Column, foundEnd: Column,
+        ok: Column, live: Column): Column =
+      struct(off.as("off"), n.as("n"), foundOff.as("foff"),
+        foundEnd.as("fend"), ok.as("ok"), live.as("live"))
+    aggregate(
+      sequence(lit(1), lit(Mp4MaxBoxes)),
+      st(from, lit(0L), lit(-1L), lit(-1L), lit(true), from < until),
+      (s, _) => {
+        val off = s.getField("off")
+        val size = beUIntAt(p, off, 4)
+        val typeHex = hex(call_function("substring", p, (off + 4).cast("int"), lit(4)))
+        val fits = size >= 8 && off + size <= until
+        val isWant = typeHex === wantTypeHex
+        val next = off + size
+        when(!s.getField("live"), s)
+          .when(!fits, st(off, s.getField("n"), s.getField("foff"),
+            s.getField("fend"), lit(false), lit(false)))
+          .otherwise(st(next, s.getField("n") + 1,
+            when(isWant && s.getField("foff") < 0, off + 8)
+              .otherwise(s.getField("foff")),
+            when(isWant && s.getField("fend") < 0, next)
+              .otherwise(s.getField("fend")),
+            s.getField("ok"), next < until))
+      })
+  }
+
+  /** Walk the nested box tree and parse mvhd/tkhd — chained bounded
+    * folds, one per nesting level, each scoped to the extent its parent
+    * level recorded (staged projections; each level's offsets become
+    * stored columns so no generated method re-inlines a parent fold).
+    *
+    * Output: doc_id, is_mp4 (ftyp box first), major_brand, n_top_boxes,
+    * sizes_ok (box sizes chain exactly to end-of-file at every level),
+    * timescale, duration_ms, track_id, width, height (16.16 integer
+    * part), mdat_len, n_bytes. */
+  def parseMp4(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val nBytes = octet_length(p).cast("long")
+    val isMp4 = hex(substring(p, 5, 4)) === "66747970" // box 1 is ftyp
+    // level 1: top-level boxes; find moov and mdat
+    val top = boxLevel(p, lit(1L), nBytes + 1, "6D6F6F76")
+    val topMdat = boxLevel(p, lit(1L), nBytes + 1, "6D646174")
+    val s1 = media
+      .select(col("doc_id"), p, nBytes.as("n_bytes"), isMp4.as("is_mp4"),
+        top.as("t"), topMdat.as("tm"))
+      .select(col("doc_id"), p, col("n_bytes"), col("is_mp4"),
+        col("t.n").as("n_top_boxes"), col("t.ok").as("_ok1"),
+        col("t.foff").as("_moov"), col("t.fend").as("_moov_end"),
+        col("tm.foff").as("_mdat"), col("tm.fend").as("_mdat_end"),
+        hex(substring(p, 9, 4)).as("_brand_hex")) // ftyp major_brand
+      .materialize
+    // level 2: inside moov; find mvhd and trak
+    val mvhd = boxLevel(p, col("_moov"), col("_moov_end"), "6D766864")
+    val trak = boxLevel(p, col("_moov"), col("_moov_end"), "7472616B")
+    val s2 = s1
+      .select(col("*"), mvhd.as("m"), trak.as("k"))
+      .select(col("doc_id"), p, col("n_bytes"), col("is_mp4"),
+        col("n_top_boxes"), col("_ok1"), col("_brand_hex"),
+        col("_mdat"), col("_mdat_end"),
+        col("m.foff").as("_mvhd"), col("m.ok").as("_ok2"),
+        col("k.foff").as("_trak"), col("k.fend").as("_trak_end"))
+      .materialize
+    // level 3: inside trak; find tkhd — then extract leaf fields
+    val tkhd = boxLevel(p, col("_trak"), col("_trak_end"), "746B6864")
+    val s3 = s2
+      .select(col("*"), tkhd.getField("foff").as("_tkhd"),
+        tkhd.getField("ok").as("_ok3"))
+    val ok = col("is_mp4") && col("_ok1") && col("_ok2") && col("_ok3") &&
+      col("_mvhd") > 0 && col("_tkhd") > 0
+    def f(base: Column, rel: Int, n: Int): Column = beUIntAt(p, base + rel, n)
+    s3.select(col("doc_id"), col("is_mp4"),
+      when(ok, decode(unhex(col("_brand_hex")), "US-ASCII")).as("major_brand"),
+      col("n_top_boxes"),
+      (col("_ok1") && col("_ok2") && col("_ok3")).as("sizes_ok"),
+      when(ok, f(col("_mvhd"), 12, 4)).otherwise(lit(-1L)).as("timescale"),
+      when(ok, f(col("_mvhd"), 16, 4)).otherwise(lit(-1L)).as("duration_ms"),
+      when(ok, f(col("_tkhd"), 12, 4)).otherwise(lit(-1L)).as("track_id"),
+      when(ok, f(col("_tkhd"), 76, 2)).otherwise(lit(-1L)).as("width"),
+      when(ok, f(col("_tkhd"), 80, 2)).otherwise(lit(-1L)).as("height"),
+      when(col("_mdat") > 0, col("_mdat_end") - col("_mdat"))
+        .otherwise(lit(-1L)).as("mdat_len"),
+      col("n_bytes"))
+  }
+
   /** Per-modality corpus stats over the parsed header tables: item count,
     * byte totals, and a modality-native unit total (microseconds of audio
     * / pixels of image) — the "how much of each modality do I have"
