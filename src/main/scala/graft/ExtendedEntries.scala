@@ -126,6 +126,16 @@ object ExtendedEntries {
   private def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.dedupPairsIvf(Tables.embeddings(s, dir), 0.4, 8)
 
+  /** Batch-vs-corpus incremental EMBEDDING dedup (the vector sibling of
+    * q_dedup_incremental): every 5th vector plays the incoming batch,
+    * screened against the standing corpus and smaller-id batch vectors
+    * via cross-set SRP band joins — the corpus side is never
+    * self-joined. streaming.StreamEmbedDedup drives the same step per
+    * micro-batch with bit-exact parity (StreamDedupSpec). */
+  private def qDedupEmbedIncr(s: SparkSession, dir: String): DataFrame =
+    Similarity.incrementalEmbed(Tables.embeddings(s, dir),
+      pmod(col("vec_id"), lit(5)) === 0, Similarity.LshTau)
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(Multimodal.mediaFromDocs(Tables.documents(s, dir)))
 
@@ -688,6 +698,7 @@ object ExtendedEntries {
     "q_cosine_q8" -> qCosineQ8,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
+    "q_dedup_embed_incremental" -> qDedupEmbedIncr,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_frame_sample" -> qFrameSample,
     "q_media_wav" -> qMediaWav,
@@ -922,6 +933,61 @@ object ExtendedEntries {
        |            JOIN embeddings eb ON eb.vec_id = cand.vec_b
        |)
        |SELECT vec_a, vec_b, cos FROM v WHERE cos >= $tau""".stripMargin
+  }
+
+  /** Incremental-embed oracle: same planes/bands as [[oDedupEmbedLsh]],
+    * cross-set candidates (batch = vec_id % 5 = 0 probes corpus ∪
+    * smaller-id batch), exact-cosine verify, first-wins decisions. */
+  private def oDedupEmbedIncr: String = {
+    val nPlanes = Similarity.LshPlanes; val bandBits = Similarity.LshBandBits
+    val dim = Similarity.LshDim; val tau = Similarity.LshTau
+    val planes = Similarity.srpPlanes(nPlanes, dim)
+    def oSrpDot(p: Int): String = {
+      val signs = planes(p).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE) * ([$signs])[i]), (x, y) -> x + y)""".stripMargin
+    }
+    val code = (0 until nPlanes)
+      .map(p => s"(CASE WHEN ${oSrpDot(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("\n    + ")
+    val nBands = nPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding, vec_id % 5 = 0 AS isb, $code AS code
+       |  FROM embeddings
+       |), bands AS (
+       |  SELECT vec_id, isb, r.b AS band,
+       |    (code >> CAST($bandBits * r.b AS INT)) & $mask AS bkey
+       |  FROM c, range($nBands) r(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, b.isb AS b_isb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+       |    AND (NOT b.isb OR b.vec_id < a.vec_id)
+       |  WHERE a.isb
+       |), v AS (
+       |  SELECT cand.vec_a, cand.vec_b, cand.b_isb,
+       |    ${r4(oCos("ea.embedding", "eb.embedding"))} AS cos
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a
+       |            JOIN embeddings eb ON eb.vec_id = cand.vec_b
+       |), m AS (SELECT * FROM v WHERE cos >= $tau
+       |), per AS (
+       |  SELECT vec_a AS vec_id,
+       |    min(CASE WHEN NOT b_isb THEN vec_b END) AS corpus_match,
+       |    min(CASE WHEN b_isb THEN vec_b END) AS batch_match,
+       |    CAST(count(CASE WHEN NOT b_isb THEN 1 END) AS BIGINT) AS nc,
+       |    CAST(count(CASE WHEN b_isb THEN 1 END) AS BIGINT) AS nb
+       |  FROM m GROUP BY vec_a
+       |)
+       |SELECT c.vec_id,
+       |  CASE WHEN per.corpus_match IS NOT NULL THEN 'dup_of_corpus'
+       |       WHEN per.batch_match IS NOT NULL THEN 'dup_in_batch'
+       |       ELSE 'kept' END AS status,
+       |  coalesce(per.corpus_match, per.batch_match) AS match_id,
+       |  coalesce(per.nc, 0) AS n_corpus_matches,
+       |  coalesce(per.nb, 0) AS n_batch_matches
+       |FROM c LEFT JOIN per ON per.vec_id = c.vec_id
+       |WHERE c.isb""".stripMargin
   }
 
   /** Ordered-funnel oracle: layered windows mirror EventAnalytics.funnel
@@ -2291,6 +2357,7 @@ object ExtendedEntries {
          |SELECT centroid_id, vec_a, vec_b, cos FROM s WHERE cos >= 0.4""".stripMargin,
 
     "q_dedup_embed_lsh" -> oDedupEmbedLsh,
+    "q_dedup_embed_incremental" -> oDedupEmbedIncr,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

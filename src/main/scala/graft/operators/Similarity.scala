@@ -333,26 +333,40 @@ object Similarity {
     * synthetic corpus, short bands (3 bits × 6) keep recall high. The
     * oracle mirrors the same planes/bands, so the gate checks the whole
     * pipeline, not just the verify. */
-  def dedupPairsLsh(emb: DataFrame, tau: Double = LshTau,
-      nPlanes: Int = LshPlanes, bandBits: Int = LshBandBits,
+  /** (vec_id, embedding, nrm, code) — the SRP code table a corpus-scale
+    * deployment precomputes and persists next to the embeddings. */
+  def srpCoded(emb: DataFrame, nPlanes: Int = LshPlanes,
       dim: Int = LshDim): DataFrame = {
-    require(nPlanes % bandBits == 0, "nPlanes must be a multiple of bandBits")
     val planes = srpPlanes(nPlanes, dim)
     val code = planes.zipWithIndex.map { case (pl, p) =>
       when(dot(col("embedding"), lit(pl)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+    emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), code.as("code"))
+  }
+
+  /** Band rows (vec_id, carried cols, band, bkey) of a coded frame. */
+  private def srpBands(coded: DataFrame, carry: Seq[String],
+      nPlanes: Int, bandBits: Int): DataFrame = {
+    val nBands = nPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    coded.select((Seq(col("vec_id"), col("code")) ++ carry.map(col) :+
+        explode(sequence(lit(0), lit(nBands - 1))).as("band")): _*)
+      .select((Seq(col("vec_id")) ++ carry.map(col) ++ Seq(col("band"),
+        expr(s"shiftright(code, CAST($bandBits * band AS INT)) & ${mask}L")
+          .as("bkey"))): _*)
+  }
+
+  def dedupPairsLsh(emb: DataFrame, tau: Double = LshTau,
+      nPlanes: Int = LshPlanes, bandBits: Int = LshBandBits,
+      dim: Int = LshDim): DataFrame = {
+    require(nPlanes % bandBits == 0, "nPlanes must be a multiple of bandBits")
     // codes+norms feed the band self-join (twice) and the verify joins
     // (twice more): compute the nPlanes dot products once and cache. At
     // corpus scale this is the precomputed code table written next to the
     // embeddings.
-    val coded = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"), code.as("code")).materialize
-    val nBands = nPlanes / bandBits
-    val mask = (1L << bandBits) - 1
-    val bands = coded.select(col("vec_id"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("code"))
-      .select(col("vec_id"), col("band"),
-        expr(s"shiftright(code, CAST($bandBits * band AS INT)) & ${mask}L").as("bkey"))
+    val coded = srpCoded(emb, nPlanes, dim).materialize
+    val bands = srpBands(coded, Seq.empty, nPlanes, bandBits)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -367,6 +381,71 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         r4(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cos"))
       .filter(col("cos") >= tau)
+  }
+
+  /** One micro-batch step of CONTINUOUS embedding near-dup screening —
+    * the vector sibling of [[graft.operators.Dedup.screenBatch]]: screen
+    * a batch's SRP code table against a flagged reference code table
+    * (corpus vectors + stream vectors admitted earlier) plus the batch's
+    * own smaller ids. Candidates come from cross-set band equi-joins
+    * (the big reference side is never self-joined); matches are verified
+    * with exact cosine ≥ tau. Decision per batch vector (first-wins by
+    * id): `dup_of_corpus` (match_id = lowest matching corpus vec), else
+    * `dup_in_batch`, else `kept`. */
+  def screenEmbedBatch(refCoded: DataFrame, batchCoded: DataFrame,
+      tau: Double, nPlanes: Int = LshPlanes,
+      bandBits: Int = LshBandBits): DataFrame = {
+    val coded = refCoded
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("code"),
+        col("is_corpus"), lit(false).as("_is_batch"))
+      .unionByName(batchCoded.select(col("vec_id"), col("embedding"),
+        col("nrm"), col("code"), lit(false).as("is_corpus"),
+        lit(true).as("_is_batch")))
+      .materialize
+    val bands = srpBands(coded, Seq("is_corpus", "_is_batch"),
+      nPlanes, bandBits)
+    val probe = bands.filter(col("_is_batch"))
+    val cand = probe.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          (!col("b._is_batch") || col("b.vec_id") < col("a.vec_id")))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val verified = cand
+      .join(coded.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vec_a")
+      .join(coded.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("is_corpus").as("b_corpus")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("b_corpus"),
+        r4(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+    val perVec = verified.groupBy(col("vec_a").as("vec_id")).agg(
+      min(when(col("b_corpus"), col("vec_b"))).as("corpus_match"),
+      min(when(!col("b_corpus"), col("vec_b"))).as("batch_match"),
+      count(when(col("b_corpus"), lit(1))).as("n_corpus_matches"),
+      count(when(!col("b_corpus"), lit(1))).as("n_batch_matches"))
+    batchCoded.select(col("vec_id")).join(perVec, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("corpus_match").isNotNull, lit("dup_of_corpus"))
+          .when(col("batch_match").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("corpus_match"), col("batch_match")).as("match_id"),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        coalesce(col("n_batch_matches"), lit(0L)).as("n_batch_matches"))
+  }
+
+  /** Batch-vs-corpus incremental embedding dedup (the one-shot form of
+    * [[screenEmbedBatch]], and the stream parity truth): vectors matching
+    * `batchPred` are screened against the rest of the corpus and against
+    * smaller-id batch vectors. */
+  def incrementalEmbed(emb: DataFrame, batchPred: Column, tau: Double,
+      nPlanes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
+    val coded = srpCoded(emb, nPlanes).withColumn("_b", batchPred).materialize
+    screenEmbedBatch(
+      coded.filter(!col("_b")).withColumn("is_corpus", lit(true)),
+      coded.filter(col("_b")),
+      tau, nPlanes, bandBits)
   }
 
   /** All-pairs embedding near-dup — O(N²), correctness baseline ONLY (not a

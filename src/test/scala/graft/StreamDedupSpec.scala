@@ -82,4 +82,44 @@ class StreamDedupSpec extends AnyFunSuite {
     val statuses = stream.map(_.getAs[String]("status")).toSet
     assert(statuses == Set("kept", "dup_of_corpus", "dup_in_batch"))
   }
+
+  test("streamed embedding micro-batches reproduce the one-shot incremental report") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamEmbedDedup
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val isBatch = pmod(col("vec_id"), lit(5)) === 0
+
+    val batch = Similarity.incrementalEmbed(emb, isBatch, Similarity.LshTau)
+      .orderBy("vec_id").collect()
+
+    val batchVecs = emb.filter(isBatch).orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray))
+    val corpus = emb.filter(!isBatch)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sedup").toString
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamEmbedDedup.run(
+      input.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+      corpus, dir, Similarity.LshTau)
+    try {
+      Seq(batchVecs.take(3), batchVecs.slice(3, 4), batchVecs.drop(4))
+        .foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    val stream = StreamEmbedDedup.decisions(spark, dir).orderBy("vec_id").collect()
+    assert(stream.length == batch.length && stream.nonEmpty)
+    stream.zip(batch).foreach { case (sr, br) =>
+      assert(sr.getAs[Long]("vec_id") == br.getAs[Long]("vec_id"))
+      assert(sr.getAs[String]("status") == br.getAs[String]("status"),
+        s"vec ${sr.getAs[Long]("vec_id")} status")
+      assert(sr.getAs[java.lang.Long]("match_id") == br.getAs[java.lang.Long]("match_id"),
+        s"vec ${sr.getAs[Long]("vec_id")} match_id")
+      assert(sr.getAs[Long]("n_corpus_matches") == br.getAs[Long]("n_corpus_matches"))
+      assert(sr.getAs[Long]("n_batch_matches") == br.getAs[Long]("n_batch_matches"))
+    }
+  }
 }
