@@ -15,8 +15,18 @@ if [[ "${1:-}" == "--bench" ]]; then
   echo "== sbt compile =="
   sbt -batch compile
   echo "== bench perf floor (sf0.1, 2x gate) =="
+  # plain java at -Xmx16g: the committed floors are 16g numbers, and a
+  # much larger heap measurably distorts the full sweep (see the heap
+  # note in Bench.scala) — sbt's own JVM settings must not leak in
+  CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+  OPENS=""
+  for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+           java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+           sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+    OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+  done
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=bench_out.json \
-    sbt -batch "runMain graft.Bench"
+    java $OPENS -Xmx16g -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench
   python3 scripts/bench_floor.py bench_out.json
   echo "CI BENCH GREEN"
   exit 0
