@@ -153,6 +153,15 @@ object Similarity {
     // table the corpus is partitioned by.
     val assign = ivfAssign(emb, ivfTrain(emb, nCentroids, iters))
       .select("vec_id", "centroid_id").materialize
+    ivfSearchAssigned(emb, assign, nQueries, k)
+  }
+
+  /** The search core against a PROVIDED assignment relation — shared by
+    * the train-inline path ([[ivfSearch]]) and the persisted-index path
+    * ([[ivfSearchIndexed]]); both produce identical results by
+    * construction (IvfPartitionSpec pins it). */
+  private def ivfSearchAssigned(emb: DataFrame, assign: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
     val withCluster = emb.join(assign, "vec_id")
     val q = withCluster.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -166,6 +175,29 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rk"))
   }
+
+  /** Persist a trained IVF index: the centroid table plus the corpus
+    * assignment written PARTITIONED BY centroid_id — the on-disk layout
+    * that turns a probe into a partition-pruned read (a query touching
+    * nprobe clusters reads nprobe/k of the corpus, enforced by the file
+    * source's partition filters, not by a runtime shuffle). Train once,
+    * search many — the production ANN deployment shape. */
+  def saveIvfIndex(emb: DataFrame, dir: String, nCentroids: Int,
+      iters: Int = 2): Unit = {
+    val cent = ivfTrain(emb, nCentroids, iters)
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(emb, cent).select("vec_id", "centroid_id")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/assign")
+  }
+
+  /** Search against a persisted index (no training, no assignment
+    * recompute — just the probe join over the loaded assignment). */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, dir: String, nQueries: Int, k: Int): DataFrame =
+    ivfSearchAssigned(emb,
+      spark.read.parquet(s"$dir/assign").select("vec_id", "centroid_id"),
+      nQueries, k)
 
   /** Multi-probe IVF search: each query probes its `nprobe` nearest
     * clusters instead of one — the standard recall/latency knob. The

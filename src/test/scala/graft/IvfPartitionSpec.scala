@@ -107,4 +107,31 @@ class IvfPartitionSpec extends AnyFunSuite {
     // bulk members of the OTHER cluster are not flagged beyond its 1 slot
     assert(flagged.length == 2)
   }
+
+  test("persisted IVF index: loaded search == inline search; probe prunes partitions") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    Similarity.saveIvfIndex(emb, dir, nCentroids = 8, iters = 2)
+    // on-disk layout: one directory per cluster (partitioned by centroid_id)
+    val parts = new java.io.File(s"$dir/assign").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName)
+    assert(parts.length > 1, s"assignment not partitioned: ${parts.mkString(",")}")
+    // identical results from the persisted index and the inline path
+    val inline = Similarity.ivfSearch(emb, 8, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val loaded = Similarity.ivfSearchIndexed(spark, emb, dir, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(loaded.sameElements(inline))
+    // a single-cluster probe over the loaded assignment is a
+    // PARTITION-PRUNED scan: the predicate lands in PartitionFilters
+    val probe = spark.read.parquet(s"$dir/assign")
+      .filter(col("centroid_id") === 0)
+    val scan = probe.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("centroid_id"),
+      s"probe not partition-pruned: $scan")
+  }
 }
