@@ -35,14 +35,23 @@ object Decontamination {
     val evalIds = docs.filter(evalPred).select(col("doc_id"))
     // distinct eval n-gram hashes: small by construction — broadcast
     val evalGrams = idx.join(evalIds, "doc_id").select(col("h")).distinct()
-    // single pass: broadcast-mark each training shingle as eval-hit or not,
-    // then ONE per-doc aggregate carries both the size and the hit count
-    idx.join(evalIds, Seq("doc_id"), "left_anti")
+    screenAgainst(idx.join(evalIds, Seq("doc_id"), "left_anti"),
+      evalGrams, minHits)
+  }
+
+  /** The screening pass against a PREBUILT eval-gram set — shared by the
+    * one-shot path above and the streaming ingest screen
+    * ([[graft.streaming.StreamDecontaminate]]), which precomputes the
+    * eval grams once at stream start and reuses them every micro-batch.
+    * Stateless per training shingle-index row: one broadcast mark + one
+    * per-doc aggregate. */
+  def screenAgainst(trainIdx: DataFrame, evalGrams: DataFrame,
+      minHits: Int): DataFrame =
+    trainIdx
       .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_eval_hits"))
       .withColumn("contamination_frac",
         floor(col("n_eval_hits").cast("double") / col("n_shingles") * 10000 + 0.5) / 10000)
       .withColumn("contaminated", col("n_eval_hits") >= minHits)
-  }
 }

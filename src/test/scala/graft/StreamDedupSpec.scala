@@ -83,6 +83,40 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(statuses == Set("kept", "dup_of_corpus", "dup_in_batch"))
   }
 
+  test("streamed decontamination matches the one-shot screen") {
+    import graft.operators.Decontamination
+    import graft.streaming.StreamDecontaminate
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val evalPred = pmod(col("doc_id"), lit(10)) === 0
+    val batch = Decontamination.screen(docs, evalPred, n = 5, minHits = 1)
+      .orderBy("doc_id").collect()
+
+    val trainDocs = docs.filter(!evalPred).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdecon").toString
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDecontaminate.run(input.toDF().toDF("doc_id", "text"),
+      docs.filter(evalPred), dir, n = 5, minHits = 1)
+    try {
+      Seq(trainDocs.take(7), trainDocs.drop(7))
+        .foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    val stream = StreamDecontaminate.report(spark, dir).orderBy("doc_id").collect()
+    assert(stream.length == batch.length && stream.nonEmpty)
+    stream.zip(batch).foreach { case (sr, br) =>
+      assert(sr.getAs[Long]("doc_id") == br.getAs[Long]("doc_id"))
+      assert(sr.getAs[Long]("n_shingles") == br.getAs[Long]("n_shingles"))
+      assert(sr.getAs[Long]("n_eval_hits") == br.getAs[Long]("n_eval_hits"))
+      assert(sr.getAs[Double]("contamination_frac") == br.getAs[Double]("contamination_frac"))
+      assert(sr.getAs[Boolean]("contaminated") == br.getAs[Boolean]("contaminated"))
+    }
+  }
+
   test("streamed embedding micro-batches reproduce the one-shot incremental report") {
     import graft.operators.Similarity
     import graft.streaming.StreamEmbedDedup
