@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON out of an `sbt run`'s
+// stdout; sbt's default LoggedOutput prefixes every forked-JVM line with
+// [info]/[error], which broke that parse (BENCH_r{6,7}.json "parsed":
+// null). StdoutOutput passes the forked process's streams through
+// verbatim, so the pointer line reaches stdout unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -69,9 +69,18 @@ object Layout {
     * Returns the file count written. */
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, targetBytes: Long = 128L << 20,
+      sortKeys: Seq[String] = Nil): Int =
+    compactPaths(spark, Seq(inPath), outPath, targetBytes, sortKeys)
+
+  /** Multi-directory variant of [[compact]] — the shape streaming state
+    * stores need (fold a base generation plus per-batch segment dirs into
+    * one new generation, see graft.streaming.SegmentedState). */
+  def compactPaths(spark: org.apache.spark.sql.SparkSession,
+      inPaths: Seq[String], outPath: String, targetBytes: Long = 128L << 20,
       sortKeys: Seq[String] = Nil): Int = {
-    val p = new org.apache.hadoop.fs.Path(inPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(inPaths.nonEmpty, "compactPaths needs at least one input path")
+    val fs = new org.apache.hadoop.fs.Path(inPaths.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // recursive walk: a partitioned layout keeps its files in
     // subdirectories — a flat listing would size the input at 0 bytes and
     // funnel the whole table through one partition
@@ -84,8 +93,9 @@ object Layout {
       }
       bytes
     }
-    val n = math.max(1, math.ceil(sizeOf(p).toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(inPath)
+    val totalBytes = inPaths.map(p => sizeOf(new org.apache.hadoop.fs.Path(p))).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPaths: _*)
     val out =
       if (sortKeys.nonEmpty)
         df.repartitionByRange(n, sortKeys.map(col): _*)

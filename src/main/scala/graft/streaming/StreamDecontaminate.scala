@@ -22,22 +22,24 @@ import graft.operators.{Decontamination, Dedup, Materialize}
 object StreamDecontaminate {
 
   /** docs (doc_id LONG, text STRING) stream → per-doc contamination
-    * report appended to `workDir/report`. */
+    * report under `workDir/report`, one overwrite-keyed dir per batch so
+    * an at-least-once replay cannot duplicate report rows. */
   def run(stream: DataFrame, evalDocs: DataFrame, workDir: String,
       n: Int, minHits: Int): StreamingQuery = {
     val evalGrams = Materialize(
       Dedup.shingleIndex(evalDocs, n).select(col("h")).distinct())
     stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
-      .foreachBatch { (mb: DataFrame, _: Long) =>
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
         Decontamination.screenAgainst(Dedup.shingleIndex(mb, n),
             evalGrams, minHits)
-          .write.mode("append").parquet(s"$workDir/report")
+          .write.mode("overwrite").parquet(f"$workDir/report/b-$batchId%09d")
         ()
       }
       .start()
   }
 
   def report(spark: SparkSession, workDir: String): DataFrame =
-    spark.read.parquet(s"$workDir/report")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$workDir/report")
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
 
 import graft.operators.Dedup
 import graft.operators.Materialize.MatOps
@@ -16,27 +17,35 @@ import graft.operators.Materialize.MatOps
   * batch report bit-for-bit (StreamDedupSpec).
   *
   * State is the accumulated SHINGLE INDEX of seen stream docs — (doc_id,
-  * h) rows appended per batch to parquet, the durable-band-index analog of
-  * IdempotentSink's parquet state (restart-safe, readable by the next
-  * batch, and exactly what [[Dedup.screenBatch]]'s verification needs; raw
-  * text is never retained). At 100 TB the same layout holds: the corpus +
-  * seen index is the big side, bucketed by shingle hash, and each
-  * micro-batch is a small probe joined against it — the stream never
+  * h) rows held in a [[SegmentedState]] store (restart-safe, readable by
+  * the next batch, and exactly what [[Dedup.screenBatch]]'s verification
+  * needs; raw text is never retained). At 100 TB the same layout holds:
+  * the corpus + seen index is the big side, bucketed by shingle hash, and
+  * each micro-batch is a small probe joined against it — the stream never
   * self-joins the corpus.
   *
-  * foreachBatch is at-least-once on restart: a replayed batch re-appends
-  * its decisions. The ingest path's IdempotentSink (anti-join on doc_id)
-  * is the standard fix where the decisions table must be a primary-keyed
-  * store; the seen-index re-append is harmless (verifyJaccard reads
-  * distinct shingle rows).
+  * foreachBatch is at-least-once on restart, so BOTH sinks are idempotent
+  * by construction: decisions and seen-index rows are written to
+  * per-batch dirs keyed by batch id (overwrite, not append), and a
+  * replayed batch reads state AS OF its own id
+  * ([[SegmentedState.readAsOf]]) — its first attempt's partial writes are
+  * invisible to it, so the replay reproduces the original decisions
+  * bit-for-bit and leaves no duplicate rows anywhere. Every
+  * `compactEvery` batches the segment store folds into one compacted
+  * generation ([[SegmentedState.maybeCompact]]), bounding the state's
+  * file count on a long-running stream.
   */
 object StreamDedup {
 
+  /** Schema of the seen-index state rows. */
+  val IdxSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("h", LongType)))
+
   /** docs (doc_id LONG, text STRING) stream → per-micro-batch screening
-    * decisions appended to `workDir/decisions`, seen-index state under
+    * decisions under `workDir/decisions`, seen-index state under
     * `workDir/seen_idx`, checkpoint under `workDir/ckpt`. */
   def run(stream: DataFrame, corpusDocs: DataFrame, workDir: String,
-      tau: Double, n: Int = 3): StreamingQuery = {
+      tau: Double, n: Int = 3, compactEvery: Int = 16): StreamingQuery = {
     val spark = corpusDocs.sparkSession
     // one-time at stream start; a production deployment persists this
     // (bucketed by h) instead of re-deriving it from corpus text
@@ -45,28 +54,31 @@ object StreamDedup {
       .materialize
     stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
-      .foreachBatch { (mb: DataFrame, _: Long) =>
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
         val batchIdx = Dedup.shingleIndex(mb, n).materialize
-        val refIdx = corpusIdx.unionByName(seenIdx(spark, workDir)
-          .select(col("doc_id"), col("h"), lit(false).as("is_corpus")))
+        val seen = SegmentedState.readAsOf(spark, s"$workDir/seen_idx",
+          batchId, IdxSchema)
+        val refIdx = corpusIdx.unionByName(
+          seen.select(col("doc_id"), col("h"), lit(false).as("is_corpus")))
         Dedup.screenBatch(refIdx, batchIdx, tau)
-          .write.mode("append").parquet(s"$workDir/decisions")
-        batchIdx.write.mode("append").parquet(s"$workDir/seen_idx")
+          .write.mode("overwrite").parquet(f"$workDir/decisions/b-$batchId%09d")
+        SegmentedState.maybeCompact(spark, s"$workDir/seen_idx", batchId,
+          compactEvery, sortKeys = Seq("h"))
+        SegmentedState.write(batchIdx, s"$workDir/seen_idx", batchId)
         ()
       }
       .start()
   }
 
   /** Accumulated (doc_id, h) index of stream docs seen so far; empty
-    * before the first batch lands. */
+    * before the first batch lands. Missing state dir → empty frame; any
+    * other read failure propagates (corrupt state must not silently pass
+    * as "nothing seen yet"). */
   def seenIdx(spark: SparkSession, workDir: String): DataFrame =
-    scala.util.Try(spark.read.parquet(s"$workDir/seen_idx")).getOrElse {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(Seq(StructField("doc_id", LongType), StructField("h", LongType))))
-    }
+    SegmentedState.readAll(spark, s"$workDir/seen_idx", IdxSchema)
 
   /** All decisions emitted so far (the queryable output table). */
   def decisions(spark: SparkSession, workDir: String): DataFrame =
-    spark.read.parquet(s"$workDir/decisions")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$workDir/decisions")
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
 
 import graft.operators.{Materialize, Similarity}
 
@@ -12,48 +13,60 @@ import graft.operators.{Materialize, Similarity}
   * admitted in earlier micro-batches via [[Similarity.screenEmbedBatch]].
   *
   * State is the accumulated CODE TABLE of seen vectors — (vec_id,
-  * embedding, nrm, code) parquet rows appended per batch: exactly the
+  * embedding, nrm, code) rows in a [[SegmentedState]] store: exactly the
   * precomputed-code-table layout a corpus-scale ANN deployment persists
   * next to its embeddings (the embedding rides along because the exact
   * cosine verify needs it; the 64-bit code is what the band join keys
   * on). Feeding micro-batches in id order reproduces the one-shot
   * [[Similarity.incrementalEmbed]] report bit-for-bit (StreamDedupSpec).
+  *
+  * Same idempotency contract as [[StreamDedup]]: per-batch overwrite
+  * writes keyed by batch id, replay-stable [[SegmentedState.readAsOf]]
+  * reads, and periodic compaction bounding long-run state file counts.
   */
 object StreamEmbedDedup {
 
-  /** (vec_id LONG, embedding ARRAY<FLOAT>) stream → decisions appended
-    * to `workDir/decisions`, coded-state under `workDir/seen_coded`. */
+  /** Schema of the coded-state rows. */
+  val CodedSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("nrm", DoubleType),
+    StructField("code", LongType)))
+
+  /** (vec_id LONG, embedding ARRAY<FLOAT>) stream → decisions under
+    * `workDir/decisions`, coded-state under `workDir/seen_coded`. */
   def run(stream: DataFrame, corpusEmb: DataFrame, workDir: String,
-      tau: Double): StreamingQuery = {
+      tau: Double, compactEvery: Int = 16): StreamingQuery = {
     val spark = corpusEmb.sparkSession
     val corpusCoded = Materialize(
       Similarity.srpCoded(corpusEmb).withColumn("is_corpus", lit(true)))
     stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
-      .foreachBatch { (mb: DataFrame, _: Long) =>
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
         val batchCoded = Materialize(Similarity.srpCoded(mb))
         val ref = corpusCoded.unionByName(
-          seenCoded(spark, workDir).withColumn("is_corpus", lit(false)))
+          seenCodedAsOf(spark, workDir, batchId).withColumn("is_corpus", lit(false)))
         Similarity.screenEmbedBatch(ref, batchCoded, tau)
-          .write.mode("append").parquet(s"$workDir/decisions")
-        batchCoded.write.mode("append").parquet(s"$workDir/seen_coded")
+          .write.mode("overwrite").parquet(f"$workDir/decisions/b-$batchId%09d")
+        SegmentedState.maybeCompact(spark, s"$workDir/seen_coded", batchId,
+          compactEvery, sortKeys = Seq("code"))
+        SegmentedState.write(batchCoded.select(CodedSchema.fieldNames.map(col): _*),
+          s"$workDir/seen_coded", batchId)
         ()
       }
       .start()
   }
 
-  /** Accumulated code table of stream vectors seen so far. */
+  private def seenCodedAsOf(spark: SparkSession, workDir: String,
+      batchId: Long): DataFrame =
+    SegmentedState.readAsOf(spark, s"$workDir/seen_coded", batchId, CodedSchema)
+
+  /** Accumulated code table of stream vectors seen so far. Missing state
+    * dir → empty frame; other read failures propagate. */
   def seenCoded(spark: SparkSession, workDir: String): DataFrame =
-    scala.util.Try(spark.read.parquet(s"$workDir/seen_coded")).getOrElse {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(Seq(
-          StructField("vec_id", LongType),
-          StructField("embedding", ArrayType(FloatType)),
-          StructField("nrm", DoubleType),
-          StructField("code", LongType))))
-    }
+    SegmentedState.readAll(spark, s"$workDir/seen_coded", CodedSchema)
 
   def decisions(spark: SparkSession, workDir: String): DataFrame =
-    spark.read.parquet(s"$workDir/decisions")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$workDir/decisions")
 }

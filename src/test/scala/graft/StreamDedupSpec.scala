@@ -58,12 +58,24 @@ class StreamDedupSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String)]
+    // compactEvery=2 forces a state compaction between micro-batches 1 and
+    // 2 — parity below is therefore parity ACROSS a compaction
     val q = StreamDedup.run(input.toDF().toDF("doc_id", "text"),
-      corpusDf, dir, tau)
+      corpusDf, dir, tau, compactEvery = 2)
     try {
       Seq(streamDocs.take(2), streamDocs.slice(2, 3), streamDocs.drop(3))
         .foreach { b => input.addData(b); q.processAllAvailable() }
     } finally q.stop()
+
+    // the compaction at batch 2 folded batches 0-1 into one base
+    // generation; live state is base-2 + batch-2's own segment
+    import graft.streaming.SegmentedState
+    assert(SegmentedState.segmentCount(spark, s"$dir/seen_idx") == 2,
+      "compaction should leave base + one uncovered segment")
+    // and folding lost nothing: the seen index covers every stream doc
+    val seenDocs = StreamDedup.seenIdx(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(seenDocs == streamDocs.map(_._1).toSet)
 
     val stream = StreamDedup.decisions(spark, dir).orderBy("doc_id").collect()
     assert(stream.length == batch.length)
@@ -81,6 +93,44 @@ class StreamDedupSpec extends AnyFunSuite {
     // and the report is non-trivial: every decision class is exercised
     val statuses = stream.map(_.getAs[String]("status")).toSet
     assert(statuses == Set("kept", "dup_of_corpus", "dup_in_batch"))
+  }
+
+  test("segmented state is idempotent under at-least-once replay and compaction") {
+    import graft.streaming.{SegmentedState, StreamDedup}
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_segstate").toString + "/st"
+    val schema = StreamDedup.IdxSchema
+    def seg(rows: (Long, Long)*) = rows.toDF("doc_id", "h")
+
+    // missing dir → empty, not an error
+    assert(SegmentedState.readAll(spark, dir, schema).count() == 0)
+
+    SegmentedState.write(seg((1L, 10L), (2L, 20L)), dir, 0L)
+    SegmentedState.write(seg((3L, 30L)), dir, 1L)
+    // replayed batch 1 overwrites — no duplicate rows accumulate
+    SegmentedState.write(seg((3L, 30L)), dir, 1L)
+    assert(SegmentedState.readAll(spark, dir, schema).count() == 3)
+
+    // a replayed batch sees state AS OF its id: batch 1 must not see its
+    // own (possibly partial) first-attempt segment
+    assert(SegmentedState.readAsOf(spark, dir, 1L, schema)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // compaction at batch 2 folds batches 0-1; rows and visibility survive
+    assert(SegmentedState.maybeCompact(spark, dir, 2L, every = 2, sortKeys = Seq("h")))
+    assert(SegmentedState.segmentCount(spark, dir) == 1)
+    assert(SegmentedState.readAsOf(spark, dir, 2L, schema)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // replaying the compacting batch is a no-op (already folded)
+    assert(!SegmentedState.maybeCompact(spark, dir, 2L, every = 2, sortKeys = Seq("h")))
+
+    // post-compaction writes land as fresh segments on top of the base
+    SegmentedState.write(seg((4L, 40L)), dir, 2L)
+    assert(SegmentedState.readAll(spark, dir, schema).count() == 4)
+    assert(SegmentedState.segmentCount(spark, dir) == 2)
+    // off-interval batches never compact
+    assert(!SegmentedState.maybeCompact(spark, dir, 3L, every = 2, sortKeys = Seq("h")))
   }
 
   test("streamed decontamination matches the one-shot screen") {
@@ -138,11 +188,15 @@ class StreamDedupSpec extends AnyFunSuite {
     val q = StreamEmbedDedup.run(
       input.toDF().toDF("vec_id", "embedding")
         .select(col("vec_id"), col("embedding").cast("array<float>")),
-      corpus, dir, Similarity.LshTau)
+      corpus, dir, Similarity.LshTau, compactEvery = 2)
     try {
       Seq(batchVecs.take(3), batchVecs.slice(3, 4), batchVecs.drop(4))
         .foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
     } finally q.stop()
+
+    import graft.streaming.SegmentedState
+    assert(SegmentedState.segmentCount(spark, s"$dir/seen_coded") == 2,
+      "compaction should leave base + one uncovered segment")
 
     val stream = StreamEmbedDedup.decisions(spark, dir).orderBy("vec_id").collect()
     assert(stream.length == batch.length && stream.nonEmpty)
