@@ -126,6 +126,12 @@ object ExtendedEntries {
   private def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.dedupPairsIvf(Tables.embeddings(s, dir), 0.4, 8)
 
+  /** Multi-assignment (r=2) variant — closes q_dedup_embed_ivf's
+    * cross-cluster blind spot; recall deltas vs the all-pairs baseline are
+    * measured in SCALE.md. */
+  private def qDedupEmbedIvf2(s: SparkSession, dir: String): DataFrame =
+    Similarity.dedupPairsIvfMulti(Tables.embeddings(s, dir), 0.4, 8, r = 2)
+
   /** Batch-vs-corpus incremental EMBEDDING dedup (the vector sibling of
     * q_dedup_incremental): every 5th vector plays the incoming batch,
     * screened against the standing corpus and smaller-id batch vectors
@@ -698,6 +704,7 @@ object ExtendedEntries {
     "q_cosine_q8" -> qCosineQ8,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
+    "q_dedup_embed_ivf2" -> qDedupEmbedIvf2,
     "q_dedup_embed_incremental" -> qDedupEmbedIncr,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_frame_sample" -> qFrameSample,
@@ -2356,6 +2363,28 @@ object ExtendedEntries {
          |)
          |SELECT centroid_id, vec_a, vec_b, cos FROM s WHERE cos >= 0.4""".stripMargin,
 
+    // multi-assignment (arn <= 2) blocking: DISTINCT candidate pairs from
+    // the replicated per-cluster self-join, verified with exact cosine
+    "q_dedup_embed_ivf2" ->
+      s"""WITH ${oIvfAssign(8, 2)}, multi AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${r4(oCos("e.embedding", "c.ce"))} DESC, c.centroid_id) AS arn
+         |    FROM embeddings e, cent2 c
+         |  ) WHERE arn <= 2
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM multi a JOIN multi b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |), v AS (
+         |  SELECT cand.vec_a, cand.vec_b,
+         |    ${r4(oCos("ea.embedding", "eb.embedding"))} AS cos
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a
+         |            JOIN embeddings eb ON eb.vec_id = cand.vec_b
+         |)
+         |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.4""".stripMargin,
+
     "q_dedup_embed_lsh" -> oDedupEmbedLsh,
     "q_dedup_embed_incremental" -> oDedupEmbedIncr,
 
@@ -2513,15 +2542,24 @@ object ExtendedEntries {
     // EXIF oracle: byte order, IFD0 tag values, and the SOF0 cross-check
     // re-derived from the shared generation rule; the Spark side REALLY
     // reads them back endian-switched from the bytes
+    // n_bytes: the r7 formula + 54 (TIFF grew 50 → 104 bytes: a 4th IFD0
+    // entry carrying the 0x8769 ExifIFD pointer, plus the 42-byte sub-IFD)
     "q_media_exif" ->
       """SELECT doc_id, TRUE AS has_exif,
         |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
-        |  CAST(3 AS BIGINT) AS n_tags,
+        |  CAST(4 AS BIGINT) AS n_tags,
         |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
         |  CAST(16 + doc_id % 255 AS BIGINT) AS exif_width,
         |  CAST(16 + doc_id % 185 AS BIGINT) AS exif_height,
         |  TRUE AS dims_match,
-        |  CAST(151 + 5 * (1 + (doc_id % 2) * 2) + 5 + doc_id % 40 AS BIGINT)
+        |  TRUE AS has_sub_ifd,
+        |  TRUE AS sub_ok,
+        |  CAST(3 AS BIGINT) AS n_sub_tags,
+        |  CAST(100 + (doc_id % 32) * 25 AS BIGINT) AS iso,
+        |  CAST(16 + doc_id % 255 AS BIGINT) AS pixel_width,
+        |  CAST(16 + doc_id % 185 AS BIGINT) AS pixel_height,
+        |  TRUE AS pixel_dims_match,
+        |  CAST(205 + 5 * (1 + (doc_id % 2) * 2) + 5 + doc_id % 40 AS BIGINT)
         |    AS n_bytes
         |FROM documents""".stripMargin,
 

@@ -482,31 +482,46 @@ object Multimodal {
 
   /** Synthesize a JPEG whose APP1 is a REAL EXIF block: 'Exif\0\0', a
     * TIFF header in a PER-DOCUMENT byte order ('II' little-endian for
-    * even ids, 'MM' big-endian for odd), and IFD0 with three entries in
+    * even ids, 'MM' big-endian for odd), IFD0 with four entries in
     * ascending tag order — ImageWidth (0x0100, LONG), ImageLength
     * (0x0101, LONG), Orientation (0x0112, SHORT, left-justified in its
-    * 4-byte value field per the TIFF rule). The tag dimensions equal the
-    * SOF0 dimensions, so the parser can cross-check the two sources. */
+    * 4-byte value field per the TIFF rule), and the ExifIFD POINTER
+    * (0x8769, LONG) whose value is the byte offset of a SUB-IFD inside
+    * the same TIFF stream — the offset indirection real EXIF hangs
+    * DateTimeOriginal/ISO/PixelDimensions off. The sub-IFD (at offset
+    * 62) carries ISOSpeedRatings (0x8827, SHORT), PixelXDimension
+    * (0xA002, LONG) and PixelYDimension (0xA003, LONG); the pixel
+    * dimensions equal the SOF0 dimensions, so the parser can cross-check
+    * three sources (frame header, IFD0, sub-IFD). */
   def synthJpegExif(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val (_, width, height, nComp, entropyLen) = jpegFields(id)
     val le = pmod(id, lit(2L)) === 0
     val orientation = lit(1L) + pmod(id, lit(8L))
+    val iso = lit(100L) + pmod(id, lit(32L)) * 25
     def u16(v: Column) = when(le, leHex(v, 2)).otherwise(beHex(v, 2))
     def u32(v: Column) = when(le, leHex(v, 4)).otherwise(beHex(v, 4))
     def entry(tag: Long, typ: Long, value: Column, short: Boolean) =
       concat(u16(lit(tag)), u16(lit(typ)), u32(lit(1L)),
         if (short) concat(u16(value), lit("0000")) else u32(value))
+    // TIFF layout: header 8, IFD0 count 2 + 4×12 + next 4 (ends at 62),
+    // sub-IFD at 62: count 2 + 3×12 + next 4 (ends at 104)
     val tiff = concat(
       when(le, lit("49492A00" + "08000000"))        // 'II', 42 LE, IFD0 @ 8
         .otherwise(lit("4D4D002A" + "00000008")),   // 'MM', 42 BE, IFD0 @ 8
-      u16(lit(3L)),                                 // 3 IFD0 entries
+      u16(lit(4L)),                                 // 4 IFD0 entries
       entry(0x0100L, 4L, width, short = false),
       entry(0x0101L, 4L, height, short = false),
       entry(0x0112L, 3L, orientation, short = true),
-      lit("00000000"))                              // no IFD1
-    // APP1 data = 'Exif\0\0' (6) + TIFF block (50) = 56; len field = 58
-    val app1 = concat(lit("FFE1"), beHex(lit(58L), 2), lit("457869660000"), tiff)
+      entry(0x8769L, 4L, lit(62L), short = false),  // ExifIFD pointer
+      lit("00000000"),                              // no IFD1
+      u16(lit(3L)),                                 // 3 sub-IFD entries
+      entry(0x8827L, 3L, iso, short = true),
+      entry(0xA002L, 4L, width, short = false),
+      entry(0xA003L, 4L, height, short = false),
+      lit("00000000"))                              // sub-IFD: no next
+    // APP1 data = 'Exif\0\0' (6) + TIFF block (104) = 110; len field = 112
+    val app1 = concat(lit("FFE1"), beHex(lit(112L), 2), lit("457869660000"), tiff)
     val hexAll = concat(lit("FFD8"), app1,
       jpegTailHex(width, height, nComp, entropyLen), lit("FFD9"))
     docs.select(id, lit("image/jpeg").as("media_type"),
@@ -640,6 +655,9 @@ object Multimodal {
   /** Unroll bound for IFD0 entries the parser inspects. */
   val ExifMaxTags = 4
 
+  /** Unroll bound for ExifIFD (sub-IFD) entries the parser inspects. */
+  val ExifSubMaxTags = 3
+
   /** Parse the EXIF APP1 block located by the marker walk: 'Exif\0\0',
     * then a TIFF stream whose BYTE ORDER is declared per file ('II'
     * little-endian / 'MM' big-endian) — every subsequent read switches
@@ -650,10 +668,21 @@ object Multimodal {
     * field per the TIFF value-packing rule, so a 2-byte read at the field
     * start is correct in BOTH byte orders).
     *
+    * IFD0's ExifIFD pointer tag (0x8769) is FOLLOWED when present: its
+    * LONG value is a byte offset inside the same TIFF stream where the
+    * sub-IFD lives — the offset indirection real EXIF hangs
+    * DateTimeOriginal/ISO/PixelDimension tags off. The pointer is
+    * bounds-checked against the APP1 segment's own declared length
+    * before any sub-read (a dangling pointer — beyond the APP1 — yields
+    * sub_ok=false and -1 fields, never a read of neighboring segments'
+    * bytes). Sub-IFD tags read: ISOSpeedRatings (0x8827, SHORT),
+    * PixelXDimension (0xA002, LONG), PixelYDimension (0xA003, LONG).
+    *
     * Output: doc_id, has_exif, byte_order, n_tags, orientation,
     * exif_width, exif_height, dims_match (EXIF tags vs the SOF0 frame
     * header — the consistency check a real curation pipeline applies
-    * before trusting either source), n_bytes.
+    * before trusting either source), has_sub_ifd, sub_ok, n_sub_tags,
+    * iso, pixel_width, pixel_height, pixel_dims_match, n_bytes.
     *
     * Two codegen-bounded stages with a materialize barrier between them
     * (fused, the generated method crossed the JVM's 64 KB limit and the
@@ -667,13 +696,18 @@ object Multimodal {
     val nBytes = octet_length(p).cast("long")
     val isJpeg = hex(substring(p, 1, 2)) === "FFD8"
     val walk = jpegWalk(p, nBytes, isJpeg)
-    // TIFF block bound: header 8 + count 2 + ExifMaxTags×12 + next-IFD 4
-    val tiffLen = 8 + 2 + ExifMaxTags * 12 + 4
+    // TIFF block bound: IFD0 (header 8 + count 2 + ExifMaxTags×12 +
+    // next-IFD 4) plus a sub-IFD (count 2 + ExifSubMaxTags×12 + next 4)
+    val tiffLen = 8 + 2 + ExifMaxTags * 12 + 4 + 2 + ExifSubMaxTags * 12 + 4
     val staged = media
       .select(col("doc_id"), p, nBytes.as("n_bytes"), walk.as("w0"))
       .select(col("doc_id"), col("n_bytes"),
         col("w0.e1").as("_e1"), col("w0.w").as("_sof_w"),
         col("w0.h").as("_sof_h"),
+        // the APP1 segment's own declared length (BE16 at e1-2) bounds
+        // every sub-IFD pointer check: TIFF stream bytes = len - 2 - 6
+        when(col("w0.e1") > 0, beUIntAt(p, col("w0.e1") - 2, 2))
+          .otherwise(lit(-1L)).as("_app1_len"),
         when(col("w0.e1") > 0,
           hex(call_function("substring", p, col("w0.e1").cast("int"), lit(6))))
           .as("_exif_hdr"),
@@ -715,11 +749,43 @@ object Multimodal {
         when(col(s"_tag$i") === tag,
           if (short) col(s"_v16$i") else col(s"_v32$i"))
       }.reduce(coalesce(_, _))
+    // sub-IFD: follow the 0x8769 pointer, but only within the bytes the
+    // APP1 itself declares — _tiff is a fixed-length capture that can run
+    // past the APP1 into the NEXT segment's bytes, so every sub read is
+    // gated on the pointer (and its entry table) fitting inside the
+    // declared TIFF stream. A dangling pointer yields sub_ok=false.
+    val subbed = withTags
+      .withColumn("_tifflen", col("_app1_len") - 2 - 6)
+      .withColumn("_sub", coalesce(tagValue(0x8769L, short = false), lit(-1L)))
+      .withColumn("_nsub",
+        when(col("_sub") >= 8 && col("_sub") + 2 <= col("_tifflen"),
+          u(col("_sub"), 2)).otherwise(lit(-1L)))
+      .withColumn("_subok",
+        col("_nsub") >= 0 && col("_nsub") <= ExifSubMaxTags &&
+          col("_sub") + 2 + col("_nsub") * 12 + 4 <= col("_tifflen"))
+    val withSub = (0 until ExifSubMaxTags).foldLeft(subbed) { (df, i) =>
+      val e = col("_sub") + 2 + 12 * i
+      df.withColumn(s"_stag$i",
+          when(col("_subok") && lit(i.toLong) < col("_nsub"), u(e, 2))
+            .otherwise(lit(-1L)))
+        .withColumn(s"_sv16$i", u(e + 8, 2))
+        .withColumn(s"_sv32$i", u(e + 8, 4))
+    }
+    def subValue(tag: Long, short: Boolean): Column =
+      (0 until ExifSubMaxTags).map { i =>
+        when(col(s"_stag$i") === tag,
+          if (short) col(s"_sv16$i") else col(s"_sv32$i"))
+      }.reduce(coalesce(_, _))
     val ok = col("_has") && col("_magic")
     val width = tagValue(0x0100L, short = false)
     val height = tagValue(0x0101L, short = false)
     val orientation = tagValue(0x0112L, short = true)
-    withTags
+    val hasSub = ok && col("_sub") >= 0
+    val subOk = hasSub && col("_subok")
+    val iso = subValue(0x8827L, short = true)
+    val pixW = subValue(0xA002L, short = false)
+    val pixH = subValue(0xA003L, short = false)
+    withSub
       .select(col("doc_id"), ok.as("has_exif"),
         when(ok, when(col("_le"), "II").otherwise("MM")).as("byte_order"),
         when(ok, col("_ntags")).otherwise(lit(-1L)).as("n_tags"),
@@ -731,6 +797,16 @@ object Multimodal {
           .otherwise(lit(-1L)).as("exif_height"),
         (ok && width === col("_sof_w") && height === col("_sof_h"))
           .as("dims_match"),
+        hasSub.as("has_sub_ifd"),
+        subOk.as("sub_ok"),
+        when(subOk, col("_nsub")).otherwise(lit(-1L)).as("n_sub_tags"),
+        when(subOk, coalesce(iso, lit(-1L))).otherwise(lit(-1L)).as("iso"),
+        when(subOk, coalesce(pixW, lit(-1L)))
+          .otherwise(lit(-1L)).as("pixel_width"),
+        when(subOk, coalesce(pixH, lit(-1L)))
+          .otherwise(lit(-1L)).as("pixel_height"),
+        (subOk && pixW === col("_sof_w") && pixH === col("_sof_h"))
+          .as("pixel_dims_match"),
         col("n_bytes"))
   }
 

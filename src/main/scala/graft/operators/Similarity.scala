@@ -29,6 +29,23 @@ object Similarity {
   val LshDim = 64
   val LshTau = 0.4
 
+  /** Ceiling on the broadcast probe side of the ANN entry points
+    * ([[cosineTopK]], [[cosineTopKQ8]], [[knnClassify]], the IVF
+    * searches). These plans broadcast the query set to every executor —
+    * sound only while it is small (64Ki × ~0.5 KB/row of 64-dim float +
+    * row overhead ≈ tens of MB). Without the guard a caller passing
+    * nQueries ≈ N silently turns the one-scan broadcast plan into an
+    * every-executor OOM; a probe set genuinely this large is a
+    * corpus×corpus join and belongs on [[dedupPairsLsh]]/[[dedupPairsIvf]]
+    * shapes instead. */
+  val MaxBroadcastQueries = 1 << 16
+
+  private def requireProbeFits(nProbeRows: Int): Unit =
+    require(nProbeRows >= 0 && nProbeRows <= MaxBroadcastQueries,
+      s"probe side of $nProbeRows rows exceeds MaxBroadcastQueries=" +
+        s"$MaxBroadcastQueries — a probe set this large would be broadcast " +
+        "to every executor; use an LSH/IVF-blocked pair shape instead")
+
   /** Left-to-right double dot product of two float arrays (native
     * expression; ≡ aggregate(zip_with(...)) bit-for-bit). */
   def dot(a: Column, b: Column): Column = graft.functions.ArrayMath.dotF(a, b)
@@ -48,6 +65,7 @@ object Similarity {
     * 4dp-rounded score with vec_id tiebreak (deterministic under float
     * noise). The query side is broadcast; the corpus is scanned once. */
   def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    requireProbeFits(nQueries)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -162,6 +180,7 @@ object Similarity {
     * construction (IvfPartitionSpec pins it). */
   private def ivfSearchAssigned(emb: DataFrame, assign: DataFrame,
       nQueries: Int, k: Int): DataFrame = {
+    requireProbeFits(nQueries)
     val withCluster = emb.join(assign, "vec_id")
     val q = withCluster.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -207,6 +226,7 @@ object Similarity {
     * The probe set is (nQueries × nprobe) rows and stays broadcast. */
   def ivfSearchMultiProbe(emb: DataFrame, nCentroids: Int, nQueries: Int,
       k: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    requireProbeFits(math.toIntExact(nQueries.toLong * nprobe)) // probe rows fan out nprobe×
     val cent = ivfTrain(emb, nCentroids, iters) // ends checkpointed (k rows)
     val assign = ivfAssign(emb, cent)
       .select("vec_id", "centroid_id").materialize
@@ -278,6 +298,39 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Multi-assignment cluster-blocked near-dup pairs — [[dedupPairsIvf]]
+    * with the cross-cluster blind spot closed: every vector is assigned to
+    * its top-`r` nearest clusters ([[ivfAssignTop]]), so two near-dups
+    * sitting on opposite sides of a cluster boundary still share at least
+    * one block whenever either's second-nearest centroid is the other's
+    * nearest — the standard replication fix for IVF-blocked dedup recall.
+    * Candidates are DISTINCT pairs from the per-cluster self-join (a pair
+    * co-resident in two clusters is emitted once), then verified with
+    * exact cosine ≥ tau. Cost: pair space grows from Σ|c|² to ≤ r²·Σ|c|²
+    * (r=2 → ≤4×, still nothing like N²), and the output drops centroid_id
+    * because a pair no longer belongs to a unique block. */
+  def dedupPairsIvfMulti(emb: DataFrame, tau: Double, nCentroids: Int,
+      r: Int = 2, iters: Int = 2): DataFrame = {
+    require(r >= 1, "replication factor r must be >= 1")
+    val assign = ivfAssignTop(emb, ivfTrain(emb, nCentroids, iters), r)
+      .select("vec_id", "centroid_id").materialize
+    val cand = assign.select(col("centroid_id"), col("vec_id").as("vec_a"))
+      .join(assign.select(col("centroid_id"), col("vec_id").as("vec_b")),
+        Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val coded = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    cand
+      .join(coded.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vec_a")
+      .join(coded.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        r4(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** k-NN label classification over the labeled embedding corpus: each
     * probe's predicted label is the majority vote of its k nearest
     * neighbors by 4dp-rounded cosine (neighbor-id tiebreak inside the
@@ -326,6 +379,7 @@ object Similarity {
     * rounded rank score with neighbor-id tiebreak. Same broadcast-probe
     * plan as [[cosineTopK]], ~4× less data moved per vector. */
   def cosineTopKQ8(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    requireProbeFits(nQueries)
     val quant = quantizeInt8(emb).materialize // one quantization pass
     val q = quant.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qvec").as("qq"))

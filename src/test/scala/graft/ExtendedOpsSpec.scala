@@ -83,6 +83,39 @@ class ExtendedOpsSpec extends AnyFunSuite {
       s"recall collapsed: ${lsh.size}/${brute.size}")
   }
 
+  test("multi-assignment IVF dedup: subset of brute force, strictly better recall than r=1") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.dedupPairs(emb, 0.4))
+    val r1 = pairs(Similarity.dedupPairsIvf(emb, 0.4, 8))
+    val r2 = pairs(Similarity.dedupPairsIvfMulti(emb, 0.4, 8, r = 2))
+    assert(r2.subsetOf(brute), "blocking must never invent a pair")
+    assert(r1.subsetOf(r2),
+      "r=2 blocks are a superset of r=1 blocks, so found pairs must be too")
+    assert(r2.size > r1.size,
+      s"multi-assignment should close cross-cluster misses: r1=${r1.size} r2=${r2.size}")
+    // emitted pairs are distinct even when co-resident in two clusters
+    val rows = Similarity.dedupPairsIvfMulti(emb, 0.4, 8, r = 2)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.toSet.size, "duplicate pair rows emitted")
+  }
+
+  test("ANN broadcast-probe entry points refuse a corpus-sized probe set") {
+    val emb = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(emb, Similarity.MaxBroadcastQueries + 1, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cosineTopKQ8(emb, Int.MaxValue, 5)
+    }
+    intercept[IllegalArgumentException] {
+      // nQueries × nprobe is what actually broadcasts
+      Similarity.ivfSearchMultiProbe(emb, 8, Similarity.MaxBroadcastQueries, 5, nprobe = 2)
+    }
+  }
+
   test("SRP planes are deterministic and balanced-ish") {
     val p1 = Similarity.srpPlanes(18, 64)
     val p2 = Similarity.srpPlanes(18, 64)

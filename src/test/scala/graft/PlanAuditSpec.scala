@@ -20,6 +20,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * baseline — constant-size by construction, never corpus-sized. */
   private val bnljAllowed = Set("q_tfidf", "q_quality_deciles", "q_source_mix",
     "q_cosine_ivf", "q_cosine_ivf_probe", "q_embed_clusters", "q_dedup_embed_ivf",
+    "q_dedup_embed_ivf2", // centroid-table broadcast in ivfAssignTop
     "q_cosine_topk", "q_ivf_recall", // exact side = brute-force query bcast
     "q_cosine_q8", "q_hybrid_search", "q_sample_temperature",
     "q_bm25", "q_knn_classify", "q_drift",
