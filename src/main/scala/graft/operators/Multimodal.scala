@@ -238,6 +238,14 @@ object Multimodal {
   /** Value (0 ≤ v < 2^(8·n)) → big-endian `n`-byte uppercase hex. */
   def beHex(v: Column, n: Int): Column = lpad(hex(v.cast("long")), 2 * n, "0")
 
+  /** Decode hex-encoded bytes as US-ASCII only when every byte is 7-bit;
+    * a high byte surfaces as the raw hex instead. ANSI `decode` THROWS on
+    * non-ASCII input (fuzz-found via MediaWalkSpec's mutation property) —
+    * a corrupt chunk-type/brand byte must flag, never crash the scan. */
+  private def asciiOrHex(hexStr: Column): Column =
+    when(hexStr.rlike("^(?:[0-7][0-9A-F])*$"),
+      decode(unhex(hexStr), "US-ASCII")).otherwise(hexStr)
+
   /** CRC-32 of a chunk built as hex (type || data) — PNG stores exactly
     * this CRC, big-endian, after the data. */
   private def chunkCrcHex(typeAndDataHex: Column): Column =
@@ -370,7 +378,7 @@ object Multimodal {
             isEnd && (off + 12 + len === nBytes + 1),
             concat(st.getField("types"),
               when(st.getField("n") === 0, "").otherwise(","),
-              decode(unhex(typeHex), "US-ASCII"))))
+              asciiOrHex(typeHex))))
       })
     media
       .select(col("doc_id"), p, nBytes.as("n_bytes"), isPng.as("is_png"),
@@ -959,7 +967,7 @@ object Multimodal {
       col("_mvhd") > 0 && col("_tkhd") > 0
     def f(base: Column, rel: Int, n: Int): Column = beUIntAt(p, base + rel, n)
     s3.select(col("doc_id"), col("is_mp4"),
-      when(ok, decode(unhex(col("_brand_hex")), "US-ASCII")).as("major_brand"),
+      when(ok, asciiOrHex(col("_brand_hex"))).as("major_brand"),
       col("n_top_boxes"),
       (col("_ok1") && col("_ok2") && col("_ok3")).as("sizes_ok"),
       when(ok, f(col("_mvhd"), 12, 4)).otherwise(lit(-1L)).as("timescale"),

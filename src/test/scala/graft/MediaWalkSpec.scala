@@ -240,6 +240,55 @@ class MediaWalkSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("sizes_ok"))
   }
 
+  test("fuzz: every media parser survives random byte mutations — flags, never throws") {
+    // the never-crash-on-corrupt-input contract a 100 TB ingest needs:
+    // random substitutions/truncations of VALID payloads (including
+    // truncation to zero bytes) must flow through every parser as
+    // ok=false / -1-field rows, never as a thrown expression error.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 8L).toDF("doc_id")
+    def payloads(df: org.apache.spark.sql.DataFrame): Seq[Array[Byte]] =
+      df.select("payload").collect().map(_.getAs[Array[Byte]](0)).toSeq
+    def mutantGen(base: Array[Byte]): Gen[Array[Byte]] = for {
+      k <- Gen.chooseNum(1, 8)
+      subs <- Gen.listOfN(k, Gen.zip(
+        Gen.chooseNum(0, base.length - 1), Gen.chooseNum(0, 255)))
+      truncate <- Gen.oneOf(true, false)
+      newLen <- Gen.chooseNum(0, base.length)
+    } yield {
+      val m = base.clone()
+      subs.foreach { case (pos, b) => m(pos) = b.toByte }
+      if (truncate) m.take(newLen) else m
+    }
+    val cases: Seq[(String, Seq[Array[Byte]],
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("wav", payloads(Multimodal.synthWav(docs)), Multimodal.parseWav, "is_wav"),
+      ("bmp", payloads(Multimodal.synthBmp(docs)), Multimodal.parseBmp, "is_bmp"),
+      ("png", payloads(Multimodal.synthPng(docs)), Multimodal.parsePng, "is_png"),
+      ("jpeg", payloads(Multimodal.synthJpeg(docs)), Multimodal.parseJpeg, "is_jpeg"),
+      ("exif", payloads(Multimodal.synthJpegExif(docs)), Multimodal.parseExif, "has_exif"),
+      ("mp4", payloads(Multimodal.synthMp4(docs)), Multimodal.parseMp4, "is_mp4"))
+    cases.foreach { case (fmt, bases, parse, flagCol) =>
+      val mutants = bases.zipWithIndex.flatMap { case (base, bi) =>
+        (0 until 5).map { mi =>
+          mutantGen(base).pureApply(Gen.Parameters.default,
+            Seed(fmt.hashCode.toLong * 1000 + bi * 10 + mi))
+        }
+      }
+      val rows = parse(mutants.zipWithIndex
+          .map { case (bytes, i) => (i.toLong, s"media/$fmt", bytes) }
+          .toDF("doc_id", "media_type", "payload"))
+        .collect() // a thrown expression error fails the test here
+      assert(rows.length == mutants.length, s"$fmt dropped rows")
+      // the format flag is a real (non-null) boolean on every mutant
+      rows.foreach(r => assert(!r.isNullAt(r.fieldIndex(flagCol)),
+        s"$fmt null flag"))
+    }
+  }
+
   test("quarantine routes each corruption to its reason, valid rows pass") {
     val s = spark
     import s.implicits._
