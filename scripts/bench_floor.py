@@ -14,15 +14,38 @@ rerun on a quiet host), and --update refuses to ingest one entirely, so a
 contended run can neither poison the floors nor masquerade as a
 regression. Floors only ever go DOWN (min-merge); `_cal_sec` likewise.
 
+A persistently contended host can't ride green forever (round 8): each
+inconclusive (noisy + over-floor) gate run bumps a strike counter
+(.bench_floor_strikes next to the floor file); any conclusive run resets
+it. After MAX_STRIKES consecutive inconclusive runs the gate fails with
+exit 3 — breaches have gone unattributed too long to keep shipping.
+
 Usage:
-  python3 scripts/bench_floor.py bench_out.json            # gate (exit 1 on breach)
+  python3 scripts/bench_floor.py bench_out.json            # gate
   python3 scripts/bench_floor.py --update bench_out.json   # merge mins into the floor
+Exit codes: 0 green/first-strikes, 1 real breach or bad --update,
+3 too many consecutive inconclusive runs.
 """
 import json, os, sys
 
 FACTOR = 2.0
 NOISE_MAX = 1.3   # max calibration slowdown accepted as a "quiet host"
+MAX_STRIKES = 3   # consecutive inconclusive runs tolerated before exit 3
 FLOOR = os.path.join(os.path.dirname(__file__), "bench_floor.json")
+STRIKES = os.path.join(os.path.dirname(__file__), ".bench_floor_strikes")
+
+def read_strikes():
+    try:
+        return int(open(STRIKES).read().strip())
+    except (OSError, ValueError):
+        return 0
+
+def write_strikes(n):
+    if n <= 0:
+        try: os.remove(STRIKES)
+        except OSError: pass
+    else:
+        open(STRIKES, "w").write(str(n))
 
 def main():
     args = sys.argv[1:]
@@ -69,10 +92,18 @@ def main():
         tag = "UNATTRIBUTABLE (noisy host)" if noisy else "BREACH"
         print(f"{tag} {q}: {t:.3f}s > {FACTOR:g}x floor {f:.3f}s")
     if breaches and noisy:
+        strikes = read_strikes() + 1
+        write_strikes(strikes)
         print(f"PERF FLOOR INCONCLUSIVE: {len(breaches)} over-floor quer"
               f"{'y' if len(breaches) == 1 else 'ies'} on a contended host "
-              f"(noise_factor {noise:.2f} > {NOISE_MAX:g}) — rerun quiet to attribute")
+              f"(noise_factor {noise:.2f} > {NOISE_MAX:g}) — rerun quiet to attribute"
+              f" [strike {strikes}/{MAX_STRIKES}]")
+        if strikes >= MAX_STRIKES:
+            print(f"PERF FLOOR FAILED: {strikes} consecutive inconclusive runs — "
+                  "breaches have gone unattributed too long; find a quiet host")
+            return 3
         return 0
+    write_strikes(0)  # any conclusive gate run resets the strike counter
     if breaches:
         print(f"PERF FLOOR FAILED: {len(breaches)} breach(es)"
               + (f" (noise_factor {noise:.2f}: host quiet — these are real)"
