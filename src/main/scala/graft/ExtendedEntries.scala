@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.FreqSketch
 import graft.operators.{Dedup, FuzzyJoin, Graph, Layout, Multimodal, RangeJoin, Resample, Signals, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import graft.OracleSql.withTicksBars
@@ -443,6 +444,60 @@ object ExtendedEntries {
           col("exact_users") * lit(0.10)).as("merged_in_band"))
   }
 
+  /** Heavy-hitters width shared by the q_topk_sketch pair. 16 counters is
+    * deliberately far below the test vocabulary (31 tokens) so trims —
+    * the part of Misra–Gries with actual error semantics — fire
+    * constantly at every SF. */
+  private val MgK = 16
+
+  /** Merged token heavy-hitters summary for `dir`'s documents: phase-1
+    * per-source MG sketches (the persistable binary column), phase-2
+    * associative merge — the same reduce-once/roll-up-forever shape as
+    * [[operators.Sketches]]. */
+  private def mgTokenSummary(s: SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("source"))
+      .agg(FreqSketch.mgSketch(col("token"), MgK).as("sk"))
+      .agg(FreqSketch.mgMerge(col("sk"), MgK).as("s"))
+
+  /** Mergeable Misra–Gries heavy hitters — the SHIPPED plan: top-10 items
+    * of the merged summary with their estimate and the summary's error
+    * terms. Rows-only at the oracle gate: MG item estimates are
+    * arrival/merge-order dependent (unlike HLL's register-max union), so
+    * the hash-gated error contract lives in the verify-only companion
+    * [[qTopkSketchCheck]] and the zipf capture property in FreqSketchSpec. */
+  private def qTopkSketch(s: SparkSession, dir: String): DataFrame =
+    mgTokenSummary(s, dir)
+      .select(posexplode(slice(col("s.items"), 1, 10)).as(Seq("pos", "it")),
+        col("s.d").as("d"), col("s.n").as("n_total"))
+      .select((col("pos") + 1).as("rank"), col("it.item").as("token"),
+        col("it.est").as("est"), col("d"), col("n_total"))
+
+  /** Verify-only oracle companion for [[qTopkSketch]]: the exact top-10
+    * token counts (deterministic count-desc/token tiebreak, mirrored in
+    * DuckDB) plus the merge-order-independent MG theorems as booleans —
+    *  - `in_contract`: every exact-top item is either provably light
+    *    (true ≤ d) or reported in its error band (est ≤ true ≤ est + d);
+    *  - `d_in_bound`: d ≤ n/k (every trim removes ≥ k·t mass);
+    * and the summary's exact total mass `n_total` (trims never lose n).
+    * Any violation flips a hash-checked literal-TRUE column. */
+  private def qTopkSketchCheck(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val exactTop = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(10)
+    val summary = mgTokenSummary(s, dir)
+      .select(col("s.items").as("items"), col("s.d").as("d"), col("s.n").as("sn"))
+    exactTop.crossJoin(broadcast(summary))
+      .withColumn("est", expr("get(filter(items, x -> x.item = token), 0).est"))
+      .select(col("token"), col("n"), col("sn").as("n_total"),
+        (col("n") <= col("d") ||
+          (col("est").isNotNull && col("est") <= col("n") &&
+            col("n") <= col("est") + col("d"))).as("in_contract"),
+        (col("d") * lit(MgK) <= col("sn")).as("d_in_bound"))
+  }
+
   /** Two-phase salted aggregation over the most frequent event type —
     * same result as the plain aggregate (asserted in SkewSpec); exists as
     * the skew-mitigation pattern for power-law keys. */
@@ -662,6 +717,8 @@ object ExtendedEntries {
     "q_sketches_check" -> qSketchesCheck,
     "q_sketch_rollup" -> qSketchRollup,
     "q_sketch_rollup_check" -> qSketchRollupCheck,
+    "q_topk_sketch" -> qTopkSketch,
+    "q_topk_sketch_check" -> qTopkSketchCheck,
     "q_salted_agg" -> qSaltedAgg,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
@@ -1082,6 +1139,20 @@ object ExtendedEntries {
         |  count(DISTINCT user_id) AS exact_users,
         |  TRUE AS merged_in_band
         |FROM events GROUP BY event_type""".stripMargin,
+    // q_topk_sketch ships sketch-only (Misra-Gries estimates are
+    // arrival/merge-order dependent → rows-only); its hash-gated error
+    // contract is this companion: exact top-10 token counts + the
+    // order-independent MG theorems as literal-TRUE booleans.
+    "q_topk_sketch_check" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |)
+        |SELECT token, n, (SELECT count(*) FROM tok) AS n_total,
+        |  TRUE AS in_contract, TRUE AS d_in_bound
+        |FROM (
+        |  SELECT token, count(*) AS n FROM tok
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 10
+        |)""".stripMargin,
     "q_fuzzy_join" ->
       """WITH names AS (
         |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL

@@ -272,7 +272,8 @@ object SparkEntry {
     *    machinery, not a query plan; benching it would dominate the sweep
     *    while measuring Structured Streaming overhead, not this library. */
   val verifyOnly: Set[String] =
-    Set("q_sketches_check", "q_sketch_rollup_check", "q_stream_indicators")
+    Set("q_sketches_check", "q_sketch_rollup_check", "q_topk_sketch_check",
+      "q_stream_indicators")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExtendedEntries.queries ++ CorpusEntries.queries ++ Map(
