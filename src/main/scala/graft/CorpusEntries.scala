@@ -122,6 +122,14 @@ object CorpusEntries {
     Decontamination.screen(Tables.documents(s, dir),
       pmod(col("doc_id"), lit(10)) === 0, n = DecontamN, minHits = DecontamMinHits)
 
+  /** Bloom-prescreened decontamination: same parameters and BIT-EXACT
+    * same output as [[qDecontaminate]] (it shares that oracle SQL — the
+    * strongest possible check that the bloom pass loses nothing), but
+    * the broadcast is an m-bit filter instead of the eval-gram set. */
+  private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame =
+    Decontamination.screenBloom(Tables.documents(s, dir),
+      pmod(col("doc_id"), lit(10)) === 0, n = DecontamN, minHits = DecontamMinHits)
+
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(s, dir),
       maxTokenDup = MaxTokenDup, maxDupBigram = MaxDupBigram,
@@ -217,6 +225,7 @@ object CorpusEntries {
     "q_chunks" -> qChunks,
     "q_passage_dedup" -> qPassageDedup,
     "q_decontaminate" -> qDecontaminate,
+    "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_repetition" -> qRepetition,
     "q_source_mix" -> qSourceMix,
     "q_dedup_incremental" -> qDedupIncremental,
@@ -278,6 +287,25 @@ object CorpusEntries {
   /** DuckDB literal for the langId/quality stopword marker list. */
   private val oStopList: String =
     graft.operators.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+
+  /** Shared by q_decontaminate AND q_decontaminate_bloom: the bloom
+    * variant's strongest check is hashing against the exact screen's
+    * oracle unchanged. */
+  private def decontamOracleSql: String =
+    s"""WITH ${oShingleIdx(DecontamN)},
+       |ev AS (SELECT DISTINCT h FROM shidx WHERE doc_id % 10 = 0),
+       |tr AS (SELECT * FROM shidx WHERE doc_id % 10 != 0),
+       |sz AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+       |hits AS (
+       |  SELECT tr.doc_id, count(*) AS n_eval_hits
+       |  FROM tr JOIN ev ON tr.h = ev.h GROUP BY 1
+       |)
+       |SELECT sz.doc_id, sz.n_shingles,
+       |  coalesce(n_eval_hits, 0) AS n_eval_hits,
+       |  ${r4("coalesce(n_eval_hits, 0) * 1.0 / sz.n_shingles")}
+       |    AS contamination_frac,
+       |  coalesce(n_eval_hits, 0) >= $DecontamMinHits AS contaminated
+       |FROM sz LEFT JOIN hits ON hits.doc_id = sz.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_sample_weighted" ->
@@ -520,21 +548,10 @@ object CorpusEntries {
          |    AS decile
          |FROM qscore s, th""".stripMargin,
 
-    "q_decontaminate" ->
-      s"""WITH ${oShingleIdx(DecontamN)},
-         |ev AS (SELECT DISTINCT h FROM shidx WHERE doc_id % 10 = 0),
-         |tr AS (SELECT * FROM shidx WHERE doc_id % 10 != 0),
-         |sz AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
-         |hits AS (
-         |  SELECT tr.doc_id, count(*) AS n_eval_hits
-         |  FROM tr JOIN ev ON tr.h = ev.h GROUP BY 1
-         |)
-         |SELECT sz.doc_id, sz.n_shingles,
-         |  coalesce(n_eval_hits, 0) AS n_eval_hits,
-         |  ${r4("coalesce(n_eval_hits, 0) * 1.0 / sz.n_shingles")}
-         |    AS contamination_frac,
-         |  coalesce(n_eval_hits, 0) >= $DecontamMinHits AS contaminated
-         |FROM sz LEFT JOIN hits ON hits.doc_id = sz.doc_id""".stripMargin,
+    "q_decontaminate" -> decontamOracleSql,
+    // the bloom-prescreened variant must lose NOTHING: it is hash-checked
+    // against the exact screen's own oracle, bit for bit
+    "q_decontaminate_bloom" -> decontamOracleSql,
 
     "q_repetition" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

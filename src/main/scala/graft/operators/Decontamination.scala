@@ -39,6 +39,42 @@ object Decontamination {
       evalGrams, minHits)
   }
 
+  /** Bloom-prescreened variant of [[screen]]: identical output (bit-exact
+    * — it shares q_decontaminate's oracle), different scale envelope. The
+    * exact path broadcasts the full distinct eval-gram set; real
+    * benchmark suites grow that to tens of millions of longs (hundreds
+    * of MB on every executor). Here the eval grams are reduced to an
+    * m-bit bloom filter ([[graft.functions.BloomSet]]) — a few KB-MB
+    * broadcast regardless of gram count — the corpus scan keeps only
+    * bloom-POSITIVE shingle rows (k bit probes, pure codegen), and only
+    * that tiny candidate set meets the exact gram set in a keyed join
+    * (no broadcast needed — at fpp≈1% the candidates are ~the true hits,
+    * so AQE usually broadcasts the survivors on its own). Bloom false
+    * positives are killed by the exact join; false negatives are
+    * impossible (BloomSetSpec), so contamination counts cannot drift. */
+  def screenBloom(docs: DataFrame, evalPred: Column, n: Int, minHits: Int,
+      numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    val idx = Dedup.shingleIndex(docs, n).materialize
+    val evalIds = docs.filter(evalPred).select(col("doc_id"))
+    val evalGrams = idx.join(evalIds, "doc_id").select(col("h")).distinct()
+      .materialize // two consumers: bloom build + exact recheck
+    val trainIdx = idx.join(evalIds, Seq("doc_id"), "left_anti")
+    val bf = evalGrams.agg(graft.functions.BloomSet
+      .bloomAgg(col("h"), numBits, k).as("bf"))
+    val candidates = trainIdx.crossJoin(broadcast(bf))
+      .filter(graft.functions.BloomSet.mightContain(col("bf"), col("h"), numBits, k))
+      .select(col("doc_id"), col("h"))
+    val hits = candidates.join(evalGrams, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_hits"))
+    trainIdx.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"))
+      .withColumn("contamination_frac",
+        floor(col("n_eval_hits").cast("double") / col("n_shingles") * 10000 + 0.5) / 10000)
+      .withColumn("contaminated", col("n_eval_hits") >= minHits)
+  }
+
   /** The screening pass against a PREBUILT eval-gram set — shared by the
     * one-shot path above and the streaming ingest screen
     * ([[graft.streaming.StreamDecontaminate]]), which precomputes the

@@ -26,6 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bm25", "q_knn_classify", "q_drift",
     "q_embed_outliers", // ≤ nCentroids-row centroid broadcast
     "q_integrity", // one-row per-relationship totals broadcast
+    "q_topk_sketch_check", // one-row merged MG-summary broadcast
+    "q_decontaminate_bloom", // one-row bloom-filter broadcast
     "q_pmi", // one-row unigram/bigram-total broadcast
     "q_triangles", // one-row census × one-row totals join
     // one-row node-count + dangling-mass broadcasts ride along every round
