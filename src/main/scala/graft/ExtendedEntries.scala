@@ -759,6 +759,7 @@ object ExtendedEntries {
     "q_embed_clusters" -> qEmbedClusters,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_cosine_q8" -> qCosineQ8,
+    "q_cosine_pq" -> qCosinePq,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
     "q_dedup_embed_ivf2" -> qDedupEmbedIvf2,
@@ -960,6 +961,106 @@ object ExtendedEntries {
            |)""".stripMargin).mkString(",\n")
     }
     (Seq(seed) ++ steps :+ assignCte("assign", s"cent$iters")).mkString(",\n")
+  }
+
+  /** PQ parameters shared by q_cosine_pq's query and oracle: 8 subspaces
+    * × 8 dims, 16-entry codebooks (8-byte codes per vector), 2 Lloyd
+    * iterations, 10 queries × top-5. Chosen from a measured sweep —
+    * recall@5 vs exact: 0.24 at sf0.001 / 0.30 at sf0.01 (random ≈
+    * 0.025; these isotropic synthetic embeddings are PQ's worst case,
+    * see SCALE.md). */
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 16
+  private val PqIters = 2
+
+  private def qCosinePq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cb = operators.ProductQuantizer.train(emb, PqM, PqSub, PqK, PqIters)
+    operators.ProductQuantizer.searchAdc(emb, cb, nQueries = 10, topK = 5,
+      subspaces = PqM, subDim = PqSub)
+  }
+
+  /** PQ/ADC oracle (mirrors ProductQuantizer exactly — see its scaladoc
+    * for the determinism contract): full-vector L2 normalization with an
+    * IEEE float cast back, per-subspace L2 Lloyd with integer-micro
+    * means, assignment by 4dp-rounded ‖c‖²−2·v·c with lowest-code
+    * tiebreak, and an ADC sum of integer-micro subspace dots. */
+  private def oPqSql(nQ: Int, topK: Int): String = {
+    val d2 = (v: String, c: String) =>
+      r4(s"(${oDot(c, c)}) - 2 * (${oDot(v, c)})")
+    def assignCte(name: String, m: Int, centTable: String) =
+      s"""$name AS (
+         |  SELECT vec_id, code, sv FROM (
+         |    SELECT s.vec_id, c.code, s.sv,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${d2("s.sv", "c.ce")} ASC, c.code) AS arn
+         |    FROM sub$m s, $centTable c
+         |  ) WHERE arn = 1
+         |)""".stripMargin
+    val norm =
+      s"""norm AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(CAST(x AS DOUBLE) / sqrt(${oDot("embedding", "embedding")}) AS FLOAT)) AS e
+         |  FROM embeddings
+         |)""".stripMargin
+    val perSubspace = (0 until PqM).map { m =>
+      val lo = m * PqSub + 1; val hi = (m + 1) * PqSub
+      val seed =
+        s"""sub$m AS (SELECT vec_id, e[$lo:$hi] AS sv FROM norm),
+           |cent${m}_0 AS (
+           |  SELECT vec_id AS code, sv AS ce FROM sub$m WHERE vec_id < $PqK
+           |)""".stripMargin
+      val steps = (1 to PqIters).map { t =>
+        Seq(
+          assignCte(s"a${m}_$t", m, s"cent${m}_${t - 1}"),
+          s"""mm${m}_$t AS (
+             |  SELECT code, r.i AS i,
+             |    CAST(sum(CAST(floor(CAST(sv[r.i] AS DOUBLE) * 1000000 + 0.5)
+             |      AS BIGINT)) AS BIGINT) AS s2, count(*) AS n
+             |  FROM a${m}_$t, range(1, ${PqSub + 1}) r(i) GROUP BY 1, 2
+             |)""".stripMargin,
+          s"""cent${m}_$t AS (
+             |  SELECT code,
+             |    list(CAST(CAST(s2 AS DOUBLE) / (n * 1000000.0) AS FLOAT) ORDER BY i) AS ce
+             |  FROM mm${m}_$t GROUP BY code
+             |)""".stripMargin).mkString(",\n")
+      }
+      (Seq(seed) ++ steps :+ assignCte(s"cfin$m", m, s"cent${m}_$PqIters"))
+        .mkString(",\n")
+    }
+    val codes = (0 until PqM)
+      .map(m => s"SELECT vec_id, $m AS m, code FROM cfin$m")
+      .mkString("codes AS (\n", "\n  UNION ALL ", "\n)")
+    val codebook = (0 until PqM)
+      .map(m => s"SELECT $m AS m, code, ce FROM cent${m}_$PqIters")
+      .mkString("codebook AS (\n", "\n  UNION ALL ", "\n)")
+    val qsubs = (0 until PqM)
+      .map(m => s"SELECT vec_id AS query_id, $m AS m, sv AS qe FROM sub$m WHERE vec_id < $nQ")
+      .mkString("qsubs AS (\n", "\n  UNION ALL ", "\n)")
+    s"""WITH $norm,
+       |${perSubspace.mkString(",\n")},
+       |$codes,
+       |$codebook,
+       |$qsubs,
+       |lut AS (
+       |  SELECT q.query_id, q.m, c.code,
+       |    CAST(floor((${oDot("q.qe", "c.ce")}) * 1000000 + 0.5) AS BIGINT) AS pd
+       |  FROM qsubs q JOIN codebook c ON q.m = c.m
+       |),
+       |scored AS (
+       |  SELECT l.query_id, k.vec_id AS neighbor_id,
+       |    ${r4("CAST(CAST(sum(pd) AS BIGINT) AS DOUBLE) / 1000000.0")} AS score_pq
+       |  FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
+       |  WHERE k.vec_id != l.query_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id, score_pq, rk FROM (
+       |  SELECT query_id, neighbor_id, score_pq,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_pq DESC, neighbor_id) AS INTEGER) AS rk
+       |  FROM scored
+       |) WHERE rk <= $topK""".stripMargin
   }
 
   /** SRP-LSH oracle: the ±1 plane matrix is embedded as literals from
@@ -2320,6 +2421,8 @@ object ExtendedEntries {
          |           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INTEGER))
          |    END, ',') AS qvec_csv
          |FROM m""".stripMargin,
+
+    "q_cosine_pq" -> oPqSql(10, 5),
 
     "q_cosine_q8" -> {
       val dim = Similarity.LshDim

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ProductQuantizer, Similarity}
+
+/** Properties of the PQ/ADC path the oracle gate doesn't cover: the codes
+  * are partition-order independent, the normalized vectors are unit-norm,
+  * ADC scores approximate (and never wildly exceed) true cosine, and
+  * recall against exact brute-force top-k is real — a PQ index that
+  * hash-matches its own oracle but retrieves junk would still be wrong. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private val (m, sub, k, iters) = (8, 8, 16, 2)
+
+  private def emb = sources.Tables.embeddings(spark, dir)
+
+  test("normalize yields unit vectors (float precision)") {
+    val bad = ProductQuantizer.normalize(emb)
+      .select(abs(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))") - lit(1.0)).as("err"))
+      .filter(col("err") > 1e-5).count()
+    assert(bad == 0)
+  }
+
+  test("codes are identical under different input partitionings") {
+    val cb = ProductQuantizer.train(emb, m, sub, k, iters)
+    def codesOf(parts: Int) =
+      ProductQuantizer.encode(emb.repartition(parts), cb, m, sub)
+        .orderBy("vec_id", "m").collect().map(_.toSeq).toSeq
+    assert(codesOf(2) == codesOf(17))
+  }
+
+  test("ADC top-5 recall vs exact cosine top-5 is substantial") {
+    val cb = ProductQuantizer.train(emb, m, sub, k, iters)
+    val pq = ProductQuantizer.searchAdc(emb, cb, 10, 5, m, sub)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineTopK(emb, 10, 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    // the synthetic near-isotropic embeddings are PQ's worst case (no
+    // cluster structure; exact top-5 scores sit in a narrow noise band).
+    // Random top-5 of ~199 would land ~0.025; the deterministic pipeline
+    // measures exactly 0.24 here (0.30 at sf0.01) — demand ~10x random
+    assert(recall >= 0.2, s"recall@5 $recall — ADC retrieving junk")
+  }
+
+  test("ADC scores stay in the cosine range (quantization slack only)") {
+    val cb = ProductQuantizer.train(emb, m, sub, k, iters)
+    val out = ProductQuantizer.searchAdc(emb, cb, 10, 5, m, sub)
+    assert(out.filter(abs(col("score_pq")) > 1.1).count() == 0)
+  }
+}
