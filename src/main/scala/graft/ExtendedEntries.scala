@@ -498,6 +498,30 @@ object ExtendedEntries {
         (col("d") * lit(MgK) <= col("sn")).as("d_in_bound"))
   }
 
+  /** CDC merge over the event stream ([[operators.Cdc]]): the pre-Jan-16
+    * half folded into a per-user base snapshot (latest row per user — the
+    * state a previous merge job left), the post-cut half applied as a
+    * changelog where an 'error' event DELETES the user's row and anything
+    * else upserts it. Total change order (ts desc, event_id desc) is
+    * mirrored in the oracle. */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val base = ev.filter(col("ts") < cut)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val changes = ev.filter(col("ts") >= cut)
+      .withColumn("op",
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    operators.Cdc.applyChangelog(base, changes,
+      keyCols = Seq("user_id"), tsCol = "ts", seqCol = "event_id", opCol = "op")
+  }
+
   /** Two-phase salted aggregation over the most frequent event type —
     * same result as the plain aggregate (asserted in SkewSpec); exists as
     * the skew-mitigation pattern for power-law keys. */
@@ -720,6 +744,7 @@ object ExtendedEntries {
     "q_topk_sketch" -> qTopkSketch,
     "q_topk_sketch_check" -> qTopkSketchCheck,
     "q_salted_agg" -> qSaltedAgg,
+    "q_cdc_apply" -> qCdcApply,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
       Dedup.dedupCorpusKeepBest(Tables.documents(s, dir), 0.7)),
@@ -2423,6 +2448,31 @@ object ExtendedEntries {
          |FROM m""".stripMargin,
 
     "q_cosine_pq" -> oPqSql(10, 5),
+
+    "q_cdc_apply" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value FROM events
+        |), base AS (
+        |  SELECT user_id, event_id, ts, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  ) WHERE rn = 1
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_id, ts, event_type, value,
+        |      CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |  ) WHERE rn = 1
+        |)
+        |SELECT b.user_id, b.event_id, b.ts, b.event_type, b.value
+        |FROM base b ANTI JOIN latest l ON b.user_id = l.user_id
+        |UNION ALL
+        |SELECT user_id, event_id, ts, event_type, value
+        |FROM latest WHERE op != 'D'""".stripMargin,
 
     "q_cosine_q8" -> {
       val dim = Similarity.LshDim

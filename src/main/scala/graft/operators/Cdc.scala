@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC changelog application — the batch MERGE INTO every keyed snapshot
+  * table needs: fold a stream of keyed changes (upserts + deletes) into a
+  * base snapshot, last-write-wins.
+  *
+  * Semantics (pinned in CdcSpec):
+  *  - the LATEST change per key decides: op 'D' → the key is absent from
+  *    the result (even if the base had it); any other op → the change row's
+  *    payload replaces (or inserts) the key's row;
+  *  - keys untouched by the changelog keep their base row unchanged;
+  *  - "latest" is the total order (tsCol desc, seqCol desc) — ties on the
+  *    event time are broken by the caller's sequence column (a changelog
+  *    offset / event id), so replays and re-partitions are deterministic;
+  *  - a delete of an absent key is a no-op; an update of an absent key is
+  *    an insert (standard upsert semantics);
+  *  - applying two consecutive changelog slices == applying their union
+  *    (associativity in time — what lets a nightly merge job be split or
+  *    replayed; asserted in CdcSpec).
+  *
+  * Scale shape: one shuffle of the changelog by key for the latest-change
+  * window (changelogs are deltas — small next to the snapshot), then one
+  * keyed left-anti join against the base. The base is never sorted and
+  * never shuffled beyond the join; at 100 TB both sides bucket by the
+  * merge key so the join is co-located, and the output overwrites only
+  * the partitions that contain touched keys (dynamic partition overwrite,
+  * as in [[graft.sinks.TableSetup]]'s backfill).
+  */
+object Cdc {
+
+  /** Apply `changes` to `base`. `changes` must contain every `base`
+    * column plus `opCol`; the result has exactly the base schema. */
+  def applyChangelog(base: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], tsCol: String, seqCol: String,
+      opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val missing = (base.columns :+ opCol).filterNot(changes.columns.contains)
+    require(missing.isEmpty, s"changes is missing columns: ${missing.mkString(", ")}")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(seqCol).desc)
+    val latest = changes
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val upserts = latest.filter(col(opCol) =!= lit("D"))
+      .select(base.columns.map(col): _*)
+    val untouched = base.join(
+      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+    untouched.unionByName(upserts)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cdc
+
+/** Merge-semantics contract of [[Cdc.applyChangelog]] on controlled
+  * changelogs — the cases the oracle-gated q_cdc_apply can't isolate. */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def snap(rows: (Long, Long, Long, String)*): DataFrame =
+    rows.toDF("k", "seq", "ts", "payload")
+  private def chg(rows: (Long, Long, Long, String, String)*): DataFrame =
+    rows.toDF("k", "seq", "ts", "payload", "op")
+
+  private def apply0(base: DataFrame, changes: DataFrame): Seq[(Long, String)] =
+    Cdc.applyChangelog(base, changes, Seq("k"), "ts", "seq", "op")
+      .select("k", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+  test("upsert replaces, insert adds, delete removes, untouched survives") {
+    val base = snap((1L, 1L, 10L, "old1"), (2L, 2L, 10L, "old2"), (3L, 3L, 10L, "old3"))
+    val changes = chg(
+      (1L, 10L, 20L, "new1", "U"), // update existing
+      (4L, 11L, 20L, "new4", "U"), // insert missing
+      (2L, 12L, 20L, "x", "D"),    // delete existing
+      (9L, 13L, 20L, "x", "D"))    // delete absent: no-op
+    assert(apply0(base, changes) ==
+      Seq((1L, "new1"), (3L, "old3"), (4L, "new4")))
+  }
+
+  test("last write wins by ts, then by seq on ts ties") {
+    val base = snap()
+    val changes = chg(
+      (1L, 1L, 10L, "a", "U"), (1L, 2L, 30L, "winner-by-ts", "U"),
+      (1L, 3L, 20L, "b", "U"),
+      (2L, 5L, 10L, "loser", "U"), (2L, 6L, 10L, "winner-by-seq", "U"))
+    assert(apply0(base, changes) ==
+      Seq((1L, "winner-by-ts"), (2L, "winner-by-seq")))
+    // a later delete erases even a key the same changelog inserted
+    val delLast = chg((3L, 1L, 10L, "born", "U"), (3L, 2L, 11L, "x", "D"))
+    assert(apply0(base, delLast).isEmpty)
+  }
+
+  test("applying two slices in order == applying their union") {
+    val base = snap((1L, 1L, 10L, "old1"), (2L, 2L, 10L, "old2"))
+    val c1 = chg((1L, 10L, 20L, "mid1", "U"), (3L, 11L, 20L, "mid3", "U"))
+    val c2 = chg((1L, 20L, 30L, "x", "D"), (3L, 21L, 30L, "new3", "U"),
+      (4L, 22L, 30L, "new4", "U"))
+    val stepwise = apply0(
+      Cdc.applyChangelog(base, c1, Seq("k"), "ts", "seq", "op"), c2)
+    val atOnce = apply0(base, c1.unionByName(c2))
+    assert(stepwise == atOnce)
+    assert(stepwise == Seq((2L, "old2"), (3L, "new3"), (4L, "new4")))
+  }
+
+  test("result is deterministic under changelog repartitioning") {
+    val base = snap((1L, 1L, 10L, "old1"))
+    val changes = chg((1 to 500).map(i =>
+      (i.toLong % 7, i.toLong, (i % 13).toLong, s"p$i",
+        if (i % 11 == 0) "D" else "U")): _*)
+    assert(apply0(base, changes.repartition(2)) ==
+      apply0(base, changes.repartition(23)))
+  }
+
+  test("a changelog missing base columns is rejected") {
+    val base = snap((1L, 1L, 10L, "old1"))
+    val bad = Seq((1L, 2L, 20L, "U")).toDF("k", "seq", "ts", "op") // no payload
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(base, bad, Seq("k"), "ts", "seq", "op")
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+}
