@@ -785,6 +785,7 @@ object ExtendedEntries {
     "q_embed_quantize" -> qEmbedQuantize,
     "q_cosine_q8" -> qCosineQ8,
     "q_cosine_pq" -> qCosinePq,
+    "q_cosine_ivfpq" -> qCosineIvfPq,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
     "q_dedup_embed_ivf2" -> qDedupEmbedIvf2,
@@ -1087,6 +1088,173 @@ object ExtendedEntries {
        |  FROM scored
        |) WHERE rk <= $topK""".stripMargin
   }
+
+  /** IVFADC parameters shared by q_cosine_ivfpq's query and oracle. */
+  private val IvfPqC = 4
+  private val IvfPqIvfIters = 2
+  private val IvfPqNprobe = 2
+
+  private def qCosineIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (cent, cbs, codes) = operators.ProductQuantizer.ivfPqIndex(emb,
+      nClusters = IvfPqC, ivfIters = IvfPqIvfIters,
+      subspaces = PqM, subDim = PqSub, k = PqK, pqIters = PqIters)
+    operators.ProductQuantizer.searchIvfPq(emb, cent, cbs, codes,
+      nQueries = 10, topK = 5, subspaces = PqM, subDim = PqSub,
+      nprobe = IvfPqNprobe)
+  }
+
+  /** IVFADC oracle (mirrors ProductQuantizer.ivfPqIndex + searchIvfPq):
+    * cosine IVF Lloyd over the normalized vectors, residuals via exact
+    * double-subtract-float-cast, L2 PQ codebooks over the residuals, and
+    * the probe-scoped ADC score dot(q,c) + Σ_m dot(q_m, cw) in integer
+    * micros. Every sub-contract reuses the idiom already proven by
+    * q_cosine_ivf and q_cosine_pq. */
+  private def oIvfPqSql(nQ: Int, topK: Int): String = {
+    val dim = 64
+    // --- cosine IVF over norm (oIvfAssign pattern, source = norm/e) ---
+    def iAssign(name: String, centTable: String) =
+      s"""$name AS (
+         |  SELECT vec_id, centroid_id, e FROM (
+         |    SELECT n.vec_id, c.centroid_id, n.e,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${r4(oCos("n.e", "c.ce"))} DESC, c.centroid_id) AS arn
+         |    FROM norm n, $centTable c
+         |  ) WHERE arn = 1
+         |)""".stripMargin
+    val ivfSeed =
+      s"""icent0 AS (
+         |  SELECT vec_id AS centroid_id, e AS ce FROM norm WHERE vec_id < $IvfPqC
+         |)""".stripMargin
+    val ivfSteps = (1 to IvfPqIvfIters).map { t =>
+      Seq(
+        iAssign(s"ia$t", s"icent${t - 1}"),
+        s"""im$t AS (
+           |  SELECT centroid_id, r.i AS i,
+           |    CAST(sum(CAST(floor(CAST(e[r.i] AS DOUBLE) * 1000000 + 0.5)
+           |      AS BIGINT)) AS BIGINT) AS s2, count(*) AS n
+           |  FROM ia$t, range(1, ${dim + 1}) r(i) GROUP BY 1, 2
+           |)""".stripMargin,
+        s"""icent$t AS (
+           |  SELECT centroid_id,
+           |    list(CAST(CAST(s2 AS DOUBLE) / (n * 1000000.0) AS FLOAT) ORDER BY i) AS ce
+           |  FROM im$t GROUP BY centroid_id
+           |)""".stripMargin).mkString(",\n")
+    }
+    val centF = s"icent$IvfPqIvfIters"
+    val res =
+      s"""res AS (
+         |  SELECT a.vec_id, a.centroid_id,
+         |    list_transform(range(1, ${dim + 1}),
+         |      i -> CAST(CAST(a.e[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE) AS FLOAT)) AS rv
+         |  FROM ${iAssignedName} a JOIN $centF c ON a.centroid_id = c.centroid_id
+         |)""".stripMargin
+    // --- residual PQ (oPqSql pattern, source = res/rv) ---
+    val d2 = (v: String, c: String) =>
+      r4(s"(${oDot(c, c)}) - 2 * (${oDot(v, c)})")
+    def pAssign(name: String, m: Int, centTable: String) =
+      s"""$name AS (
+         |  SELECT vec_id, code, sv FROM (
+         |    SELECT s.vec_id, c.code, s.sv,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${d2("s.sv", "c.ce")} ASC, c.code) AS arn
+         |    FROM rsub$m s, $centTable c
+         |  ) WHERE arn = 1
+         |)""".stripMargin
+    val perSubspace = (0 until PqM).map { m =>
+      val lo = m * PqSub + 1; val hi = (m + 1) * PqSub
+      val seed =
+        s"""rsub$m AS (SELECT vec_id, rv[$lo:$hi] AS sv FROM res),
+           |rcent${m}_0 AS (
+           |  SELECT vec_id AS code, sv AS ce FROM rsub$m WHERE vec_id < $PqK
+           |)""".stripMargin
+      val steps = (1 to PqIters).map { t =>
+        Seq(
+          pAssign(s"ra${m}_$t", m, s"rcent${m}_${t - 1}"),
+          s"""rmm${m}_$t AS (
+             |  SELECT code, r.i AS i,
+             |    CAST(sum(CAST(floor(CAST(sv[r.i] AS DOUBLE) * 1000000 + 0.5)
+             |      AS BIGINT)) AS BIGINT) AS s2, count(*) AS n
+             |  FROM ra${m}_$t, range(1, ${PqSub + 1}) r(i) GROUP BY 1, 2
+             |)""".stripMargin,
+          s"""rcent${m}_$t AS (
+             |  SELECT code,
+             |    list(CAST(CAST(s2 AS DOUBLE) / (n * 1000000.0) AS FLOAT) ORDER BY i) AS ce
+             |  FROM rmm${m}_$t GROUP BY code
+             |)""".stripMargin).mkString(",\n")
+      }
+      (Seq(seed) ++ steps :+ pAssign(s"rfin$m", m, s"rcent${m}_$PqIters"))
+        .mkString(",\n")
+    }
+    val codes = (0 until PqM)
+      .map(m => s"SELECT vec_id, $m AS m, code FROM rfin$m")
+      .mkString("pcodes AS (\n", "\n  UNION ALL ", "\n)")
+    val codebook = (0 until PqM)
+      .map(m => s"SELECT $m AS m, code, ce FROM rcent${m}_$PqIters")
+      .mkString("pcodebook AS (\n", "\n  UNION ALL ", "\n)")
+    val qsubs = (0 until PqM)
+      .map { m =>
+        val lo = m * PqSub + 1; val hi = (m + 1) * PqSub
+        s"SELECT vec_id AS query_id, $m AS m, e[$lo:$hi] AS qe FROM norm WHERE vec_id < $nQ"
+      }
+      .mkString("qsubs AS (\n", "\n  UNION ALL ", "\n)")
+    s"""WITH norm AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(CAST(x AS DOUBLE) / sqrt(${oDot("embedding", "embedding")}) AS FLOAT)) AS e
+       |  FROM embeddings
+       |),
+       |$ivfSeed,
+       |${ivfSteps.mkString(",\n")},
+       |${iAssign(iAssignedName, centF)},
+       |$res,
+       |${perSubspace.mkString(",\n")},
+       |$codes,
+       |$codebook,
+       |vcode AS (
+       |  SELECT p.vec_id, p.m, p.code, a.centroid_id
+       |  FROM pcodes p JOIN $iAssignedName a ON p.vec_id = a.vec_id
+       |),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT n.vec_id AS query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${r4(oCos("n.e", "c.ce"))} DESC, c.centroid_id) AS prn
+       |    FROM norm n, $centF c WHERE n.vec_id < $nQ
+       |  ) WHERE prn <= $IvfPqNprobe
+       |),
+       |bt AS (
+       |  SELECT p.query_id, p.centroid_id,
+       |    CAST(floor((${oDot("n.e", "c.ce")}) * 1000000 + 0.5) AS BIGINT) AS bd
+       |  FROM probes p
+       |  JOIN norm n ON n.vec_id = p.query_id
+       |  JOIN $centF c ON c.centroid_id = p.centroid_id
+       |),
+       |$qsubs,
+       |lut AS (
+       |  SELECT q.query_id, q.m, c.code,
+       |    CAST(floor((${oDot("q.qe", "c.ce")}) * 1000000 + 0.5) AS BIGINT) AS pd
+       |  FROM qsubs q JOIN pcodebook c ON q.m = c.m
+       |),
+       |scored AS (
+       |  SELECT l.query_id, k.vec_id AS neighbor_id, k.centroid_id,
+       |    CAST(sum(pd) AS BIGINT) AS rsum
+       |  FROM vcode k
+       |  JOIN probes p ON p.centroid_id = k.centroid_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.m = k.m AND l.code = k.code
+       |  WHERE k.vec_id != p.query_id
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT query_id, neighbor_id, score_ivfpq, rk FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${r4("CAST(s.rsum + b.bd AS DOUBLE) / 1000000.0")} AS score_ivfpq,
+       |    CAST(row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${r4("CAST(s.rsum + b.bd AS DOUBLE) / 1000000.0")} DESC,
+       |        s.neighbor_id) AS INTEGER) AS rk
+       |  FROM scored s JOIN bt b
+       |    ON b.query_id = s.query_id AND b.centroid_id = s.centroid_id
+       |) WHERE rk <= $topK""".stripMargin
+  }
+  private val iAssignedName = "iassign"
 
   /** SRP-LSH oracle: the ±1 plane matrix is embedded as literals from
     * Similarity.srpPlanes (single source of truth), so both engines hash
@@ -2448,6 +2616,7 @@ object ExtendedEntries {
          |FROM m""".stripMargin,
 
     "q_cosine_pq" -> oPqSql(10, 5),
+    "q_cosine_ivfpq" -> oIvfPqSql(10, 5),
 
     "q_cdc_apply" ->
       """WITH ev AS (

@@ -76,8 +76,14 @@ object ProductQuantizer {
     * oracle). Returns (m, code, ce) — M×K rows, the broadcastable
     * "index"; at corpus scale Lloyd runs on a bounded sample. */
   def train(emb: DataFrame, subspaces: Int, subDim: Int, k: Int,
-      iters: Int = 2): DataFrame = {
-    val subs = subvectors(normalize(emb), subspaces, subDim)
+      iters: Int = 2): DataFrame = trainOn(normalize(emb), subspaces, subDim, k, iters)
+
+  /** [[train]] without the normalization step — for callers that already
+    * preprocessed the vectors (e.g. IVFADC trains codebooks on CLUSTER
+    * RESIDUALS, which must not be re-normalized). */
+  def trainOn(pre: DataFrame, subspaces: Int, subDim: Int, k: Int,
+      iters: Int): DataFrame = {
+    val subs = subvectors(pre, subspaces, subDim)
       .materialize // consumed every Lloyd round
     var cent = subs.filter(col("vec_id") < k)
       .select(col("m"), col("vec_id").as("code"), col("sv").as("ce"))
@@ -101,7 +107,83 @@ object ProductQuantizer {
     * table that persists and serves search. */
   def encode(emb: DataFrame, codebooks: DataFrame, subspaces: Int,
       subDim: Int): DataFrame =
-    l2Assign(subvectors(normalize(emb), subspaces, subDim), codebooks)
+    encodeOn(normalize(emb), codebooks, subspaces, subDim)
+
+  /** [[encode]] without the normalization step (see [[trainOn]]). */
+  def encodeOn(pre: DataFrame, codebooks: DataFrame, subspaces: Int,
+      subDim: Int): DataFrame =
+    l2Assign(subvectors(pre, subspaces, subDim), codebooks)
+
+  /** Exact IEEE residual: r = x − c componentwise, double subtraction
+    * with a float cast back (mirrored verbatim in the DuckDB oracle). */
+  private val residualExpr =
+    "zip_with(embedding, ce, (x, c) -> CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS FLOAT))"
+
+  /** IVFADC index (the FAISS IVF+PQ composition — both scale paths at
+    * once): IVF centroids partition the corpus (compute-side pruning, a
+    * probe reads nprobe/C of the codes), and PQ codebooks trained on the
+    * CLUSTER RESIDUALS x − c encode each vector as M codes (memory-side:
+    * residuals are small, so the same codebook budget quantizes them much
+    * more finely than raw vectors). Returns (centroids, residual
+    * codebooks, codes) where codes = (vec_id, m, code, centroid_id) — at
+    * 100 TB the codes table persists partitioned by centroid_id, exactly
+    * like the plain IVF index. */
+  def ivfPqIndex(emb: DataFrame, nClusters: Int, ivfIters: Int,
+      subspaces: Int, subDim: Int, k: Int, pqIters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val normed = normalize(emb).materialize
+    val cent = Similarity.ivfTrain(normed, nClusters, ivfIters)
+    val assign = Similarity.ivfAssign(normed, cent)
+      .select(col("vec_id"), col("centroid_id"))
+    val residuals = normed.join(assign, "vec_id")
+      .join(broadcast(cent), "centroid_id")
+      .select(col("vec_id"), expr(residualExpr).as("embedding"))
+      .materialize // codebook training + encoding both consume it
+    val codebooks = trainOn(residuals, subspaces, subDim, k, pqIters)
+    val codes = encodeOn(residuals, codebooks, subspaces, subDim)
+      .join(assign, "vec_id")
+    (cent, codebooks, codes)
+  }
+
+  /** IVFADC search: each query probes its `nprobe` nearest centroids and
+    * scores ONLY the codes assigned there — dot(q, x) ≈ dot(q, c) +
+    * Σ_m dot(q_m, cw_{m,code_m}) (q stays exact, so the residual term
+    * needs q's RAW subvectors, not a query residual). Both terms are
+    * integer-micro quantized before the sum, same contract as
+    * [[searchAdc]]. Query-side frames (probes, base terms, lookup table)
+    * are all nQ-sized broadcasts; the codes table is the only big side. */
+  def searchIvfPq(emb: DataFrame, cent: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, nQueries: Int, topK: Int, subspaces: Int,
+      subDim: Int, nprobe: Int): DataFrame = {
+    require(nQueries <= Similarity.MaxBroadcastQueries,
+      s"query side of $nQueries rows would be broadcast — too large")
+    val queries = normalize(emb.filter(col("vec_id") < nQueries))
+    val probes = Similarity.ivfAssignTop(queries, cent, nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val baseTerm = probes
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+      .join(broadcast(cent), "centroid_id")
+      .select(col("query_id"), col("centroid_id"),
+        floor(dot(col("embedding"), col("ce")) * 1000000 + lit(0.5)).cast("long").as("bd"))
+    val qSubs = subvectors(
+      queries.select(col("vec_id"), col("embedding")), subspaces, subDim)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qe"))
+    val lut = qSubs.join(codebooks, "m")
+      .select(col("query_id"), col("m"), col("code"),
+        floor(dot(col("qe"), col("ce")) * 1000000 + lit(0.5)).cast("long").as("pd"))
+    val scored = codes.join(broadcast(probes), "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"), col("centroid_id"))
+      .agg(sum(col("pd")).as("rsum"))
+      .join(broadcast(baseTerm), Seq("query_id", "centroid_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        r4((col("rsum") + col("bd")).cast("double") / lit(1000000.0)).as("score_ivfpq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ivfpq").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score_ivfpq"), col("rk"))
+  }
 
   /** ADC top-k from CODES ONLY (plus the M×K codebook and the exact
     * normalized query vectors): per-(query, m, code) dot lookup table —

@@ -50,6 +50,55 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall@5 $recall — ADC retrieving junk")
   }
 
+  test("IVFADC: residual quantization beats raw-vector PQ at equal bits") {
+    val cb = ProductQuantizer.train(emb, m, sub, k, iters)
+    val pq = ProductQuantizer.searchAdc(emb, cb, 10, 5, m, sub)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (cent, cbs, codes) = ProductQuantizer.ivfPqIndex(emb,
+      nClusters = 4, ivfIters = 2, subspaces = m, subDim = sub,
+      k = k, pqIters = iters)
+    val ivfpq = ProductQuantizer.searchIvfPq(emb, cent, cbs, codes,
+      10, 5, m, sub, nprobe = 4) // all clusters probed: isolates the
+                                 // residual-encoding effect from probe misses
+    val got = ivfpq.select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineTopK(emb, 10, 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIvfPq = (got & exact).size.toDouble / exact.size
+    val rPq = (pq & exact).size.toDouble / exact.size
+    info(s"recall@5: ivfpq=$rIvfPq pq=$rPq")
+    assert(rIvfPq >= rPq,
+      s"residual PQ ($rIvfPq) should not lose to raw PQ ($rPq) at full probe")
+  }
+
+  test("IVFADC probes fewer codes: nprobe=1 scores only its cluster") {
+    val (cent, cbs, codes) = ProductQuantizer.ivfPqIndex(emb,
+      nClusters = 4, ivfIters = 2, subspaces = m, subDim = sub,
+      k = k, pqIters = iters)
+    val out = ProductQuantizer.searchIvfPq(emb, cent, cbs, codes,
+      3, 1000000, m, sub, nprobe = 1)
+    // with top-k unbounded, each query returns exactly its probed
+    // cluster's population (minus itself when it lives there)
+    val sizes = out.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusterSizes = codes.filter(col("m") === 0)
+      .groupBy("centroid_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = Similarity.ivfAssignTop(
+      ProductQuantizer.normalize(emb.filter(col("vec_id") < 3)), cent, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val own = Similarity.ivfAssign(ProductQuantizer.normalize(emb), cent)
+      .filter(col("vec_id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((q, probed) <- probes) {
+      val self = if (own(q) == probed) 1 else 0
+      assert(sizes(q) == clusterSizes(probed) - self,
+        s"query $q scored ${sizes(q)} != cluster ${clusterSizes(probed)} - $self")
+    }
+  }
+
   test("ADC scores stay in the cosine range (quantization slack only)") {
     val cb = ProductQuantizer.train(emb, m, sub, k, iters)
     val out = ProductQuantizer.searchAdc(emb, cb, 10, 5, m, sub)
