@@ -522,6 +522,54 @@ object ExtendedEntries {
       keyCols = Seq("user_id"), tsCol = "ts", seqCol = "event_id", opCol = "op")
   }
 
+  /** The STREAMING CDC path, gated like q_stream_indicators: the same
+    * post-cut changelog as [[qCdcApply]] is replayed as three
+    * time-sliced file-source micro-batches through the REAL foreachBatch
+    * merge ([[graft.streaming.StreamCdc]] — generational snapshots,
+    * checkpoint, replay-idempotent), and the FINAL SNAPSHOT is
+    * hash-checked against the batch query's own DuckDB oracle. Verify-
+    * only: the cost is streaming machinery, not a query plan. */
+  private def qStreamCdc(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val base = ev.filter(col("ts") < cut)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val changes = ev.filter(col("ts") >= cut)
+      .withColumn("op",
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    // three time-range replay files → three in-(ts)-order micro-batches
+    // (the slice-order precondition of Cdc's associativity law)
+    val Array(t0, t1) = changes
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = (t1 - t0) / 3 + 1
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/feed"))
+    (0 until 3).foreach { i =>
+      val tmp = s"$work/tmp$i"
+      changes.filter(unix_millis(col("ts")) >= t0 + i * span &&
+          unix_millis(col("ts")) < t0 + (i + 1) * span)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new org.apache.hadoop.fs.Path(f"$work/feed/b$i%02d.parquet"))
+    }
+    val stream = s.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamCdc.run(stream, base, work,
+      keyCols = Seq("user_id"), tsCol = "ts", seqCol = "event_id", opCol = "op")
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamCdc.snapshot(s, work, base)
+  }
+
   /** Two-phase salted aggregation over the most frequent event type —
     * same result as the plain aggregate (asserted in SkewSpec); exists as
     * the skew-mitigation pattern for power-law keys. */
@@ -745,6 +793,7 @@ object ExtendedEntries {
     "q_topk_sketch_check" -> qTopkSketchCheck,
     "q_salted_agg" -> qSaltedAgg,
     "q_cdc_apply" -> qCdcApply,
+    "q_stream_cdc" -> qStreamCdc,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
       Dedup.dedupCorpusKeepBest(Tables.documents(s, dir), 0.7)),
@@ -1088,6 +1137,33 @@ object ExtendedEntries {
        |  FROM scored
        |) WHERE rk <= $topK""".stripMargin
   }
+
+  /** Shared by q_cdc_apply AND q_stream_cdc: the streaming merge's
+    * strongest check is hashing against the batch oracle unchanged. */
+  private def cdcOracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_type, value FROM events
+      |), base AS (
+      |  SELECT user_id, event_id, ts, event_type, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      |  ) WHERE rn = 1
+      |), latest AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_id, ts, event_type, value,
+      |      CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |  ) WHERE rn = 1
+      |)
+      |SELECT b.user_id, b.event_id, b.ts, b.event_type, b.value
+      |FROM base b ANTI JOIN latest l ON b.user_id = l.user_id
+      |UNION ALL
+      |SELECT user_id, event_id, ts, event_type, value
+      |FROM latest WHERE op != 'D'""".stripMargin
 
   /** IVFADC parameters shared by q_cosine_ivfpq's query and oracle. */
   private val IvfPqC = 4
@@ -2618,30 +2694,10 @@ object ExtendedEntries {
     "q_cosine_pq" -> oPqSql(10, 5),
     "q_cosine_ivfpq" -> oIvfPqSql(10, 5),
 
-    "q_cdc_apply" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    event_type, value FROM events
-        |), base AS (
-        |  SELECT user_id, event_id, ts, event_type, value FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
-        |  ) WHERE rn = 1
-        |), latest AS (
-        |  SELECT * FROM (
-        |    SELECT user_id, event_id, ts, event_type, value,
-        |      CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-        |      row_number() OVER (PARTITION BY user_id
-        |        ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
-        |  ) WHERE rn = 1
-        |)
-        |SELECT b.user_id, b.event_id, b.ts, b.event_type, b.value
-        |FROM base b ANTI JOIN latest l ON b.user_id = l.user_id
-        |UNION ALL
-        |SELECT user_id, event_id, ts, event_type, value
-        |FROM latest WHERE op != 'D'""".stripMargin,
+    "q_cdc_apply" -> cdcOracleSql,
+    // the streaming CDC path must merge to the SAME snapshot: hash-gated
+    // against the batch query's oracle unchanged
+    "q_stream_cdc" -> cdcOracleSql,
 
     "q_cosine_q8" -> {
       val dim = Similarity.LshDim

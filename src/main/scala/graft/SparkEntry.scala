@@ -270,10 +270,13 @@ object SparkEntry {
     *    micro-batches, RocksDB state store, checkpointing, parquet sink)
     *    to gate the sunk table — ~18 s at sf0.1 of trigger/state-store
     *    machinery, not a query plan; benching it would dominate the sweep
-    *    while measuring Structured Streaming overhead, not this library. */
+    *    while measuring Structured Streaming overhead, not this library.
+    *  - q_stream_cdc likewise replays the CDC changelog through the real
+    *    foreachBatch merge (StreamCdc) and gates the final snapshot
+    *    against the batch oracle — streaming machinery, not a plan. */
   val verifyOnly: Set[String] =
     Set("q_sketches_check", "q_sketch_rollup_check", "q_topk_sketch_check",
-      "q_stream_indicators")
+      "q_stream_indicators", "q_stream_cdc")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExtendedEntries.queries ++ CorpusEntries.queries ++ Map(

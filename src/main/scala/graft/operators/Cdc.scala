@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   *    offset / event id), so replays and re-partitions are deterministic;
   *  - a delete of an absent key is a no-op; an update of an absent key is
   *    an insert (standard upsert semantics);
-  *  - applying two consecutive changelog slices == applying their union
-  *    (associativity in time — what lets a nightly merge job be split or
-  *    replayed; asserted in CdcSpec).
+  *  - applying two consecutive changelog slices == applying their union,
+  *    PROVIDED slice boundaries respect the (ts, seq) order (a later
+  *    slice contains only later changes — how changelogs are delivered).
+  *    This is what lets a nightly merge be split, replayed, or run as a
+  *    micro-batch stream ([[graft.streaming.StreamCdc]]); asserted in
+  *    CdcSpec. A mis-ordered slice would re-apply an older change on top
+  *    of a newer snapshot row — the snapshot carries no per-row version
+  *    to defend with, by design (it has exactly the base schema).
   *
   * Scale shape: one shuffle of the changelog by key for the latest-change
   * window (changelogs are deltas — small next to the snapshot), then one
