@@ -522,6 +522,30 @@ object ExtendedEntries {
       keyCols = Seq("user_id"), tsCol = "ts", seqCol = "event_id", opCol = "op")
   }
 
+  /** Snapshot diff ([[operators.Cdc.diff]]): the minimal changelog
+    * turning the pre-cut base snapshot into the post-merge snapshot —
+    * 'U' rows where a user's row changed/appeared, 'D' where it
+    * vanished. The round-trip law (apply(base, diff) == merged) is
+    * pinned in CdcSpec; here the diff itself is oracle-checked. */
+  private def qCdcDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val base = ev.filter(col("ts") < cut)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val changes = ev.filter(col("ts") >= cut)
+      .withColumn("op",
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    val merged = operators.Cdc.applyChangelog(base, changes,
+      Seq("user_id"), "ts", "event_id", "op")
+    operators.Cdc.diff(base, merged, Seq("user_id"), "op")
+  }
+
   /** The STREAMING CDC path, gated like q_stream_indicators: the same
     * post-cut changelog as [[qCdcApply]] is replayed as three
     * time-sliced file-source micro-batches through the REAL foreachBatch
@@ -793,6 +817,7 @@ object ExtendedEntries {
     "q_topk_sketch_check" -> qTopkSketchCheck,
     "q_salted_agg" -> qSaltedAgg,
     "q_cdc_apply" -> qCdcApply,
+    "q_cdc_diff" -> qCdcDiff,
     "q_stream_cdc" -> qStreamCdc,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
@@ -2698,6 +2723,24 @@ object ExtendedEntries {
     // the streaming CDC path must merge to the SAME snapshot: hash-gated
     // against the batch query's oracle unchanged
     "q_stream_cdc" -> cdcOracleSql,
+    "q_cdc_diff" ->
+      s"""WITH applied AS ($cdcOracleSql),
+         |ev2 AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    event_type, value FROM events
+         |), base2 AS (
+         |  SELECT user_id, event_id, ts, event_type, value FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM ev2 WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+         |  ) WHERE rn = 1
+         |)
+         |SELECT user_id, event_id, ts, event_type, value, 'U' AS op FROM (
+         |  SELECT * FROM applied EXCEPT ALL SELECT * FROM base2
+         |)
+         |UNION ALL
+         |SELECT b.user_id, b.event_id, b.ts, b.event_type, b.value, 'D' AS op
+         |FROM base2 b ANTI JOIN applied a ON b.user_id = a.user_id""".stripMargin,
 
     "q_cosine_q8" -> {
       val dim = Similarity.LshDim

@@ -37,6 +37,28 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Inverse of [[applyChangelog]]: the MINIMAL changelog transforming
+    * snapshot `a` into snapshot `b` — 'U' rows for keys whose payload
+    * changed or appeared (B's full row), 'D' rows for keys that vanished
+    * (A's row, payload irrelevant to apply). Round-trip law, asserted in
+    * CdcSpec: applyChangelog(a, diff(a, b)) == b. Unchanged rows emit
+    * nothing, so the diff is delta-sized — this is the snapshot-diff /
+    * data-versioning primitive (what changed between two corpus
+    * snapshots?) and the changelog BOOTSTRAP (derive one where upstream
+    * only ships full snapshots). Shape: one EXCEPT (keyed shuffle) + one
+    * keyed anti-join; both sides bucket by key at scale. */
+  def diff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(a.columns.sameElements(b.columns),
+      s"snapshots must share a schema: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    require(!a.columns.contains(opCol), s"snapshot already has a '$opCol' column")
+    val upserts = b.exceptAll(a).withColumn(opCol, lit("U"))
+    val deletes = a.join(b.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .withColumn(opCol, lit("D"))
+    upserts.unionByName(deletes)
+  }
+
   /** Apply `changes` to `base`. `changes` must contain every `base`
     * column plus `opCol`; the result has exactly the base schema. */
   def applyChangelog(base: DataFrame, changes: DataFrame,

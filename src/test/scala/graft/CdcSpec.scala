@@ -67,6 +67,21 @@ class CdcSpec extends AnyFunSuite {
       apply0(base, changes.repartition(23)))
   }
 
+  test("diff round-trip: apply(a, diff(a, b)) == b; diff is minimal") {
+    val a = snap((1L, 1L, 10L, "same"), (2L, 2L, 10L, "will-change"),
+      (3L, 3L, 10L, "will-vanish"))
+    val b = snap((1L, 1L, 10L, "same"), (2L, 9L, 20L, "changed"),
+      (4L, 8L, 20L, "appeared"))
+    val d = Cdc.diff(a, b, Seq("k"), "op")
+    // minimal: nothing emitted for the unchanged key 1
+    val ops = d.select("k", "op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(ops == Seq((2L, "U"), (3L, "D"), (4L, "U")))
+    val roundTrip = Cdc.applyChangelog(a, d, Seq("k"), "ts", "seq", "op")
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(roundTrip == b.collect().map(_.toSeq).sortBy(_.toString()).toSeq)
+  }
+
   test("a changelog missing base columns is rejected") {
     val base = snap((1L, 1L, 10L, "old1"))
     val bad = Seq((1L, 2L, 20L, "U")).toDF("k", "seq", "ts", "op") // no payload
