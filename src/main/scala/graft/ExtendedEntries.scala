@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.FreqSketch
-import graft.operators.{Dedup, FuzzyJoin, Graph, Layout, Multimodal, RangeJoin, Resample, Signals, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, Drift, FuzzyJoin, Graph, Layout, Multimodal, RangeJoin, Resample, Signals, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import graft.OracleSql.withTicksBars
 
@@ -123,15 +123,24 @@ object ExtendedEntries {
     Similarity.dedupPairsLsh(Tables.embeddings(s, dir))
 
   /** Scale-path variant: same verify expression, candidates blocked to the
-    * probe's IVF cluster. */
-  private def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame =
-    Similarity.dedupPairsIvf(Tables.embeddings(s, dir), 0.4, 8)
+    * probe's IVF cluster. Cluster count SCALES WITH THE CORPUS
+    * ([[Similarity.clustersFor]]): a fixed k makes Σ|c|² quadratic in N —
+    * caught live by the r8 scale-trend bench (2.2× per-SF at 3× data) and
+    * linear again once k grows with N. At every verify SF the formula
+    * yields 8, matching the oracle's literal. */
+  private def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.dedupPairsIvf(emb, 0.4, Similarity.clustersFor(emb.count()))
+  }
 
   /** Multi-assignment (r=2) variant — closes q_dedup_embed_ivf's
     * cross-cluster blind spot; recall deltas vs the all-pairs baseline are
-    * measured in SCALE.md. */
-  private def qDedupEmbedIvf2(s: SparkSession, dir: String): DataFrame =
-    Similarity.dedupPairsIvfMulti(Tables.embeddings(s, dir), 0.4, 8, r = 2)
+    * measured in SCALE.md. Adaptive cluster count, as above. */
+  private def qDedupEmbedIvf2(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.dedupPairsIvfMulti(emb, 0.4,
+      Similarity.clustersFor(emb.count()), r = 2)
+  }
 
   /** Batch-vs-corpus incremental EMBEDDING dedup (the vector sibling of
     * q_dedup_incremental): every 5th vector plays the incoming batch,
@@ -860,6 +869,7 @@ object ExtendedEntries {
     "q_cosine_q8" -> qCosineQ8,
     "q_cosine_pq" -> qCosinePq,
     "q_cosine_ivfpq" -> qCosineIvfPq,
+    "q_embed_drift" -> qEmbedDrift,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
     "q_dedup_embed_ivf2" -> qDedupEmbedIvf2,
@@ -1189,6 +1199,23 @@ object ExtendedEntries {
       |UNION ALL
       |SELECT user_id, event_id, ts, event_type, value
       |FROM latest WHERE op != 'D'""".stripMargin
+
+  /** Embedding-space drift monitor: both snapshot halves IVF-assigned to
+    * ONE shared Lloyd codebook, then the per-cluster population shares
+    * compared through the SAME PSI/JS machinery as the scalar drift
+    * monitor (bin = centroid id). A corpus/model shift shows up as
+    * probability mass moving between semantic clusters long before any
+    * scalar column moves — the embedding analog of q_drift. */
+  private def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cent = Similarity.ivfTrain(emb, 8, 2)
+    val asg = Similarity.ivfAssign(emb, cent)
+      .select(col("vec_id"), col("centroid_id"))
+    Drift.drift(
+      asg.filter(pmod(col("vec_id"), lit(2)) === 0),
+      asg.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "centroid_id", binWidth = 1.0, maxBin = 8)
+  }
 
   /** IVFADC parameters shared by q_cosine_ivfpq's query and oracle. */
   private val IvfPqC = 4
@@ -2719,6 +2746,51 @@ object ExtendedEntries {
     "q_cosine_pq" -> oPqSql(10, 5),
     "q_cosine_ivfpq" -> oIvfPqSql(10, 5),
 
+    // embedding drift: the scalar drift skeleton (q_drift, CorpusEntries)
+    // with bins = shared-codebook IVF cluster ids
+    "q_embed_drift" ->
+      s"""WITH ${oIvfAssign(8, 2)},
+         |hr AS (
+         |  SELECT CAST(least(floor(CAST(centroid_id AS DOUBLE) / 1), 8) AS INTEGER) AS bin,
+         |    count(*) AS cnt_ref
+         |  FROM assign WHERE vec_id % 2 = 0 GROUP BY 1
+         |), hc AS (
+         |  SELECT CAST(least(floor(CAST(centroid_id AS DOUBLE) / 1), 8) AS INTEGER) AS bin,
+         |    count(*) AS cnt_cur
+         |  FROM assign WHERE vec_id % 2 = 1 GROUP BY 1
+         |), j AS (
+         |  SELECT coalesce(hr.bin, hc.bin) AS bin,
+         |    coalesce(cnt_ref, 0) AS cnt_ref, coalesce(cnt_cur, 0) AS cnt_cur
+         |  FROM hr FULL OUTER JOIN hc ON hr.bin = hc.bin
+         |), t AS (
+         |  SELECT CAST(sum(cnt_ref) AS BIGINT) AS tot_ref,
+         |    CAST(sum(cnt_cur) AS BIGINT) AS tot_cur FROM j
+         |), pq AS (
+         |  SELECT bin, cnt_ref, cnt_cur,
+         |    CAST(cnt_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE) AS p_ref,
+         |    CAST(cnt_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE) AS p_cur
+         |  FROM j, t
+         |), terms AS (
+         |  SELECT *,
+         |    floor(((p_cur - p_ref) * ln(
+         |      (CASE WHEN p_cur = 0 THEN 1e-6 ELSE p_cur END) /
+         |      (CASE WHEN p_ref = 0 THEN 1e-6 ELSE p_ref END))) * 10000 + 0.5) / 10000
+         |      AS psi_term,
+         |    floor((0.5 * (CASE WHEN p_ref > 0
+         |        THEN p_ref * ln(p_ref / ((p_ref + p_cur) / CAST(2 AS DOUBLE))) ELSE 0 END)
+         |      + 0.5 * (CASE WHEN p_cur > 0
+         |        THEN p_cur * ln(p_cur / ((p_ref + p_cur) / CAST(2 AS DOUBLE))) ELSE 0 END))
+         |      * 10000 + 0.5) / 10000 AS js_term
+         |  FROM pq
+         |), g AS (SELECT sum(psi_term) AS psi, sum(js_term) AS js FROM terms)
+         |SELECT bin, cnt_ref, cnt_cur,
+         |  floor(p_ref * 10000 + 0.5) / 10000 AS p_ref,
+         |  floor(p_cur * 10000 + 0.5) / 10000 AS p_cur,
+         |  psi_term, js_term,
+         |  floor(psi * 10000 + 0.5) / 10000 AS psi,
+         |  floor(js * 10000 + 0.5) / 10000 AS js
+         |FROM terms, g""".stripMargin,
+
     "q_cdc_apply" -> cdcOracleSql,
     // the streaming CDC path must merge to the SAME snapshot: hash-gated
     // against the batch query's oracle unchanged
@@ -2846,6 +2918,9 @@ object ExtendedEntries {
          |  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
          |GROUP BY ex.query_id""".stripMargin,
 
+    // literal 8 == Similarity.clustersFor(N) at every verify SF (N = 199
+    // at sf0.001 / 2000 at sf0.01); the query sizes k adaptively so the
+    // trend bench's bigger synthetic inputs stay linear
     "q_dedup_embed_ivf" ->
       s"""WITH ${oIvfAssign(8, 2)}, s AS (
          |  SELECT a.centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b,

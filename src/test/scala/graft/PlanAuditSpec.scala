@@ -26,7 +26,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cosine_topk", "q_ivf_recall", // exact side = brute-force query bcast
     "q_cosine_q8", "q_hybrid_search", "q_sample_temperature",
     "q_bm25", "q_knn_classify", "q_drift",
-    "q_embed_outliers", // ≤ nCentroids-row centroid broadcast
+    "q_embed_outliers", "q_embed_drift", // ≤ nCentroids-row centroid broadcast
     "q_integrity", // one-row per-relationship totals broadcast
     "q_topk_sketch_check", // one-row merged MG-summary broadcast
     "q_decontaminate_bloom", // one-row bloom-filter broadcast
