@@ -273,11 +273,22 @@ object Similarity {
         r4(col("hits") / lit(k.toDouble)).as("recall"))
   }
 
+  /** Cluster count for cluster-blocked pair generation: grows with the
+    * corpus so the MEAN CLUSTER SIZE stays bounded (~`target`). This is
+    * the invariant that keeps Σ|cluster|² LINEAR in N — with a fixed k,
+    * |c| ∝ N and the "blocked" dedup is quadratic again, which the
+    * scale-trend bench (scripts/bench_trend.sh) measured live at 2.2×
+    * per-SF on 3× data before this sizing landed. The one-row count that
+    * feeds it is a parameter-sizing action, not a data collect. */
+  def clustersFor(n: Long, target: Int = 250): Int =
+    math.max(8L, (n + target - 1) / target).toInt
+
   /** Cluster-blocked near-dup pairs — the 100 TB path: candidates only
     * within the same IVF cluster, so the pair space is Σ|cluster|² instead
     * of N². Misses cross-cluster pairs by design (standard IVF recall
     * tradeoff; raise nCentroids' coverage with multi-assignment if
-    * needed). */
+    * needed). Size nCentroids with [[clustersFor]] — bounded cluster
+    * size is what makes "blocked" mean linear. */
   def dedupPairsIvf(emb: DataFrame, tau: Double, nCentroids: Int,
       iters: Int = 2): DataFrame = {
     // assignment materialized once — reused by both join sides (see
