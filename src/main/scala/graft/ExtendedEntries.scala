@@ -83,6 +83,23 @@ object ExtendedEntries {
   private def qCosineIvfProbe(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfSearchMultiProbe(Tables.embeddings(s, dir), 8, 10, 3, nprobe = 2)
 
+  /** Incremental index maintenance gate: the persisted index is built in
+    * TWO steps — saved with the even vec_ids only, the odd half appended
+    * later against the SAME saved centroids — then searched. Assignment
+    * is per-vector deterministic given the centroids, so the grown index
+    * must search hash-identically to [[qCosineIvf]]'s single-shot plan
+    * (it reuses that oracle verbatim). */
+  private def qIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cent = Similarity.ivfTrain(emb, 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    Similarity.saveIvfIndexWith(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), cent, idx)
+    Similarity.appendToIvfIndex(s,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1), idx)
+    Similarity.ivfSearchIndexed(s, emb, idx, 10, 3)
+  }
+
   /** ANN quality metric: recall@5 of the nprobe=2 IVF search vs the exact
     * brute-force top-5 on the same 10 queries. */
   private def qIvfRecall(s: SparkSession, dir: String): DataFrame =
@@ -863,6 +880,7 @@ object ExtendedEntries {
     "q_embed_outliers" -> ((s, dir) =>
       Similarity.embedOutliers(Tables.embeddings(s, dir), 8, 2, 0.05)),
     "q_cosine_ivf_probe" -> qCosineIvfProbe,
+    "q_ivf_append" -> qIvfAppend,
     "q_ivf_recall" -> qIvfRecall,
     "q_embed_clusters" -> qEmbedClusters,
     "q_embed_quantize" -> qEmbedQuantize,
@@ -1216,6 +1234,26 @@ object ExtendedEntries {
       asg.filter(pmod(col("vec_id"), lit(2)) === 1),
       "centroid_id", binWidth = 1.0, maxBin = 8)
   }
+
+  /** Shared by q_cosine_ivf AND q_ivf_append: an index grown by appends
+    * against fixed centroids must search exactly like one built in a
+    * single save. */
+  private def ivfSearchOracleSql: String =
+    s"""WITH ${oIvfAssign(8, 2)}, q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, centroid_id AS qc
+       |  FROM assign WHERE vec_id < 10
+       |), s AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |    ${r4(oCos("q.qe", "a.embedding"))} AS score
+       |  FROM assign a, q
+       |  WHERE a.centroid_id = q.qc AND a.vec_id != q.query_id
+       |), rk AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
+       |  FROM s
+       |)
+       |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 3""".stripMargin
 
   /** IVFADC parameters shared by q_cosine_ivfpq's query and oracle. */
   private val IvfPqC = 4
@@ -2700,22 +2738,10 @@ object ExtendedEntries {
          |  rk <= ceil(cluster_n * 0.05) AS is_outlier
          |FROM rk""".stripMargin,
 
-    "q_cosine_ivf" ->
-      s"""WITH ${oIvfAssign(8, 2)}, q AS (
-         |  SELECT vec_id AS query_id, embedding AS qe, centroid_id AS qc
-         |  FROM assign WHERE vec_id < 10
-         |), s AS (
-         |  SELECT q.query_id, a.vec_id AS neighbor_id,
-         |    ${r4(oCos("q.qe", "a.embedding"))} AS score
-         |  FROM assign a, q
-         |  WHERE a.centroid_id = q.qc AND a.vec_id != q.query_id
-         |), rk AS (
-         |  SELECT query_id, neighbor_id, score,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rk
-         |  FROM s
-         |)
-         |SELECT query_id, neighbor_id, score, rk FROM rk WHERE rk <= 3""".stripMargin,
+    "q_cosine_ivf" -> ivfSearchOracleSql,
+    // the append-maintained index must search identically to the
+    // single-shot one: hash-gated against q_cosine_ivf's oracle unchanged
+    "q_ivf_append" -> ivfSearchOracleSql,
 
     "q_embed_clusters" ->
       s"""WITH ${oIvfAssign(8, 2)}, sc AS (

@@ -202,11 +202,32 @@ object Similarity {
     * source's partition filters, not by a runtime shuffle). Train once,
     * search many — the production ANN deployment shape. */
   def saveIvfIndex(emb: DataFrame, dir: String, nCentroids: Int,
-      iters: Int = 2): Unit = {
-    val cent = ivfTrain(emb, nCentroids, iters)
+      iters: Int = 2): Unit =
+    saveIvfIndexWith(emb, ivfTrain(emb, nCentroids, iters), dir)
+
+  /** [[saveIvfIndex]] against a PREBUILT centroid table — the deployment
+    * split where the codebook is trained/versioned separately from the
+    * data it indexes. */
+  def saveIvfIndexWith(emb: DataFrame, cent: DataFrame, dir: String): Unit = {
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
     ivfAssign(emb, cent).select("vec_id", "centroid_id")
       .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/assign")
+  }
+
+  /** Incremental index maintenance — the daily-delta path: assign ONLY
+    * the new vectors against the saved centroids and APPEND them into the
+    * partitioned assignment (train once, append forever, periodically
+    * [[Layout.compact]] the cluster partitions against small-file
+    * buildup). Assignment is per-vector deterministic given the
+    * centroids, so an index grown by appends is row-identical to one
+    * built in a single save — q_ivf_append hash-gates exactly that, and
+    * IvfPartitionSpec pins it structurally. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      newEmb: DataFrame, dir: String): Unit = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    ivfAssign(newEmb, cent).select("vec_id", "centroid_id")
+      .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/assign")
   }
 

@@ -134,4 +134,25 @@ class IvfPartitionSpec extends AnyFunSuite {
     assert(scan.contains("centroid_id"),
       s"probe not partition-pruned: $scan")
   }
+
+  test("append-maintained index == single-save index (rows and layout)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cent = Similarity.ivfTrain(emb, 8, 2)
+    val whole = java.nio.file.Files.createTempDirectory("graft_ivf_a").toString
+    val grown = java.nio.file.Files.createTempDirectory("graft_ivf_b").toString
+    Similarity.saveIvfIndexWith(emb, cent, whole)
+    // grown: even half saved, odd half appended as the "daily delta"
+    Similarity.saveIvfIndexWith(emb.filter(col("vec_id") % 2 === 0), cent, grown)
+    Similarity.appendToIvfIndex(spark, emb.filter(col("vec_id") % 2 === 1), grown)
+    // partition-column type is inferred from dir names (int), cast to pin
+    def rows(d: String) = spark.read.parquet(s"$d/assign")
+      .select(col("vec_id"), col("centroid_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows(grown) == rows(whole))
+    // appended files still land INSIDE the centroid partitions
+    val parts = new java.io.File(s"$grown/assign").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName)
+    assert(parts.length > 1)
+  }
 }
