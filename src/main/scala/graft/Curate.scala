@@ -28,8 +28,14 @@ object Curate {
       repetition: Long, dedup: Long, decontaminated: Long, sampled: Long,
       chunks: Long, seqs: Long)
 
+  /** @param bloomScreen run decontamination through the bloom prescreen
+    *   ([[Decontamination.screenBloom]]) instead of the exact broadcast —
+    *   bit-exact by contract, so the Funnel must not change (CurateSpec
+    *   asserts it); the switch exists because at real eval-suite sizes
+    *   the exact gram broadcast is the first thing to outgrow executors. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      tau: Double = 0.7, sampleRate: Double = 0.5): Funnel = {
+      tau: Double = 0.7, sampleRate: Double = 0.5,
+      bloomScreen: Boolean = false): Funnel = {
     val docs = Tables.documents(spark, sfDir)
 
     // 1. quality gate: score floor (composite length/diversity/stopword)
@@ -59,7 +65,10 @@ object Curate {
 
     // 5. decontamination against the eval split (doc_id ≡ 0 mod 10)
     val evalPred = pmod(col("doc_id"), lit(10)) === 0
-    val contaminated = Decontamination.screen(deduped, evalPred, n = 5, minHits = 1)
+    val screened =
+      if (bloomScreen) Decontamination.screenBloom(deduped, evalPred, n = 5, minHits = 1)
+      else Decontamination.screen(deduped, evalPred, n = 5, minHits = 1)
+    val contaminated = screened
       .filter(col("contaminated")).select("doc_id")
     val train = deduped.filter(!evalPred)
       .join(contaminated, Seq("doc_id"), "left_anti")

@@ -27,5 +27,10 @@ class CurateSpec extends AnyFunSuite {
     // deterministic: a rerun lands the identical funnel
     val out2 = Files.createTempDirectory("graft_curate2").toString
     assert(Curate.run(spark, "/root/testdata/sf0.001", out2) == f)
+    // the bloom-prescreened decontamination path is bit-exact by
+    // contract, so the whole funnel must be unchanged under it
+    val out3 = Files.createTempDirectory("graft_curate3").toString
+    assert(Curate.run(spark, "/root/testdata/sf0.001", out3,
+      bloomScreen = true) == f)
   }
 }
