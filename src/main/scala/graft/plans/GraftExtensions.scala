@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatDotProduct, JaroWinklerSimilarity, SeededAggs}
+import graft.functions.{BloomSet, FloatDotProduct, FreqSketch, JaroWinklerSimilarity, SeededAggs}
 
 /** Engine packaging: registers the custom functions with the session's
   * FunctionRegistry so plain `spark.sql` users get them as first-class
@@ -57,7 +57,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))),
     (new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
-      (args: Seq[Expression]) => JaroWinklerSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => JaroWinklerSimilarity(args(0), args(1))),
+    // mergeable sketch family: SELECT mg_merge(sk, 16) FROM (SELECT
+    //   mg_sketch(token, 16) AS sk FROM toks GROUP BY source)
+    (new FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[FreqSketch.MgSketchAgg].getName, "mg_sketch"),
+      (args: Seq[Expression]) => FreqSketch.MgSketchAgg(args.head,
+        intArg(args(1), "mg_sketch")).toAggregateExpression()),
+    (new FunctionIdentifier("mg_merge"),
+      new ExpressionInfo(classOf[FreqSketch.MgMergeAgg].getName, "mg_merge"),
+      (args: Seq[Expression]) => FreqSketch.MgMergeAgg(args.head,
+        intArg(args(1), "mg_merge")).toAggregateExpression()),
+    (new FunctionIdentifier("bloom_set_agg"),
+      new ExpressionInfo(classOf[BloomSet.BloomAgg].getName, "bloom_set_agg"),
+      (args: Seq[Expression]) => BloomSet.BloomAgg(args.head,
+        intArg(args(1), "bloom_set_agg"),
+        intArg(args(2), "bloom_set_agg")).toAggregateExpression()))
 
   /** Register into an already-built session (extensions only apply at
     * session construction; this covers shells/notebooks). */

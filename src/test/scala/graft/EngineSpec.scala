@@ -40,6 +40,27 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.sql("SELECT float_dot(a, b) FROM vecs").head().getDouble(0) == 11.0)
   }
 
+  test("mg_sketch/mg_merge and bloom_set_agg are usable from plain SQL") {
+    import spark.implicits._
+    (Seq.fill(30)("hot") ++ (1 to 10).map(i => s"w$i"))
+      .zipWithIndex.map { case (w, i) => (i % 3, w) }.toDF("g", "item")
+      .createOrReplaceTempView("sqlitems")
+    val row = spark.sql(
+      """SELECT s.merged.items AS items, s.merged.d AS d, s.merged.n AS n
+        |FROM (SELECT mg_merge(sk, 8) AS merged FROM (
+        |  SELECT mg_sketch(item, 8) AS sk FROM sqlitems GROUP BY g)) s""".stripMargin)
+      .head()
+    val ests = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(row.getLong(2) == 40)
+    assert(ests.contains("hot") && ests("hot") >= 30 - row.getLong(1))
+
+    Seq(1L, 2L, 3L).toDF("h").createOrReplaceTempView("sqlkeys")
+    val bf = spark.sql("SELECT bloom_set_agg(h, 256, 3) AS bf FROM sqlkeys")
+      .head().getSeq[Long](0)
+    assert(bf.size == 4 && bf.exists(_ != 0L))
+  }
+
   test("TableSetup: day-partitioned write, first-write-wins across appends, pruned range read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString + "/stock_indicators"
