@@ -104,13 +104,14 @@ object BenchTrend {
         s""""queries":$qjson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_TREND_OUT", "trend_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    val pointer =
+    // exactly ONE JSON line on stdout (unlike graft.Bench's deliberate
+    // double print for clipped capture windows, nothing machine-parses
+    // this mid-stream — bench_trend.sh captures complete stdout)
+    spark.stop()
+    println(
       s"""{"metric":"per_sf_ratio_max","value":${f3(rows.map(_._4).maxOption.getOrElse(0.0))},""" +
         s""""unit":"x","n_queries":${rows.size},"flagged":${flagged.size},""" +
-        s""""failed":${failed.size},"file":"$outFile"}"""
-    println(pointer)
-    spark.stop()
-    println(pointer)
+        s""""failed":${failed.size},"file":"$outFile"}""")
     if (flagged.nonEmpty || failed.nonEmpty) sys.exit(4)
   }
 }

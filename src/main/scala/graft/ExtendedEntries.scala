@@ -524,13 +524,14 @@ object ExtendedEntries {
         (col("d") * lit(MgK) <= col("sn")).as("d_in_bound"))
   }
 
-  /** CDC merge over the event stream ([[operators.Cdc]]): the pre-Jan-16
-    * half folded into a per-user base snapshot (latest row per user — the
-    * state a previous merge job left), the post-cut half applied as a
-    * changelog where an 'error' event DELETES the user's row and anything
-    * else upserts it. Total change order (ts desc, event_id desc) is
-    * mirrored in the oracle. */
-  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+  /** The (base snapshot, changelog) pair shared by q_cdc_apply /
+    * q_cdc_diff / q_stream_cdc AND their one shared oracle SQL
+    * (cdcOracleSql): the pre-Jan-16 half folded into a per-user base
+    * (latest row per user — the state a previous merge job left), the
+    * post-cut half as a changelog where an 'error' event DELETES the
+    * user's row and anything else upserts it. ONE definition on purpose:
+    * a drifted copy would silently break the oracle-sharing invariant. */
+  private def cdcFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"))
@@ -544,6 +545,13 @@ object ExtendedEntries {
     val changes = ev.filter(col("ts") >= cut)
       .withColumn("op",
         when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    (base, changes)
+  }
+
+  /** CDC merge over the event stream ([[operators.Cdc]]); total change
+    * order (ts desc, event_id desc) is mirrored in the oracle. */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val (base, changes) = cdcFrames(s, dir)
     operators.Cdc.applyChangelog(base, changes,
       keyCols = Seq("user_id"), tsCol = "ts", seqCol = "event_id", opCol = "op")
   }
@@ -554,19 +562,7 @@ object ExtendedEntries {
     * vanished. The round-trip law (apply(base, diff) == merged) is
     * pinned in CdcSpec; here the diff itself is oracle-checked. */
   private def qCdcDiff(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("event_type"), col("value"))
-    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val base = ev.filter(col("ts") < cut)
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("event_type"), col("value"))
-    val changes = ev.filter(col("ts") >= cut)
-      .withColumn("op",
-        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    val (base, changes) = cdcFrames(s, dir)
     val merged = operators.Cdc.applyChangelog(base, changes,
       Seq("user_id"), "ts", "event_id", "op")
     operators.Cdc.diff(base, merged, Seq("user_id"), "op")
@@ -581,37 +577,11 @@ object ExtendedEntries {
     * only: the cost is streaming machinery, not a query plan. */
   private def qStreamCdc(s: SparkSession, dir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("event_type"), col("value"))
-    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val base = ev.filter(col("ts") < cut)
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("event_type"), col("value"))
-    val changes = ev.filter(col("ts") >= cut)
-      .withColumn("op",
-        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    val (base, changes) = cdcFrames(s, dir)
     // three time-range replay files → three in-(ts)-order micro-batches
     // (the slice-order precondition of Cdc's associativity law)
-    val Array(t0, t1) = changes
-      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val span = (t1 - t0) / 3 + 1
-    val fs = new org.apache.hadoop.fs.Path(work)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/feed"))
-    (0 until 3).foreach { i =>
-      val tmp = s"$work/tmp$i"
-      changes.filter(unix_millis(col("ts")) >= t0 + i * span &&
-          unix_millis(col("ts")) < t0 + (i + 1) * span)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      fs.rename(part, new org.apache.hadoop.fs.Path(f"$work/feed/b$i%02d.parquet"))
-    }
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      changes.withColumn("_ms", unix_millis(col("ts"))), "_ms", work, slices = 3)
     val stream = s.readStream.schema(changes.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
     val q = graft.streaming.StreamCdc.run(stream, base, work,

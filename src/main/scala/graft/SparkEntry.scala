@@ -226,23 +226,9 @@ object SparkEntry {
       .select(to_json(struct(col("symbol"), col("price"),
           unix_millis(col("time")).as("timestamp"))).as("value"),
         unix_millis(col("time")).as("ms"))
-    // three time-range replay files, renamed to lexically increasing names
-    // with increasing mtimes → three deterministic in-order micro-batches
-    // (per-symbol time order is preserved because the split is by time)
-    val Array(t0, t1) = ticks.agg(min(col("ms")), max(col("ms"))).head()
-      .toSeq.map(_.asInstanceOf[Long]).toArray
-    val span = (t1 - t0) / 3 + 1
-    val fs = new org.apache.hadoop.fs.Path(work)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/feed"))
-    (0 until 3).foreach { i =>
-      val tmp = s"$work/tmp$i"
-      ticks.filter(col("ms") >= t0 + i * span && col("ms") < t0 + (i + 1) * span)
-        .coalesce(1).select("value").write.mode("overwrite").parquet(tmp)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      fs.rename(part, new org.apache.hadoop.fs.Path(f"$work/feed/b$i%02d.parquet"))
-    }
+    // three time-range replay micro-batches (per-symbol time order is
+    // preserved because the split is by time) — shared feed machinery
+    graft.streaming.Feeder.writeTimeSlicedFeed(ticks, "ms", work, slices = 3)
     val raw = s.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .option("maxFilesPerTrigger", "1")

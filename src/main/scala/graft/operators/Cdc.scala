@@ -71,7 +71,10 @@ object Cdc {
       .orderBy(col(tsCol).desc, col(seqCol).desc)
     val latest = changes
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-    val upserts = latest.filter(col(opCol) =!= lit("D"))
+    // null-safe: a malformed row with op = NULL must be an UPSERT, not a
+    // silent delete (plain =!= evaluates to null, dropping the row from
+    // upserts while the anti-join below still removes its base row)
+    val upserts = latest.filter(!col(opCol).eqNullSafe(lit("D")))
       .select(base.columns.map(col): _*)
     val untouched = base.join(
       latest.select(keyCols.map(col): _*), keyCols, "left_anti")

@@ -763,7 +763,13 @@ object Multimodal {
     // gated on the pointer (and its entry table) fitting inside the
     // declared TIFF stream. A dangling pointer yields sub_ok=false.
     val subbed = withTags
-      .withColumn("_tifflen", col("_app1_len") - 2 - 6)
+      .withColumn("_tifflen",
+        // readable bytes = min(what the APP1 declares, what _tiff actually
+        // captured): a pointer into the declared-but-uncaptured gap would
+        // otherwise half-read hex off the capture's end (substring
+        // truncates, conv parses the fragment) and report sub_ok=true
+        // with garbage fields instead of the documented sub_ok=false
+        least(col("_app1_len") - 2 - 6, lit(tiffLen.toLong)))
       .withColumn("_sub", coalesce(tagValue(0x8769L, short = false), lit(-1L)))
       .withColumn("_nsub",
         when(col("_sub") >= 8 && col("_sub") + 2 <= col("_tifflen"),

@@ -302,7 +302,9 @@ object Similarity {
     * per-SF on 3× data before this sizing landed. The one-row count that
     * feeds it is a parameter-sizing action, not a data collect. */
   def clustersFor(n: Long, target: Int = 250): Int =
-    math.max(8L, (n + target - 1) / target).toInt
+    // clamp before toInt: beyond ~536B rows the Long division exceeds
+    // Int.MaxValue and a bare toInt would wrap negative
+    math.min(math.max(8L, (n + target - 1) / target), Int.MaxValue.toLong).toInt
 
   /** Cluster-blocked near-dup pairs — the 100 TB path: candidates only
     * within the same IVF cluster, so the pair space is Σ|cluster|² instead

@@ -23,6 +23,36 @@ object Feeder {
         unix_millis(col("time")).as("timestamp"),
         unix_millis(current_timestamp()).as("fetched_at"))).as("value"))
 
+  /** Write `df` (minus `msCol`) as `slices` time-range parquet files
+    * `b00.parquet..bNN.parquet` under `workDir/feed` — lexically
+    * increasing names with increasing mtimes, so a file stream with
+    * `maxFilesPerTrigger=1` replays them as DETERMINISTIC in-time-order
+    * micro-batches. Shared by q_stream_indicators and q_stream_cdc (both
+    * rely on the same invariants: span+1 so the max row is included, and
+    * the rename from the part file to a stable lexical name). Slices can
+    * come out empty for skewed time ranges; empty parquet files still
+    * trigger (empty) micro-batches, preserving batch numbering. */
+  def writeTimeSlicedFeed(df: DataFrame, msCol: String, workDir: String,
+      slices: Int): Unit = {
+    val spark = df.sparkSession
+    val Array(t0, t1) = df.agg(min(col(msCol)), max(col(msCol))).head()
+      .toSeq.map(v => Option(v).map(_.asInstanceOf[Long])
+        .getOrElse(sys.error("writeTimeSlicedFeed: empty input"))).toArray
+    val span = (t1 - t0) / slices + 1
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$workDir/feed"))
+    (0 until slices).foreach { i =>
+      val tmp = s"$workDir/tmp$i"
+      df.filter(col(msCol) >= t0 + i * span && col(msCol) < t0 + (i + 1) * span)
+        .drop(msCol).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new org.apache.hadoop.fs.Path(
+        f"$workDir/feed/b$i%02d.parquet"))
+    }
+  }
+
   /** Write messages as JSON-lines text for file-based stream sources. */
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

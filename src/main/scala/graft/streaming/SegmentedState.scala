@@ -124,11 +124,22 @@ object SegmentedState {
     Layout.compactPaths(spark, inPaths, tmp.toString, targetBytes, sortKeys)
     val target = new Path(s"$stateDir/${baseName(batchId)}")
     if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
+    // Hadoop rename reports many failures as `false` rather than throwing
+    // (object-store semantics); deleting the inputs after a failed rename
+    // would destroy the only copy of the state — fail loudly instead
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"compaction rename $tmp -> $target failed; state left untouched")
     // GC only after the new generation is in place — deletes are pure
-    // cleanup; a crash here leaves covered dirs the readers ignore
+    // cleanup; a crash here leaves covered dirs the readers ignore.
+    // Sweep ALL segments below the new generation (not just foldSegs):
+    // a crash between a previous rename and its GC leaves orphans < k
+    // that no later foldSegs recomputation would ever revisit — their
+    // rows are already inside the base by construction, so they are
+    // safe to drop whenever noticed
     base.foreach(b => fs.delete(new Path(s"$stateDir/${baseName(b)}"), true))
-    foldSegs.foreach(s => fs.delete(new Path(s"$stateDir/${segName(s)}"), true))
+    segs.filter(_ < batchId)
+      .foreach(s => fs.delete(new Path(s"$stateDir/${segName(s)}"), true))
     true
   }
 

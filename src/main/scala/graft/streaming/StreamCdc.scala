@@ -34,23 +34,32 @@ object StreamCdc {
   private def genPath(workDir: String, batchId: Long) =
     f"$workDir/snap/gen-$batchId%09d"
 
-  /** Newest generation with id strictly below `batchId`, else `base`. */
+  /** Newest COMMITTED generation with id strictly below `batchId`, else
+    * `base`. Reads pin the base schema so a generation written by an
+    * older code version with extra columns can't widen the snapshot. */
   def snapshotAsOf(spark: SparkSession, workDir: String, batchId: Long,
       base: DataFrame): DataFrame =
     listGens(spark, workDir).filter(_ < batchId).maxOption
-      .map(id => spark.read.parquet(genPath(workDir, id)))
+      .map(id => spark.read.schema(base.schema).parquet(genPath(workDir, id)))
       .getOrElse(base)
 
-  /** The current merged snapshot (newest generation, else `base`). */
+  /** The current merged snapshot (newest committed generation, else
+    * `base`). */
   def snapshot(spark: SparkSession, workDir: String, base: DataFrame): DataFrame =
     snapshotAsOf(spark, workDir, Long.MaxValue, base)
 
+  /** Only generations whose write COMMITTED (_SUCCESS present) count — a
+    * crash mid-write leaves gen-<b> with no marker, and readers must fall
+    * back to the intact predecessor instead of failing on (or partially
+    * reading) a torn directory. */
   private def listGens(spark: SparkSession, workDir: String): Seq[Long] = {
     val dir = new Path(s"$workDir/snap")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("gen-") &&
+        fs.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.stripPrefix("gen-").toLong)
   }
 
   /** changes stream (base columns + `opCol`) → snapshot generations under
@@ -58,6 +67,11 @@ object StreamCdc {
   def run(stream: DataFrame, base: DataFrame, workDir: String,
       keyCols: Seq[String], tsCol: String, seqCol: String, opCol: String,
       retain: Int = 4): StreamingQuery = {
+    // retain < 2 would GC the predecessor a replayed batch must re-read
+    // (snapshotAsOf would silently fall back to the ORIGINAL base and
+    // drop every previously merged change); retain = 0 would delete the
+    // generation just written
+    require(retain >= 2, s"retain must be >= 2 (got $retain)")
     val spark = base.sparkSession
     stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")

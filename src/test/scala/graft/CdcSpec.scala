@@ -82,6 +82,13 @@ class CdcSpec extends AnyFunSuite {
     assert(roundTrip == b.collect().map(_.toSeq).sortBy(_.toString()).toSeq)
   }
 
+  test("a NULL op is an upsert, never a silent delete") {
+    val base = snap((1L, 1L, 10L, "old1"))
+    val changes = Seq((1L, 2L, 20L, "new1", Option.empty[String]))
+      .toDF("k", "seq", "ts", "payload", "op")
+    assert(apply0(base, changes) == Seq((1L, "new1")))
+  }
+
   test("a changelog missing base columns is rejected") {
     val base = snap((1L, 1L, 10L, "old1"))
     val bad = Seq((1L, 2L, 20L, "U")).toDF("k", "seq", "ts", "op") // no payload

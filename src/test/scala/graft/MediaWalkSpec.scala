@@ -123,7 +123,8 @@ class MediaWalkSpec extends AnyFunSuite {
     * offset 50 with 2 entries — ISOSpeedRatings 320 (SHORT) and
     * PixelXDimension 77 (LONG). `subPtr` overrides the pointer value to
     * build the dangling-pointer quarantine case. */
-  private def handBuiltExifSubJpeg(subPtr: Int = 50): Array[Byte] = {
+  private def handBuiltExifSubJpeg(subPtr: Int = 50,
+      padTiff: Int = 0): Array[Byte] = {
     def be16(v: Int) = Array((v >> 8).toByte, (v & 0xFF).toByte)
     def be32(v: Int) = Array((v >> 24).toByte, ((v >> 16) & 0xFF).toByte,
       ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
@@ -136,7 +137,8 @@ class MediaWalkSpec extends AnyFunSuite {
       (be16(0x8827) ++ be16(3) ++ be32(1) ++ be16(320) ++ be16(0)) ++ // ISO 320
       (be16(0xA002) ++ be16(4) ++ be32(1) ++ be32(77)) ++ // PixelXDimension 77
       be32(0)
-    val tiff = "MM".getBytes("US-ASCII") ++ be16(42) ++ be32(8) ++ ifd0 ++ sub
+    val tiff = "MM".getBytes("US-ASCII") ++ be16(42) ++ be32(8) ++ ifd0 ++
+      sub ++ Array.fill[Byte](padTiff)(0)
     val app1 = seg(0xE1, "Exif".getBytes("US-ASCII") ++
       Array[Byte](0, 0) ++ tiff)
     val sof0 = seg(0xC0, Array[Byte](8, 0, 50, 0, 77, 1, 1, 0x11, 0))
@@ -175,6 +177,17 @@ class MediaWalkSpec extends AnyFunSuite {
     // pointer INSIDE the APP1 but with a count that cannot fit: refused too
     val overrun = parse(handBuiltExifSubJpeg(subPtr = 70))
     assert(!overrun.getAs[Boolean]("sub_ok"))
+
+    // pointer in the declared-but-uncaptured GAP: the APP1 declares more
+    // TIFF bytes than the parser's fixed-length capture holds, and the
+    // pointer lands past the capture edge — a half-readable count there
+    // must be refused, not parsed from a hex fragment (the bound is
+    // least(declared, captured))
+    val gap = parse(handBuiltExifSubJpeg(subPtr = 103, padTiff = 60))
+    assert(gap.getAs[Boolean]("has_exif"))
+    assert(gap.getAs[Boolean]("has_sub_ifd"))
+    assert(!gap.getAs[Boolean]("sub_ok"))
+    assert(gap.getAs[Long]("n_sub_tags") == -1L)
   }
 
   // ---- MP4 nested-box walk: hand-built layouts the synth rule never
