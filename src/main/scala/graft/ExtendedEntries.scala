@@ -590,6 +590,92 @@ object ExtendedEntries {
     graft.streaming.StreamCdc.snapshot(s, work, base)
   }
 
+  /** Streaming drift parameters shared by q_stream_drift's query and
+    * oracle (events.value spans [0, ~490], mean ~50). */
+  private val SdBinW = 25.0
+  private val SdMaxBin = 10
+
+  /** The STREAMING data-quality gate: post-cut events replayed as three
+    * time-sliced micro-batches, each emitting its full per-bin PSI/JS
+    * drift table vs the pre-cut reference ([[graft.streaming
+    * .StreamDrift]]). Every batch's table is hash-checked against a
+    * DuckDB mirror that recomputes the same slice boundaries — so the
+    * gate covers the slicing, the binning and the drift math at once.
+    * Verify-only: streaming machinery, not a query plan. */
+  private def qStreamDrift(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_drift").toString
+    val ev = Tables.events(s, dir)
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val ref = ev.filter(col("ts") < cut).select(col("value"))
+    val cur = ev.filter(col("ts") >= cut)
+      .select(col("value"), unix_millis(col("ts")).as("_ms"))
+    graft.streaming.Feeder.writeTimeSlicedFeed(cur, "_ms", work, slices = 3)
+    val stream = s.readStream.schema(ref.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamDrift.run(stream, ref, "value",
+      binWidth = SdBinW, maxBin = SdMaxBin, workDir = work)
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamDrift.report(s, work)
+  }
+
+  /** Oracle for [[qStreamDrift]]: the q_drift skeleton instantiated once
+    * per micro-batch, with the batch's rows reproduced from the SAME
+    * (min, span) slicing rule the replay feed uses. */
+  private def oStreamDriftSql: String = {
+    def slice(i: Int): String =
+      s"""(WITH hr AS (
+         |  SELECT CAST(least(floor(CAST(value AS DOUBLE) / $SdBinW), $SdMaxBin) AS INTEGER) AS bin,
+         |    count(*) AS cnt_ref
+         |  FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1
+         |), hc AS (
+         |  SELECT CAST(least(floor(CAST(value AS DOUBLE) / $SdBinW), $SdMaxBin) AS INTEGER) AS bin,
+         |    count(*) AS cnt_cur
+         |  FROM ev, bnds WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+         |    AND ms >= t0 + $i * span AND ms < t0 + ${i + 1} * span
+         |  GROUP BY 1
+         |), j AS (
+         |  SELECT coalesce(hr.bin, hc.bin) AS bin,
+         |    coalesce(cnt_ref, 0) AS cnt_ref, coalesce(cnt_cur, 0) AS cnt_cur
+         |  FROM hr FULL OUTER JOIN hc ON hr.bin = hc.bin
+         |), t AS (
+         |  SELECT CAST(sum(cnt_ref) AS BIGINT) AS tot_ref,
+         |    CAST(sum(cnt_cur) AS BIGINT) AS tot_cur FROM j
+         |), pq AS (
+         |  SELECT bin, cnt_ref, cnt_cur,
+         |    CAST(cnt_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE) AS p_ref,
+         |    CAST(cnt_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE) AS p_cur
+         |  FROM j, t
+         |), terms AS (
+         |  SELECT *,
+         |    floor(((p_cur - p_ref) * ln(
+         |      (CASE WHEN p_cur = 0 THEN 1e-6 ELSE p_cur END) /
+         |      (CASE WHEN p_ref = 0 THEN 1e-6 ELSE p_ref END))) * 10000 + 0.5) / 10000
+         |      AS psi_term,
+         |    floor((0.5 * (CASE WHEN p_ref > 0
+         |        THEN p_ref * ln(p_ref / ((p_ref + p_cur) / CAST(2 AS DOUBLE))) ELSE 0 END)
+         |      + 0.5 * (CASE WHEN p_cur > 0
+         |        THEN p_cur * ln(p_cur / ((p_ref + p_cur) / CAST(2 AS DOUBLE))) ELSE 0 END))
+         |      * 10000 + 0.5) / 10000 AS js_term
+         |  FROM pq
+         |), g AS (SELECT sum(psi_term) AS psi, sum(js_term) AS js FROM terms)
+         |SELECT bin, cnt_ref, cnt_cur,
+         |  floor(p_ref * 10000 + 0.5) / 10000 AS p_ref,
+         |  floor(p_cur * 10000 + 0.5) / 10000 AS p_cur,
+         |  psi_term, js_term,
+         |  floor(psi * 10000 + 0.5) / 10000 AS psi,
+         |  floor(js * 10000 + 0.5) / 10000 AS js,
+         |  CAST($i AS BIGINT) AS batch_id
+         |FROM terms, g)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+       |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events
+       |), bnds AS (
+       |  SELECT min(ms) AS t0, (max(ms) - min(ms)) // 3 + 1 AS span
+       |  FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+       |)
+       |${(0 until 3).map(slice).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Two-phase salted aggregation over the most frequent event type —
     * same result as the plain aggregate (asserted in SkewSpec); exists as
     * the skew-mitigation pattern for power-law keys. */
@@ -815,6 +901,7 @@ object ExtendedEntries {
     "q_cdc_apply" -> qCdcApply,
     "q_cdc_diff" -> qCdcDiff,
     "q_stream_cdc" -> qStreamCdc,
+    "q_stream_drift" -> qStreamDrift,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
       Dedup.dedupCorpusKeepBest(Tables.documents(s, dir), 0.7)),
@@ -2791,6 +2878,7 @@ object ExtendedEntries {
     // the streaming CDC path must merge to the SAME snapshot: hash-gated
     // against the batch query's oracle unchanged
     "q_stream_cdc" -> cdcOracleSql,
+    "q_stream_drift" -> oStreamDriftSql,
     "q_cdc_diff" ->
       s"""WITH applied AS ($cdcOracleSql),
          |ev2 AS (
