@@ -42,6 +42,12 @@ object ScaleSynth {
   /** Key-space stride between copies — far above any generated key. */
   val KeyStride = 10000000000L
 
+  /** Bump on ANY synthesis-semantics change: the completion marker
+    * records it, so a cached synth dir from an older rule set is
+    * regenerated instead of silently feeding the trend bench stale
+    * data shapes. */
+  val SynthVersion = 1
+
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(n: Int): String = {
     val r = ((n % 26) + 26) % 26
@@ -137,7 +143,7 @@ object ScaleSynth {
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int): Unit = {
     val markerPath = java.nio.file.Paths.get(outDir, "_SYNTH_DONE")
-    val stamp = s"base=$baseDir copies=$copies"
+    val stamp = s"v=$SynthVersion base=$baseDir copies=$copies"
     if (java.nio.file.Files.exists(markerPath) &&
         java.nio.file.Files.readString(markerPath).trim == stamp) return
     tables.foreach { t =>

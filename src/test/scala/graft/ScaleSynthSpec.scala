@@ -95,6 +95,12 @@ class ScaleSynthSpec extends AnyFunSuite {
     val mtime = java.nio.file.Files.getLastModifiedTime(marker)
     ScaleSynth.synthesize(spark, base, out, 2) // must no-op
     assert(java.nio.file.Files.getLastModifiedTime(marker) == mtime)
+    // a stale marker (older synth version / different params) must NOT
+    // be honored: rewrite it with a mismatched stamp and re-synthesize
+    java.nio.file.Files.writeString(marker, "v=0 base=stale copies=2\n")
+    ScaleSynth.synthesize(spark, base, out, 2)
+    assert(java.nio.file.Files.readString(marker).trim ==
+      s"v=${ScaleSynth.SynthVersion} base=$base copies=2")
     // a heavy query runs against the synth dir end-to-end
     val df = SparkEntry.queries("q_jaccard_pairs")(spark, out)
     assert(df.count() > 0)
