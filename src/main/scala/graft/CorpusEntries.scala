@@ -214,7 +214,26 @@ object CorpusEntries {
       "n_chars", binWidth = 100.0, maxBin = 14)
   }
 
+  /** Merge count shared by the q_bpe pair's queries and oracles. */
+  private val BpeIters = 6
+
+  /** Tokenizer learning ([[operators.Bpe]]): the 6 highest-count BPE
+    * merges over the corpus — one distributed word count, then
+    * dictionary-sized iterations; the learned merge table is the
+    * artifact a tokenizer ships. */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    operators.Bpe.trainMerges(Tables.documents(s, dir), BpeIters)
+
+  /** The corpus tokenized with the learned merges: exact per-subword
+    * counts (the subword-vocabulary view). */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    operators.Bpe.encode(docs, operators.Bpe.trainMerges(docs, BpeIters))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train" -> qBpeTrain,
+    "q_bpe_encode" -> qBpeEncode,
     "q_sample_hash" -> qSampleHash,
     "q_vocab" -> qVocab,
     "q_tfidf" -> qTfidf,
@@ -307,7 +326,56 @@ object CorpusEntries {
        |  coalesce(n_eval_hits, 0) >= $DecontamMinHits AS contaminated
        |FROM sz LEFT JOIN hits ON hits.doc_id = sz.doc_id""".stripMargin
 
+  /** BPE oracle CTE chain (mirrors Bpe.trainMerges exactly): bracketed
+    * symbol strings, greedy merge via plain `replace`, best pair by
+    * (count DESC, left, right). `d$i` is the dictionary after merge i. */
+  private def oBpeChain: String = {
+    def ext(src: String) =
+      s"regexp_extract_all($src, chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1)"
+    def layer(i: Int): String =
+      s"""p$i AS (
+         |  SELECT p.l AS left_sym, p.r AS right_sym,
+         |    CAST(sum(cnt) AS BIGINT) AS pair_count
+         |  FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      k -> {'l': syms[k], 'r': syms[k + 1]})) AS p
+         |    FROM (SELECT cnt, ${ext("seq")} AS syms FROM d${i - 1})
+         |  ) GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT left_sym, right_sym, pair_count FROM p$i
+         |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+         |), d$i AS (
+         |  SELECT cnt, replace(seq,
+         |    chr(1) || left_sym || chr(2) || chr(1) || right_sym || chr(2),
+         |    chr(1) || left_sym || right_sym || chr(2)) AS seq
+         |  FROM d${i - 1}, b$i
+         |)""".stripMargin
+    s"""wc AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |  ) WHERE length(word) > 0 GROUP BY 1
+       |), d0 AS (
+       |  SELECT cnt, array_to_string(list_transform(range(1, length(word) + 1),
+       |    i -> chr(1) || substr(word, i, 1) || chr(2)), '') AS seq
+       |  FROM wc
+       |),
+       |${(1 to BpeIters).map(layer).mkString(",\n")}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_train" ->
+      s"""WITH $oBpeChain
+         |${(1 to BpeIters).map(i =>
+               s"SELECT CAST($i AS BIGINT) AS iter, left_sym, right_sym, " +
+                 s"left_sym || right_sym AS merged, pair_count FROM b$i")
+             .mkString("\nUNION ALL\n")}""".stripMargin,
+    "q_bpe_encode" ->
+      s"""WITH $oBpeChain
+         |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |  SELECT cnt, unnest(regexp_extract_all(seq,
+         |    chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1)) AS token
+         |  FROM d$BpeIters
+         |) GROUP BY 1""".stripMargin,
     "q_sample_weighted" ->
       s"""WITH pr AS (
          |  SELECT doc_id, n_chars,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** BPE merge semantics on controlled corpora — the cases the corpus
+  * oracle can't isolate: exact pair counting, deterministic tie-breaks,
+  * leftmost-greedy overlap resolution, consecutive-pair merging, and
+  * encode/train consistency. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("highest-count pair wins; merged symbol feeds the next round") {
+    // aaab x3, ab x2: round 1 pairs (a,a)=6 vs (a,b)=5 -> merge aa;
+    // round 2: (aa,a)=3, (a,b)=5 -> merge ab
+    val docs = docsOf("aaab aaab aaab ab ab")
+    val m = Bpe.trainMerges(docs, 2).orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m(0) == (1L, "a", "a", "aa", 6L))
+    assert(m(1) == (2L, "a", "b", "ab", 5L))
+  }
+
+  test("consecutive pairs both merge in one round") {
+    // abab x2: (a,b) count 4 beats (b,a)=2 and aaa's (a,a)=2; the merge
+    // turns EVERY abab into [ab][ab] (both occurrences, one pass)
+    val docs = docsOf("abab abab aaa")
+    val enc = Bpe.encode(docs, Bpe.trainMerges(docs, 1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc("ab") == 4L)
+    assert(enc("a") == 3L) // aaa untouched by the (a,b) merge
+    assert(!enc.contains("aa"))
+  }
+
+  test("overlapping runs resolve leftmost-greedy") {
+    // aaa alone: merge (a,a) -> [aa][a], never [a][aa]
+    val docs = docsOf("aaa")
+    val enc = Bpe.encode(docs, Bpe.trainMerges(docs, 1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc == Map("aa" -> 1L, "a" -> 1L))
+  }
+
+  test("encode with zero-effect merges preserves character counts") {
+    val docs = docsOf("abc abc xyz")
+    val merges = Bpe.trainMerges(docs, 1)
+    val enc = Bpe.encode(docs, merges)
+      .agg(sum(col("n") * length(col("token")))).head().getLong(0)
+    // total characters are invariant under merging
+    assert(enc == 3 + 3 + 3)
+  }
+
+  test("tie on count breaks by (left, right) symbol order") {
+    // two pairs with equal counts: (a,b) and (b,c) both appear once
+    val docs = docsOf("abc")
+    val m = Bpe.trainMerges(docs, 1).head()
+    assert((m.getString(1), m.getString(2), m.getLong(4)) == ("a", "b", 1L))
+  }
+}
