@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,18 +45,53 @@ object Cdc {
     * nothing, so the diff is delta-sized — this is the snapshot-diff /
     * data-versioning primitive (what changed between two corpus
     * snapshots?) and the changelog BOOTSTRAP (derive one where upstream
-    * only ships full snapshots). Shape: one EXCEPT (keyed shuffle) + one
-    * keyed anti-join; both sides bucket by key at scale. */
+    * only ships full snapshots).
+    *
+    * Preconditions (both are what "snapshot" means and what
+    * [[applyChangelog]] produces): one row per key, and non-null key
+    * columns — null merge keys have no last-write-wins identity.
+    *
+    * Shape: ONE full-outer join hash-partitioned on `keyCols` — at
+    * 100 TB both snapshots bucket by the merge key, so the join is
+    * co-located and shuffle-free. Each side's payload rides through the
+    * join exactly once (the 'U' rows need B's row, the 'D' rows A's),
+    * and change detection compares the two payload structs null-safely
+    * post-join — exact, no digest-collision caveat, and free given the
+    * payloads are already co-located. (An earlier version used
+    * `exceptAll`, which hash-partitions both snapshots on EVERY column —
+    * a plan that can never exploit key bucketing.) */
   def diff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
       opCol: String): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column")
     require(a.columns.sameElements(b.columns),
       s"snapshots must share a schema: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
     require(!a.columns.contains(opCol), s"snapshot already has a '$opCol' column")
-    val upserts = b.exceptAll(a).withColumn(opCol, lit("U"))
-    val deletes = a.join(b.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .withColumn(opCol, lit("D"))
-    upserts.unionByName(deletes)
+    val pay = a.columns.filterNot(keyCols.contains).toSeq
+    // prefix-rename both sides: no ambiguous-attribute risk even when a
+    // and b derive from the same plan (the common bootstrap case)
+    def side(df: DataFrame, pfx: String): DataFrame =
+      df.select(df.columns.map(c => col(c).as(pfx + c)): _*)
+    val aa = side(a, "_da_")
+    val bb = side(b, "_db_")
+    // null-safe key equality still extracts as an equi-join (SMJ/bucketed)
+    val joined = aa.join(bb,
+      keyCols.map(k => col("_da_" + k) <=> col("_db_" + k)).reduce(_ && _),
+      "full_outer")
+    // presence sentinels: any key column is non-null iff the side matched
+    val aPresent = col("_da_" + keyCols.head).isNotNull
+    val bPresent = col("_db_" + keyCols.head).isNotNull
+    def payStruct(pfx: String): Column =
+      if (pay.isEmpty) lit(0) else struct(pay.map(c => col(pfx + c)): _*)
+    val op = when(!aPresent, lit("U"))                        // appeared
+      .when(!bPresent, lit("D"))                              // vanished
+      .when(!(payStruct("_da_") <=> payStruct("_db_")), lit("U")) // changed
+    val outCols = a.columns.toSeq.map { c =>
+      if (keyCols.contains(c)) coalesce(col("_db_" + c), col("_da_" + c)).as(c)
+      else when(col(opCol) === "D", col("_da_" + c))
+        .otherwise(col("_db_" + c)).as(c)
+    }
+    joined.withColumn(opCol, op).filter(col(opCol).isNotNull)
+      .select(outCols :+ col(opCol): _*)
   }
 
   /** Apply `changes` to `base`. `changes` must contain every `base`
@@ -67,6 +102,10 @@ object Cdc {
     require(keyCols.nonEmpty, "at least one key column")
     val missing = (base.columns :+ opCol).filterNot(changes.columns.contains)
     require(missing.isEmpty, s"changes is missing columns: ${missing.mkString(", ")}")
+    // mirror of diff()'s opCol guard: the helper rank column below would
+    // otherwise silently clobber (and then leak as data) a real '_rn'
+    require(!changes.columns.contains("_rn"),
+      "changes already has a '_rn' column (reserved by applyChangelog)")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).desc, col(seqCol).desc)
     val latest = changes

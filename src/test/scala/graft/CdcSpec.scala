@@ -82,11 +82,44 @@ class CdcSpec extends AnyFunSuite {
     assert(roundTrip == b.collect().map(_.toSeq).sortBy(_.toString()).toSeq)
   }
 
+  test("diff compares null payload fields null-safely") {
+    val a = Seq((1L, 1L, 10L, Option.empty[String]), (2L, 1L, 10L, Option("v")),
+      (3L, 1L, 10L, Option.empty[String])).toDF("k", "seq", "ts", "payload")
+    val b = Seq((1L, 1L, 10L, Option.empty[String]), // unchanged: null == null
+      (2L, 1L, 10L, Option.empty[String]),           // v -> null is a change
+      (3L, 2L, 10L, Option("w")))                    // null -> w is a change
+      .toDF("k", "seq", "ts", "payload")
+    val ops = Cdc.diff(a, b, Seq("k"), "op").select("k", "op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(ops == Seq((2L, "U"), (3L, "U")))
+  }
+
+  test("diff plans one key-equi full-outer join — no Except, no cartesian") {
+    val a = snap((1L, 1L, 10L, "x"), (2L, 2L, 10L, "y"))
+    val b = snap((1L, 1L, 10L, "x2"), (3L, 3L, 10L, "z"))
+    val plan = Cdc.diff(a, b, Seq("k"), "op").queryExecution.sparkPlan.toString
+    assert(!plan.contains("Except"), s"exceptAll resurfaced:\n$plan")
+    assert(plan.contains("FullOuter"), s"expected a full-outer equi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"null-safe key equality must extract as an equi join:\n$plan")
+  }
+
   test("a NULL op is an upsert, never a silent delete") {
     val base = snap((1L, 1L, 10L, "old1"))
     val changes = Seq((1L, 2L, 20L, "new1", Option.empty[String]))
       .toDF("k", "seq", "ts", "payload", "op")
     assert(apply0(base, changes) == Seq((1L, "new1")))
+  }
+
+  test("a changelog carrying a real '_rn' column is rejected, not clobbered") {
+    val base = snap((1L, 1L, 10L, "old1"))
+    val bad = Seq((1L, 2L, 20L, "new1", "U", 7L))
+      .toDF("k", "seq", "ts", "payload", "op", "_rn")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(base, bad, Seq("k"), "ts", "seq", "op")
+    }
+    assert(e.getMessage.contains("_rn"))
   }
 
   test("a changelog missing base columns is rejected") {
