@@ -214,10 +214,15 @@ object CorpusEntries {
       "n_chars", binWidth = 100.0, maxBin = 14)
   }
 
-  /** Merge count shared by the q_bpe pair's queries and oracles. */
-  private val BpeIters = 6
+  /** Merge count shared by the q_bpe pair's queries and oracles. 64 is
+    * deliberately past Bpe.EncodeMaterializeEvery (16), so the shipped
+    * query exercises encode's lineage-bounding cadence — and past any
+    * toy count: the oracle CTE chain scales mechanically (one
+    * MATERIALIZED layer per merge; without MATERIALIZED, DuckDB inlines
+    * each doubly-referenced layer and the chain is exponential). */
+  private val BpeIters = 64
 
-  /** Tokenizer learning ([[operators.Bpe]]): the 6 highest-count BPE
+  /** Tokenizer learning ([[operators.Bpe]]): the 64 highest-count BPE
     * merges over the corpus — one distributed word count, then
     * dictionary-sized iterations; the learned merge table is the
     * artifact a tokenizer ships. */
@@ -328,7 +333,11 @@ object CorpusEntries {
 
   /** BPE oracle CTE chain (mirrors Bpe.trainMerges exactly): bracketed
     * symbol strings, greedy merge via plain `replace`, best pair by
-    * (count DESC, left, right). `d$i` is the dictionary after merge i. */
+    * (count DESC, left, right). `d$i` is the dictionary after merge i —
+    * declared AS MATERIALIZED because each d is referenced twice (next
+    * layer's pair count + next dict); DuckDB 1.0 inlines CTEs per
+    * reference, so without the keyword the chain re-opens the parquet
+    * 2^iters times (measured: dead at 16 layers; 0.8 s at 64 with it). */
   private def oBpeChain: String = {
     def ext(src: String) =
       s"regexp_extract_all($src, chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1)"
@@ -344,7 +353,7 @@ object CorpusEntries {
          |), b$i AS (
          |  SELECT left_sym, right_sym, pair_count FROM p$i
          |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
-         |), d$i AS (
+         |), d$i AS MATERIALIZED (
          |  SELECT cnt, replace(seq,
          |    chr(1) || left_sym || chr(2) || chr(1) || right_sym || chr(2),
          |    chr(1) || left_sym || right_sym || chr(2)) AS seq
@@ -354,7 +363,7 @@ object CorpusEntries {
        |  SELECT word, count(*) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
        |  ) WHERE length(word) > 0 GROUP BY 1
-       |), d0 AS (
+       |), d0 AS MATERIALIZED (
        |  SELECT cnt, array_to_string(list_transform(range(1, length(word) + 1),
        |    i -> chr(1) || substr(word, i, 1) || chr(2)), '') AS seq
        |  FROM wc

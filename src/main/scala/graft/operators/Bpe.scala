@@ -37,8 +37,8 @@ object Bpe {
 
   private def bracketed(word: Column): Column =
     concat_ws("", transform(
-      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-      c => concat(lit(L), c, lit(R))))
+      sequence(lit(1), length(word)),
+      i => concat(lit(L), word.substr(i, lit(1)), lit(R))))
 
   private def symbols(seq: Column): Column =
     regexp_extract_all(seq, lit(s"$L([^$R]+)$R"), lit(1))
@@ -53,13 +53,19 @@ object Bpe {
     call_function("replace", seq, lit(L + a + R + L + b + R), lit(L + a + b + R))
 
   /** Learned merge table: (iter 1.., left_sym, right_sym, merged,
-    * pair_count) — `iters` rows, the artifact a tokenizer ships. */
+    * pair_count) — up to `iters` rows, the artifact a tokenizer ships.
+    * Stops early (returning the merges learned so far) if the dictionary
+    * runs out of mergeable pairs — a tiny corpus can reduce every word
+    * to a single symbol before `iters` is reached. */
   def trainMerges(docs: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     var dict = wordDict(docs).select("cnt", "seq").materialize
-    val rows = (1 to iters).map { it =>
+    val rows = Seq.newBuilder[(Long, String, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= iters && !exhausted) {
       val best = dict
         .withColumn("syms", symbols(col("seq")))
         .select(col("cnt"), explode(expr(
@@ -74,24 +80,44 @@ object Bpe {
         .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
         .agg(sum(col("cnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
-        .head()
-      val (a, b, pc) = (best.getString(0), best.getString(1), best.getLong(2))
-      dict = dict.withColumn("seq", mergeSeq(col("seq"), a, b))
-        .materialize // vocabulary-sized; truncates the iterative lineage
-      (it.toLong, a, b, a + b, pc)
+        .take(1).headOption
+      best match {
+        case None => exhausted = true // every word is one symbol
+        case Some(row) =>
+          val (a, b, pc) = (row.getString(0), row.getString(1), row.getLong(2))
+          dict = dict.withColumn("seq", mergeSeq(col("seq"), a, b))
+            .materialize // vocabulary-sized; truncates the iterative lineage
+          rows += ((it.toLong, a, b, a + b, pc))
+          it += 1
+      }
     }
-    rows.toDF("iter", "left_sym", "right_sym", "merged", "pair_count")
+    rows.result().toDF("iter", "left_sym", "right_sym", "merged", "pair_count")
   }
+
+  /** How many chained `replace` merges [[encode]] stacks into one plan
+    * before forcing a materialization. Without the cadence, a real 32k-
+    * merge vocabulary would nest 32k replace calls into ONE expression
+    * tree and die in analysis/codegen long before any data moves; with
+    * it, plan depth is bounded by the constant while the dictionary
+    * (vocabulary-sized, not corpus-sized) is re-materialized every
+    * `EncodeMaterializeEvery` merges — the same boundary trainMerges
+    * already places every iteration. Pinned in BpeSpec. */
+  val EncodeMaterializeEvery = 16
 
   /** Tokenize with a learned merge table: apply the merges in training
     * order to each DISTINCT word (dictionary-sized work, like training),
     * then report exact per-token corpus counts — the "how would the
     * corpus tokenize" view, and the subword-vocabulary artifact. */
   def encode(docs: DataFrame, merges: DataFrame): DataFrame = {
-    val applied = merges.orderBy("iter").collect() // iters rows: tiny
-      .foldLeft(wordDict(docs)) { (d, m) =>
-        d.withColumn("seq", mergeSeq(col("seq"), m.getString(1), m.getString(2)))
-      }
+    val ms = merges.orderBy("iter").collect() // merge-table rows: tiny
+    val applied = ms.zipWithIndex.foldLeft(wordDict(docs)) {
+      case (d, (m, i)) =>
+        val next = d.withColumn("seq",
+          mergeSeq(col("seq"), m.getString(1), m.getString(2)))
+        if ((i + 1) % EncodeMaterializeEvery == 0 && i + 1 < ms.length)
+          next.materialize
+        else next
+    }
     applied
       .withColumn("token", explode(symbols(col("seq"))))
       .groupBy("token").agg(sum(col("cnt")).as("n"))

@@ -54,6 +54,41 @@ class BpeSpec extends AnyFunSuite {
     assert(enc == 3 + 3 + 3)
   }
 
+  test("training stops early when no mergeable pair remains") {
+    // "a aa": one merge (a,a) collapses 'aa' to a single symbol; 'a'
+    // never had a pair — asking for 10 merges must return the 1 learned,
+    // not throw on the empty best-pair aggregate
+    val docs = docsOf("a aa")
+    val m = Bpe.trainMerges(docs, 10).orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq((1L, "aa", 1L)))
+    // and encode with the short table still tokenizes the corpus
+    val enc = Bpe.encode(docs, Bpe.trainMerges(docs, 10))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc == Map("a" -> 1L, "aa" -> 1L))
+  }
+
+  test("encode bounds its replace lineage to the materialize cadence") {
+    // a corpus whose single 40-char word yields 39 distinct merges: past
+    // EncodeMaterializeEvery (16), so the fold must have cut the chain
+    val word = ('a' to 'z').take(20).mkString + ('A' to 'Z').take(20).mkString
+    val docs = docsOf(word)
+    val merges = Bpe.trainMerges(docs, 39)
+    assert(merges.count() == 39) // enough merges to collapse the word
+    val encoded = Bpe.encode(docs, merges)
+    // correctness: 39 merges collapse the 40-char word to one token
+    val toks = encoded.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks == Map(word -> 1L))
+    // cadence: the FINAL plan segment holds at most the post-cut tail of
+    // replace calls (39 - 2*16 = 7 here), never all 39 — the bounded-
+    // lineage guarantee a 32k-merge vocabulary depends on
+    val nReplace = "replace\\(".r
+      .findAllIn(encoded.queryExecution.analyzed.toString).size
+    assert(nReplace <= Bpe.EncodeMaterializeEvery,
+      s"expected <= ${Bpe.EncodeMaterializeEvery} chained replaces in the " +
+        s"final segment, found $nReplace")
+  }
+
   test("tie on count breaks by (left, right) symbol order") {
     // two pairs with equal counts: (a,b) and (b,c) both appear once
     val docs = docsOf("abc")
