@@ -46,7 +46,7 @@ object ScaleSynth {
     * records it, so a cached synth dir from an older rule set is
     * regenerated instead of silently feeding the trend bench stale
     * data shapes. */
-  val SynthVersion = 1
+  val SynthVersion = 2
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(n: Int): String = {
@@ -123,12 +123,18 @@ object ScaleSynth {
             timestamp_micros(unix_micros(col("ts")) + lit(shift)))
         }
       }
+      // 7 is coprime to 26, so rotations are distinct for copies <= 26
+      // (past that the Caesar family repeats and cross-copy texts become
+      // identical — raise the alphabet step logic before going wider)
       if (name == "documents" && i > 0)
         df = df.withColumn("text", translate(col("text"), Alphabet, rotated(i * 7)))
       if (name == "embeddings" && i > 0) {
         // rotate the vector by r dims: same norm, disjoint direction family.
-        // r ranges over [1, dim-1] so no copy degenerates to the identity.
-        val r = s"(1 + pmod(${i * 7}, size(embedding) - 1))"
+        // r = 1 + (i-1) mod (dim-1): full period dim-1, so no copy is the
+        // identity AND no two copies below dim share a rotation (the old
+        // i*7 step cycled with period 9 for 64-dim vectors, making copies
+        // i and i+9 exact cross-copy duplicates)
+        val r = s"(1 + pmod(${i - 1}, size(embedding) - 1))"
         df = df.withColumn("embedding",
           expr(s"concat(slice(embedding, $r + 1, size(embedding) - $r), " +
             s"slice(embedding, 1, $r))"))

@@ -24,7 +24,7 @@ object Feeder {
         unix_millis(current_timestamp()).as("fetched_at"))).as("value"))
 
   /** Write `df` (minus `msCol`) as `slices` time-range parquet files
-    * `b00.parquet..bNN.parquet` under `workDir/feed` — lexically
+    * `b00000.parquet..bNNNNN.parquet` under `workDir/feed` — lexically
     * increasing names with increasing mtimes, so a file stream with
     * `maxFilesPerTrigger=1` replays them as DETERMINISTIC in-time-order
     * micro-batches. Shared by q_stream_indicators and q_stream_cdc (both
@@ -49,8 +49,24 @@ object Feeder {
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
         .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
       fs.rename(part, new org.apache.hadoop.fs.Path(
-        f"$workDir/feed/b$i%02d.parquet"))
+        // 5-digit padding: with %02d, slice 100 would sort before 99 and
+        // break the documented in-time-order replay on mtime ties
+        f"$workDir/feed/b$i%05d.parquet"))
     }
+  }
+
+  /** Append ONE extra feed file (slice index `index`, named past the
+    * time-sliced ones) holding `df` coalesced — e.g. a watermark-flush
+    * sentinel batch for session-window streams. */
+  def appendFeedFile(df: DataFrame, workDir: String, index: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = s"$workDir/tmp_append$index"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new org.apache.hadoop.fs.Path(
+      f"$workDir/feed/b$index%05d.parquet"))
   }
 
   /** Write messages as JSON-lines text for file-based stream sources. */
