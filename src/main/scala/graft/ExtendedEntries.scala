@@ -590,6 +590,32 @@ object ExtendedEntries {
     graft.streaming.StreamCdc.snapshot(s, work, base)
   }
 
+  /** The STREAMING sessionization path, gated like q_stream_cdc: the
+    * events table replayed as three time-sliced micro-batches plus a
+    * watermark-flush sentinel through the REAL `session_window`
+    * aggregation + event-time watermark + exactly-once FileSink
+    * ([[graft.streaming.StreamSessionize]]), and the final session
+    * table is hash-checked against the BATCH query's own DuckDB oracle
+    * (stream==batch also pinned per-edge in StreamSessionizeSpec).
+    * Verify-only: streaming machinery, not a query plan. */
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      ev.withColumn("_ms", unix_millis(col("ts"))), "_ms", work, slices = 3)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinel = s.range(1).select(
+      lit(graft.streaming.StreamSessionize.SentinelUser).as("user_id"),
+      timestamp_micros(lit(maxUs + 8640000000000L)).as("ts"), // +100 days
+      lit(0.0).as("value"))
+    graft.streaming.Feeder.appendFeedFile(sentinel, work, 3)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamSessionize.run(stream, work)
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamSessionize.report(s, work)
+  }
+
   /** Streaming drift parameters shared by q_stream_drift's query and
     * oracle (events.value spans [0, ~490], mean ~50). */
   private val SdBinW = 25.0
@@ -902,6 +928,7 @@ object ExtendedEntries {
     "q_cdc_diff" -> qCdcDiff,
     "q_stream_cdc" -> qStreamCdc,
     "q_stream_drift" -> qStreamDrift,
+    "q_stream_sessionize" -> qStreamSessionize,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
       Dedup.dedupCorpusKeepBest(Tables.documents(s, dir), 0.7)),
@@ -1247,6 +1274,31 @@ object ExtendedEntries {
        |  FROM scored
        |) WHERE rk <= $topK""".stripMargin
   }
+
+  /** Shared by q_sessionize AND q_stream_sessionize: the streaming
+    * session_window path's strongest check is hashing against the batch
+    * query's oracle unchanged. */
+  private def sessionizeOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      |        OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM e
+      |)
+      |SELECT user_id, session_id,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |    AS total_value
+      |FROM s GROUP BY 1, 2""".stripMargin
 
   /** Shared by q_cdc_apply AND q_stream_cdc: the streaming merge's
     * strongest check is hashing against the batch oracle unchanged. */
@@ -3417,25 +3469,8 @@ object ExtendedEntries {
         |FROM iv JOIN e ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
         |GROUP BY 1, 2, 3""".stripMargin,
 
-    "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-        |    epoch_us(CAST(ts AS TIMESTAMP))
-        |      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
-        |        OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
-        |  FROM events
-        |), s AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS session_id
-        |  FROM e
-        |)
-        |SELECT user_id, session_id,
-        |  min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
-        |    AS total_value
-        |FROM s GROUP BY 1, 2""".stripMargin)
+    "q_sessionize" -> sessionizeOracleSql,
+    // the streaming session_window path must produce the SAME sessions:
+    // hash-gated against the batch query's oracle unchanged
+    "q_stream_sessionize" -> sessionizeOracleSql)
 }

@@ -262,7 +262,8 @@ object SparkEntry {
     *    against the batch oracle — streaming machinery, not a plan. */
   val verifyOnly: Set[String] =
     Set("q_sketches_check", "q_sketch_rollup_check", "q_topk_sketch_check",
-      "q_stream_indicators", "q_stream_cdc", "q_stream_drift")
+      "q_stream_indicators", "q_stream_cdc", "q_stream_drift",
+      "q_stream_sessionize")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExtendedEntries.queries ++ CorpusEntries.queries ++ Map(

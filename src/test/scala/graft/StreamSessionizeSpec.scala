@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Feeder, StreamSessionize}
+
+/** Stream==batch parity for gap sessionization: the session_window
+  * stream must reproduce the batch cumulative-gap-cut sessions bit for
+  * bit — across micro-batch boundaries, and on the exact-gap edge the
+  * strict merge horizon could get wrong. */
+class StreamSessionizeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** The batch query's own sessionization (same logic as q_sessionize),
+    * inlined over an arbitrary (user_id, ts, value) frame. */
+  private def batchSessions(ev: DataFrame): Seq[Row6] = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    val isNew = when(gap.isNull || gap > StreamSessionize.GapUs, 1).otherwise(0)
+    ev.withColumn("session_id",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("vc"))
+      .select(col("user_id"), col("session_id"), col("session_start"),
+        col("session_end"), col("n_events"),
+        (col("vc") / lit(100.0)).as("total_value"))
+      .collect().map(Row6.of).sorted.toSeq
+  }
+
+  private def streamSessions(ev: DataFrame, slices: Int): Seq[Row6] = {
+    val work = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    Feeder.writeTimeSlicedFeed(
+      ev.withColumn("_ms", unix_millis(col("ts"))), "_ms", work, slices)
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinel = Seq((StreamSessionize.SentinelUser, maxTs + 100L * 86400 * 1000000, 0.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    Feeder.appendFeedFile(sentinel, work, slices)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = StreamSessionize.run(stream, work)
+    q.processAllAvailable(); q.stop()
+    StreamSessionize.report(spark, work).collect().map(Row6.of).sorted.toSeq
+  }
+
+  private def ev(rows: (Long, Long, Double)*): DataFrame =
+    rows.toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+
+  test("exact-gap edge: gap == 30min stays one session; +1us splits") {
+    val G = StreamSessionize.GapUs
+    val base = 1700000000000000L
+    val events = ev(
+      (1L, base, 1.0), (1L, base + G, 2.0),          // exactly 30min: merge
+      (2L, base, 1.0), (2L, base + G + 1, 2.0))      // 30min + 1us: split
+    val b = batchSessions(events)
+    assert(b.count(_.user == 1L) == 1 && b.count(_.user == 2L) == 2)
+    assert(streamSessions(events, 2) == b)
+  }
+
+  test("sessions spanning micro-batch boundaries merge in state") {
+    // user 10: a burst every 10 min across the whole span — ONE session
+    // no matter where the 3 slice cuts fall; user 20: three separated
+    // bursts — exactly three sessions, each summed correctly
+    val base = 1700000000000000L
+    val min10 = 600000000L
+    val burst = (0 until 18).map(i => (10L, base + i * min10, 1.5))
+    val spaced = Seq(0L, 4L, 8L).zipWithIndex.flatMap { case (h, j) =>
+      (0 until 3).map(i => (20L, base + h * 3600000000L + i * min10, j + 0.25))
+    }
+    val events = ev(burst ++ spaced: _*)
+    val b = batchSessions(events)
+    assert(b.count(_.user == 10L) == 1 && b.count(_.user == 20L) == 3)
+    assert(streamSessions(events, 3) == b)
+  }
+
+  test("sf0.001 events: stream sessions == batch sessions") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("value"))
+    assert(streamSessions(events, 3) == batchSessions(events))
+  }
+}
+
+/** Comparable, fully-typed session row (avoids Row equality pitfalls). */
+final case class Row6(user: Long, start: Long, end: Long, n: Long, v: Double)
+object Row6 {
+  implicit val ord: Ordering[Row6] =
+    Ordering.by(r => (r.user, r.start, r.end, r.n, r.v))
+  def of(r: org.apache.spark.sql.Row): Row6 = {
+    // rows carry (user_id, [session_id,] session_start, session_end,
+    // n_events, total_value) — session_id is positional rank, implied by
+    // (user, start) order, so compare on the invariant columns
+    val off = if (r.length == 6) 1 else 0
+    // µs-precision epoch (getTime truncates to ms and would hide sub-ms
+    // boundary differences from the parity compare)
+    def us(i: Int): Long = {
+      val t = r.getTimestamp(i).toInstant
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    }
+    Row6(r.getLong(0), us(1 + off), us(2 + off),
+      r.getLong(3 + off), r.getDouble(4 + off))
+  }
+}
