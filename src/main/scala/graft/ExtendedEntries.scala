@@ -186,6 +186,24 @@ object ExtendedEntries {
   private def qMediaBmp(s: SparkSession, dir: String): DataFrame =
     Multimodal.parseBmp(Multimodal.synthBmp(Tables.documents(s, dir)))
 
+  /** REAL-codec cross-check ([[Multimodal.decodeBmp]]): javax.imageio
+    * pixel-decodes every synthesized BMP in a per-partition batch pass,
+    * and must agree with the pure-codegen header walk on (width,
+    * height) row by row — the oracle pins the walked fields AND
+    * `decode_agrees` as literal TRUE, so one disagreeing (or failing)
+    * decode anywhere in the corpus fails the hash. */
+  private def qMediaDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthBmp(Tables.documents(s, dir))
+    Multimodal.parseBmp(media)
+      .select(col("doc_id"), col("width"), col("height"), col("bpp"),
+        col("n_bytes"))
+      .join(Multimodal.decodeBmp(media), Seq("doc_id"))
+      .select(col("doc_id"), col("width"), col("height"), col("bpp"),
+        col("n_bytes"),
+        (col("decoded_ok") && col("dec_width") === col("width") &&
+          col("dec_height") === col("height")).as("decode_agrees"))
+  }
+
   /** Mixed-modality corpus inventory: evens are audio, odds are images. */
   private def qMediaStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -980,6 +998,7 @@ object ExtendedEntries {
     "q_frame_sample" -> qFrameSample,
     "q_media_wav" -> qMediaWav,
     "q_media_bmp" -> qMediaBmp,
+    "q_media_decode" -> qMediaDecode,
     "q_media_stats" -> qMediaStats,
     "q_media_png" -> qMediaPng,
     "q_media_jpeg" -> qMediaJpeg,
@@ -3181,6 +3200,28 @@ object ExtendedEntries {
          |    AS header_hex,
          |  CAST(stride AS BIGINT) AS stride
          |FROM h""".stripMargin,
+
+    // real-codec cross-check: walked fields re-derived from the shared
+    // generation rule; decode_agrees is the in-band error contract — the
+    // Spark side REALLY pixel-decodes via javax.imageio and compares
+    "q_media_decode" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    16 + doc_id % 64 AS width,
+         |    16 + doc_id % 48 AS height
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, width, height,
+         |    ((width * 3 + 3) // 4) * 4 * height AS image_size
+         |  FROM f
+         |)
+         |SELECT doc_id,
+         |  CAST(width AS BIGINT) AS width,
+         |  CAST(height AS BIGINT) AS height,
+         |  CAST(24 AS BIGINT) AS bpp,
+         |  CAST(image_size + 54 AS BIGINT) AS n_bytes,
+         |  TRUE AS decode_agrees
+         |FROM g""".stripMargin,
 
     // PNG walk oracle: expectations re-derived from the shared generation
     // rule (DuckDB has no crc32, so crc_ok/iend_ok are asserted from the

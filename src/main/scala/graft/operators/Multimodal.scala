@@ -7,13 +7,16 @@ import graft.operators.Materialize.MatOps
 /** Multimodal-column plumbing: media as opaque BINARY payloads with typed
   * metadata, processed in batches.
   *
-  * The real decode (image/audio codecs) is STUBBED — this container has no
-  * media libraries — behind [[StubCodec]], a deterministic fake whose
-  * outputs are pure functions of the bytes. Everything around the stub is
-  * real and the part that matters at 100 TB: binary columns survive parquet
-  * round-trips, feature extraction is a per-partition batch pass (the same
-  * batch shape a vectorized/Arrow UDF would see), and derived metadata
-  * stays in columnar form for pruning.
+  * The generic decode (arbitrary image/audio codecs) is STUBBED — this
+  * container has no media libraries — behind [[StubCodec]], a
+  * deterministic fake whose outputs are pure functions of the bytes; BMP
+  * has a REAL pixel decoder ([[decodeBmp]], `javax.imageio` from the JDK)
+  * on the same plumbing, proving the shape carries a true codec.
+  * Everything around the stub is real and the part that matters at
+  * 100 TB: binary columns survive parquet round-trips, feature extraction
+  * is a per-partition batch pass (the same batch shape a vectorized/Arrow
+  * UDF would see), and derived metadata stays in columnar form for
+  * pruning.
   */
 object Multimodal {
 
@@ -87,6 +90,46 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("media_type"), col("payload")).as[MediaRow]
       .mapPartitions(_.map(r => StubCodec.decode(r.payload)))
+  }
+
+  /** One decoded image: success flag + pixel dimensions (-1 on failure —
+    * a corrupt payload flags, it never crashes the scan). */
+  final case class DecodedImage(doc_id: Long, decoded_ok: Boolean,
+      dec_width: Long, dec_height: Long)
+
+  /** REAL decode for one format — BMP via `javax.imageio` (in the JDK,
+    * no external codec needed) — replacing [[StubCodec]] on exactly the
+    * pipeline shape [[decodeBatches]] documents: a typed per-partition
+    * iterator pass over binary payloads. Proves the stubbed plumbing
+    * carries a true codec unchanged; q_media_decode cross-checks every
+    * decoded (width, height) against the pure-codegen header walk
+    * ([[parseBmp]]) under a DuckDB oracle.
+    *
+    * Scale shape: embarrassingly parallel scan — decode cost is linear
+    * in payload bytes, no shuffle, no driver involvement; `mapPartitions`
+    * is the documented last-resort tier, justified here because a pixel
+    * decoder is genuine per-row imperative logic no Catalyst expression
+    * can express. ImageIO's disk cache is disabled per partition — the
+    * default writes a temp FILE per image, a pathological pattern at
+    * a million payloads per executor. */
+  def decodeBmp(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) DecodedImage(id, decoded_ok = false, -1L, -1L)
+            else DecodedImage(id, decoded_ok = true,
+              img.getWidth.toLong, img.getHeight.toLong)
+          } catch { // malformed payload: quarantine-flag, never throw
+            case _: Exception => DecodedImage(id, decoded_ok = false, -1L, -1L)
+          }
+        }
+      }.toDF()
   }
 
   // ------------------------------------------------- real binary headers
