@@ -31,8 +31,11 @@ import json, os, sys
 FACTOR = 2.0
 NOISE_MAX = 1.3   # max calibration slowdown accepted as a "quiet host"
 MAX_STRIKES = 3   # consecutive inconclusive runs tolerated before exit 3
-FLOOR = os.path.join(os.path.dirname(__file__), "bench_floor.json")
-STRIKES = os.path.join(os.path.dirname(__file__), ".bench_floor_strikes")
+# env overrides exist for the lifecycle test (test_bench_floor.sh) only
+FLOOR = os.environ.get("GRAFT_FLOOR_FILE",
+                       os.path.join(os.path.dirname(__file__), "bench_floor.json"))
+STRIKES = os.environ.get("GRAFT_STRIKE_FILE",
+                         os.path.join(os.path.dirname(__file__), ".bench_floor_strikes"))
 
 def read_strikes():
     try:

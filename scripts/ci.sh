@@ -8,6 +8,12 @@
 #            the min-of-N times from past rounds) — catches regressions like
 #            round 5's q_simhash before a round ships. Refresh the floor with:
 #            python3 scripts/bench_floor.py --update bench_out.json
+#
+# --bench exit codes (the floor gate's contract, propagated DISTINCTLY):
+#   0 = green (or inconclusive noisy run below the strike limit)
+#   1 = real perf-floor breach on a quiet host (or build/bench failure)
+#   3 = strike limit: MAX_STRIKES consecutive inconclusive noisy runs —
+#       breaches have gone unattributed too long; find a quiet host
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -25,9 +31,21 @@ if [[ "${1:-}" == "--bench" ]]; then
            sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
     OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
   done
+  echo "== floor-gate strike lifecycle =="
+  bash scripts/test_bench_floor.sh
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=bench_out.json \
     java $OPENS -Xmx16g -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench
+  set +e
   python3 scripts/bench_floor.py bench_out.json
+  rc=$?
+  set -e
+  if [[ $rc -eq 3 ]]; then
+    echo "CI BENCH FAILED (exit 3): strike limit — consecutive noisy runs" >&2
+    exit 3
+  elif [[ $rc -ne 0 ]]; then
+    echo "CI BENCH FAILED (exit 1): perf floor breach on a quiet host" >&2
+    exit 1
+  fi
   echo "CI BENCH GREEN"
   exit 0
 fi

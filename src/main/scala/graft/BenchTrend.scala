@@ -27,14 +27,22 @@ import org.apache.spark.sql.SparkSession
 object BenchTrend {
 
   /** The default set: every query with a committed floor >= ~1.3 s at sf0.1,
-    * plus the banded near-dup family the trend check exists to watch. */
+    * plus the banded near-dup family the trend check exists to watch,
+    * plus one representative per remaining heavy family — CDC
+    * (snapshot-sized keyed merge + diff), media walks (payload-linear
+    * byte folds + the real imageio decode), and BPE (fixed iteration
+    * count over a corpus-scaled dictionary). The harness caught a real
+    * quadratic in round 8; its value grows with coverage. */
   val DefaultQueries: Seq[String] = Seq(
     "q_corr_matrix", "q_pagerank", "q_pagerank_dangling", "q_triangles",
     "q_profile", "q_containment", "q_sample_dedup", "q_split_safe",
     "q_dedup_keep_best", "q_dedup_corpus", "q_dedup_incremental",
     "q_jaccard_pairs", "q_simhash", "q_minhash_lsh", "q_substring_dup",
     "q_rolling_quantile", "q_dedup_embed_lsh", "q_dedup_embed_ivf",
-    "q_dedup_embed_ivf2", "q_cosine_pq", "q_cosine_ivfpq")
+    "q_dedup_embed_ivf2", "q_cosine_pq", "q_cosine_ivfpq",
+    "q_cdc_apply", "q_cdc_diff",
+    "q_media_jpeg", "q_media_mp4", "q_media_png", "q_media_decode",
+    "q_bpe_train", "q_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
