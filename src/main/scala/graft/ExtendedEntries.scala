@@ -1194,15 +1194,15 @@ object ExtendedEntries {
     (Seq(seed) ++ steps :+ assignCte("assign", s"cent$iters")).mkString(",\n")
   }
 
-  /** PQ parameters shared by q_cosine_pq's query and oracle: 8 subspaces
-    * × 8 dims, 16-entry codebooks (8-byte codes per vector), 2 Lloyd
-    * iterations, 10 queries × top-5. Chosen from a measured sweep —
-    * recall@5 vs exact: 0.24 at sf0.001 / 0.30 at sf0.01 (random ≈
-    * 0.025; these isotropic synthetic embeddings are PQ's worst case,
-    * see SCALE.md). */
-  private val PqM = 8
-  private val PqSub = 8
-  private val PqK = 16
+  /** PQ parameters shared by q_cosine_pq's query and oracle — the
+    * shipped operating point from [[operators.ProductQuantizer]]'s
+    * sweep-chosen defaults (16 subspaces × 4 dims, 64-entry codebooks =
+    * 96-bit codes, 2 Lloyd iterations; full frontier table in
+    * SCALE.md). The oracle CTE chain is parameterized on all four, so
+    * the mirror scales mechanically with the chosen point. */
+  private val PqM = operators.ProductQuantizer.DefaultSubspaces
+  private val PqSub = operators.ProductQuantizer.DefaultSubDim
+  private val PqK = operators.ProductQuantizer.DefaultK
   private val PqIters = 2
 
   private def qCosinePq(s: SparkSession, dir: String): DataFrame = {
@@ -1386,7 +1386,7 @@ object ExtendedEntries {
   /** IVFADC parameters shared by q_cosine_ivfpq's query and oracle. */
   private val IvfPqC = 4
   private val IvfPqIvfIters = 2
-  private val IvfPqNprobe = 2
+  private val IvfPqNprobe = operators.ProductQuantizer.DefaultNprobe
 
   private def qCosineIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)

@@ -40,6 +40,21 @@ import graft.operators.Similarity.dot
   */
 object ProductQuantizer {
 
+  /** Shipped IVFADC operating point, chosen from the measured
+    * (subspaces × codebook × nprobe) sweep at sf0.1 (graft.PqSweep;
+    * frontier table in SCALE.md): 16 subspaces of 4 dims with 64-entry
+    * codebooks = 96-bit codes (21× smaller than the 384-byte float
+    * vector), probing 2 of 4 clusters. Recall@5 vs exact cosine over 50
+    * queries: 0.388 at sf0.1 (vs 0.124 for the previous 8×8×16 point)
+    * at IDENTICAL search latency — at small SF search time is fixed
+    * overhead, so recall per bit is the whole game; the next frontier
+    * step (k=256, 0.576) triples index-build cost and adds a third to
+    * the code width. PqSpec pins this point's recall floor. */
+  val DefaultSubspaces = 16
+  val DefaultSubDim = 4
+  val DefaultK = 64
+  val DefaultNprobe = 2
+
   private def r4(c: Column): Column = floor(c * lit(10000) + lit(0.5)) / lit(10000)
 
   /** L2-normalize the embedding column (full-vector norm, double math,

@@ -99,6 +99,28 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("shipped IVFADC operating point holds its recall floor") {
+    // the sweep-chosen default (16×4, k=64, nprobe=2 — SCALE.md): the
+    // deterministic pipeline measures recall@5 = 0.504 over 50 queries
+    // here at sf0.001; pin a floored 0.40 so a regression in training,
+    // assignment, or probing that silently degrades retrieval fails CI
+    // even while the oracle hash (which pins the pipeline, not the
+    // quality) stays green
+    import ProductQuantizer.{DefaultSubspaces, DefaultSubDim, DefaultK, DefaultNprobe}
+    val (cent, cbs, codes) = ProductQuantizer.ivfPqIndex(emb,
+      nClusters = 4, ivfIters = 2, subspaces = DefaultSubspaces,
+      subDim = DefaultSubDim, k = DefaultK, pqIters = iters)
+    val got = ProductQuantizer.searchIvfPq(emb, cent, cbs, codes,
+      50, 5, DefaultSubspaces, DefaultSubDim, nprobe = DefaultNprobe)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineTopK(emb, 50, 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.40, s"shipped-default recall@5 $recall < 0.40 floor")
+  }
+
   test("ADC scores stay in the cosine range (quantization slack only)") {
     val cb = ProductQuantizer.train(emb, m, sub, k, iters)
     val out = ProductQuantizer.searchAdc(emb, cb, 10, 5, m, sub)
