@@ -52,11 +52,73 @@ object Bpe {
   private def mergeSeq(seq: Column, a: String, b: String): Column =
     call_function("replace", seq, lit(L + a + R + L + b + R), lit(L + a + b + R))
 
+  /** Candidates fetched per pair-count refresh (driver rows; tiny). */
+  private val BatchFetch = 256
+
+  /** Accept a prefix of the count-ordered candidates that SEQUENTIAL
+    * greedy BPE would provably pick in the same order, so multiple
+    * merges ride one pair-count refresh. Rules (exactness argument in
+    * [[trainMerges]]'s scaladoc): a candidate is accepted while it is
+    * symbol-disjoint from everything accepted so far AND its count is
+    * strictly above the stop threshold — the first conflicting
+    * candidate's count (or, when the fetch was truncated with no
+    * conflict, the last fetched count, since unseen pairs can be
+    * anywhere at or below it). The head candidate is always safe: it IS
+    * the greedy choice. */
+  private def acceptBatch(top: Seq[(String, String, Long)],
+      maxN: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val prefix = Seq.newBuilder[(String, String, Long)]
+    var conflictCount = Option.empty[Long]
+    var n = 0
+    val it = top.iterator
+    while (conflictCount.isEmpty && n < maxN && it.hasNext) {
+      val c @ (a, b, cnt) = it.next()
+      if (used(a) || used(b)) conflictCount = Some(cnt)
+      else { prefix += c; used += a; used += b; n += 1 }
+    }
+    // every pair whose count the accepted merges can change (or create)
+    // is bounded by the first conflicting candidate — or, with no
+    // conflict but a truncated fetch, by the last fetched count
+    val bound = conflictCount.getOrElse(
+      if (top.size >= BatchFetch) top.last._3 else Long.MinValue)
+    val all = prefix.result()
+    // counts are descending, so the strict-threshold cut is a prefix;
+    // the head is exempt — it IS the sequential greedy choice
+    all.take(1) ++ all.drop(1).takeWhile(_._3 > bound)
+  }
+
   /** Learned merge table: (iter 1.., left_sym, right_sym, merged,
     * pair_count) — up to `iters` rows, the artifact a tokenizer ships.
     * Stops early (returning the merges learned so far) if the dictionary
     * runs out of mergeable pairs — a tiny corpus can reduce every word
-    * to a single symbol before `iters` is reached. */
+    * to a single symbol before `iters` is reached.
+    *
+    * BIT-EXACT batched refresh: each Spark round computes one
+    * pair-count aggregate and may commit SEVERAL merges from it, yet
+    * the produced merge table is identical to one-merge-per-round
+    * greedy (property-pinned in BpeSpec against the sequential
+    * reference, and by the unchanged one-layer-per-merge DuckDB
+    * oracle). Why it is exact: merging (a,b) only changes counts of
+    * pairs sharing a or b, and any pair it CREATES — (x,ab), (ab,y),
+    * (ab,cd) — is count-bounded by a pre-existing pair involving a or
+    * b. Scanning candidates in (count desc, left, right) order and
+    * stopping at the first candidate that touches an accepted symbol
+    * therefore guarantees: counts of accepted candidates are invariant
+    * under the accepted merges (mutual disjointness), and every
+    * not-yet-visible pair is bounded by the stop candidate's count, so
+    * demanding accepted counts STRICTLY above it (ties could reorder
+    * under the lexicographic tie-break) means sequential greedy would
+    * pick exactly this prefix in exactly this order. Driver rounds
+    * drop from `iters` to the refresh count. Measured honestly: the
+    * synthetic corpus's greedy sequence is CASCADE-dominated (each best
+    * pair extends the symbol the previous merge built, so consecutive
+    * candidates share a symbol) — 61 refreshes for 64 merges, batches
+    * of 1–3, and A/B timing vs the sequential loop is identical within
+    * host noise. The win case is flat plateaus of symbol-DISJOINT
+    * near-tie pairs (the shape of a real Zipfian vocabulary's early
+    * merge rounds); the mechanism costs one take(256) instead of
+    * take(1) per refresh, i.e. nothing. */
   def trainMerges(docs: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val spark = docs.sparkSession
@@ -66,7 +128,7 @@ object Bpe {
     var it = 1
     var exhausted = false
     while (it <= iters && !exhausted) {
-      val best = dict
+      val top = dict
         .withColumn("syms", symbols(col("seq")))
         .select(col("cnt"), explode(expr(
           // the size<2 guard matters: sequence(1, 0) is DESCENDING in
@@ -80,15 +142,19 @@ object Bpe {
         .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
         .agg(sum(col("cnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
-        .take(1).headOption
-      best match {
-        case None => exhausted = true // every word is one symbol
-        case Some(row) =>
-          val (a, b, pc) = (row.getString(0), row.getString(1), row.getLong(2))
-          dict = dict.withColumn("seq", mergeSeq(col("seq"), a, b))
-            .materialize // vocabulary-sized; truncates the iterative lineage
-          rows += ((it.toLong, a, b, a + b, pc))
-          it += 1
+        .take(BatchFetch)
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val batch = acceptBatch(top, maxN = iters - it + 1)
+        val merged = batch.foldLeft(col("seq")) { case (seqCol, (a, b, _)) =>
+          mergeSeq(seqCol, a, b)
+        }
+        dict = dict.withColumn("seq", merged)
+          .materialize // vocabulary-sized; truncates the iterative lineage
+        batch.foreach { case (a, b, pc) =>
+          rows += ((it.toLong, a, b, a + b, pc)); it += 1
+        }
       }
     }
     rows.result().toDF("iter", "left_sym", "right_sym", "merged", "pair_count")

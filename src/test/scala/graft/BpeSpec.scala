@@ -54,6 +54,58 @@ class BpeSpec extends AnyFunSuite {
     assert(enc == 3 + 3 + 3)
   }
 
+  /** Pure-Scala one-merge-at-a-time greedy BPE — the sequential
+    * reference the BATCHED distributed trainer must match bit for bit
+    * (same tokenization rule as Bpe.wordDict / the oracle: split on
+    * single spaces, drop empties). */
+  private def sequentialMerges(text: String, iters: Int): Seq[(String, String, Long)] = {
+    def mergeList(syms: List[String], a: String, b: String): List[String] =
+      syms match { // leftmost-greedy, consecutive pairs both merge
+        case x :: y :: rest if x == a && y == b => (a + b) :: mergeList(rest, a, b)
+        case x :: rest => x :: mergeList(rest, a, b)
+        case Nil => Nil
+      }
+    var dict: Seq[(List[String], Long)] = text.split(" ").filter(_.nonEmpty)
+      .groupBy(identity).toSeq
+      .map { case (w, ws) => (w.map(_.toString).toList, ws.length.toLong) }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var it = 0
+    var done = false
+    while (it < iters && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, cnt) <- dict; Seq(a, b) <- syms.sliding(2) if syms.size >= 2)
+        counts((a, b)) += cnt
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        out += ((a, b, c))
+        dict = dict.map { case (syms, cnt) => (mergeList(syms, a, b), cnt) }
+        it += 1
+      }
+    }
+    out.result()
+  }
+
+  test("batched refresh training is bit-identical to sequential greedy") {
+    // corpora chosen to stress the batch-acceptance rules: long disjoint
+    // tie runs (threshold cut), overlapping ties (conflict stop), merge
+    // cascades that create new high-count pairs, and a plain-text mix
+    val corpora = Seq(
+      "the quick brown fox jumps over the lazy dog the quick brown fox",
+      "aaa aab abab bab baba abc bca cab aaa aaa bb",
+      "xy xy xy ab ab ab cd cd cd",
+      "ab ab ba ba aa bb ab",
+      "abcdefgh abcdefgh abcd efgh abcdefgh",
+      (1 to 60).map(i => s"w${i % 7}x${i % 5}").mkString(" "))
+    for (c <- corpora; iters <- Seq(3, 12, 30)) {
+      val got = Bpe.trainMerges(docsOf(c), iters).orderBy("iter").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val want = sequentialMerges(c, iters)
+      assert(got == want, s"corpus '$c' iters=$iters")
+    }
+  }
+
   test("training stops early when no mergeable pair remains") {
     // "a aa": one merge (a,a) collapses 'aa' to a single symbol; 'a'
     // never had a pair — asking for 10 merges must return the 1 learned,
