@@ -2,8 +2,9 @@
 # Strike-file lifecycle test for bench_floor.py (dev tooling test; run by
 # scripts/ci.sh --bench before the real gate). The exit-code contract under
 # test:
-#   0 = green, or an inconclusive (noisy-host) run below MAX_STRIKES
-#   1 = real breach on a quiet host, or a refused --update
+#   0 = green, or an inconclusive (noisy+unsteady) run below MAX_STRIKES
+#   1 = real breach (quiet host, or steady host after level correction),
+#       or a refused --update
 #   3 = MAX_STRIKES consecutive inconclusive runs (unattributed too long)
 # Uses the GRAFT_FLOOR_FILE/GRAFT_STRIKE_FILE overrides so the committed
 # floor file and live strike counter are never touched.
@@ -13,9 +14,9 @@ td=$(mktemp -d)
 trap 'rm -rf "$td"' EXIT
 export GRAFT_FLOOR_FILE="$td/floor.json" GRAFT_STRIKE_FILE="$td/strikes"
 
-mkjson() { # $1=file $2=q1 seconds $3=noise_factor
-  printf '{"queries":{"q1":%s},"noise_factor":%s,"cal_before_sec":1.0,"cal_after_sec":1.0}\n' \
-    "$2" "$3" > "$1"
+mkjson() { # $1=file $2=q1 seconds $3=noise_factor $4=cal_before $5=cal_after
+  printf '{"queries":{"q1":%s},"noise_factor":%s,"cal_before_sec":%s,"cal_after_sec":%s}\n' \
+    "$2" "$3" "$4" "$5" > "$1"
 }
 rc() { set +e; python3 bench_floor.py "$1" >/dev/null; local r=$?; set -e; echo "$r"; }
 die() { echo "FAIL: $1" >&2; exit 1; }
@@ -23,12 +24,12 @@ die() { echo "FAIL: $1" >&2; exit 1; }
 echo '{"q1": 1.0, "_cal_sec": 1.0}' > "$GRAFT_FLOOR_FILE"
 
 # quiet host, under 2x floor: green, no strike file
-mkjson "$td/ok.json" 1.5 1.05
+mkjson "$td/ok.json" 1.5 1.05 1.05 1.05
 [[ $(rc "$td/ok.json") == 0 ]] || die "quiet green run must exit 0"
 [[ ! -f "$GRAFT_STRIKE_FILE" ]] || die "green run must leave no strike file"
 
-# noisy host + over-floor: strikes 1, 2 (exit 0), then 3 -> exit 3
-mkjson "$td/noisy.json" 9.0 1.6
+# noisy AND unsteady + over-floor: strikes 1, 2 (exit 0), then 3 -> exit 3
+mkjson "$td/noisy.json" 9.0 1.6 1.0 1.6
 [[ $(rc "$td/noisy.json") == 0 ]] || die "strike 1 must exit 0"
 [[ $(cat "$GRAFT_STRIKE_FILE") == 1 ]] || die "strike file must read 1"
 [[ $(rc "$td/noisy.json") == 0 ]] || die "strike 2 must exit 0"
@@ -41,12 +42,28 @@ mkjson "$td/noisy.json" 9.0 1.6
 [[ ! -f "$GRAFT_STRIKE_FILE" ]] || die "conclusive run must clear the strike file"
 
 # quiet host + over-floor: a REAL breach, exit 1, and no strike accrues
-mkjson "$td/breach.json" 9.0 1.05
+mkjson "$td/breach.json" 9.0 1.05 1.05 1.05
 [[ $(rc "$td/breach.json") == 1 ]] || die "quiet breach must exit 1"
 [[ ! -f "$GRAFT_STRIKE_FILE" ]] || die "quiet breach must not strike"
 
-# --update refuses a noisy run outright
-set +e; python3 bench_floor.py --update "$td/noisy.json" >/dev/null; r=$?; set -e
-[[ $r == 1 ]] || die "--update on a noisy run must exit 1"
+# STEADY slower host (cal_before == cal_after, level 1.6): thresholds scale
+# by the level — 2.5s < 2 x 1.0 x 1.6 passes conclusively, no strike...
+mkjson "$td/steady_ok.json" 2.5 1.6 1.6 1.6
+[[ $(rc "$td/steady_ok.json") == 0 ]] || die "steady level-corrected run must pass"
+[[ ! -f "$GRAFT_STRIKE_FILE" ]] || die "steady run must not strike"
+# ...and 9.0s > 3.2 is a REAL breach (exit 1), not an unattributable strike
+mkjson "$td/steady_breach.json" 9.0 1.6 1.6 1.6
+[[ $(rc "$td/steady_breach.json") == 1 ]] || die "steady breach must exit 1"
+[[ ! -f "$GRAFT_STRIKE_FILE" ]] || die "steady breach must not strike"
+# a steady host past LEVEL_MAX is too far from floor geometry: back to
+# the unattributable/strike path
+mkjson "$td/too_slow.json" 9.0 2.5 2.5 2.5
+[[ $(rc "$td/too_slow.json") == 0 ]] || die "over-LEVEL_MAX must strike, not fail"
+[[ $(cat "$GRAFT_STRIKE_FILE") == 1 ]] || die "over-LEVEL_MAX must strike 1"
+[[ $(rc "$td/ok.json") == 0 ]] # reset
+
+# --update refuses a noisy run outright (steady or not)
+set +e; python3 bench_floor.py --update "$td/steady_ok.json" >/dev/null; r=$?; set -e
+[[ $r == 1 ]] || die "--update on an above-NOISE_MAX run must exit 1"
 
 echo "BENCH FLOOR LIFECYCLE OK"
