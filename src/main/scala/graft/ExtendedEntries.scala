@@ -634,6 +634,30 @@ object ExtendedEntries {
     graft.streaming.StreamSessionize.report(s, work)
   }
 
+  /** The STREAM-STREAM event-time interval join, gated like the other
+    * q_stream_* queries: the events table replayed as three time-sliced
+    * micro-batches feeding TWO live sources (non-error actions, error
+    * incidents) through the REAL watermarked stream-stream join
+    * ([[graft.streaming.StreamJoin]] — keyed state both sides, bounded
+    * by the 30-min window), and the full match set is hash-checked
+    * against a plain batch-SQL DuckDB oracle. Verify-only: streaming
+    * machinery, not a query plan. */
+  private def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      ev.withColumn("_ms", unix_millis(col("ts"))), "_ms", work, slices = 3)
+    def stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamJoin.run(
+      stream.filter(col("event_type") =!= "error"),
+      stream.filter(col("event_type") === "error"),
+      "user_id", "event_id", windowUs = 1800000000L, workDir = work)
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamJoin.report(s, work)
+  }
+
   /** Streaming drift parameters shared by q_stream_drift's query and
     * oracle (events.value spans [0, ~490], mean ~50). */
   private val SdBinW = 25.0
@@ -947,6 +971,7 @@ object ExtendedEntries {
     "q_stream_cdc" -> qStreamCdc,
     "q_stream_drift" -> qStreamDrift,
     "q_stream_sessionize" -> qStreamSessionize,
+    "q_stream_join" -> qStreamJoin,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
       Dedup.dedupCorpusKeepBest(Tables.documents(s, dir), 0.7)),
@@ -2944,6 +2969,18 @@ object ExtendedEntries {
          |  floor(psi * 10000 + 0.5) / 10000 AS psi,
          |  floor(js * 10000 + 0.5) / 10000 AS js
          |FROM terms, g""".stripMargin,
+
+    // the stream-stream interval join must emit exactly the batch join's
+    // match set — hash-gated against plain batch SQL
+    "q_stream_join" ->
+      """SELECT a.user_id, a.event_id AS left_id, e.event_id AS right_id,
+        |  epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
+        |    AS gap_us
+        |FROM events a JOIN events e ON a.user_id = e.user_id
+        |  AND e.event_type = 'error' AND a.event_type != 'error'
+        |  AND CAST(e.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        |  AND CAST(e.ts AS TIMESTAMP)
+        |    <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""".stripMargin,
 
     "q_cdc_apply" -> cdcOracleSql,
     // the streaming CDC path must merge to the SAME snapshot: hash-gated

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Stream-stream event-time interval join — the remaining canonical
+  * Structured Streaming shape after the keyed-state (indicators, dedup,
+  * CDC), stateless-per-batch (drift), and session-window families: two
+  * LIVE streams joined on a key plus a bounded event-time window, the
+  * "did B follow A within T?" primitive (action→error attribution here;
+  * impression→click, order→fill, request→timeout in general).
+  *
+  * Spark buffers both sides in keyed state and joins as matches become
+  * possible; the event-time watermarks plus the two-sided time-range
+  * condition bound that state — a row is dropped the moment the other
+  * side's watermark passes its window, so state is O(window × arrival
+  * rate) per key, never history. An INNER join emits each match in the
+  * micro-batch where both sides are first present (no flush sentinel
+  * needed, unlike the session-window append).
+  *
+  * Parity contract (StreamJoinSpec + verify-only q_stream_join gated on
+  * a plain batch-SQL oracle): the streamed match set equals the batch
+  * interval join row for row — the join condition is exact event-time
+  * arithmetic, so nothing is approximate. Sink = the exactly-once
+  * streaming FileSink, same as StreamSessionize.
+  *
+  * 100 TB shape: state shuffles once on the join key; output appends;
+  * the same plan runs at 1000 executors with RocksDB-backed state. */
+object StreamJoin {
+
+  /** `left` rows matched to `right` rows of the same `keyCol` whose `ts`
+    * falls in [left.ts, left.ts + windowUs]; emits key, both ids, and
+    * the event-time gap. Both inputs must carry (keyCol, idCol, ts). */
+  def run(left: DataFrame, right: DataFrame, keyCol: String, idCol: String,
+      windowUs: Long, workDir: String): StreamingQuery = {
+    val a = left.withWatermark("ts", "0 seconds").alias("a")
+    val b = right.withWatermark("ts", "0 seconds").alias("b")
+    a.join(b, expr(
+        s"""a.$keyCol = b.$keyCol AND
+           |b.ts >= a.ts AND
+           |b.ts <= a.ts + INTERVAL $windowUs MICROSECOND""".stripMargin))
+      .select(col(s"a.$keyCol").as(keyCol),
+        col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"),
+        (unix_micros(col("b.ts")) - unix_micros(col("a.ts"))).as("gap_us"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .format("parquet")
+      .option("path", s"$workDir/matches")
+      .start()
+  }
+
+  /** All matches streamed so far. */
+  def report(spark: SparkSession, workDir: String): DataFrame =
+    spark.read.parquet(s"$workDir/matches")
+}

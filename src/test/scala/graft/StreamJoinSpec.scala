@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Feeder, StreamJoin}
+
+/** Stream==batch parity for the event-time interval join: the streamed
+  * match set must equal the batch join row for row — across micro-batch
+  * boundaries (left buffered in state until its right side arrives) and
+  * on the inclusive window edge. */
+class StreamJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val WinUs = 1800000000L // 30 min
+
+  private def ev(rows: (Long, Long, Long, String)*): DataFrame =
+    rows.toDF("user_id", "event_id", "us", "event_type")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"))
+
+  private def batchMatches(events: DataFrame): Seq[(Long, Long, Long, Long)] = {
+    val a = events.filter(col("event_type") =!= "error").alias("a")
+    val b = events.filter(col("event_type") === "error").alias("b")
+    a.join(b, expr(
+        s"""a.user_id = b.user_id AND b.ts >= a.ts AND
+           |b.ts <= a.ts + INTERVAL $WinUs MICROSECOND""".stripMargin))
+      .select(col("a.user_id"), col("a.event_id"), col("b.event_id"),
+        (unix_micros(col("b.ts")) - unix_micros(col("a.ts"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+  }
+
+  private def streamMatches(events: DataFrame, slices: Int): Seq[(Long, Long, Long, Long)] = {
+    val work = java.nio.file.Files.createTempDirectory("graft_sj").toString
+    Feeder.writeTimeSlicedFeed(
+      events.withColumn("_ms", unix_millis(col("ts"))), "_ms", work, slices)
+    def stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = StreamJoin.run(
+      stream.filter(col("event_type") =!= "error"),
+      stream.filter(col("event_type") === "error"),
+      "user_id", "event_id", WinUs, work)
+    q.processAllAvailable(); q.stop()
+    StreamJoin.report(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+  }
+
+  test("window edge is inclusive; matches cross micro-batch boundaries") {
+    // span 74 min replayed as 5 x ~14.8-min slices, so both matching
+    // pairs straddle slice boundaries (0→2 and 3→4): the left side must
+    // survive in join state until its right side's batch arrives
+    val base = 1700000000000000L
+    val m = 60000000L
+    val events = ev(
+      (1L, 1L, base, "click"), (1L, 2L, base + WinUs, "error"),      // edge: match
+      (2L, 3L, base, "click"), (2L, 4L, base + WinUs + 1, "error"),  // +1us: no match
+      (3L, 5L, base, "error"), (3L, 6L, base + 1, "click"),          // error first: no match
+      (4L, 7L, base + 50 * m, "view"), (4L, 8L, base + 74 * m, "error"))
+    val b = batchMatches(events)
+    assert(b.map(t => (t._1, t._2, t._3)) == Seq((1L, 1L, 2L), (4L, 7L, 8L)))
+    assert(streamMatches(events, 5) == b)
+  }
+
+  test("sf0.001 events: streamed interval join == batch join") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val s = streamMatches(events, 3)
+    assert(s.nonEmpty)
+    assert(s == batchMatches(events))
+  }
+}
