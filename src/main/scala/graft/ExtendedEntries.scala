@@ -658,6 +658,36 @@ object ExtendedEntries {
     graft.streaming.StreamJoin.report(s, work)
   }
 
+  /** LEFT-OUTER sibling of [[qStreamJoin]]: unmatched actions must
+    * surface with null matches exactly when watermark eviction proves
+    * them unmatched — the state machine's timeout edge. Needs a
+    * both-streams watermark sentinel (reserved user −1, filtered from
+    * the report): the join's eviction watermark is the MIN across the
+    * two sides. Hash-gated against the batch LEFT JOIN oracle. */
+  private def qStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_joino").toString
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      ev.withColumn("_ms", unix_millis(col("ts"))), "_ms", work, slices = 3)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinel = s.range(2).select( // one row for EACH stream's filter
+      lit(-1L).as("user_id"), (-col("id") - 1).as("event_id"),
+      timestamp_micros(lit(maxUs + 8640000000000L)).as("ts"),
+      when(col("id") === 0, lit("error")).otherwise(lit("click"))
+        .as("event_type"))
+    graft.streaming.Feeder.appendFeedFile(sentinel, work, 3)
+    def stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamJoin.run(
+      stream.filter(col("event_type") =!= "error"),
+      stream.filter(col("event_type") === "error"),
+      "user_id", "event_id", windowUs = 1800000000L, workDir = work,
+      joinType = "left_outer")
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamJoin.report(s, work).filter(col("user_id") =!= -1L)
+  }
+
   /** Streaming drift parameters shared by q_stream_drift's query and
     * oracle (events.value spans [0, ~490], mean ~50). */
   private val SdBinW = 25.0
@@ -972,6 +1002,7 @@ object ExtendedEntries {
     "q_stream_drift" -> qStreamDrift,
     "q_stream_sessionize" -> qStreamSessionize,
     "q_stream_join" -> qStreamJoin,
+    "q_stream_join_outer" -> qStreamJoinOuter,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
       Dedup.dedupCorpusKeepBest(Tables.documents(s, dir), 0.7)),
@@ -2981,6 +3012,17 @@ object ExtendedEntries {
         |  AND CAST(e.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
         |  AND CAST(e.ts AS TIMESTAMP)
         |    <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""".stripMargin,
+    // left-outer variant: unmatched actions surface with NULL matches
+    "q_stream_join_outer" ->
+      """SELECT a.user_id, a.event_id AS left_id, e.event_id AS right_id,
+        |  epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
+        |    AS gap_us
+        |FROM events a LEFT JOIN events e ON a.user_id = e.user_id
+        |  AND e.event_type = 'error'
+        |  AND CAST(e.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        |  AND CAST(e.ts AS TIMESTAMP)
+        |    <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |WHERE a.event_type != 'error'""".stripMargin,
 
     "q_cdc_apply" -> cdcOracleSql,
     // the streaming CDC path must merge to the SAME snapshot: hash-gated

@@ -17,7 +17,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * side's watermark passes its window, so state is O(window × arrival
   * rate) per key, never history. An INNER join emits each match in the
   * micro-batch where both sides are first present (no flush sentinel
-  * needed, unlike the session-window append).
+  * needed, unlike the session-window append); LEFT OUTER additionally
+  * emits null-matched lefts exactly when eviction proves them
+  * unmatched — the same state machine, exercised on its timeout edge.
   *
   * Parity contract (StreamJoinSpec + verify-only q_stream_join gated on
   * a plain batch-SQL oracle): the streamed match set equals the batch
@@ -31,15 +33,26 @@ object StreamJoin {
 
   /** `left` rows matched to `right` rows of the same `keyCol` whose `ts`
     * falls in [left.ts, left.ts + windowUs]; emits key, both ids, and
-    * the event-time gap. Both inputs must carry (keyCol, idCol, ts). */
+    * the event-time gap. Both inputs must carry (keyCol, idCol, ts).
+    *
+    * `joinType` "inner" emits matches as they become possible;
+    * "left_outer" ALSO emits each unmatched left row (null right_id /
+    * gap_us) — but only once the watermark proves no right row can
+    * still arrive inside its window. The eviction watermark is the MIN
+    * across BOTH sides' watermark nodes, so a bounded replay must
+    * append a far-future sentinel row to EACH stream to flush the tail
+    * (advancing one side alone flushes nothing — spec-measured); the
+    * caller filters the reserved sentinel key from the report. */
   def run(left: DataFrame, right: DataFrame, keyCol: String, idCol: String,
-      windowUs: Long, workDir: String): StreamingQuery = {
+      windowUs: Long, workDir: String,
+      joinType: String = "inner"): StreamingQuery = {
     val a = left.withWatermark("ts", "0 seconds").alias("a")
     val b = right.withWatermark("ts", "0 seconds").alias("b")
     a.join(b, expr(
         s"""a.$keyCol = b.$keyCol AND
            |b.ts >= a.ts AND
-           |b.ts <= a.ts + INTERVAL $windowUs MICROSECOND""".stripMargin))
+           |b.ts <= a.ts + INTERVAL $windowUs MICROSECOND""".stripMargin),
+        joinType)
       .select(col(s"a.$keyCol").as(keyCol),
         col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"),
         (unix_micros(col("b.ts")) - unix_micros(col("a.ts"))).as("gap_us"))

@@ -21,32 +21,51 @@ class StreamJoinSpec extends AnyFunSuite {
       .select(col("user_id"), col("event_id"),
         timestamp_micros(col("us")).as("ts"), col("event_type"))
 
-  private def batchMatches(events: DataFrame): Seq[(Long, Long, Long, Long)] = {
+  private def batchMatches(events: DataFrame,
+      joinType: String = "inner"): Seq[(Long, Long, Any, Any)] = {
     val a = events.filter(col("event_type") =!= "error").alias("a")
     val b = events.filter(col("event_type") === "error").alias("b")
     a.join(b, expr(
         s"""a.user_id = b.user_id AND b.ts >= a.ts AND
-           |b.ts <= a.ts + INTERVAL $WinUs MICROSECOND""".stripMargin))
+           |b.ts <= a.ts + INTERVAL $WinUs MICROSECOND""".stripMargin), joinType)
       .select(col("a.user_id"), col("a.event_id"), col("b.event_id"),
         (unix_micros(col("b.ts")) - unix_micros(col("a.ts"))))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sorted.toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+      .sortBy(t => (t._1, t._2, String.valueOf(t._3))).toSeq
   }
 
-  private def streamMatches(events: DataFrame, slices: Int): Seq[(Long, Long, Long, Long)] = {
+  private def streamMatches(events: DataFrame, slices: Int,
+      joinType: String = "inner"): Seq[(Long, Long, Any, Any)] = {
     val work = java.nio.file.Files.createTempDirectory("graft_sj").toString
     Feeder.writeTimeSlicedFeed(
       events.withColumn("_ms", unix_millis(col("ts"))), "_ms", work, slices)
+    if (joinType != "inner") {
+      // watermark-flush sentinel on BOTH streams (reserved user): the
+      // join's eviction watermark is the MIN across the two watermark
+      // nodes, so advancing only one side never flushes the other's tail
+      val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sentinel = Seq((-1L, -1L, maxUs + 8640000000000L, "error"),
+        (-1L, -2L, maxUs + 8640000000000L, "click"))
+        .toDF("user_id", "event_id", "us", "event_type")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"), col("event_type"))
+      Feeder.appendFeedFile(sentinel, work, slices)
+    }
     def stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
     val q = StreamJoin.run(
       stream.filter(col("event_type") =!= "error"),
       stream.filter(col("event_type") === "error"),
-      "user_id", "event_id", WinUs, work)
+      "user_id", "event_id", WinUs, work, joinType)
     q.processAllAvailable(); q.stop()
-    StreamJoin.report(spark, work).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sorted.toSeq
+    StreamJoin.report(spark, work)
+      .filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+      .sortBy(t => (t._1, t._2, String.valueOf(t._3))).toSeq
   }
 
   test("window edge is inclusive; matches cross micro-batch boundaries") {
@@ -65,11 +84,25 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(streamMatches(events, 5) == b)
   }
 
-  test("sf0.001 events: streamed interval join == batch join") {
+  test("left-outer: unmatched lefts emit null matches on state eviction") {
+    val base = 1700000000000000L
+    val m = 60000000L
+    val events = ev(
+      (1L, 1L, base, "click"), (1L, 2L, base + 10 * m, "error"), // matched
+      (2L, 3L, base + 5 * m, "view"),                            // never matched
+      (3L, 4L, base + 74 * m, "click")) // tail: only the sentinel evicts it
+    val b = batchMatches(events, "left_outer")
+    assert(b.count(_._3 == null) == 2 && b.count(_._3 != null) == 1)
+    assert(streamMatches(events, 3, "left_outer") == b)
+  }
+
+  test("sf0.001 events: streamed interval join == batch join, both types") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
     val s = streamMatches(events, 3)
     assert(s.nonEmpty)
     assert(s == batchMatches(events))
+    assert(streamMatches(events, 3, "left_outer") ==
+      batchMatches(events, "left_outer"))
   }
 }
