@@ -1045,6 +1045,7 @@ object ExtendedEntries {
     "q_cosine_q8" -> qCosineQ8,
     "q_cosine_pq" -> qCosinePq,
     "q_cosine_ivfpq" -> qCosineIvfPq,
+    "q_cosine_ivfpq_sampled" -> qCosineIvfPqSampled,
     "q_embed_drift" -> qEmbedDrift,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
@@ -1454,31 +1455,54 @@ object ExtendedEntries {
       nprobe = IvfPqNprobe)
   }
 
+  /** The TRAIN-ON-SAMPLE IVFADC ([[operators.ProductQuantizer
+    * .ivfPqIndexSampled]]): Lloyd runs on the deterministic evens-only
+    * half, assignment and encoding cover every vector — the 100 TB
+    * shape, where training cost is O(sample) and the corpus pays only
+    * the two broadcast assigns. Hash-gated end to end against the
+    * sampled-training DuckDB mirror (same generator as q_cosine_ivfpq,
+    * sampledTrain = true). */
+  private def qCosineIvfPqSampled(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (cent, cbs, codes) = operators.ProductQuantizer.ivfPqIndexSampled(emb,
+      nClusters = IvfPqC, ivfIters = IvfPqIvfIters,
+      subspaces = PqM, subDim = PqSub, k = PqK, pqIters = PqIters)
+    operators.ProductQuantizer.searchIvfPq(emb, cent, cbs, codes,
+      nQueries = 10, topK = 5, subspaces = PqM, subDim = PqSub,
+      nprobe = IvfPqNprobe)
+  }
+
   /** IVFADC oracle (mirrors ProductQuantizer.ivfPqIndex + searchIvfPq):
     * cosine IVF Lloyd over the normalized vectors, residuals via exact
     * double-subtract-float-cast, L2 PQ codebooks over the residuals, and
     * the probe-scoped ADC score dot(q,c) + Σ_m dot(q_m, cw) in integer
     * micros. Every sub-contract reuses the idiom already proven by
     * q_cosine_ivf and q_cosine_pq. */
-  private def oIvfPqSql(nQ: Int, topK: Int): String = {
+  private def oIvfPqSql(nQ: Int, topK: Int,
+      sampledTrain: Boolean = false): String = {
     val dim = 64
+    // sampled training (ivfPqIndexSampled mirror): Lloyd inputs come
+    // from the evens-only half, seeds widen to < 2C / 2K so the sample
+    // still yields C centroids and K codes; assignment/encode stay full
+    val trainSrc = if (sampledTrain) "tnorm" else "norm"
     // --- cosine IVF over norm (oIvfAssign pattern, source = norm/e) ---
-    def iAssign(name: String, centTable: String) =
+    def iAssign(name: String, centTable: String, src: String = "norm") =
       s"""$name AS (
          |  SELECT vec_id, centroid_id, e FROM (
          |    SELECT n.vec_id, c.centroid_id, n.e,
          |      row_number() OVER (PARTITION BY n.vec_id
          |        ORDER BY ${r4(oCos("n.e", "c.ce"))} DESC, c.centroid_id) AS arn
-         |    FROM norm n, $centTable c
+         |    FROM $src n, $centTable c
          |  ) WHERE arn = 1
          |)""".stripMargin
     val ivfSeed =
       s"""icent0 AS (
-         |  SELECT vec_id AS centroid_id, e AS ce FROM norm WHERE vec_id < $IvfPqC
+         |  SELECT vec_id AS centroid_id, e AS ce FROM $trainSrc
+         |  WHERE vec_id < ${if (sampledTrain) 2 * IvfPqC else IvfPqC}
          |)""".stripMargin
     val ivfSteps = (1 to IvfPqIvfIters).map { t =>
       Seq(
-        iAssign(s"ia$t", s"icent${t - 1}"),
+        iAssign(s"ia$t", s"icent${t - 1}", trainSrc),
         s"""im$t AS (
            |  SELECT centroid_id, r.i AS i,
            |    CAST(sum(CAST(floor(CAST(e[r.i] AS DOUBLE) * 1000000 + 0.5)
@@ -1502,25 +1526,32 @@ object ExtendedEntries {
     // --- residual PQ (oPqSql pattern, source = res/rv) ---
     val d2 = (v: String, c: String) =>
       r4(s"(${oDot(c, c)}) - 2 * (${oDot(v, c)})")
-    def pAssign(name: String, m: Int, centTable: String) =
+    def pAssign(name: String, m: Int, centTable: String,
+        srcSuffix: String = "") =
       s"""$name AS (
          |  SELECT vec_id, code, sv FROM (
          |    SELECT s.vec_id, c.code, s.sv,
          |      row_number() OVER (PARTITION BY s.vec_id
          |        ORDER BY ${d2("s.sv", "c.ce")} ASC, c.code) AS arn
-         |    FROM rsub$m s, $centTable c
+         |    FROM ${srcSuffix}rsub$m s, $centTable c
          |  ) WHERE arn = 1
          |)""".stripMargin
+    val pqTrainPfx = if (sampledTrain) "t" else ""
     val perSubspace = (0 until PqM).map { m =>
       val lo = m * PqSub + 1; val hi = (m + 1) * PqSub
+      val trainCte = if (sampledTrain)
+        s"""trsub$m AS (SELECT vec_id, sv FROM rsub$m WHERE vec_id % 2 = 0),
+           |""".stripMargin
+      else ""
       val seed =
         s"""rsub$m AS (SELECT vec_id, rv[$lo:$hi] AS sv FROM res),
-           |rcent${m}_0 AS (
-           |  SELECT vec_id AS code, sv AS ce FROM rsub$m WHERE vec_id < $PqK
+           |${trainCte}rcent${m}_0 AS (
+           |  SELECT vec_id AS code, sv AS ce FROM ${pqTrainPfx}rsub$m
+           |  WHERE vec_id < ${if (sampledTrain) 2 * PqK else PqK}
            |)""".stripMargin
       val steps = (1 to PqIters).map { t =>
         Seq(
-          pAssign(s"ra${m}_$t", m, s"rcent${m}_${t - 1}"),
+          pAssign(s"ra${m}_$t", m, s"rcent${m}_${t - 1}", pqTrainPfx),
           s"""rmm${m}_$t AS (
              |  SELECT code, r.i AS i,
              |    CAST(sum(CAST(floor(CAST(sv[r.i] AS DOUBLE) * 1000000 + 0.5)
@@ -1548,12 +1579,14 @@ object ExtendedEntries {
         s"SELECT vec_id AS query_id, $m AS m, e[$lo:$hi] AS qe FROM norm WHERE vec_id < $nQ"
       }
       .mkString("qsubs AS (\n", "\n  UNION ALL ", "\n)")
+    val tnormCte = if (sampledTrain)
+      "tnorm AS (SELECT vec_id, e FROM norm WHERE vec_id % 2 = 0),\n" else ""
     s"""WITH norm AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(CAST(x AS DOUBLE) / sqrt(${oDot("embedding", "embedding")}) AS FLOAT)) AS e
        |  FROM embeddings
        |),
-       |$ivfSeed,
+       |$tnormCte$ivfSeed,
        |${ivfSteps.mkString(",\n")},
        |${iAssign(iAssignedName, centF)},
        |$res,
@@ -2955,6 +2988,7 @@ object ExtendedEntries {
 
     "q_cosine_pq" -> oPqSql(10, 5),
     "q_cosine_ivfpq" -> oIvfPqSql(10, 5),
+    "q_cosine_ivfpq_sampled" -> oIvfPqSql(10, 5, sampledTrain = true),
 
     // embedding drift: the scalar drift skeleton (q_drift, CorpusEntries)
     // with bins = shared-codebook IVF cluster ids

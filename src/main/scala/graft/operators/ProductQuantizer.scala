@@ -95,12 +95,15 @@ object ProductQuantizer {
 
   /** [[train]] without the normalization step — for callers that already
     * preprocessed the vectors (e.g. IVFADC trains codebooks on CLUSTER
-    * RESIDUALS, which must not be re-normalized). */
+    * RESIDUALS, which must not be re-normalized). `seedBound` widens the
+    * seed id range past k for SAMPLED training frames whose vec_ids have
+    * gaps (e.g. an evens-only sample seeds k codebook entries from
+    * vec_id < 2k); codes are labels, so gapped code values are fine. */
   def trainOn(pre: DataFrame, subspaces: Int, subDim: Int, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int, seedBound: Option[Int] = None): DataFrame = {
     val subs = subvectors(pre, subspaces, subDim)
       .materialize // consumed every Lloyd round
-    var cent = subs.filter(col("vec_id") < k)
+    var cent = subs.filter(col("vec_id") < seedBound.getOrElse(k))
       .select(col("m"), col("vec_id").as("code"), col("sv").as("ce"))
     for (_ <- 1 to iters) {
       cent = l2Assign(subs, cent).join(subs, Seq("vec_id", "m"))
@@ -155,6 +158,38 @@ object ProductQuantizer {
       .select(col("vec_id"), expr(residualExpr).as("embedding"))
       .materialize // codebook training + encoding both consume it
     val codebooks = trainOn(residuals, subspaces, subDim, k, pqIters)
+    val codes = encodeOn(residuals, codebooks, subspaces, subDim)
+      .join(assign, "vec_id")
+    (cent, codebooks, codes)
+  }
+
+  /** [[ivfPqIndex]] with Lloyd TRAINING (IVF centroids + residual PQ
+    * codebooks) restricted to the deterministic 50% sample
+    * vec_id % 2 = 0, while assignment and encoding still cover EVERY
+    * vector — the 100 TB shape: training cost is O(sample), the
+    * expensive full-corpus passes are the two one-shot broadcast
+    * assigns. Seeds widen to the evens below 2C / 2K so the sampled
+    * frame still yields C centroids and K codes per subspace. Same
+    * determinism contract as the full trainer; q_cosine_ivfpq_sampled
+    * hash-gates the whole composition against a DuckDB mirror of the
+    * sampled training, and PqSpec pins that sampled-train recall stays
+    * at the shipped operating point's floor. */
+  def ivfPqIndexSampled(emb: DataFrame, nClusters: Int, ivfIters: Int,
+      subspaces: Int, subDim: Int, k: Int, pqIters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val trainPred = pmod(col("vec_id"), lit(2)) === 0
+    val normed = normalize(emb).materialize
+    val trainSet = normed.filter(trainPred)
+    val cent = Similarity.ivfTrainFrom(trainSet,
+      Similarity.ivfSeed(trainSet, 2 * nClusters), ivfIters)
+    val assign = Similarity.ivfAssign(normed, cent)
+      .select(col("vec_id"), col("centroid_id"))
+    val residuals = normed.join(assign, "vec_id")
+      .join(broadcast(cent), "centroid_id")
+      .select(col("vec_id"), expr(residualExpr).as("embedding"))
+      .materialize // codebook training + encoding both consume it
+    val codebooks = trainOn(residuals.filter(trainPred),
+      subspaces, subDim, k, pqIters, seedBound = Some(2 * k))
     val codes = encodeOn(residuals, codebooks, subspaces, subDim)
       .join(assign, "vec_id")
     (cent, codebooks, codes)

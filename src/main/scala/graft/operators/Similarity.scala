@@ -117,8 +117,14 @@ object Similarity {
     * shrinks), mirrored identically by the oracle. At corpus scale Lloyd
     * runs on a bounded sample; assignment of the full corpus stays one
     * broadcast pass. */
-  def ivfTrain(emb: DataFrame, k: Int, iters: Int = 2): DataFrame = {
-    var cent = ivfSeed(emb, k)
+  def ivfTrain(emb: DataFrame, k: Int, iters: Int = 2): DataFrame =
+    ivfTrainFrom(emb, ivfSeed(emb, k), iters)
+
+  /** Lloyd rounds from an EXPLICIT initial centroid table — the seam the
+    * train-on-sample path needs: pass a sampled `emb` and seeds drawn
+    * from that sample, then assign the FULL corpus against the result. */
+  def ivfTrainFrom(emb: DataFrame, cent0: DataFrame, iters: Int): DataFrame = {
+    var cent = cent0
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(emb, cent).select("vec_id", "centroid_id")
         .join(emb.select("vec_id", "embedding"), "vec_id")

@@ -21,6 +21,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed = Set("q_tfidf", "q_quality_deciles", "q_source_mix",
     "q_cosine_ivf", "q_cosine_ivf_probe", "q_ivf_append", // centroid bcasts
     "q_cosine_pq", "q_cosine_ivfpq", // K-row codebook / centroid bcasts
+    "q_cosine_ivfpq_sampled",
     "q_embed_clusters", "q_dedup_embed_ivf",
     "q_dedup_embed_ivf2", // centroid-table broadcast in ivfAssignTop
     "q_cosine_topk", "q_ivf_recall", // exact side = brute-force query bcast

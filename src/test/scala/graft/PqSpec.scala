@@ -121,6 +121,26 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.40, s"shipped-default recall@5 $recall < 0.40 floor")
   }
 
+  test("train-on-sample IVFADC holds the same recall floor") {
+    // the 100 TB path (Lloyd on the evens-only half, full assign/encode)
+    // must not cost retrieval quality: pin the same 0.40 floor as the
+    // full-training shipped point (which measures 0.504 here)
+    import ProductQuantizer.{DefaultSubspaces, DefaultSubDim, DefaultK, DefaultNprobe}
+    val (cent, cbs, codes) = ProductQuantizer.ivfPqIndexSampled(emb,
+      nClusters = 4, ivfIters = 2, subspaces = DefaultSubspaces,
+      subDim = DefaultSubDim, k = DefaultK, pqIters = iters)
+    val got = ProductQuantizer.searchIvfPq(emb, cent, cbs, codes,
+      50, 5, DefaultSubspaces, DefaultSubDim, nprobe = DefaultNprobe)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineTopK(emb, 50, 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(s"sampled-train recall@5: $recall")
+    assert(recall >= 0.40, s"sampled-train recall@5 $recall < 0.40 floor")
+  }
+
   test("ADC scores stay in the cosine range (quantization slack only)") {
     val cb = ProductQuantizer.train(emb, m, sub, k, iters)
     val out = ProductQuantizer.searchAdc(emb, cb, 10, 5, m, sub)
