@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Decontamination, Dedup, Packing, Sampling, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Decontamination, Dedup, Packing, Sampling, TextAnalysis}
 import graft.sources.{Tables, TextIngest}
 
 /** End-to-end corpus curation pipeline — the composed "raw documents →
@@ -12,7 +12,9 @@ import graft.sources.{Tables, TextIngest}
   *
   *   quality-score filter → structural rule gate → repetition filter →
   *   near-dup corpus dedup → benchmark decontamination → deterministic
-  *   sample → chunk → sequence-pack → partitioned parquet write
+  *   sample → chunk → sequence-pack → partitioned parquet write →
+  *   BPE tokenizer artifact (merge table + subword vocabulary) trained
+  *   on exactly the surviving corpus
   *
   * Every stage is a DataFrame→DataFrame function, so the whole pipeline
   * is ONE lazy plan per materialization and inherits each operator's
@@ -23,10 +25,10 @@ import graft.sources.{Tables, TextIngest}
 object Curate {
 
   /** Stage survivors, in order (`chunks`/`seqs` count training rows, not
-    * documents). */
+    * documents; `merges`/`vocab` describe the tokenizer artifact). */
   final case class Funnel(input: Long, quality: Long, rules: Long,
       repetition: Long, dedup: Long, decontaminated: Long, sampled: Long,
-      chunks: Long, seqs: Long)
+      chunks: Long, seqs: Long, merges: Long, vocab: Long)
 
   /** @param bloomScreen run decontamination through the bloom prescreen
     *   ([[Decontamination.screenBloom]]) instead of the exact broadcast —
@@ -85,11 +87,22 @@ object Curate {
     TextIngest.writePartitioned(out, s"$outDir/chunks",
       partitionCols = Seq("lang"), sortCols = Seq("doc_id", "chunk_id"))
 
+    // 8. tokenizer artifact: BPE merge table learned on EXACTLY the
+    // surviving corpus (training the tokenizer on pre-curation text
+    // would bake duplicated/contaminated n-grams into the vocabulary),
+    // plus the exact subword vocabulary with corpus counts
+    val merges = Bpe.trainMerges(sampled, iters = 32)
+    merges.write.mode("overwrite").parquet(s"$outDir/tokenizer/merges")
+    val vocab = Bpe.encode(sampled, merges)
+    vocab.write.mode("overwrite").parquet(s"$outDir/tokenizer/vocab")
+
     val written = spark.read.parquet(s"$outDir/chunks")
     Funnel(docs.count(), quality.count(), ruled.count(), repetition.count(),
       deduped.count(), train.count(), sampled.count(),
       written.count(),
-      written.select(col("seq_id")).distinct().count())
+      written.select(col("seq_id")).distinct().count(),
+      spark.read.parquet(s"$outDir/tokenizer/merges").count(),
+      spark.read.parquet(s"$outDir/tokenizer/vocab").count())
   }
 
   def main(args: Array[String]): Unit = {
@@ -107,7 +120,8 @@ object Curate {
     println(s"""{"input":${f.input},"quality":${f.quality},"rules":${f.rules},""" +
       s""""repetition":${f.repetition},"dedup":${f.dedup},""" +
       s""""decontaminated":${f.decontaminated},"sampled":${f.sampled},""" +
-      s""""chunks":${f.chunks},"seqs":${f.seqs}}""")
+      s""""chunks":${f.chunks},"seqs":${f.seqs},""" +
+      s""""merges":${f.merges},"vocab":${f.vocab}}""")
     spark.stop()
   }
 }

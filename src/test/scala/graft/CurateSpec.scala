@@ -24,6 +24,8 @@ class CurateSpec extends AnyFunSuite {
     assert(f.sampled > 0 && f.chunks >= f.sampled)
     // packing: sequence count ≈ total tokens / 512, never above chunk count
     assert(f.seqs > 0 && f.seqs <= f.chunks)
+    // tokenizer artifact: full merge table learned, non-trivial vocabulary
+    assert(f.merges == 32 && f.vocab > 26)
     // deterministic: a rerun lands the identical funnel
     val out2 = Files.createTempDirectory("graft_curate2").toString
     assert(Curate.run(spark, "/root/testdata/sf0.001", out2) == f)
