@@ -93,6 +93,13 @@ object OracleSql {
        |     ELSE ($alphaExpr) * $x + (1 - ($alphaExpr)) * $prev END""".stripMargin
   }
 
+  /** Holt linear-trend smoothing parameters shared by q_holt's query
+    * (SeededAggs.HoltAgg) and the recursion below — 1−α stays an
+    * EXPRESSION on both sides so the doubles agree bit for bit.
+    * (Declared BEFORE recCte: object vals initialize in order.) */
+  val HoltAlpha = 0.2
+  val HoltBeta = 0.1
+
   /** The full recursive state machine: every order-dependent indicator state
     * advanced one row per iteration, exactly mirroring SeededAggs.EmaAgg /
     * AdxAgg float-for-float (same operation order ⇒ bitwise-equal doubles).
@@ -112,10 +119,12 @@ object OracleSql {
        |         CAST(NULL AS DOUBLE) AS sg, CAST(NULL AS DOUBLE) AS sl,
        |         tr AS sa,
        |         CAST(NULL AS DOUBLE) AS sp, CAST(NULL AS DOUBLE) AS sn, CAST(NULL AS DOUBLE) AS st,
-       |         CAST(0 AS BIGINT) AS dxc, CAST(NULL AS DOUBLE) AS dxs
+       |         CAST(0 AS BIGINT) AS dxc, CAST(NULL AS DOUBLE) AS dxs,
+       |         close AS hl, CAST(0 AS DOUBLE) AS hb
        |  FROM b WHERE rn = 1
        |  UNION ALL
-       |  SELECT symbol, time, rn, s10x, s20x, s12x, s26x, sgx, slx, sax, sp2, sn2, st2, dxc2, dxs2
+       |  SELECT symbol, time, rn, s10x, s20x, s12x, s26x, sgx, slx, sax, sp2, sn2, st2, dxc2, dxs2,
+       |         hl2, hb2
        |  FROM (
        |    SELECT b.symbol, b.time, b.rn,
        |      $s10 AS s10x,
@@ -145,7 +154,9 @@ object OracleSql {
        |      CASE WHEN dx2 IS NULL THEN r.dxs
        |           WHEN dxc2 < 14 THEN coalesce(r.dxs, 0) + dx2
        |           WHEN dxc2 = 14 THEN (coalesce(r.dxs, 0) + dx2) / 14
-       |           ELSE r.dxs + (dx2 - r.dxs) / 14 END AS dxs2
+       |           ELSE r.dxs + (dx2 - r.dxs) / 14 END AS dxs2,
+       |      $HoltAlpha * b.close + (1 - $HoltAlpha) * (r.hl + r.hb) AS hl2,
+       |      $HoltBeta * (hl2 - r.hl) + (1 - $HoltBeta) * r.hb AS hb2
        |    FROM rec r JOIN b ON b.symbol = r.symbol AND b.rn = r.rn + 1
        |  )
        |)""".stripMargin

@@ -162,6 +162,19 @@ object SparkEntry {
       r(SeededAggs.ema(col("close"), 20, spec)).as("ema_20"))
   }
 
+  /** Holt linear-trend smoothing + one-step forecast per symbol
+    * ([[SeededAggs.HoltAgg]]) — the forecasting extension of the EMA
+    * family: level and trend folded together over the running frame,
+    * mirrored in the shared recursive oracle's (hl, hb) states. */
+  private def qHolt(s: SparkSession, dir: String): DataFrame = {
+    val spec = WI.w()
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(SeededAggs.holt(col("close"), HoltAlpha, HoltBeta, 0, spec)).as("holt_level"),
+      r(SeededAggs.holt(col("close"), HoltAlpha, HoltBeta, 1, spec)).as("holt_trend"),
+      r(SeededAggs.holt(col("close"), HoltAlpha, HoltBeta, 2, spec)).as("holt_forecast"))
+  }
+
   /** A5: MACD line = EMA(12) − EMA(26) (backfill.py:23-27). */
   private def qMacd(s: SparkSession, dir: String): DataFrame = {
     val spec = WI.w()
@@ -268,6 +281,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExtendedEntries.queries ++ CorpusEntries.queries ++ Map(
     "q_ema" -> qEma,
+    "q_holt" -> qHolt,
     "q_macd" -> qMacd,
     "q_rsi" -> qRsi,
     "q_atr" -> qAtr,
@@ -330,6 +344,11 @@ object SparkEntry {
     ExtendedEntries.oracleSql ++ CorpusEntries.oracleSql ++ Map(
     "q_ema" -> recQuery(
       s"""SELECT symbol, time, ${r4(emaOut10)} AS ema_10, ${r4(emaOut20)} AS ema_20
+         |FROM rec""".stripMargin),
+
+    "q_holt" -> recQuery(
+      s"""SELECT symbol, time, ${r4("hl")} AS holt_level,
+         |  ${r4("hb")} AS holt_trend, ${r4("hl + hb")} AS holt_forecast
          |FROM rec""".stripMargin),
 
     "q_macd" -> recQuery(

@@ -184,6 +184,69 @@ object SeededAggs {
       copy(pdm = f, ndm = s, tr = t)
   }
 
+  final class HoltBuf(var seen: Long, var l: Double, var b: Double)
+
+  /** Holt linear-trend (double exponential) smoothing — the forecasting
+    * extension of the EMA family: level l and trend b evolve together,
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * with the causal seed l_1 = x_1, b_1 = 0 (no lookahead, so the fold
+    * streams like every other smoother here). `part` selects the output:
+    * 0 = level, 1 = trend, 2 = one-step-ahead forecast l + b. All three
+    * ride the same running frame, so WindowExec folds each in O(n) on
+    * the shared per-symbol sort. 1−α / 1−β are computed (not literal) so
+    * the DuckDB oracle's identical `(1 - α)` expressions are bit-equal. */
+  case class HoltAgg(
+      child: Expression,
+      alpha: Double,
+      beta: Double,
+      part: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends SeededFoldBase[HoltBuf] with UnaryLike[Expression] {
+
+    override def prettyName: String = "holt_smooth"
+
+    override def createAggregationBuffer(): HoltBuf = new HoltBuf(0L, 0.0, 0.0)
+
+    override def update(b: HoltBuf, row: InternalRow): HoltBuf = {
+      val v = child.eval(row)
+      if (v != null) {
+        val x = v.asInstanceOf[Double]
+        b.seen += 1
+        if (b.seen == 1) { b.l = x; b.b = 0.0 }
+        else {
+          val newL = alpha * x + (1 - alpha) * (b.l + b.b)
+          b.b = beta * (newL - b.l) + (1 - beta) * b.b
+          b.l = newL
+        }
+      }
+      b
+    }
+
+    override def eval(b: HoltBuf): Any =
+      if (b.seen < 1) null
+      else part match {
+        case 0 => b.l
+        case 1 => b.b
+        case _ => b.l + b.b
+      }
+
+    override def serialize(b: HoltBuf): Array[Byte] = {
+      val bb = ByteBuffer.allocate(24)
+      bb.putLong(b.seen); bb.putDouble(b.l); bb.putDouble(b.b)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): HoltBuf = {
+      val bb = ByteBuffer.wrap(bytes)
+      new HoltBuf(bb.getLong, bb.getDouble, bb.getDouble)
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): HoltAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HoltAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): HoltAgg = copy(child = c)
+  }
+
   private def running(spec: WindowSpec): WindowSpec =
     spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -204,5 +267,14 @@ object SeededAggs {
     ColumnBridge.column(
       AdxAgg(ColumnBridge.expression(pdm), ColumnBridge.expression(ndm),
         ColumnBridge.expression(tr), n).toAggregateExpression())
+      .over(running(spec))
+
+  /** Holt level (part 0) / trend (1) / one-step forecast (2) of `c` as a
+    * running window column. */
+  def holt(c: Column, alpha: Double, beta: Double, part: Int,
+      spec: WindowSpec): Column =
+    ColumnBridge.column(
+      HoltAgg(ColumnBridge.expression(c), alpha, beta, part)
+        .toAggregateExpression())
       .over(running(spec))
 }

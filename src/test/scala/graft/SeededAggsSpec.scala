@@ -37,6 +37,38 @@ class SeededAggsSpec extends AnyFunSuite {
     assert(got.toSeq == exp)
   }
 
+  /** Independent Holt reference fold (causal seed l1 = x1, b1 = 0). */
+  private def holtRef(vals: Seq[Double], a: Double, b: Double): Seq[(Double, Double)] = {
+    var l = 0.0; var t = 0.0; var seen = 0
+    vals.map { x =>
+      seen += 1
+      if (seen == 1) { l = x; t = 0.0 }
+      else {
+        val nl = a * x + (1 - a) * (l + t)
+        t = b * (nl - l) + (1 - b) * t
+        l = nl
+      }
+      (l, t)
+    }
+  }
+
+  test("Holt level/trend/forecast match the independent fold, exact") {
+    val vals = (1 to 50).map(i => 50.0 + 0.8 * i + 7 * math.sin(i * 0.5))
+    val got = series(vals)
+      .select(col("time"),
+        SeededAggs.holt(col("close"), 0.2, 0.1, 0, WI.w()).as("l"),
+        SeededAggs.holt(col("close"), 0.2, 0.1, 1, WI.w()).as("t"),
+        SeededAggs.holt(col("close"), 0.2, 0.1, 2, WI.w()).as("f"))
+      .orderBy("time").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val exp = holtRef(vals, 0.2, 0.1)
+    assert(got.toSeq == exp.map { case (l, t) => (l, t, l + t) })
+    // on a linear series the trend converges toward the true slope
+    val lin = (1 to 200).map(i => 10.0 + 0.8 * i)
+    val lastTrend = holtRef(lin, 0.2, 0.1).last._2
+    assert(math.abs(lastTrend - 0.8) < 0.01)
+  }
+
   test("RMA(14) = EMA with alpha 1/14") {
     val vals = (1 to 40).map(i => (i % 9).toDouble)
     val got = series(vals)
