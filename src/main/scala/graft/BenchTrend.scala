@@ -40,6 +40,7 @@ object BenchTrend {
     "q_jaccard_pairs", "q_simhash", "q_minhash_lsh", "q_substring_dup",
     "q_rolling_quantile", "q_dedup_embed_lsh", "q_dedup_embed_ivf",
     "q_dedup_embed_ivf2", "q_cosine_pq", "q_cosine_ivfpq",
+    "q_cosine_ivfpq_sampled",
     "q_cdc_apply", "q_cdc_diff",
     "q_media_jpeg", "q_media_mp4", "q_media_png", "q_media_decode",
     "q_bpe_train", "q_bpe_encode")

@@ -204,6 +204,27 @@ object ExtendedEntries {
           col("dec_height") === col("height")).as("decode_agrees"))
   }
 
+  /** REAL-codec cross-check, audio flavor ([[Multimodal.decodeWav]]):
+    * javax.sound decodes every synthesized PCM WAV; format fields must
+    * match the codegen header walk and the exact sample statistics must
+    * match the closed-form expectation (constant 0x5A body ⇒ every
+    * 16-bit LE sample is 23130) — the oracle pins the walked fields AND
+    * `decode_agrees` as literal TRUE. */
+  private def qMediaDecodeWav(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthWav(Tables.documents(s, dir))
+    Multimodal.parseWav(media)
+      .select(col("doc_id"), col("channels"), col("sample_rate"),
+        col("data_size"))
+      .join(Multimodal.decodeWav(media), Seq("doc_id"))
+      .select(col("doc_id"), col("channels"), col("sample_rate"),
+        col("data_size"), (col("data_size") / 2).cast("long").as("n_samples"),
+        (col("decoded_ok") && col("a_channels") === col("channels") &&
+          col("a_rate") === col("sample_rate") &&
+          col("a_samples") === (col("data_size") / 2).cast("long") &&
+          col("a_first") === 23130L && col("a_peak") === 23130L)
+          .as("decode_agrees"))
+  }
+
   /** Mixed-modality corpus inventory: evens are audio, odds are images. */
   private def qMediaStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -1056,6 +1077,7 @@ object ExtendedEntries {
     "q_media_wav" -> qMediaWav,
     "q_media_bmp" -> qMediaBmp,
     "q_media_decode" -> qMediaDecode,
+    "q_media_decode_wav" -> qMediaDecodeWav,
     "q_media_stats" -> qMediaStats,
     "q_media_png" -> qMediaPng,
     "q_media_jpeg" -> qMediaJpeg,
@@ -3313,6 +3335,29 @@ object ExtendedEntries {
          |    AS header_hex,
          |  CAST(stride AS BIGINT) AS stride
          |FROM h""".stripMargin,
+
+    // real-codec cross-check, audio: walked fields re-derived from the
+    // generation rule; the Spark side REALLY decodes PCM frames via
+    // javax.sound and folds exact sample stats (constant 0x5A body ⇒
+    // every 16-bit LE sample is 23130)
+    "q_media_decode_wav" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    1 + doc_id % 2 AS channels,
+         |    8000 * (1 + doc_id % 5) AS rate
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, channels, rate,
+         |    (doc_id % 100 + 1) * channels * 2 AS data_size
+         |  FROM f
+         |)
+         |SELECT doc_id,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(rate AS BIGINT) AS sample_rate,
+         |  CAST(data_size AS BIGINT) AS data_size,
+         |  CAST(data_size // 2 AS BIGINT) AS n_samples,
+         |  TRUE AS decode_agrees
+         |FROM g""".stripMargin,
 
     // real-codec cross-check: walked fields re-derived from the shared
     // generation rule; decode_agrees is the in-band error contract — the

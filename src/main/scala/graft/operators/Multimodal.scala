@@ -132,6 +132,58 @@ object Multimodal {
       }.toDF()
   }
 
+  /** One decoded audio payload: success flag, format fields as the
+    * decoder reports them, and exact sample statistics (-1 on failure —
+    * corrupt audio flags, never crashes the scan). */
+  final case class DecodedAudio(doc_id: Long, decoded_ok: Boolean,
+      a_channels: Long, a_rate: Long, a_samples: Long,
+      a_first: Long, a_peak: Long)
+
+  /** REAL audio decode — WAV/PCM via `javax.sound.sampled` (in the JDK,
+    * like [[decodeBmp]]'s imageio) on the same typed per-partition batch
+    * shape: the codec parses the RIFF container, reports the format, and
+    * streams the raw frames, from which exact 16-bit LE sample stats
+    * (count, first, peak) are folded — so q_media_decode_wav can pin the
+    * whole decode path against closed-form expectations (the synthesized
+    * bodies are constant 0x5A bytes ⇒ every sample is 0x5A5A = 23130).
+    * Two real codecs (image + audio) now prove the stub plumbing. */
+  def decodeWav(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val data = ais.readAllBytes()
+            ais.close()
+            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+              DecodedAudio(id, decoded_ok = false, -1L, -1L, -1L, -1L, -1L)
+            else {
+              val n = data.length / 2
+              var peak = 0L
+              var first = 0L
+              var i = 0
+              while (i < n) {
+                val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+                if (i == 0) first = s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                i += 1
+              }
+              DecodedAudio(id, decoded_ok = true, fmt.getChannels.toLong,
+                fmt.getSampleRate.toLong, n.toLong, first, peak)
+            }
+          } catch { // malformed payload: quarantine-flag, never throw
+            case _: Exception =>
+              DecodedAudio(id, decoded_ok = false, -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+      }.toDF()
+  }
+
   // ------------------------------------------------- real binary headers
   //
   // Past the stub codec: REAL self-describing container formats (RIFF/WAV

@@ -28,6 +28,31 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("javax.sound decode agrees with the WAV walk and sample math") {
+    val media = Multimodal.synthWav(docs(32))
+    val joined = Multimodal.parseWav(media)
+      .select(col("doc_id"), col("channels"), col("sample_rate"), col("data_size"))
+      .join(Multimodal.decodeWav(media), Seq("doc_id"))
+    val bad = joined.filter(!col("decoded_ok") ||
+      col("a_channels") =!= col("channels") ||
+      col("a_rate") =!= col("sample_rate") ||
+      col("a_samples") =!= (col("data_size") / 2).cast("long") ||
+      col("a_first") =!= 23130L || col("a_peak") =!= 23130L).count()
+    assert(bad == 0)
+  }
+
+  test("corrupt WAV payloads flag, never throw") {
+    val media = Multimodal.synthWav(docs(4))
+    val corrupt = media.withColumn("payload",
+      when(col("doc_id") === 0, expr("substring(payload, 1, 10)"))  // truncated
+        .when(col("doc_id") === 1,
+          expr("concat(X'DEADBEEF', substring(payload, 5))"))       // bad magic
+        .otherwise(col("payload")))
+    val out = Multimodal.decodeWav(corrupt).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!out(0L) && !out(1L) && out(2L) && out(3L))
+  }
+
   test("corrupt payloads flag, never throw") {
     val media = Multimodal.synthBmp(docs(6))
     val corrupt = media.withColumn("payload",
