@@ -927,6 +927,22 @@ object ExtendedEntries {
       .select(col("node"), r(col("rank") * lit(1e6)).as("rank_ppm"))
   }
 
+  /** 3-round synchronous label propagation over the symmetrized trade
+    * graph ([[Graph.labelPropagation]]) — community detection, the
+    * graph-family member between PageRank (importance) and the
+    * connected-components consumer (reachability): most-frequent
+    * neighbor label, smallest-label tiebreak, fully deterministic.
+    * Output adds each community's size via a label-partitioned count. */
+  private def qCommunities(s: SparkSession, dir: String): DataFrame = {
+    val pairs = tradePairs(s, dir)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    Graph.labelPropagation(edges, iters = 3)
+      .select(col("node"), col("label").as("community"))
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("community"))))
+  }
+
   /** 3-iteration PageRank over the DIRECTED customer→supplier graph (no
     * symmetrization): every supplier node is a sink, so roughly half the
     * total rank is dangling each round — the live fixture proving
@@ -980,6 +996,7 @@ object ExtendedEntries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_pagerank" -> qPagerank,
+    "q_communities" -> qCommunities,
     "q_pagerank_dangling" -> qPagerankDangling,
     "q_triangles" -> qTriangles,
     "q_transitions" -> ((s, dir) =>
@@ -2061,6 +2078,41 @@ object ExtendedEntries {
         |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |), edges AS (SELECT a AS src, b AS dst FROM pairs)""".stripMargin),
+
+    // synchronous LPA unrolled: per round, per node, the most frequent
+    // neighbor label with smallest-label tiebreak — mirrors
+    // Graph.labelPropagation exactly
+    "q_communities" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.src AS node, l.label, count(*) AS c
+           |  FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+           |  GROUP BY 1, 2
+           |), l$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label,
+           |      row_number() OVER (PARTITION BY node
+           |        ORDER BY c DESC, label) AS rn
+           |    FROM c$i
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+         |), l0 AS (
+         |  SELECT node, node AS label FROM (
+         |    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+         |  )
+         |),
+         |$rounds
+         |SELECT node, label AS community,
+         |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+         |FROM l3""".stripMargin
+    },
     "q_resample_ffill" -> withTicksBars(
       """, span AS (
         |  SELECT symbol, min(time) AS t0, max(time) AS t1 FROM bars GROUP BY symbol

@@ -135,6 +135,41 @@ object Graph {
     * three joins are keyed equi-joins; counts are exact integer math.
     * Output is one row: n_nodes, n_edges, n_wedges, n_triangles,
     * clustering = 3·triangles/wedges (4-dp). */
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each round it adopts the most
+    * frequent label among its NEIGHBORS' previous-round labels, ties
+    * broken by the smallest label — fully deterministic, unlike the
+    * async/random-order LPA variants, so the result is oracle-checkable
+    * and stable under repartitioning. Requires every node to appear as
+    * a `src` (pass a symmetrized edge list for undirected graphs);
+    * multi-edges should be pre-deduplicated or they weight the vote.
+    *
+    * Scale shape: per round ONE keyed join (edges ⋈ labels on dst — the
+    * same co-locatable shuffle PageRank's contribution step uses) + one
+    * (node, label) count + one per-node top-1 window; labels (V rows)
+    * materialize per round, edges are never mutated. No driver graph,
+    * O(iters) rounds — the pointer-free sibling of the CC loop. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst")).materialize
+    var labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .select(col("node"), col("node").as("label"))
+      .materialize
+    for (_ <- 1 to iters) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+      labels = e
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("node"), col("label"))
+        .materialize // V rows; truncates the iterative lineage
+    }
+    labels
+  }
+
   def triangles(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),

@@ -67,6 +67,52 @@ class GraphSpec extends AnyFunSuite {
     assert(r2 == r)
   }
 
+  /** Independent synchronous LPA reference (adjacency maps, no Spark). */
+  private def lpaRef(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nbrs = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    var labels = es.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = labels.map { case (n, old) =>
+        nbrs.get(n) match {
+          case None => n -> old
+          case Some(ns) =>
+            val votes = ns.map(labels).groupBy(identity)
+              .map { case (l, ls) => (l, ls.size) }
+            n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+    }
+    labels
+  }
+
+  test("label propagation matches an independent reference and splits cliques") {
+    // two triangles bridged by one edge: LPA must keep two communities
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val bridge = Seq((3L, 10L))
+    val es = (tri ++ bridge).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    for (iters <- Seq(1, 2, 3, 5)) {
+      val got = Graph.labelPropagation(es.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == lpaRef(es, iters), s"iters=$iters")
+    }
+    val after3 = Graph.labelPropagation(es.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the two triangles never share a label across the bridge
+    assert(Set(after3(1L), after3(2L), after3(3L))
+      .intersect(Set(after3(10L), after3(11L), after3(12L))).isEmpty)
+  }
+
+  test("label propagation is deterministic across repartitionings") {
+    val es = (1L to 40L).flatMap(i =>
+      Seq((i, i % 7 + 100L), (i % 7 + 100L, i), (i, (i * 3) % 11 + 200L),
+        ((i * 3) % 11 + 200L, i)))
+    def run(parts: Int) =
+      Graph.labelPropagation(es.toDF("src", "dst").repartition(parts), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run(2) == run(19))
+  }
+
   test("query plans keyed joins only — no cartesian beyond the scalar-N broadcast") {
     val plan = SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
