@@ -140,9 +140,10 @@ object Graph {
     * frequent label among its NEIGHBORS' previous-round labels, ties
     * broken by the smallest label — fully deterministic, unlike the
     * async/random-order LPA variants, so the result is oracle-checkable
-    * and stable under repartitioning. Requires every node to appear as
-    * a `src` (pass a symmetrized edge list for undirected graphs);
-    * multi-edges should be pre-deduplicated or they weight the vote.
+    * and stable under repartitioning. A node with no out-edges (a pure
+    * sink in a directed input) KEEPS its previous label — pass a
+    * symmetrized edge list for undirected semantics; multi-edges should
+    * be pre-deduplicated or they weight the vote.
     *
     * Scale shape: per round ONE keyed join (edges ⋈ labels on dst — the
     * same co-locatable shuffle PageRank's contribution step uses) + one
@@ -159,12 +160,15 @@ object Graph {
     for (_ <- 1 to iters) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
-      labels = e
+      val voted = e
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
         .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select(col("node"), col("label"))
+        .select(col("node"), col("label").as("_new"))
+      labels = labels
+        .join(voted, Seq("node"), "left")
+        .select(col("node"), coalesce(col("_new"), col("label")).as("label"))
         .materialize // V rows; truncates the iterative lineage
     }
     labels

@@ -52,6 +52,21 @@ object GraftExtensions {
         val n = intArg(args(3), "wilder_adx")
         SeededAggs.AdxAgg(args(0), args(1), args(2), n).toAggregateExpression()
       }),
+    // SELECT holt_smooth(close, 0.2, 0.1, 2) OVER (PARTITION BY symbol
+    //   ORDER BY time ROWS UNBOUNDED PRECEDING) -- part: 0=level 1=trend
+    //   2=one-step forecast
+    (new FunctionIdentifier("holt_smooth"),
+      new ExpressionInfo(classOf[SeededAggs.HoltAgg].getName, "holt_smooth"),
+      (args: Seq[Expression]) => {
+        def dblArg(e: Expression): Double = e match {
+          case Literal(v: Double, _) => v
+          case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"holt_smooth expects literal DOUBLE smoothing factors, got $other")
+        }
+        SeededAggs.HoltAgg(args.head, dblArg(args(1)), dblArg(args(2)),
+          intArg(args(3), "holt_smooth")).toAggregateExpression()
+      }),
     (new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))),

@@ -33,6 +33,24 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(13).getDouble(2) == 107.5)
   }
 
+  test("holt_smooth is usable from plain SQL as a window function") {
+    import spark.implicits._
+    (1 to 10).map(i => ("S", i, 10.0 + i)).toDF("symbol", "t", "close")
+      .createOrReplaceTempView("sqlholt")
+    val rows = spark.sql(
+      """SELECT t,
+        |  holt_smooth(close, 0.2D, 0.1D, 0) OVER w AS lvl,
+        |  holt_smooth(close, 0.2D, 0.1D, 2) OVER w AS fc
+        |FROM sqlholt
+        |WINDOW w AS (PARTITION BY symbol ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY t""".stripMargin).collect()
+    // causal seed: level(1) = x1, forecast(1) = level + 0 trend
+    assert(rows(0).getDouble(1) == 11.0 && rows(0).getDouble(2) == 11.0)
+    // level(2) = 0.2*12 + 0.8*(11 + 0) = 11.2
+    assert(math.abs(rows(1).getDouble(1) - 11.2) < 1e-12)
+  }
+
   test("float_dot is usable from SQL") {
     import spark.implicits._
     Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")

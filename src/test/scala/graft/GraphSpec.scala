@@ -103,6 +103,20 @@ class GraphSpec extends AnyFunSuite {
       .intersect(Set(after3(10L), after3(11L), after3(12L))).isEmpty)
   }
 
+  test("label propagation on a DIRECTED graph: sinks keep their label") {
+    // chain 1 -> 2 -> 3 (votes come from OUT-neighbors): node 3 is a
+    // pure sink with no out-edges and must KEEP its own label every
+    // round — matching the reference fold's no-neighbor branch — rather
+    // than silently vanishing from the output
+    val es = Seq((1L, 2L), (2L, 3L))
+    for (iters <- Seq(1, 2, 4)) {
+      val got = Graph.labelPropagation(es.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == lpaRef(es, iters), s"iters=$iters")
+      assert(got.keySet == Set(1L, 2L, 3L) && got(3L) == 3L)
+    }
+  }
+
   test("label propagation is deterministic across repartitionings") {
     val es = (1L to 40L).flatMap(i =>
       Seq((i, i % 7 + 100L), (i % 7 + 100L, i), (i, (i * 3) % 11 + 200L),
