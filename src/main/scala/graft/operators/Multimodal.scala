@@ -157,11 +157,28 @@ object Multimodal {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             val fmt = ais.getFormat
-            val data = ais.readAllBytes()
-            ais.close()
-            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+            // NEVER trust the declared format for read sizing: the fuzz
+            // sweep (MediaDecodeSpec) caught readAllBytes spinning forever
+            // on a byte-flipped header — AudioInputStream.read returns 0
+            // (not -1) whenever the request is smaller than the frame
+            // size, so a corrupt frameSize > the 8 KB chunk livelocks.
+            // Read in explicit frame-aligned chunks, capped by the
+            // CONTAINER size (PCM can't exceed the bytes we were handed).
+            val frameSize = fmt.getFrameSize
+            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                frameSize <= 0 || frameSize > 4096) {
+              ais.close()
               DecodedAudio(id, decoded_ok = false, -1L, -1L, -1L, -1L, -1L)
-            else {
+            } else {
+              val chunk = new Array[Byte](frameSize * math.max(1, 8192 / frameSize))
+              val out = new java.io.ByteArrayOutputStream()
+              var r = ais.read(chunk)
+              while (r > 0 && out.size <= bytes.length) {
+                out.write(chunk, 0, r)
+                r = ais.read(chunk)
+              }
+              ais.close()
+              val data = out.toByteArray
               val n = data.length / 2
               var peak = 0L
               var first = 0L

@@ -53,6 +53,26 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(!out(0L) && !out(1L) && out(2L) && out(3L))
   }
 
+  test("mutation fuzz: byte-flipped payloads never crash either codec") {
+    // deterministic mutation sweep (seeded, like MediaWalkSpec's parser
+    // fuzz — the r8 version of this found a real ANSI decode crash):
+    // every row gets one random byte overwritten; the decoders must
+    // flag-or-succeed on all of them, never throw
+    val n = 200
+    val base = Multimodal.synthBmp(docs(n))
+      .unionByName(Multimodal.synthWav(docs(n))
+        .withColumn("doc_id", col("doc_id") + n))
+    val mutated = base.withColumn("payload", expr(
+      """concat(
+        |  substring(payload, 1, CAST(pmod(hash(doc_id, 1), octet_length(payload)) AS INT)),
+        |  unhex(lpad(hex(pmod(hash(doc_id, 2), 256)), 2, '0')),
+        |  substring(payload, CAST(pmod(hash(doc_id, 1), octet_length(payload)) AS INT) + 2))
+        |""".stripMargin))
+    // count() forces both full decode passes; any throw fails the test
+    assert(Multimodal.decodeBmp(mutated).count() == 2L * n)
+    assert(Multimodal.decodeWav(mutated).count() == 2L * n)
+  }
+
   test("corrupt payloads flag, never throw") {
     val media = Multimodal.synthBmp(docs(6))
     val corrupt = media.withColumn("payload",
