@@ -55,6 +55,26 @@ object Bpe {
   /** Candidates fetched per pair-count refresh (driver rows; tiny). */
   private val BatchFetch = 256
 
+  /** Vocabulary-sized parallelism for the iterative dict: one partition
+    * per 10k dictionary words (min 1). The refresh loop runs O(vocab)
+    * work per round but ~iters rounds — with the session's 32 shuffle
+    * partitions a 50k-word dict pays 32 task launches × ~60 refreshes of
+    * pure scheduling overhead, while ONE partition serializes the
+    * per-refresh symbol-split CPU; 10k words/partition keeps both small
+    * (measured on sf0.1: 32→5 partitions ≈ −20% train time, 1 partition
+    * gives half of that back). Applied with coalesce on the already-
+    * materialized dict (narrow, no shuffle), and localCheckpoint
+    * preserves the partition count across rounds. */
+  private def dictParts(vocab: Long): Int = (vocab / 10000L + 1L).toInt
+
+  /** Materialize the freshly-built word dict once, then size its
+    * parallelism to its measured row count (count on a materialized
+    * frame is a cheap single-stage job, not a second corpus pass). */
+  private def sizedDict(docs: DataFrame): DataFrame = {
+    val d = wordDict(docs).materialize
+    d.coalesce(dictParts(d.count()))
+  }
+
   /** Accept a prefix of the count-ordered candidates that SEQUENTIAL
     * greedy BPE would provably pick in the same order, so multiple
     * merges ride one pair-count refresh. Rules (exactness argument in
@@ -78,10 +98,16 @@ object Bpe {
       else { prefix += c; used += a; used += b; n += 1 }
     }
     // every pair whose count the accepted merges can change (or create)
-    // is bounded by the first conflicting candidate — or, with no
-    // conflict but a truncated fetch, by the last fetched count
+    // is bounded by the first conflicting candidate — or, when the scan
+    // stopped at maxN with candidates left, by the next unscanned count
+    // (an unscanned conflict's MERGED symbol can outsort a later
+    // accepted pair at a tied count: head (a,z) + accepted (c,d,9) +
+    // unscanned (z,x,9) makes sequential greedy pick (az,x) over (c,d)
+    // because "az" < "c") — or, with no conflict but a truncated fetch,
+    // by the last fetched count
     val bound = conflictCount.getOrElse(
-      if (top.size >= BatchFetch) top.last._3 else Long.MinValue)
+      if (it.hasNext) it.next()._3
+      else if (top.size >= BatchFetch) top.last._3 else Long.MinValue)
     val all = prefix.result()
     // counts are descending, so the strict-threshold cut is a prefix;
     // the head is exempt — it IS the sequential greedy choice
@@ -123,10 +149,11 @@ object Bpe {
     require(iters >= 1, "iters must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    var dict = wordDict(docs).select("cnt", "seq").materialize
+    var dict = sizedDict(docs).select("cnt", "seq")
     val rows = Seq.newBuilder[(Long, String, String, String, Long)]
     var it = 1
     var exhausted = false
+    var sinceMat = 0 // merges since the last lineage truncation
     while (it <= iters && !exhausted) {
       val top = dict
         .withColumn("syms", symbols(col("seq")))
@@ -151,9 +178,19 @@ object Bpe {
           mergeSeq(seqCol, a, b)
         }
         dict = dict.withColumn("seq", merged)
-          .materialize // vocabulary-sized; truncates the iterative lineage
         batch.foreach { case (a, b, pc) =>
           rows += ((it.toLong, a, b, a + b, pc)); it += 1
+        }
+        // truncate the iterative lineage every EncodeMaterializeEvery
+        // merges (same cadence as encode), not every refresh: between
+        // boundaries each refresh recomputes ≤ K chained replaces over
+        // the vocabulary-sized dict — trivial CPU — while HALVING the
+        // driver-bound job count (the refresh loop's real cost: ~60
+        // sequential rounds of fixed job-launch latency)
+        sinceMat += batch.size
+        if (sinceMat >= EncodeMaterializeEvery) {
+          dict = dict.materialize
+          sinceMat = 0
         }
       }
     }
@@ -166,8 +203,8 @@ object Bpe {
     * tree and die in analysis/codegen long before any data moves; with
     * it, plan depth is bounded by the constant while the dictionary
     * (vocabulary-sized, not corpus-sized) is re-materialized every
-    * `EncodeMaterializeEvery` merges — the same boundary trainMerges
-    * already places every iteration. Pinned in BpeSpec. */
+    * `EncodeMaterializeEvery` merges — the same cadence trainMerges
+    * uses for its own iterative lineage. Pinned in BpeSpec. */
   val EncodeMaterializeEvery = 16
 
   /** Tokenize with a learned merge table: apply the merges in training
@@ -176,7 +213,7 @@ object Bpe {
     * corpus tokenize" view, and the subword-vocabulary artifact. */
   def encode(docs: DataFrame, merges: DataFrame): DataFrame = {
     val ms = merges.orderBy("iter").collect() // merge-table rows: tiny
-    val applied = ms.zipWithIndex.foldLeft(wordDict(docs)) {
+    val applied = ms.zipWithIndex.foldLeft(sizedDict(docs)) {
       case (d, (m, i)) =>
         val next = d.withColumn("seq",
           mergeSeq(col("seq"), m.getString(1), m.getString(2)))

@@ -97,8 +97,13 @@ class BpeSpec extends AnyFunSuite {
       "xy xy xy ab ab ab cd cd cd",
       "ab ab ba ba aa bb ab",
       "abcdefgh abcdefgh abcd efgh abcdefgh",
-      (1 to 60).map(i => s"w${i % 7}x${i % 5}").mkString(" "))
-    for (c <- corpora; iters <- Seq(3, 12, 30)) {
+      (1 to 60).map(i => s"w${i % 7}x${i % 5}").mkString(" "),
+      // adversarial maxN-exit shape: head (a,z,10), disjoint (c,d,9),
+      // UNSCANNED conflict (z,x,9) whose merged symbol "az" outsorts "c"
+      (Seq.fill(9)("azx") ++ Seq("az") ++ Seq.fill(9)("cd")).mkString(" "))
+    // iters=2 matters: the adversarial corpus only diverges when the
+    // scan exits at maxN=2 BEFORE reaching the conflicting candidate
+    for (c <- corpora; iters <- Seq(2, 3, 12, 30)) {
       val got = Bpe.trainMerges(docsOf(c), iters).orderBy("iter").collect()
         .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
       val want = sequentialMerges(c, iters)
