@@ -547,12 +547,34 @@ object ExtendedEntries {
     *  - `d_in_bound`: d ≤ n/k (every trim removes ≥ k·t mass);
     * and the summary's exact total mass `n_total` (trims never lose n).
     * Any violation flips a hash-checked literal-TRUE column. */
-  private def qTopkSketchCheck(s: SparkSession, dir: String): DataFrame = {
+  private def qTopkSketchCheck(s: SparkSession, dir: String): DataFrame =
+    mgContractCheck(s, dir, mgTokenSummary(s, dir))
+
+  /** One oracle for BOTH q_topk_sketch_check and q_stream_topk_check:
+    * exact top-10 token counts plus literal-TRUE contract booleans. */
+  private val mgContractOracleSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |)
+      |SELECT token, n, (SELECT count(*) FROM tok) AS n_total,
+      |  TRUE AS in_contract, TRUE AS d_in_bound
+      |FROM (
+      |  SELECT token, count(*) AS n FROM tok
+      |  GROUP BY token ORDER BY n DESC, token LIMIT 10
+      |)""".stripMargin
+
+  /** The merge-order-independent MG theorems as hash-checked booleans,
+    * for ANY summary frame with one `s = struct(items, d, n)` row built
+    * over `dir`'s document tokens — shared by the batch two-phase rollup
+    * (q_topk_sketch_check) and the streaming per-batch-segment merge
+    * (q_stream_topk_check), which therefore share one oracle SQL. */
+  private def mgContractCheck(s: SparkSession, dir: String,
+      summaryFrame: DataFrame): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
     val exactTop = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(10)
-    val summary = mgTokenSummary(s, dir)
+    val summary = summaryFrame
       .select(col("s.items").as("items"), col("s.d").as("d"), col("s.n").as("sn"))
     exactTop.crossJoin(broadcast(summary))
       .withColumn("est", expr("get(filter(items, x -> x.item = token), 0).est"))
@@ -562,6 +584,43 @@ object ExtendedEntries {
             col("n") <= col("est") + col("d"))).as("in_contract"),
         (col("d") * lit(MgK) <= col("sn")).as("d_in_bound"))
   }
+
+  /** Replay the document token stream through [[graft.streaming
+    * .StreamTopk]] (doc_id-sliced file feed, 3 micro-batches, per-batch
+    * MG segments) and return the merged summary — the shared engine of
+    * the q_stream_topk pair. */
+  private def streamTopkSummary(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_topk").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      docs.withColumn("_ms", col("doc_id")), "_ms", work, slices = 3)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val q = graft.streaming.StreamTopk.run(stream, "token", MgK, work)
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamTopk.merged(s, work, MgK)
+  }
+
+  /** Streaming heavy hitters: the [[qTopkSketch]] presentation over the
+    * summary the STREAM accumulated as per-batch O(k) segments. Rows-only
+    * at the gate for the same reason as the batch query (estimates are
+    * merge-order dependent); the theorems are hash-gated in
+    * [[qStreamTopkCheck]], and big-k stream==batch bit-exactness is
+    * pinned in StreamTopkSpec. Verify-only: streaming machinery. */
+  private def qStreamTopk(s: SparkSession, dir: String): DataFrame =
+    streamTopkSummary(s, dir)
+      .select(posexplode(slice(col("s.items"), 1, 10)).as(Seq("pos", "it")),
+        col("s.d").as("d"), col("s.n").as("n_total"))
+      .select((col("pos") + 1).as("rank"), col("it.item").as("token"),
+        col("it.est").as("est"), col("d"), col("n_total"))
+
+  /** Verify-only oracle companion for [[qStreamTopk]]: the MG error
+    * contract holds for the STREAMED summary too — the theorems are
+    * merge-tree-independent, so the oracle is the identical exact-top-10
+    * SQL the batch companion uses. */
+  private def qStreamTopkCheck(s: SparkSession, dir: String): DataFrame =
+    mgContractCheck(s, dir, streamTopkSummary(s, dir))
 
   /** The (base snapshot, changelog) pair shared by q_cdc_apply /
     * q_cdc_diff / q_stream_cdc AND their one shared oracle SQL
@@ -1033,6 +1092,8 @@ object ExtendedEntries {
     "q_sketch_rollup_check" -> qSketchRollupCheck,
     "q_topk_sketch" -> qTopkSketch,
     "q_topk_sketch_check" -> qTopkSketchCheck,
+    "q_stream_topk" -> qStreamTopk,
+    "q_stream_topk_check" -> qStreamTopkCheck,
     "q_salted_agg" -> qSaltedAgg,
     "q_cdc_apply" -> qCdcApply,
     "q_cdc_diff" -> qCdcDiff,
@@ -1859,16 +1920,10 @@ object ExtendedEntries {
     // arrival/merge-order dependent → rows-only); its hash-gated error
     // contract is this companion: exact top-10 token counts + the
     // order-independent MG theorems as literal-TRUE booleans.
-    "q_topk_sketch_check" ->
-      """WITH tok AS (
-        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
-        |)
-        |SELECT token, n, (SELECT count(*) FROM tok) AS n_total,
-        |  TRUE AS in_contract, TRUE AS d_in_bound
-        |FROM (
-        |  SELECT token, count(*) AS n FROM tok
-        |  GROUP BY token ORDER BY n DESC, token LIMIT 10
-        |)""".stripMargin,
+    "q_topk_sketch_check" -> mgContractOracleSql,
+    // identical oracle on purpose: the MG theorems are merge-tree-
+    // independent, so batch rollup and streamed segments share one gate
+    "q_stream_topk_check" -> mgContractOracleSql,
     "q_fuzzy_join" ->
       """WITH names AS (
         |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL

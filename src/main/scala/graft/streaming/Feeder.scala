@@ -34,34 +34,29 @@ object Feeder {
     * trigger (empty) micro-batches, preserving batch numbering. */
   def writeTimeSlicedFeed(df: DataFrame, msCol: String, workDir: String,
       slices: Int): Unit = {
-    val spark = df.sparkSession
     val Array(t0, t1) = df.agg(min(col(msCol)), max(col(msCol))).head()
       .toSeq.map(v => Option(v).map(_.asInstanceOf[Long])
         .getOrElse(sys.error("writeTimeSlicedFeed: empty input"))).toArray
     val span = (t1 - t0) / slices + 1
-    val fs = new org.apache.hadoop.fs.Path(workDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$workDir/feed"))
     (0 until slices).foreach { i =>
-      val tmp = s"$workDir/tmp$i"
-      df.filter(col(msCol) >= t0 + i * span && col(msCol) < t0 + (i + 1) * span)
-        .drop(msCol).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      fs.rename(part, new org.apache.hadoop.fs.Path(
-        // 5-digit padding: with %02d, slice 100 would sort before 99 and
-        // break the documented in-time-order replay on mtime ties
-        f"$workDir/feed/b$i%05d.parquet"))
+      appendFeedFile(
+        df.filter(col(msCol) >= t0 + i * span && col(msCol) < t0 + (i + 1) * span)
+          .drop(msCol), workDir, i)
     }
   }
 
-  /** Append ONE extra feed file (slice index `index`, named past the
-    * time-sliced ones) holding `df` coalesced — e.g. a watermark-flush
-    * sentinel batch for session-window streams. */
+  /** Write ONE feed file (slice `index`) holding `df` coalesced: write
+    * to a tmp dir, find the part file, rename to the stable lexical name
+    * `feed/b%05d.parquet`. The single writer both the slicer loop above
+    * and ad-hoc appends (e.g. a watermark-flush sentinel batch for
+    * session-window streams) go through, so the naming contract — 5-digit
+    * padding, without which slice 100 would sort before 99 on mtime ties
+    * and break the documented in-time-order replay — lives in one place. */
   def appendFeedFile(df: DataFrame, workDir: String, index: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(workDir)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val tmp = s"$workDir/tmp_append$index"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$workDir/feed"))
+    val tmp = s"$workDir/tmp$index"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).head

@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_embed_outliers", "q_embed_drift", // ≤ nCentroids-row centroid broadcast
     "q_integrity", // one-row per-relationship totals broadcast
     "q_topk_sketch_check", // one-row merged MG-summary broadcast
+    "q_stream_topk_check", // same one-row summary, streamed segments
     "q_decontaminate_bloom", // one-row bloom-filter broadcast
     "q_pmi", // one-row unigram/bigram-total broadcast
     "q_triangles", // one-row census × one-row totals join
