@@ -94,6 +94,12 @@ object CorpusEntries {
   /** Unseen-bigram probability floor for the LM document score. */
   private val LmUnseenP = 0.0001
 
+  /** Stupid-backoff trigram LM: backoff discount and the trigram-table
+    * prune threshold (2 keeps singleton trigrams OUT of the model, so
+    * the bigram arm carries real traffic at every SF). */
+  private val BackoffAlpha = 0.4
+  private val BackoffMinCount = 2L
+
   /** Quality-rule thresholds, tightened from the operator's real-corpus
     * defaults so the synthetic corpus splits on every flag (profiled:
     * 10-99 words, mean word length 3.7-5.3, max word length 5-8,
@@ -158,6 +164,18 @@ object CorpusEntries {
   private def qLmScore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     TextAnalysis.lmScore(docs, TextAnalysis.bigramLm(docs, LmMinCount), LmUnseenP)
+  }
+
+  /** Trigram stupid-backoff LM: train on even doc_ids, score the odd —
+    * a held-out split, so every backoff arm (trigram hit, bigram,
+    * unigram, unseen) carries real traffic instead of the degenerate
+    * all-trigrams-seen self-scoring case. */
+  private def qBackoffLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.backoffLm(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      BackoffMinCount, BackoffAlpha, LmUnseenP)
   }
 
   private def qPack(s: SparkSession, dir: String): DataFrame =
@@ -254,6 +272,7 @@ object CorpusEntries {
     "q_source_mix" -> qSourceMix,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_bigram_lm" -> qBigramLm,
+    "q_backoff_lm" -> qBackoffLm,
     "q_quality_deciles" -> qQualityDeciles,
     "q_quality_rules" -> qQualityRules,
     "q_lm_score" -> qLmScore,
@@ -594,6 +613,79 @@ object CorpusEntries {
          |  ${r4("a.s4 / 10000.0 / a.n_bigrams")} AS avg_nll,
          |  ${r4("exp(a.s4 / 10000.0 / a.n_bigrams)")} AS perplexity
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // arithmetic mirrored op-for-op with explicit DOUBLE casts (DuckDB
+    // would otherwise run 0.4 * n as DECIMAL math and diverge from
+    // Spark's double); per-gram NLLs 4dp-quantized before the sum
+    "q_backoff_lm" ->
+      s"""WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |sc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |u AS (SELECT w, count(*) AS n1
+         |  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w),
+         |nt AS (SELECT CAST(sum(n1) AS BIGINT) AS n FROM u),
+         |b AS (SELECT g, count(*) AS n2 FROM (
+         |  SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(toks)),
+         |           i -> concat_ws(' ', toks[i], toks[i+1])) END) AS g
+         |  FROM tr) GROUP BY g),
+         |t AS (SELECT g, count(*) AS n3 FROM (
+         |  SELECT unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS g
+         |  FROM tr) GROUP BY g HAVING count(*) >= $BackoffMinCount),
+         |stri AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS g3
+         |  FROM sc),
+         |parts AS (SELECT doc_id, g3,
+         |    concat_ws(' ', string_split(g3, ' ')[1], string_split(g3, ' ')[2]) AS ctx2,
+         |    concat_ws(' ', string_split(g3, ' ')[2], string_split(g3, ' ')[3]) AS g2,
+         |    string_split(g3, ' ')[2] AS w2, string_split(g3, ' ')[3] AS w3
+         |  FROM stri),
+         |j AS (
+         |  SELECT p.doc_id,
+         |    CASE WHEN t.n3 IS NOT NULL THEN 3
+         |         WHEN b2.n2 IS NOT NULL THEN 2
+         |         WHEN u3.n1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+         |    CASE WHEN t.n3 IS NOT NULL
+         |           THEN CAST(t.n3 AS DOUBLE) / CAST(bc.n2 AS DOUBLE)
+         |         WHEN b2.n2 IS NOT NULL
+         |           THEN CAST(0.4 AS DOUBLE) * CAST(b2.n2 AS DOUBLE)
+         |                / CAST(u2.n1 AS DOUBLE)
+         |         WHEN u3.n1 IS NOT NULL
+         |           THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+         |                * CAST(u3.n1 AS DOUBLE) / CAST(nt.n AS DOUBLE)
+         |         ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+         |              * CAST(0.0001 AS DOUBLE) END AS p
+         |  FROM parts p
+         |  LEFT JOIN t ON t.g = p.g3
+         |  LEFT JOIN b bc ON bc.g = p.ctx2
+         |  LEFT JOIN b b2 ON b2.g = p.g2
+         |  LEFT JOIN u u2 ON u2.w = p.w2
+         |  LEFT JOIN u u3 ON u3.w = p.w3
+         |  CROSS JOIN nt
+         |),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_trigrams,
+         |    CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+         |    CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_backoff,
+         |    CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoff,
+         |    CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+         |    CAST(sum(CAST(floor(-ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s4
+         |  FROM j GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         |  CAST(coalesce(a.n_tri_hit, 0) AS BIGINT) AS n_tri_hit,
+         |  CAST(coalesce(a.n_bi_backoff, 0) AS BIGINT) AS n_bi_backoff,
+         |  CAST(coalesce(a.n_uni_backoff, 0) AS BIGINT) AS n_uni_backoff,
+         |  CAST(coalesce(a.n_unseen, 0) AS BIGINT) AS n_unseen,
+         |  ${r4("a.s4 / 10000.0 / a.n_trigrams")} AS avg_nll
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |WHERE d.doc_id % 2 = 1""".stripMargin,
 
     "q_bigram_lm" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -385,6 +385,95 @@ object TextAnalysis {
           .as("perplexity"))
   }
 
+  /** Trigram language model with STUPID BACKOFF (Brants et al. 2007,
+    * "Large Language Models in Machine Translation"): score each document
+    * in `score` by the mean negative log of
+    *
+    *   S(w3 | w1 w2) = c3(w1w2w3)/c2(w1w2)          if the trigram was seen
+    *                 | α · c2(w2w3)/c1(w2)          else if the bigram was
+    *                 | α² · c1(w3)/N                else if the unigram was
+    *                 | α² · unseenP                 else
+    *
+    * with counts from `train` — the web-scale backoff that skips
+    * discounting entirely (the score is not a normalized probability,
+    * which is exactly why it shards trivially). Trigram counts below
+    * `minCount` are pruned from the model — the standard size/quality
+    * trade; pruned trigrams fall through to the bigram estimate.
+    *
+    * Shape at scale: three keyed count aggregates over the training
+    * corpus (map-side partial), then the scored trigrams resolve all
+    * five lookups with equi-joins on the gram string. The pruned trigram
+    * table and the bigram/unigram tables are broadcast here (vocabulary-
+    * bounded at these SFs); at a size where they stop fitting, drop the
+    * hints and the same plan becomes shuffle hash joins on the gram key.
+    * N is a one-row aggregate read (bounded scalar probe, same pattern
+    * as the PageRank convergence probe). Arithmetic is mirrored
+    * op-for-op in the DuckDB oracle with explicit DOUBLE casts; per-gram
+    * NLLs are 4dp-quantized to integers BEFORE the per-doc sum so the
+    * aggregation order can't move the result. */
+  def backoffLm(train: DataFrame, score: DataFrame, minCount: Long = 1L,
+      alpha: Double = 0.4, unseenP: Double = 0.0001): DataFrame = {
+    import graft.operators.Materialize.MatOps
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val toks = tokens(col("text"))
+    val uni = train.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n1")).materialize
+    val nTotal = uni.agg(sum(col("n1"))).head().getLong(0)
+    val bi = train.select(explode(shinglesFromTokens(toks, 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n2")).materialize
+    val tri = train.select(explode(shinglesFromTokens(toks, 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n3"))
+      .filter(col("n3") >= minCount).materialize
+    val tris = score
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 3)).as("g3"))
+      .withColumn("parts", split(col("g3"), " "))
+      .select(col("doc_id"), col("g3"),
+        concat_ws(" ", element_at(col("parts"), 1), element_at(col("parts"), 2)).as("ctx2"),
+        concat_ws(" ", element_at(col("parts"), 2), element_at(col("parts"), 3)).as("g2"),
+        element_at(col("parts"), 2).as("w2"),
+        element_at(col("parts"), 3).as("w3"))
+    val joined = tris
+      .join(broadcast(tri.select(col("g").as("g3"), col("n3"))), Seq("g3"), "left")
+      .join(broadcast(bi.select(col("g").as("ctx2"), col("n2").as("nctx"))), Seq("ctx2"), "left")
+      .join(broadcast(bi.select(col("g").as("g2"), col("n2").as("n2g"))), Seq("g2"), "left")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n1").as("n1w2"))), Seq("w2"), "left")
+      .join(broadcast(uni.select(col("w").as("w3"), col("n1").as("n1w3"))), Seq("w3"), "left")
+    // a seen trigram implies its context bigram was seen (same corpus),
+    // and a seen bigram implies its first word was — the CASE arms only
+    // need the head condition, mirrored exactly in the oracle
+    val p =
+      when(col("n3").isNotNull,
+        col("n3").cast("double") / col("nctx").cast("double"))
+      .when(col("n2g").isNotNull,
+        lit(alpha) * col("n2g").cast("double") / col("n1w2").cast("double"))
+      .when(col("n1w3").isNotNull,
+        lit(alpha) * lit(alpha) * col("n1w3").cast("double") / lit(nTotal.toDouble))
+      .otherwise(lit(alpha) * lit(alpha) * lit(unseenP))
+    val level =
+      when(col("n3").isNotNull, lit(3))
+      .when(col("n2g").isNotNull, lit(2))
+      .when(col("n1w3").isNotNull, lit(1)).otherwise(lit(0))
+    val nll4 = floor(-log(p) * lit(10000) + lit(0.5)).cast("long")
+    val perDoc = joined.select(col("doc_id"), level.as("lvl"), nll4.as("nll4"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi_backoff"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni_backoff"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_unseen"),
+        sum(col("nll4")).as("s4"))
+    score.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri_hit"), lit(0L)).as("n_tri_hit"),
+        coalesce(col("n_bi_backoff"), lit(0L)).as("n_bi_backoff"),
+        coalesce(col("n_uni_backoff"), lit(0L)).as("n_uni_backoff"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        r4(col("s4").cast("double") / lit(10000.0) / col("n_trigrams"))
+          .as("avg_nll"))
+  }
+
   /** Order-sensitive rolling document fingerprint: position-weighted sum of
     * token hashes mod 1e9+7 (plus the unordered xor-style component).
     * Pure int64 arithmetic ⇒ bit-exact across engines. */

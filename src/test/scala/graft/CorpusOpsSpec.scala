@@ -423,4 +423,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     val plan = Dedup.tfidfCosinePairs(d, 0.1).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("stupid backoff: each arm fires and matches the hand formula") {
+    // train "a b c a b c": trigram counts {"a b c":2, "b c a":1, "c a b":1}
+    // (singletons pruned at minCount=2), bigrams {"a b":2,"b c":2,"c a":1},
+    // unigrams a/b/c = 2 each, N = 6
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b c"), (3L, "x b c"), (5L, "x y a"),
+      (7L, "b c x"), (9L, "c a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.backoffLm(train, score, 2L, 0.4, 0.0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+          if (r.isNullAt(6)) Double.NaN else r.getDouble(6))).toMap
+    // trigram hit: p = c3/c(ctx) = 2/2 = 1 -> nll 0
+    assert(got(1L) == (((1L, 1L, 0L, 0L, 0L), 0.0)))
+    // trigram unseen, bigram "b c" arm: p = 0.4 * 2/2; -ln(0.4) ~ 0.9163
+    assert(got(3L) == (((1L, 0L, 1L, 0L, 0L), 0.9163)))
+    // only unigram "a" seen -> unigram arm
+    assert(got(5L)._1 == ((1L, 0L, 0L, 1L, 0L)) && got(5L)._2 > 2.0)
+    // nothing seen -> alpha^2 * unseenP floor
+    assert(got(7L)._1 == ((1L, 0L, 0L, 0L, 1L)))
+    // trigram "c a b" SEEN once but pruned by minCount=2 -> bigram arm
+    // via "a b" (the prune-falls-through-to-backoff contract)
+    assert(got(9L) == (((1L, 0L, 1L, 0L, 0L), 0.9163)))
+  }
 }
