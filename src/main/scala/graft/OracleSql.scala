@@ -100,6 +100,14 @@ object OracleSql {
   val HoltAlpha = 0.2
   val HoltBeta = 0.1
 
+  /** Holt–Winters seasonal extension (SeededAggs.HoltWintersAgg): level/
+    * trend reuse the Holt factors; γ = 0.25 (1−γ = 0.75 is binary-exact,
+    * like the proven 1−α/1−β expression pattern); season length 24 (the
+    * hourly-bar day). (Declared BEFORE recCte: object vals initialize in
+    * order.) */
+  val HwM = 24
+  val HwGamma = 0.25
+
   /** The full recursive state machine: every order-dependent indicator state
     * advanced one row per iteration, exactly mirroring SeededAggs.EmaAgg /
     * AdxAgg float-for-float (same operation order ⇒ bitwise-equal doubles).
@@ -120,11 +128,14 @@ object OracleSql {
        |         tr AS sa,
        |         CAST(NULL AS DOUBLE) AS sp, CAST(NULL AS DOUBLE) AS sn, CAST(NULL AS DOUBLE) AS st,
        |         CAST(0 AS BIGINT) AS dxc, CAST(NULL AS DOUBLE) AS dxs,
-       |         close AS hl, CAST(0 AS DOUBLE) AS hb
+       |         close AS hl, CAST(0 AS DOUBLE) AS hb,
+       |         close AS hwsum, [close] AS hwraw,
+       |         CAST(NULL AS DOUBLE[]) AS hws,
+       |         CAST(NULL AS DOUBLE) AS hwl, CAST(NULL AS DOUBLE) AS hwb
        |  FROM b WHERE rn = 1
        |  UNION ALL
        |  SELECT symbol, time, rn, s10x, s20x, s12x, s26x, sgx, slx, sax, sp2, sn2, st2, dxc2, dxs2,
-       |         hl2, hb2
+       |         hl2, hb2, hwsum2, hwraw2, hws2, hwl2, hwb2
        |  FROM (
        |    SELECT b.symbol, b.time, b.rn,
        |      $s10 AS s10x,
@@ -156,7 +167,23 @@ object OracleSql {
        |           WHEN dxc2 = 14 THEN (coalesce(r.dxs, 0) + dx2) / 14
        |           ELSE r.dxs + (dx2 - r.dxs) / 14 END AS dxs2,
        |      $HoltAlpha * b.close + (1 - $HoltAlpha) * (r.hl + r.hb) AS hl2,
-       |      $HoltBeta * (hl2 - r.hl) + (1 - $HoltBeta) * r.hb AS hb2
+       |      $HoltBeta * (hl2 - r.hl) + (1 - $HoltBeta) * r.hb AS hb2,
+       |      CASE WHEN b.rn < $HwM THEN r.hwsum + b.close ELSE r.hwsum END AS hwsum2,
+       |      CASE WHEN b.rn < $HwM THEN list_append(r.hwraw, b.close) END AS hwraw2,
+       |      CASE WHEN b.rn = $HwM THEN (r.hwsum + b.close) / $HwM
+       |           WHEN b.rn > $HwM THEN $HoltAlpha
+       |                * (b.close - r.hws[((b.rn - 1) % $HwM) + 1])
+       |                + (1 - $HoltAlpha) * (r.hwl + r.hwb) END AS hwl2,
+       |      CASE WHEN b.rn = $HwM THEN CAST(0 AS DOUBLE)
+       |           WHEN b.rn > $HwM THEN $HoltBeta * (hwl2 - r.hwl)
+       |                + (1 - $HoltBeta) * r.hwb END AS hwb2,
+       |      CASE WHEN b.rn > $HwM THEN $HwGamma * (b.close - hwl2)
+       |           + (1 - $HwGamma) * r.hws[((b.rn - 1) % $HwM) + 1] END AS hwnews2,
+       |      CASE WHEN b.rn = $HwM
+       |             THEN list_transform(list_append(r.hwraw, b.close), v -> v - hwl2)
+       |           WHEN b.rn > $HwM THEN list_transform(range(1, $HwM + 1),
+       |             i -> CASE WHEN i = ((b.rn - 1) % $HwM) + 1
+       |                       THEN hwnews2 ELSE r.hws[i] END) END AS hws2
        |    FROM rec r JOIN b ON b.symbol = r.symbol AND b.rn = r.rn + 1
        |  )
        |)""".stripMargin

@@ -175,6 +175,21 @@ object SparkEntry {
       r(SeededAggs.holt(col("close"), HoltAlpha, HoltBeta, 2, spec)).as("holt_forecast"))
   }
 
+  /** Holt–Winters ADDITIVE triple smoothing, season = the 24-hour bar
+    * day ([[SeededAggs.HoltWintersAgg]]) — the seasonal extension of
+    * [[qHolt]]: level/trend/season folded together with an O(m) season
+    * ring per symbol, mirrored in the shared recursive oracle's
+    * (hwsum, hwraw, hws, hwl, hwb) states. */
+  private def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val spec = WI.w()
+    def hw(part: Int) = SeededAggs.holtWinters(
+      col("close"), HwM, HoltAlpha, HoltBeta, HwGamma, part, spec)
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(hw(0)).as("hw_level"), r(hw(1)).as("hw_trend"),
+      r(hw(2)).as("hw_season"), r(hw(3)).as("hw_forecast"))
+  }
+
   /** A5: MACD line = EMA(12) − EMA(26) (backfill.py:23-27). */
   private def qMacd(s: SparkSession, dir: String): DataFrame = {
     val spec = WI.w()
@@ -276,12 +291,14 @@ object SparkEntry {
   val verifyOnly: Set[String] =
     Set("q_sketches_check", "q_sketch_rollup_check", "q_topk_sketch_check",
       "q_stream_indicators", "q_stream_cdc", "q_stream_drift",
-      "q_stream_sessionize", "q_stream_join", "q_stream_join_outer")
+      "q_stream_sessionize", "q_stream_join", "q_stream_join_outer",
+      "q_stream_topk", "q_stream_topk_check")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExtendedEntries.queries ++ CorpusEntries.queries ++ Map(
     "q_ema" -> qEma,
     "q_holt" -> qHolt,
+    "q_holt_winters" -> qHoltWinters,
     "q_macd" -> qMacd,
     "q_rsi" -> qRsi,
     "q_atr" -> qAtr,
@@ -349,6 +366,14 @@ object SparkEntry {
     "q_holt" -> recQuery(
       s"""SELECT symbol, time, ${r4("hl")} AS holt_level,
          |  ${r4("hb")} AS holt_trend, ${r4("hl + hb")} AS holt_forecast
+         |FROM rec""".stripMargin),
+
+    "q_holt_winters" -> recQuery(
+      s"""SELECT symbol, time,
+         |  ${r4(s"CASE WHEN rn >= $HwM THEN hwl END")} AS hw_level,
+         |  ${r4(s"CASE WHEN rn >= $HwM THEN hwb END")} AS hw_trend,
+         |  ${r4(s"CASE WHEN rn >= $HwM THEN hws[((rn - 1) % $HwM) + 1] END")} AS hw_season,
+         |  ${r4(s"CASE WHEN rn >= $HwM THEN hwl + hwb + hws[(rn % $HwM) + 1] END")} AS hw_forecast
          |FROM rec""".stripMargin),
 
     "q_macd" -> recQuery(

@@ -247,6 +247,111 @@ object SeededAggs {
     override protected def withNewChildInternal(c: Expression): HoltAgg = copy(child = c)
   }
 
+  final class HwBuf(var seen: Long, var sum: Double, var l: Double, var b: Double,
+      var raw: Array[Double], var ring: Array[Double])
+
+  /** Holt–Winters ADDITIVE triple exponential smoothing with season
+    * length `m` — the seasonal extension of [[HoltAgg]]:
+    *
+    *   warm-up (rows 1..m): collect raw values; at row m seed
+    *     level = mean(x_1..x_m) (sequential left-to-right sum, mirrored
+    *     in the oracle's running hwsum), trend = 0,
+    *     season_i = x_i − level;
+    *   after:  l' = α(x − s_{t−m}) + (1−α)(l + b)
+    *           b' = β(l' − l) + (1−β)b
+    *           s' = γ(x − l') + (1−γ)s_{t−m}
+    *
+    * `part`: 0 = level, 1 = trend, 2 = the season component updated at
+    * this row, 3 = one-step forecast l + b + s_{next}. Null until m
+    * non-null inputs. The season ring is O(m) state per group — bounded,
+    * so a 100 TB scan still folds each key in O(n) with O(m) memory.
+    * Mirrored state-for-state in the DuckDB recursive oracle's
+    * (hwsum, hwraw, hws ring, hwl, hwb) columns. */
+  case class HoltWintersAgg(
+      child: Expression,
+      m: Int,
+      alpha: Double,
+      beta: Double,
+      gamma: Double,
+      part: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends SeededFoldBase[HwBuf] with UnaryLike[Expression] {
+
+    override def prettyName: String = "holt_winters"
+
+    // m validated here, not with a constructor require: Java
+    // deserialization on executors instantiates with default fields
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (m < 2)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs season length m >= 2 (got $m)")
+      else super.checkInputDataTypes()
+
+    override def createAggregationBuffer(): HwBuf =
+      new HwBuf(0L, 0.0, 0.0, 0.0, new Array[Double](math.max(m, 1)), null)
+
+    override def update(buf: HwBuf, row: InternalRow): HwBuf = {
+      val v = child.eval(row)
+      if (v != null) {
+        val x = v.asInstanceOf[Double]
+        buf.seen += 1
+        if (buf.seen < m) {
+          buf.sum += x; buf.raw(buf.seen.toInt - 1) = x
+        } else if (buf.seen == m) {
+          buf.raw(m - 1) = x
+          buf.l = (buf.sum + x) / m
+          buf.b = 0.0
+          buf.ring = new Array[Double](m)
+          var i = 0
+          while (i < m) { buf.ring(i) = buf.raw(i) - buf.l; i += 1 }
+        } else {
+          val idx = ((buf.seen - 1) % m).toInt
+          val sOld = buf.ring(idx)
+          val newL = alpha * (x - sOld) + (1 - alpha) * (buf.l + buf.b)
+          buf.b = beta * (newL - buf.l) + (1 - beta) * buf.b
+          buf.l = newL
+          buf.ring(idx) = gamma * (x - newL) + (1 - gamma) * sOld
+        }
+      }
+      buf
+    }
+
+    override def eval(buf: HwBuf): Any =
+      if (buf.seen < m) null
+      else part match {
+        case 0 => buf.l
+        case 1 => buf.b
+        case 2 => buf.ring(((buf.seen - 1) % m).toInt)
+        case _ => buf.l + buf.b + buf.ring((buf.seen % m).toInt)
+      }
+
+    override def serialize(buf: HwBuf): Array[Byte] = {
+      val arr = if (buf.ring != null) buf.ring else buf.raw
+      val bb = ByteBuffer.allocate(33 + 8 * arr.length)
+      bb.putLong(buf.seen); bb.putDouble(buf.sum)
+      bb.putDouble(buf.l); bb.putDouble(buf.b)
+      bb.put(if (buf.ring != null) 1.toByte else 0.toByte)
+      arr.foreach(bb.putDouble)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): HwBuf = {
+      val bb = ByteBuffer.wrap(bytes)
+      val seen = bb.getLong; val sum = bb.getDouble
+      val l = bb.getDouble; val b = bb.getDouble
+      val hasRing = bb.get() == 1
+      val arr = new Array[Double](bb.remaining() / 8)
+      var i = 0
+      while (i < arr.length) { arr(i) = bb.getDouble; i += 1 }
+      if (hasRing) new HwBuf(seen, sum, l, b, new Array[Double](arr.length), arr)
+      else new HwBuf(seen, sum, l, b, arr, null)
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): HoltWintersAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HoltWintersAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): HoltWintersAgg = copy(child = c)
+  }
+
   private def running(spec: WindowSpec): WindowSpec =
     spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -275,6 +380,15 @@ object SeededAggs {
       spec: WindowSpec): Column =
     ColumnBridge.column(
       HoltAgg(ColumnBridge.expression(c), alpha, beta, part)
+        .toAggregateExpression())
+      .over(running(spec))
+
+  /** Holt–Winters additive level (part 0) / trend (1) / season component
+    * (2) / one-step forecast (3) of `c` as a running window column. */
+  def holtWinters(c: Column, m: Int, alpha: Double, beta: Double,
+      gamma: Double, part: Int, spec: WindowSpec): Column =
+    ColumnBridge.column(
+      HoltWintersAgg(ColumnBridge.expression(c), m, alpha, beta, gamma, part)
         .toAggregateExpression())
       .over(running(spec))
 }

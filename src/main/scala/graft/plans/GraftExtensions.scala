@@ -33,6 +33,15 @@ object GraftExtensions {
       s"$fn expects a literal INT length, got $other")
   }
 
+  private def dblArg(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, _) => v
+    // SQL fractional literals parse as Literal(Decimal, DecimalType)
+    // — the form every SQL user types first (e.g. 0.2, not 0.2D)
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects literal DOUBLE smoothing factors, got $other")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("seeded_ema"),
       new ExpressionInfo(classOf[SeededAggs.EmaAgg].getName, "seeded_ema"),
@@ -58,14 +67,20 @@ object GraftExtensions {
     (new FunctionIdentifier("holt_smooth"),
       new ExpressionInfo(classOf[SeededAggs.HoltAgg].getName, "holt_smooth"),
       (args: Seq[Expression]) => {
-        def dblArg(e: Expression): Double = e match {
-          case Literal(v: Double, _) => v
-          case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
-          case other => throw new IllegalArgumentException(
-            s"holt_smooth expects literal DOUBLE smoothing factors, got $other")
-        }
-        SeededAggs.HoltAgg(args.head, dblArg(args(1)), dblArg(args(2)),
+        SeededAggs.HoltAgg(args.head, dblArg(args(1), "holt_smooth"),
+          dblArg(args(2), "holt_smooth"),
           intArg(args(3), "holt_smooth")).toAggregateExpression()
+      }),
+    // SELECT holt_winters(close, 24, 0.2, 0.1, 0.25, 3) OVER (PARTITION
+    //   BY symbol ORDER BY time ROWS UNBOUNDED PRECEDING) -- part:
+    //   0=level 1=trend 2=season 3=one-step forecast
+    (new FunctionIdentifier("holt_winters"),
+      new ExpressionInfo(classOf[SeededAggs.HoltWintersAgg].getName, "holt_winters"),
+      (args: Seq[Expression]) => {
+        SeededAggs.HoltWintersAgg(args.head, intArg(args(1), "holt_winters"),
+          dblArg(args(2), "holt_winters"), dblArg(args(3), "holt_winters"),
+          dblArg(args(4), "holt_winters"),
+          intArg(args(5), "holt_winters")).toAggregateExpression()
       }),
     (new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),

@@ -37,9 +37,11 @@ class EngineSpec extends AnyFunSuite {
     import spark.implicits._
     (1 to 10).map(i => ("S", i, 10.0 + i)).toDF("symbol", "t", "close")
       .createOrReplaceTempView("sqlholt")
+    // PLAIN decimal literals (0.2, not 0.2D): the parser yields
+    // Literal(Decimal, DecimalType) — the form every SQL user types first
     val rows = spark.sql(
       """SELECT t,
-        |  holt_smooth(close, 0.2D, 0.1D, 0) OVER w AS lvl,
+        |  holt_smooth(close, 0.2, 0.1, 0) OVER w AS lvl,
         |  holt_smooth(close, 0.2D, 0.1D, 2) OVER w AS fc
         |FROM sqlholt
         |WINDOW w AS (PARTITION BY symbol ORDER BY t
@@ -49,6 +51,21 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(0).getDouble(1) == 11.0 && rows(0).getDouble(2) == 11.0)
     // level(2) = 0.2*12 + 0.8*(11 + 0) = 11.2
     assert(math.abs(rows(1).getDouble(1) - 11.2) < 1e-12)
+  }
+
+  test("holt_winters is usable from plain SQL with plain decimal literals") {
+    import spark.implicits._
+    (1 to 12).map(i => ("S", i, i * 1.7)).toDF("symbol", "t", "close")
+      .createOrReplaceTempView("sqlhw")
+    val rows = spark.sql(
+      """SELECT t, holt_winters(close, 4, 0.2, 0.1, 0.3, 0) OVER w AS lvl
+        |FROM sqlhw
+        |WINDOW w AS (PARTITION BY symbol ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY t""".stripMargin).collect()
+    assert(rows.take(3).forall(_.isNullAt(1)))
+    assert(rows(3).getDouble(1) == 4.25) // mean of 1.7*(1..4)
+    assert(math.abs(rows(11).getDouble(1) - 14.897148262955831) < 1e-12)
   }
 
   test("float_dot is usable from SQL") {

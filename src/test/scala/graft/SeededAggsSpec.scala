@@ -120,4 +120,61 @@ class SeededAggsSpec extends AnyFunSuite {
     assert(adx.take(27).forall(_.isEmpty))
     assert(adx.drop(27).forall(v => v.isDefined && v.get >= 0 && v.get <= 100))
   }
+
+  /** Independent Holt–Winters additive reference fold (m-mean seed,
+    * trend 0, season_i = x_i − mean). */
+  private def hwRef(vals: Seq[Double], m: Int, a: Double, b: Double,
+      g: Double): Seq[Option[(Double, Double, Double, Double)]] = {
+    var sum = 0.0; var l = 0.0; var t = 0.0; var seen = 0
+    val raw = new Array[Double](m); var ring: Array[Double] = null
+    vals.map { x =>
+      seen += 1
+      if (seen < m) { sum += x; raw(seen - 1) = x; None }
+      else {
+        if (seen == m) {
+          raw(m - 1) = x; l = (sum + x) / m; t = 0.0
+          ring = raw.map(_ - l)
+        } else {
+          val idx = (seen - 1) % m
+          val sOld = ring(idx)
+          val nl = a * (x - sOld) + (1 - a) * (l + t)
+          t = b * (nl - l) + (1 - b) * t
+          l = nl
+          ring(idx) = g * (x - nl) + (1 - g) * sOld
+        }
+        Some((l, t, ring((seen - 1) % m), l + t + ring(seen % m)))
+      }
+    }
+  }
+
+  test("Holt-Winters(m=4): seed, season ring and forecast match the reference fold") {
+    val vals = (1 to 12).map(_ * 1.7)
+    def run(part: Int) = series(vals)
+      .select(col("time"),
+        SeededAggs.holtWinters(col("close"), 4, 0.2, 0.1, 0.3, part, WI.w()).as("v"))
+      .orderBy("time").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val exp = hwRef(vals, 4, 0.2, 0.1, 0.3)
+    assert(run(0).toSeq == exp.map(_.map(_._1)))
+    assert(run(1).toSeq == exp.map(_.map(_._2)))
+    assert(run(2).toSeq == exp.map(_.map(_._3)))
+    assert(run(3).toSeq == exp.map(_.map(_._4)))
+    // spot-check against the independently-run DuckDB recursion (the
+    // oracle's exact state machine): rn=4 seed and rn=12 level/trend
+    assert(exp(3).get._1 == 4.25 && exp(3).get._2 == 0.0)
+    assert(math.abs(exp(11).get._1 - 14.897148262955831) < 1e-12)
+    assert(math.abs(exp(11).get._2 - 0.7700557197106487) < 1e-12)
+  }
+
+  test("Holt-Winters skips null inputs and stays null through warm-up") {
+    val df = Seq(
+      (new Timestamp(0L), "S", Some(1.0)), (new Timestamp(5000L), "S", None),
+      (new Timestamp(10000L), "S", Some(2.0)), (new Timestamp(15000L), "S", Some(3.0)))
+      .toDF("time", "symbol", "close")
+    val got = df.select(
+      SeededAggs.holtWinters(col("close"), 3, 0.2, 0.1, 0.25, 0, WI.w()).as("v"))
+      .orderBy("v").collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // 3 non-null inputs -> seeded exactly at the last row: mean(1,2,3)=2
+    assert(got.count(_.isDefined) == 1 && got.flatten.head == 2.0)
+  }
 }
