@@ -108,6 +108,13 @@ object OracleSql {
   val HwM = 24
   val HwGamma = 0.25
 
+  /** 1-D Kalman filter (SeededAggs.KalmanAgg): random-walk process noise
+    * q, measurement noise r, initial covariance p0. (Declared BEFORE
+    * recCte: object vals initialize in order.) */
+  val KalQ = 0.01
+  val KalR = 1.0
+  val KalP0 = 1.0
+
   /** The full recursive state machine: every order-dependent indicator state
     * advanced one row per iteration, exactly mirroring SeededAggs.EmaAgg /
     * AdxAgg float-for-float (same operation order ⇒ bitwise-equal doubles).
@@ -131,11 +138,13 @@ object OracleSql {
        |         close AS hl, CAST(0 AS DOUBLE) AS hb,
        |         close AS hwsum, [close] AS hwraw,
        |         CAST(NULL AS DOUBLE[]) AS hws,
-       |         CAST(NULL AS DOUBLE) AS hwl, CAST(NULL AS DOUBLE) AS hwb
+       |         CAST(NULL AS DOUBLE) AS hwl, CAST(NULL AS DOUBLE) AS hwb,
+       |         close AS kx, CAST($KalP0 AS DOUBLE) AS kp,
+       |         CAST(NULL AS DOUBLE) AS kk
        |  FROM b WHERE rn = 1
        |  UNION ALL
        |  SELECT symbol, time, rn, s10x, s20x, s12x, s26x, sgx, slx, sax, sp2, sn2, st2, dxc2, dxs2,
-       |         hl2, hb2, hwsum2, hwraw2, hws2, hwl2, hwb2
+       |         hl2, hb2, hwsum2, hwraw2, hws2, hwl2, hwb2, kx2, kp2, kk2
        |  FROM (
        |    SELECT b.symbol, b.time, b.rn,
        |      $s10 AS s10x,
@@ -183,7 +192,10 @@ object OracleSql {
        |             THEN list_transform(list_append(r.hwraw, b.close), v -> v - hwl2)
        |           WHEN b.rn > $HwM THEN list_transform(range(1, $HwM + 1),
        |             i -> CASE WHEN i = ((b.rn - 1) % $HwM) + 1
-       |                       THEN hwnews2 ELSE r.hws[i] END) END AS hws2
+       |                       THEN hwnews2 ELSE r.hws[i] END) END AS hws2,
+       |      (r.kp + $KalQ) / ((r.kp + $KalQ) + $KalR) AS kk2,
+       |      r.kx + kk2 * (b.close - r.kx) AS kx2,
+       |      (1 - kk2) * (r.kp + $KalQ) AS kp2
        |    FROM rec r JOIN b ON b.symbol = r.symbol AND b.rn = r.rn + 1
        |  )
        |)""".stripMargin

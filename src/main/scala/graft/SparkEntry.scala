@@ -190,6 +190,20 @@ object SparkEntry {
       r(hw(2)).as("hw_season"), r(hw(3)).as("hw_forecast"))
   }
 
+  /** 1-D Kalman filter over the close series ([[SeededAggs.KalmanAgg]])
+    * — the adaptive-gain smoother next to the fixed-α EMA family:
+    * filtered level, converging gain, and error covariance, mirrored in
+    * the shared recursive oracle's (kx, kp, kk) states. */
+  private def qKalman(s: SparkSession, dir: String): DataFrame = {
+    val spec = WI.w()
+    def kf(part: Int) = SeededAggs.kalman(
+      col("close"), KalQ, KalR, KalP0, part, spec)
+    Tables.bars(s, dir).select(
+      col("symbol"), col("time"),
+      r(kf(0)).as("kf_level"), r(kf(1)).as("kf_gain"),
+      r(kf(2)).as("kf_cov"))
+  }
+
   /** A5: MACD line = EMA(12) − EMA(26) (backfill.py:23-27). */
   private def qMacd(s: SparkSession, dir: String): DataFrame = {
     val spec = WI.w()
@@ -299,6 +313,7 @@ object SparkEntry {
     "q_ema" -> qEma,
     "q_holt" -> qHolt,
     "q_holt_winters" -> qHoltWinters,
+    "q_kalman" -> qKalman,
     "q_macd" -> qMacd,
     "q_rsi" -> qRsi,
     "q_atr" -> qAtr,
@@ -374,6 +389,11 @@ object SparkEntry {
          |  ${r4(s"CASE WHEN rn >= $HwM THEN hwb END")} AS hw_trend,
          |  ${r4(s"CASE WHEN rn >= $HwM THEN hws[((rn - 1) % $HwM) + 1] END")} AS hw_season,
          |  ${r4(s"CASE WHEN rn >= $HwM THEN hwl + hwb + hws[(rn % $HwM) + 1] END")} AS hw_forecast
+         |FROM rec""".stripMargin),
+
+    "q_kalman" -> recQuery(
+      s"""SELECT symbol, time, ${r4("kx")} AS kf_level,
+         |  ${r4("kk")} AS kf_gain, ${r4("kp")} AS kf_cov
          |FROM rec""".stripMargin),
 
     "q_macd" -> recQuery(

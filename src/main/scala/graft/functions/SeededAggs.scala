@@ -352,6 +352,77 @@ object SeededAggs {
     override protected def withNewChildInternal(c: Expression): HoltWintersAgg = copy(child = c)
   }
 
+  final class KalmanBuf(var seen: Long, var x: Double, var p: Double,
+      var k: Double)
+
+  /** 1-D Kalman filter over a random-walk state model — the adaptive-
+    * gain member of the fold family (EMA's α is fixed; the Kalman gain
+    * anneals from ~1 toward q-vs-r equilibrium as the error covariance
+    * converges):
+    *
+    *   seed:  x = z_1, p = p0
+    *   step:  p_pred = p + q;  k = p_pred / (p_pred + r);
+    *          x ← x + k(z − x);  p ← (1 − k) · p_pred
+    *
+    * `part`: 0 = filtered level x, 1 = gain k (null at the seed row —
+    * no update happened), 2 = error covariance p. O(1) state; mirrored
+    * state-for-state in the DuckDB recursive oracle's (kx, kp)
+    * columns with the gain re-derived from kp. */
+  case class KalmanAgg(
+      child: Expression,
+      q: Double,
+      r: Double,
+      p0: Double,
+      part: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends SeededFoldBase[KalmanBuf] with UnaryLike[Expression] {
+
+    override def prettyName: String = "kalman_1d"
+
+    override def createAggregationBuffer(): KalmanBuf =
+      new KalmanBuf(0L, 0.0, 0.0, 0.0)
+
+    override def update(b: KalmanBuf, row: InternalRow): KalmanBuf = {
+      val v = child.eval(row)
+      if (v != null) {
+        val z = v.asInstanceOf[Double]
+        b.seen += 1
+        if (b.seen == 1) { b.x = z; b.p = p0; b.k = 0.0 }
+        else {
+          val pPred = b.p + q
+          val k = pPred / (pPred + r)
+          b.x = b.x + k * (z - b.x)
+          b.p = (1 - k) * pPred
+          b.k = k
+        }
+      }
+      b
+    }
+
+    override def eval(b: KalmanBuf): Any =
+      if (b.seen < 1) null
+      else part match {
+        case 0 => b.x
+        case 1 => if (b.seen == 1) null else b.k
+        case _ => b.p
+      }
+
+    override def serialize(b: KalmanBuf): Array[Byte] = {
+      val bb = ByteBuffer.allocate(32)
+      bb.putLong(b.seen); bb.putDouble(b.x); bb.putDouble(b.p); bb.putDouble(b.k)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): KalmanBuf = {
+      val bb = ByteBuffer.wrap(bytes)
+      new KalmanBuf(bb.getLong, bb.getDouble, bb.getDouble, bb.getDouble)
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): KalmanAgg = copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KalmanAgg = copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): KalmanAgg = copy(child = c)
+  }
+
   private def running(spec: WindowSpec): WindowSpec =
     spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -389,6 +460,15 @@ object SeededAggs {
       gamma: Double, part: Int, spec: WindowSpec): Column =
     ColumnBridge.column(
       HoltWintersAgg(ColumnBridge.expression(c), m, alpha, beta, gamma, part)
+        .toAggregateExpression())
+      .over(running(spec))
+
+  /** 1-D Kalman filtered level (part 0) / gain (1) / covariance (2) of
+    * `c` as a running window column. */
+  def kalman(c: Column, q: Double, r: Double, p0: Double, part: Int,
+      spec: WindowSpec): Column =
+    ColumnBridge.column(
+      KalmanAgg(ColumnBridge.expression(c), q, r, p0, part)
         .toAggregateExpression())
       .over(running(spec))
 }

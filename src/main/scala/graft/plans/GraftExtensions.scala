@@ -82,6 +82,16 @@ object GraftExtensions {
           dblArg(args(4), "holt_winters"),
           intArg(args(5), "holt_winters")).toAggregateExpression()
       }),
+    // SELECT kalman_1d(close, 0.01, 1.0, 1.0, 0) OVER (PARTITION BY
+    //   symbol ORDER BY time ROWS UNBOUNDED PRECEDING) -- part:
+    //   0=level 1=gain 2=covariance
+    (new FunctionIdentifier("kalman_1d"),
+      new ExpressionInfo(classOf[SeededAggs.KalmanAgg].getName, "kalman_1d"),
+      (args: Seq[Expression]) => {
+        SeededAggs.KalmanAgg(args.head, dblArg(args(1), "kalman_1d"),
+          dblArg(args(2), "kalman_1d"), dblArg(args(3), "kalman_1d"),
+          intArg(args(4), "kalman_1d")).toAggregateExpression()
+      }),
     (new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))),

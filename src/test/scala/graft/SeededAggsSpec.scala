@@ -166,6 +166,32 @@ class SeededAggsSpec extends AnyFunSuite {
     assert(math.abs(exp(11).get._2 - 0.7700557197106487) < 1e-12)
   }
 
+  test("Kalman(1-D): gain anneals, level matches the reference fold") {
+    val vals = (1 to 30).map(i => 100.0 + 7 * math.sin(i * 0.5))
+    val (q, r, p0) = (0.01, 1.0, 1.0)
+    // independent fold
+    var x = 0.0; var p = 0.0; var seen = 0
+    val exp = vals.map { z =>
+      seen += 1
+      if (seen == 1) { x = z; p = p0; (x, None: Option[Double], p) }
+      else {
+        val pp = p + q; val k = pp / (pp + r)
+        x = x + k * (z - x); p = (1 - k) * pp
+        (x, Some(k), p)
+      }
+    }
+    def run(part: Int) = series(vals)
+      .select(col("time"), SeededAggs.kalman(col("close"), q, r, p0, part, WI.w()).as("v"))
+      .orderBy("time").collect()
+      .map(rw => if (rw.isNullAt(1)) None else Some(rw.getDouble(1)))
+    assert(run(0).toSeq == exp.map(e => Some(e._1)))
+    assert(run(1).toSeq == exp.map(_._2))
+    assert(run(2).toSeq == exp.map(e => Some(e._3)))
+    // the gain is monotone non-increasing toward its fixed point
+    val gains = exp.flatMap(_._2)
+    assert(gains.zip(gains.tail).forall { case (a, b) => b <= a + 1e-15 })
+  }
+
   test("Holt-Winters skips null inputs and stays null through warm-up") {
     val df = Seq(
       (new Timestamp(0L), "S", Some(1.0)), (new Timestamp(5000L), "S", None),
