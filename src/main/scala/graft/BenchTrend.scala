@@ -35,7 +35,7 @@ object BenchTrend {
     * quadratic in round 8; its value grows with coverage. */
   val DefaultQueries: Seq[String] = Seq(
     "q_corr_matrix", "q_pagerank", "q_pagerank_dangling", "q_triangles",
-    "q_communities",
+    "q_communities", "q_kcore",
     "q_profile", "q_containment", "q_sample_dedup", "q_split_safe",
     "q_dedup_keep_best", "q_dedup_corpus", "q_dedup_incremental",
     "q_jaccard_pairs", "q_simhash", "q_minhash_lsh", "q_substring_dup",

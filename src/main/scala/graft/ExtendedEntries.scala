@@ -973,6 +973,23 @@ object ExtendedEntries {
       .select((col("cust") * 2).as("a"), (col("supp") * 2 + 1).as("b")).distinct()
   }
 
+  /** k-core peel threshold and the unrolled oracle's round count.
+    * Peeling is confluent and post-fixpoint rounds are no-ops, so the
+    * early-exiting Spark loop and the always-8-round oracle agree
+    * whether or not the fixpoint lands inside 8 rounds. */
+  private val KcoreK = 8
+  private val KcoreRounds = 8
+
+  /** k-core backbone of the trade graph ([[Graph.kcore]]): iteratively
+    * peel nodes with fewer than KcoreK surviving partners — the graph-
+    * cleaning cut between raw degree filtering (one round) and full
+    * community structure. */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = tradePairs(s, dir)
+    Graph.kcore(pairs.select(col("a").as("src"), col("b").as("dst")),
+      KcoreK, KcoreRounds)
+  }
+
   /** 3-iteration PageRank over the symmetrized customer↔supplier trade
     * graph. Symmetrizing gives every node an out-edge, so the dangling
     * term in [[Graph.pagerank]] contributes an exact +0.0 here. Ranks
@@ -1056,6 +1073,7 @@ object ExtendedEntries {
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_pagerank" -> qPagerank,
     "q_communities" -> qCommunities,
+    "q_kcore" -> qKcore,
     "q_pagerank_dangling" -> qPagerankDangling,
     "q_triangles" -> qTriangles,
     "q_transitions" -> ((s, dir) =>
@@ -2133,6 +2151,35 @@ object ExtendedEntries {
         |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |), edges AS (SELECT a AS src, b AS dst FROM pairs)""".stripMargin),
+
+    // k-core peel unrolled to exactly KcoreRounds rounds: each round
+    // keeps edges whose BOTH endpoints had degree >= k in the previous
+    // round's subgraph — post-fixpoint rounds are no-ops, so this equals
+    // Graph.kcore's early-exiting loop
+    "q_kcore" -> {
+      // AS MATERIALIZED is load-bearing: each round references the
+      // previous one 3x, and inlined CTEs would re-expand the base scan
+      // 3^rounds times ("too many open files" long before any result)
+      val rounds = (1 to KcoreRounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY src),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN d$i s ON s.src = e.src AND s.deg >= $KcoreK
+           |  JOIN d$i t ON t.src = e.dst AND t.deg >= $KcoreK
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |), e0 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b AS src, a AS dst FROM pairs
+         |),
+         |$rounds
+         |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e$KcoreRounds GROUP BY src""".stripMargin
+    },
 
     // synchronous LPA unrolled: per round, per node, the most frequent
     // neighbor label with smallest-label tiebreak — mirrors

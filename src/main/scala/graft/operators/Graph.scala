@@ -174,6 +174,50 @@ object Graph {
     labels
   }
 
+  /** k-core membership: iteratively peel nodes of (undirected) degree
+    * < k until fixpoint — the maximal subgraph where every surviving
+    * node keeps ≥ k surviving neighbors, the standard backbone cut for
+    * graph cleaning. Peeling is CONFLUENT (the fixpoint is independent
+    * of removal order), so the result is deterministic and
+    * oracle-checkable. The input is symmetrized and de-duplicated here;
+    * self-loops are dropped.
+    *
+    * Runs AT MOST `maxRounds` peel rounds with an early exit at the
+    * true fixpoint — callers that mirror an unrolled-R-round oracle get
+    * bit-identical results either way (post-fixpoint rounds are
+    * no-ops). Returns (node, core_deg), core_deg = the node's degree
+    * within the surviving subgraph.
+    *
+    * Scale shape: per round one keyed degree aggregate + two keyed
+    * semi-joins filtering the edge list; the edge frame materializes
+    * per round (bounded residency, lineage truncated) and the
+    * convergence probe is a one-row count — no driver graph. O(rounds)
+    * keyed shuffles, each co-partitioned on the node key. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "k and maxRounds must be >= 1")
+    val sym = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var und = sym.materialize
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val before = und.count() // materialized: cheap scalar probe
+      val keep = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node")).materialize
+      und = und
+        .join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+        .materialize
+      converged = und.count() == before
+      rounds += 1
+    }
+    und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("core_deg"))
+  }
+
   def triangles(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),

@@ -132,4 +132,31 @@ class GraphSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("k-core: peel cascades through the pendant chain, keeps the triangle") {
+    // triangle 1-2-3 with a pendant chain 3-4-5: the 2-core must peel 5
+    // (deg 1), which exposes 4 (deg 1) — a second round — leaving only
+    // the triangle, every survivor at core degree 2
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core2 = Graph.kcore(g, k = 2, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree empties the graph
+    assert(Graph.kcore(g, k = 4, maxRounds = 10).count() == 0L)
+    // k=1 keeps everything (dedup + symmetrize only)
+    val core1 = Graph.kcore(g, k = 1, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("k-core capped below the fixpoint equals the same-round unrolled peel") {
+    // chain 1-2-3-4-5-6 with k=2 peels one endpoint pair per round;
+    // maxRounds=1 must stop after exactly one peel (ends 1 and 6 gone),
+    // NOT run to the (empty) fixpoint
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val one = Graph.kcore(chain, k = 2, maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
 }
