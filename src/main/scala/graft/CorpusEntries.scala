@@ -381,7 +381,9 @@ object CorpusEntries {
     s"""wc AS (
        |  SELECT word, count(*) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
-       |  ) WHERE length(word) > 0 GROUP BY 1
+       |  ) WHERE length(word) > 0
+       |    AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0
+       |  GROUP BY 1
        |), d0 AS MATERIALIZED (
        |  SELECT cnt, array_to_string(list_transform(range(1, length(word) + 1),
        |    i -> chr(1) || substr(word, i, 1) || chr(2)), '') AS seq

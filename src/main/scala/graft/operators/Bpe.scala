@@ -45,7 +45,11 @@ object Bpe {
 
   private def wordDict(docs: DataFrame): DataFrame =
     docs.select(explode(TextAnalysis.tokens(col("text"))).as("word"))
-      .filter(length(col("word")) > 0)
+      // drop empty words AND any word carrying the reserved bracket
+      // control chars — unguarded, such a word would corrupt symbol
+      // parsing for every merge (mirrored in the oracle's wc filter)
+      .filter(length(col("word")) > 0 &&
+        !col("word").contains(L) && !col("word").contains(R))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("seq", bracketed(col("word")))
 

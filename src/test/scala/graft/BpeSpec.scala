@@ -111,6 +111,23 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("words carrying the reserved bracket control chars are excluded") {
+    // a word containing \u0001/\u0002 would parse as pre-bracketed
+    // symbols and corrupt every merge count; the dict must drop such
+    // words entirely (same filter the oracle's wc CTE applies), leaving
+    // the clean words' BPE unchanged. (Escapes, not raw bytes, so the
+    // source file stays clean text.)
+    val L = "\u0001"; val R = "\u0002"
+    val dirty = docsOf("aaab aaab aaab ab ab", s"a${L}b c${R}d ${L}xy$R")
+    val m = Bpe.trainMerges(dirty, 2).orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m(0) == (1L, "a", "a", "aa", 6L))
+    assert(m(1) == (2L, "a", "b", "ab", 5L))
+    val enc = Bpe.encode(dirty, Bpe.trainMerges(dirty, 2))
+      .collect().map(r => r.getString(0)).toSet
+    assert(!enc.exists(t => t.contains(L) || t.contains(R)))
+  }
+
   test("training stops early when no mergeable pair remains") {
     // "a aa": one merge (a,a) collapses 'aa' to a single symbol; 'a'
     // never had a pair — asking for 10 merges must return the 1 learned,
