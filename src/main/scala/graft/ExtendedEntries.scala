@@ -123,6 +123,17 @@ object ExtendedEntries {
         col("min_cos"))
   }
 
+  /** Power-iteration round count shared by q_embed_pca and its unrolled
+    * oracle (fixed rounds, no convergence exit — both sides identical by
+    * construction). */
+  private val PcaRounds = 6
+
+  /** Top principal direction of the embedding cloud
+    * ([[Similarity.topDirection]]): quantized power iteration, loadings
+    * + Rayleigh eigenvalue estimate per dimension. */
+  private def qEmbedPca(s: SparkSession, dir: String): DataFrame =
+    Similarity.topDirection(Tables.embeddings(s, dir), PcaRounds)
+
   /** Gate-friendly projection: the int8 vector rides as a CSV string (the
     * driver's hash compare is scalar-typed; the library API keeps the
     * typed array). */
@@ -1158,6 +1169,7 @@ object ExtendedEntries {
     "q_ivf_append" -> qIvfAppend,
     "q_ivf_recall" -> qIvfRecall,
     "q_embed_clusters" -> qEmbedClusters,
+    "q_embed_pca" -> qEmbedPca,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_cosine_q8" -> qCosineQ8,
     "q_cosine_pq" -> qCosinePq,
@@ -3135,6 +3147,52 @@ object ExtendedEntries {
     // the append-maintained index must search identically to the
     // single-shot one: hash-gated against q_cosine_ivf's oracle unchanged
     "q_ivf_append" -> ivfSearchOracleSql,
+
+    // quantized power iteration unrolled to exactly PcaRounds rounds:
+    // per round the float_dot dᵢ 4+2-dp-quantizes into int64 matvec sums
+    // (order-free), the norm folds the dim-sized list sequentially, and
+    // v re-rounds through FLOAT32 — each step mirrored op-for-op
+    "q_embed_pca" -> {
+      val rounds = (1 to PcaRounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT e.vec_id,
+           |    CAST(floor((${oDot("e.embedding", s"v${i - 1}.v")})
+           |      * 1000000 + 0.5) AS BIGINT) AS di6
+           |  FROM e, v${i - 1}
+           |), s$i AS MATERIALIZED (
+           |  SELECT u.pos,
+           |    CAST(sum(CAST(floor(CAST(u.x AS DOUBLE) * d.di6 * 100 + 0.5)
+           |      AS BIGINT)) AS BIGINT) AS s
+           |  FROM u JOIN d$i d USING (vec_id) GROUP BY u.pos
+           |), n$i AS (
+           |  SELECT sqrt(list_reduce(
+           |    list_transform(list(CAST(s AS DOUBLE) ORDER BY pos), z -> z * z),
+           |    (a, b) -> a + b)) AS nrm
+           |  FROM s$i
+           |), v$i AS (
+           |  SELECT list(CAST(CAST(s.s AS DOUBLE) / n$i.nrm AS FLOAT)
+           |    ORDER BY s.pos) AS v
+           |  FROM s$i s, n$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+         |dim AS (SELECT min(len(embedding)) AS d FROM e),
+         |u AS MATERIALIZED (
+         |  SELECT vec_id, unnest(embedding) AS x,
+         |    generate_subscripts(embedding, 1) AS pos
+         |  FROM e
+         |),
+         |v0 AS (
+         |  SELECT list_transform(range(1, d + 1),
+         |    i -> CAST(1.0 / sqrt(CAST(d AS DOUBLE)) AS FLOAT)) AS v
+         |  FROM dim
+         |),
+         |$rounds
+         |SELECT CAST(s.pos AS BIGINT) AS pos,
+         |  ${r4(s"CAST(v$PcaRounds.v[s.pos] AS DOUBLE)")} AS loading,
+         |  ${r4(s"n$PcaRounds.nrm / 100000000.0")} AS lambda
+         |FROM s$PcaRounds s, v$PcaRounds, n$PcaRounds""".stripMargin
+    },
 
     "q_embed_clusters" ->
       s"""WITH ${oIvfAssign(8, 2)}, sc AS (

@@ -61,6 +61,65 @@ object Similarity {
 
   private def r4(c: Column): Column = floor(c * lit(10000) + lit(0.5)) / lit(10000)
 
+  /** Top singular direction of the (uncentered) embedding cloud by
+    * QUANTIZED power iteration — the one-component PCA view an embedding
+    * pipeline uses for whitening checks and drift axes.
+    *
+    * Each of the fixed `rounds` multiplies A = Σ xᵢxᵢᵀ into v without
+    * ever forming A: per row the float_dot dᵢ = xᵢ·v (left-to-right
+    * double fold), then the matvec components Σᵢ xᵢⱼdᵢ are accumulated
+    * as EXACT int64 sums of floor(xᵢⱼ·⌊dᵢ·10⁶⌉·100 + 0.5) — the same
+    * integer-quantization trick the corr/cluster queries use, so the
+    * distributed sum is order-independent and the DuckDB oracle matches
+    * bit for bit. v re-normalizes on the driver (dim-sized, sequential)
+    * and is carried as FLOAT32 so both engines round identically per
+    * round. The per-round reduce is one scan + one dim-keyed aggregate
+    * (dim rows to the driver — a bounded probe); overflow headroom:
+    * |c| ≤ 10⁸·|xd| keeps the int64 sum safe past 10⁹ rows.
+    *
+    * Fixed round count (no convergence exit) — the oracle unrolls the
+    * identical rounds. Output: one row per dimension (pos, loading,
+    * lambda), loading the 4dp final component, lambda the 4dp Rayleigh
+    * estimate ‖Av‖ from the last round's integer sums. */
+  def topDirection(emb: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("embedding")).materialize // scanned per round
+    val dimRow = e.select(min(size(col("embedding")))).head()
+    require(!dimRow.isNullAt(0), "topDirection needs a non-empty embedding table")
+    val dim = dimRow.getInt(0)
+    var v: Array[Float] =
+      Array.fill(dim)((1.0 / math.sqrt(dim.toDouble)).toFloat)
+    var s: Array[Long] = null
+    for (_ <- 1 to rounds) {
+      val vLit = array(v.map(lit): _*)
+      val di6 = floor(dot(col("embedding"), col("_v")) * lit(1000000) + lit(0.5))
+        .cast("long")
+      val sums = e.withColumn("_v", vLit)
+        .withColumn("_di6", di6)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("_di6"))
+        .groupBy(col("pos"))
+        .agg(sum(floor(col("x").cast("double") * col("_di6") * lit(100) + lit(0.5))
+          .cast("long")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      s = (0 until dim).map(p => sums.getOrElse(p, 0L)).toArray
+      var n2 = 0.0
+      var j = 0
+      while (j < dim) { n2 += s(j).toDouble * s(j).toDouble; j += 1 }
+      val nrm = math.sqrt(n2)
+      v = s.map(x => (x.toDouble / nrm).toFloat)
+    }
+    var n2 = 0.0
+    var j = 0
+    while (j < dim) { n2 += s(j).toDouble * s(j).toDouble; j += 1 }
+    val lambda = math.sqrt(n2) / 1e8
+    val r4d = (x: Double) => math.floor(x * 10000 + 0.5) / 10000
+    (1 to dim).map(p =>
+      (p.toLong, r4d(v(p - 1).toDouble), r4d(lambda)))
+      .toDF("pos", "loading", "lambda")
+  }
+
   /** Brute-force cosine top-k: queries = vec_id < nQueries; rank by
     * 4dp-rounded score with vec_id tiebreak (deterministic under float
     * noise). The query side is broadcast; the corpus is scanned once. */

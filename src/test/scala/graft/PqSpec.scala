@@ -12,6 +12,7 @@ import graft.operators.{ProductQuantizer, Similarity}
   * hash-matches its own oracle but retrieves junk would still be wrong. */
 class PqSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
   private val (m, sub, k, iters) = (8, 8, 16, 2)
@@ -145,5 +146,35 @@ class PqSpec extends AnyFunSuite {
     val cb = ProductQuantizer.train(emb, m, sub, k, iters)
     val out = ProductQuantizer.searchAdc(emb, cb, 10, 5, m, sub)
     assert(out.filter(abs(col("score_pq")) > 1.1).count() == 0)
+  }
+
+  test("power iteration recovers a planted dominant axis") {
+    // cloud = strong spread along axis 2, weak everywhere else: the top
+    // direction must load ~±1 on pos 2 and ~0 elsewhere, with lambda
+    // capturing the planted variance scale
+    val dim = 8
+    val rows = (0 until 200).map { i =>
+      val main = (if (i % 2 == 0) 1f else -1f) * (3f + (i % 7))
+      val vec = Array.tabulate(dim)(j =>
+        if (j == 1) main else ((i * 31 + j * 17) % 11 - 5).toFloat * 0.05f)
+      (i.toLong, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.topDirection(df, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val byPos = got.map(g => g._1 -> g._2).toMap
+    assert(math.abs(byPos(2L)) > 0.99, s"axis-2 loading ${byPos(2L)}")
+    assert(got.filter(_._1 != 2L).forall(g => math.abs(g._2) < 0.1),
+      "off-axis loadings should be near zero")
+    val lambda = got.head._3
+    // lambda ~ mean squared projection onto the axis: between the min
+    // (3^2) and max (9^2) planted magnitudes times N... it is the
+    // UN-normalized Rayleigh ||A v||, A = sum of outer products, so it
+    // scales with row count: just pin positivity + the planted bracket
+    assert(lambda > 200 * 9 && lambda < 200 * 81, s"lambda $lambda")
+    // determinism: a second run is bit-identical
+    val again = Similarity.topDirection(df, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == again.toSeq)
   }
 }
