@@ -655,13 +655,13 @@ object CorpusEntries {
          |    CASE WHEN t.n3 IS NOT NULL
          |           THEN CAST(t.n3 AS DOUBLE) / CAST(bc.n2 AS DOUBLE)
          |         WHEN b2.n2 IS NOT NULL
-         |           THEN CAST(0.4 AS DOUBLE) * CAST(b2.n2 AS DOUBLE)
+         |           THEN CAST($BackoffAlpha AS DOUBLE) * CAST(b2.n2 AS DOUBLE)
          |                / CAST(u2.n1 AS DOUBLE)
          |         WHEN u3.n1 IS NOT NULL
-         |           THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+         |           THEN CAST($BackoffAlpha AS DOUBLE) * CAST($BackoffAlpha AS DOUBLE)
          |                * CAST(u3.n1 AS DOUBLE) / CAST(nt.n AS DOUBLE)
-         |         ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
-         |              * CAST(0.0001 AS DOUBLE) END AS p
+         |         ELSE CAST($BackoffAlpha AS DOUBLE) * CAST($BackoffAlpha AS DOUBLE)
+         |              * CAST($LmUnseenP AS DOUBLE) END AS p
          |  FROM parts p
          |  LEFT JOIN t ON t.g = p.g3
          |  LEFT JOIN b bc ON bc.g = p.ctx2

@@ -544,11 +544,7 @@ object ExtendedEntries {
     * the hash-gated error contract lives in the verify-only companion
     * [[qTopkSketchCheck]] and the zipf capture property in FreqSketchSpec. */
   private def qTopkSketch(s: SparkSession, dir: String): DataFrame =
-    mgTokenSummary(s, dir)
-      .select(posexplode(slice(col("s.items"), 1, 10)).as(Seq("pos", "it")),
-        col("s.d").as("d"), col("s.n").as("n_total"))
-      .select((col("pos") + 1).as("rank"), col("it.item").as("token"),
-        col("it.est").as("est"), col("d"), col("n_total"))
+    topkPresentation(mgTokenSummary(s, dir))
 
   /** Verify-only oracle companion for [[qTopkSketch]]: the exact top-10
     * token counts (deterministic count-desc/token tiebreak, mirrored in
@@ -596,22 +592,43 @@ object ExtendedEntries {
         (col("d") * lit(MgK) <= col("sn")).as("d_in_bound"))
   }
 
+  /** One stream run per (session, sfDir): q_stream_topk and its _check
+    * companion consume the SAME per-batch segments (the run is
+    * deterministic, so re-running for the check would reproduce them
+    * byte-for-byte while paying the full feed-write + streaming-query
+    * cost a second time — and PlanAuditSpec's plan walks a third). */
+  private val streamTopkRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   /** Replay the document token stream through [[graft.streaming
     * .StreamTopk]] (doc_id-sliced file feed, 3 micro-batches, per-batch
     * MG segments) and return the merged summary — the shared engine of
     * the q_stream_topk pair. */
   private def streamTopkSummary(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_topk").toString
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    graft.streaming.Feeder.writeTimeSlicedFeed(
-      docs.withColumn("_ms", col("doc_id")), "_ms", work, slices = 3)
-    val stream = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
-      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val q = graft.streaming.StreamTopk.run(stream, "token", MgK, work)
-    q.processAllAvailable(); q.stop()
+    val work = streamTopkRuns.computeIfAbsent((s, dir), { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft_stream_topk").toString
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.streaming.Feeder.writeTimeSlicedFeed(
+        docs.withColumn("_ms", col("doc_id")), "_ms", w, slices = 3)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$w/feed")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val q = graft.streaming.StreamTopk.run(stream, "token", MgK, w)
+      q.processAllAvailable(); q.stop()
+      w
+    })
     graft.streaming.StreamTopk.merged(s, work, MgK)
   }
+
+  /** Top-10 presentation of a one-row MG summary frame — shared by the
+    * batch and streamed variants so the rank/est/d/n_total shape lives
+    * in one place. */
+  private def topkPresentation(summary: DataFrame): DataFrame =
+    summary
+      .select(posexplode(slice(col("s.items"), 1, 10)).as(Seq("pos", "it")),
+        col("s.d").as("d"), col("s.n").as("n_total"))
+      .select((col("pos") + 1).as("rank"), col("it.item").as("token"),
+        col("it.est").as("est"), col("d"), col("n_total"))
 
   /** Streaming heavy hitters: the [[qTopkSketch]] presentation over the
     * summary the STREAM accumulated as per-batch O(k) segments. Rows-only
@@ -620,11 +637,7 @@ object ExtendedEntries {
     * [[qStreamTopkCheck]], and big-k stream==batch bit-exactness is
     * pinned in StreamTopkSpec. Verify-only: streaming machinery. */
   private def qStreamTopk(s: SparkSession, dir: String): DataFrame =
-    streamTopkSummary(s, dir)
-      .select(posexplode(slice(col("s.items"), 1, 10)).as(Seq("pos", "it")),
-        col("s.d").as("d"), col("s.n").as("n_total"))
-      .select((col("pos") + 1).as("rank"), col("it.item").as("token"),
-        col("it.est").as("est"), col("d"), col("n_total"))
+    topkPresentation(streamTopkSummary(s, dir))
 
   /** Verify-only oracle companion for [[qStreamTopk]]: the MG error
     * contract holds for the STREAMED summary too — the theorems are

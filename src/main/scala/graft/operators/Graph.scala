@@ -195,9 +195,11 @@ object Graph {
     * keyed shuffles, each co-partitioned on the node key. */
   def kcore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     require(k >= 1 && maxRounds >= 1, "k and maxRounds must be >= 1")
+    // filter AFTER the union: filtering only the forward arm would let a
+    // self-loop re-enter through the reversed select
     val sym = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
       .distinct()
     var und = sym.materialize
     var rounds = 0

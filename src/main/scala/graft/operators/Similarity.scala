@@ -86,8 +86,14 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = emb.select(col("embedding")).materialize // scanned per round
-    val dimRow = e.select(min(size(col("embedding")))).head()
+    val dimRow = e.select(min(size(col("embedding"))), max(size(col("embedding")))).head()
     require(!dimRow.isNullAt(0), "topDirection needs a non-empty embedding table")
+    // PCA over ragged vectors is undefined — and the two engines would
+    // disagree on how to mangle them (Spark's dot folds min(len), the
+    // oracle NULL-poisons longer rows), so reject them up front
+    require(dimRow.getInt(0) == dimRow.getInt(1),
+      s"topDirection needs uniform embedding dims, got ${dimRow.getInt(0)}" +
+        s"..${dimRow.getInt(1)}")
     val dim = dimRow.getInt(0)
     var v: Array[Float] =
       Array.fill(dim)((1.0 / math.sqrt(dim.toDouble)).toFloat)

@@ -418,7 +418,12 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     val uni = train.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n1")).materialize
-    val nTotal = uni.agg(sum(col("n1"))).head().getLong(0)
+    // sum over an EMPTY dict is SQL NULL — degrade to 0 so an empty
+    // training corpus scores every trigram at the unseen floor (the
+    // unigram arm can never fire then: n1w3 is always null) instead of
+    // throwing on the null scalar
+    val nTotal = Option(uni.agg(sum(col("n1"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val bi = train.select(explode(shinglesFromTokens(toks, 2)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("n2")).materialize
     val tri = train.select(explode(shinglesFromTokens(toks, 3)).as("g"))

@@ -447,4 +447,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     // via "a b" (the prune-falls-through-to-backoff contract)
     assert(got(9L) == (((1L, 0L, 1L, 0L, 0L), 0.9163)))
   }
+
+  test("stupid backoff degrades to the unseen floor on an empty training corpus") {
+    val train = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val score = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.backoffLm(train, score, 2L, 0.4, 0.0001).collect().head
+    // 1 trigram, all arms unseen — scored at alpha^2 * unseenP, no throw
+    assert(r.getLong(1) == 1L && r.getLong(5) == 1L)
+    assert(r.getDouble(6) > 0)
+  }
 }

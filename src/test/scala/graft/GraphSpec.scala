@@ -144,6 +144,14 @@ class GraphSpec extends AnyFunSuite {
     assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     // k above the max degree empties the graph
     assert(Graph.kcore(g, k = 4, maxRounds = 10).count() == 0L)
+    // self-loops are dropped BEFORE degree counting: a lone self-loop is
+    // an empty 1-core, and a self-loop must not pad a node over the peel
+    // threshold (node 4 below has real degree 1, not 2)
+    assert(Graph.kcore(Seq((9L, 9L)).toDF("src", "dst"), 1, 10).count() == 0L)
+    val loopy = g.union(Seq((4L, 4L)).toDF("src", "dst"))
+    val core2b = Graph.kcore(loopy, k = 2, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2b == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     // k=1 keeps everything (dedup + symmetrize only)
     val core1 = Graph.kcore(g, k = 1, maxRounds = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
