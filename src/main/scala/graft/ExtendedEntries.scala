@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.FreqSketch
 import graft.operators.{Dedup, Drift, FuzzyJoin, Graph, Layout, Multimodal, RangeJoin, Resample, Signals, Similarity, Skew, TextAnalysis}
+import graft.operators.Materialize.MatOps
 import graft.sources.Tables
 import graft.OracleSql.withTicksBars
 
@@ -213,6 +214,51 @@ object ExtendedEntries {
         col("n_bytes"),
         (col("decoded_ok") && col("dec_width") === col("width") &&
           col("dec_height") === col("height")).as("decode_agrees"))
+  }
+
+  /** Banded-Hamming threshold for image near-dup: 4 bands of 16 bits
+    * make the candidate join COMPLETE for hamming ≤ 3 (pigeonhole: 3
+    * differing bits cannot touch all 4 bands). */
+  private val AhashMaxHamming = 3
+
+  /** Perceptual image hashing over REAL-decoded pixels: synthesize the
+    * patterned 16×16 BMPs, decode them with javax.imageio, and compute
+    * the 64-bit average-hash ([[Multimodal.imageAHash]]). The oracle
+    * renders [[Multimodal.patByte]] in closed form and never decodes —
+    * a hash mismatch anywhere means the decode→feature path broke. */
+  private def qImageAhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageAHash(
+      Multimodal.synthBmpPattern(Tables.documents(s, dir)))
+      .select(col("doc_id"), col("decoded_ok"), col("ahash"), col("mean_gray"))
+
+  /** Image near-dup classes by banded Hamming join over the aHashes:
+    * dedup to DISTINCT hashes first (identical renders collapse to one
+    * row with a member count — the output stays class-sized, not
+    * pair-sized), then 4×16-bit band blocking + exact Hamming ≤
+    * [[AhashMaxHamming]] verify — the simhash shape applied to decoded
+    * image content. */
+  private def qImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.imageAHash(
+        Multimodal.synthBmpPattern(Tables.documents(s, dir)))
+      .filter(col("decoded_ok"))
+      .groupBy(col("ahash")).agg(count(lit(1)).as("n_members")).materialize
+    val bands = hashes.select(col("ahash"), col("n_members"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("sig", expr("substring(ahash, band * 16 + 1, 16)"))
+    val ham = expr(
+      """CAST(aggregate(transform(sequence(1, 64),
+        |  i -> CASE WHEN substring(hash_a, i, 1) <> substring(hash_b, i, 1)
+        |            THEN 1 ELSE 0 END), 0, (a, b) -> a + b) AS BIGINT)""".stripMargin)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.ahash") < col("b.ahash"))
+      .select(col("a.ahash").as("hash_a"), col("a.n_members").as("n_a"),
+        col("b.ahash").as("hash_b"), col("b.n_members").as("n_b"))
+      .distinct()
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= AhashMaxHamming)
+      .select(col("hash_a"), col("hash_b"), col("hamming"),
+        col("n_a"), col("n_b"))
   }
 
   /** REAL-codec cross-check, audio flavor ([[Multimodal.decodeWav]]):
@@ -1199,6 +1245,8 @@ object ExtendedEntries {
     "q_media_bmp" -> qMediaBmp,
     "q_media_decode" -> qMediaDecode,
     "q_media_decode_wav" -> qMediaDecodeWav,
+    "q_image_ahash" -> qImageAhash,
+    "q_image_neardup" -> qImageNeardup,
     "q_media_stats" -> qMediaStats,
     "q_media_png" -> qMediaPng,
     "q_media_jpeg" -> qMediaJpeg,
@@ -1342,6 +1390,39 @@ object ExtendedEntries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  /** Closed-form aHash pipeline over the patterned BMPs: pixel bytes
+    * from the shared generation rule (Multimodal.patByte mirrored
+    * digit-for-digit), gray/block/threshold in exact integer math — the
+    * `bits` CTE both image-hash oracles build on. The Spark side REALLY
+    * decodes the BMP bytes; this never does. */
+  private def oAhashBits: String = {
+    def ch(c: Int): String =
+      s"(((d.doc_id % 16) * 40 + (x.x * 23 + y.y * 31 + ${c * 11}) % 97 + " +
+        "CASE WHEN x.x < (d.doc_id // 16) % 4 AND y.y < 2 THEN 120 ELSE 0 END) % 256)"
+    s"""px AS MATERIALIZED (
+       |  SELECT d.doc_id, x.x, y.y,
+       |    (${ch(0)} + ${ch(1)} + ${ch(2)}) // 3 AS gray
+       |  FROM documents d, range(0, 16) x(x), range(0, 16) y(y)
+       |),
+       |bm AS MATERIALIZED (
+       |  SELECT doc_id, y // 2 AS bj, x // 2 AS bi,
+       |    CAST(sum(gray) // 4 AS BIGINT) AS bm
+       |  FROM px GROUP BY 1, 2, 3
+       |),
+       |mn AS (
+       |  SELECT doc_id, CAST(sum(bm) // 64 AS BIGINT) AS mean_gray
+       |  FROM bm GROUP BY doc_id
+       |),
+       |bits AS (
+       |  SELECT b.doc_id,
+       |    string_agg(CASE WHEN b.bm > m.mean_gray THEN '1' ELSE '0' END, ''
+       |      ORDER BY b.bj, b.bi) AS ahash,
+       |    m.mean_gray
+       |  FROM bm b JOIN mn m USING (doc_id)
+       |  GROUP BY b.doc_id, m.mean_gray
        |)""".stripMargin
   }
 
@@ -3605,6 +3686,43 @@ object ExtendedEntries {
          |  CAST(image_size + 54 AS BIGINT) AS n_bytes,
          |  TRUE AS decode_agrees
          |FROM g""".stripMargin,
+
+    // aHash oracle: the pattern formula rendered in closed form — the
+    // Spark side REALLY decodes the BMP bytes with javax.imageio, so a
+    // hash match pins the whole decode→block-average→threshold path
+    "q_image_ahash" ->
+      (s"WITH $oAhashBits\n" +
+        "SELECT doc_id, TRUE AS decoded_ok, ahash, mean_gray FROM bits"),
+
+    // near-dup classes over the closed-form hashes with the identical
+    // 4x16-bit banding + exact-Hamming verify the Spark plan runs
+    "q_image_neardup" -> s"""WITH $oAhashBits,
+         |h AS (
+         |  SELECT ahash, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM bits GROUP BY ahash
+         |),
+         |bands AS (
+         |  SELECT ahash, n_members, b.b AS band,
+         |    substr(ahash, CAST(b.b * 16 + 1 AS INTEGER), 16) AS sig
+         |  FROM h, range(0, 4) b(b)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.ahash AS hash_a, a.n_members AS n_a,
+         |    c.ahash AS hash_b, c.n_members AS n_b
+         |  FROM bands a JOIN bands c
+         |    ON a.band = c.band AND a.sig = c.sig AND a.ahash < c.ahash
+         |),
+         |sc AS (
+         |  SELECT hash_a, hash_b,
+         |    CAST(list_reduce(list_transform(range(1, 65),
+         |      i -> CASE WHEN substr(hash_a, CAST(i AS INTEGER), 1)
+         |                  <> substr(hash_b, CAST(i AS INTEGER), 1)
+         |                THEN 1 ELSE 0 END), (x, y) -> x + y) AS BIGINT) AS hamming,
+         |    n_a, n_b
+         |  FROM cand
+         |)
+         |SELECT hash_a, hash_b, hamming, n_a, n_b FROM sc
+         |WHERE hamming <= $AhashMaxHamming""".stripMargin,
 
     // PNG walk oracle: expectations re-derived from the shared generation
     // rule (DuckDB has no crc32, so crc_ok/iend_ok are asserted from the

@@ -132,6 +132,120 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Patterned-BMP geometry shared by [[synthBmpPattern]], the aHash
+    * pipeline and both DuckDB mirrors: FIXED 16×16 24-bpp — the row
+    * stride 16·3 = 48 is already 4-byte aligned, so there are no pad
+    * bytes and the pixel-byte offset math is exact on both sides. */
+  val PatW = 16
+  val PatH = 16
+
+  /** Deterministic pixel byte for the patterned BMP (c: 0=B 1=G 2=R,
+    * y counted FROM THE TOP): an image FAMILY base (doc_id % 16, a
+    * mod-256 shift whose wraparound genuinely reorders pixels), a fixed
+    * texture, and a small bright patch whose width is the PERTURBATION
+    * (doc_id div 16 % 4) — so documents in one (family, perturbation)
+    * class render identical images, perturbation siblings differ in a
+    * couple of top-left blocks, and families differ everywhere. All
+    * integer and non-negative; mirrored digit-for-digit in SQL. */
+  private def patByte(d: Column, x: Column, y: Column, c: Column): Column = {
+    // Column `/` is DOUBLE division — integer-divide via floor+cast
+    // (exact for any doc_id below 2^52) to mirror SQL's integer `//`
+    val pert = floor(d / lit(16)).cast("long") % 4
+    ((d % 16) * lit(40L) + (x * 23 + y * 31 + c * 11) % 97 +
+      when(x < pert && y < 2, lit(120L)).otherwise(lit(0L))) % 256
+  }
+
+  /** Synthesize a VALID patterned 24-bpp BMP per document (same headers
+    * as [[synthBmp]] at the fixed [[PatW]]×[[PatH]] geometry, body =
+    * [[patByte]] pixels bottom-up). The per-payload body is ~768 bytes,
+    * so the hex-building transform stays cheap at any document count. */
+  def synthBmpPattern(docs: DataFrame): DataFrame = {
+    val w = lit(PatW.toLong); val h = lit(PatH.toLong)
+    val stride = lit((PatW * 3).toLong)
+    val imageSize = stride * h
+    val headerHex = concat(
+      lit("424D"), leHex(imageSize + lit(54L), 4),
+      lit("00000000"), leHex(lit(54L), 4),
+      leHex(lit(40L), 4),
+      leHex(w, 4), leHex(h, 4),
+      leHex(lit(1L), 2), leHex(lit(24L), 2),
+      leHex(lit(0L), 4), leHex(imageSize, 4),
+      leHex(lit(2835L), 4), leHex(lit(2835L), 4),
+      leHex(lit(0L), 4), leHex(lit(0L), 4))
+    // byte p of the body: bottom-up row r = p div stride, x = (p mod
+    // stride) div 3, channel = p mod 3; top-row y = H-1-r
+    val body = concat_ws("", transform(
+      sequence(lit(0L), imageSize - 1),
+      p => {
+        val x = floor((p % stride) / lit(3)).cast("long")
+        val y = lit((PatH - 1).toLong) - floor(p / stride).cast("long")
+        lpad(hex(patByte(col("doc_id"), x, y, p % 3)), 2, "0")
+      }))
+    docs.select(col("doc_id"), lit("image/bmp").as("media_type"),
+      unhex(concat(headerHex, body)).as("payload"))
+  }
+
+  /** One perceptual-hash row: decode flag, the 64-bit average-hash as a
+    * '0'/'1' string (row-major 8×8 blocks; a string so banding and
+    * Hamming stay plain SQL with no int64 sign games), and the global
+    * block-mean the bits threshold against. */
+  final case class AHashRow(doc_id: Long, decoded_ok: Boolean,
+      ahash: String, mean_gray: Long)
+
+  /** Average-hash over REAL-decoded pixels ([[decodeBmp]]'s imageio
+    * path): gray = (b+g+r) div 3 per pixel, 8×8 blocks of 2×2 pixels
+    * box-averaged with integer division, bit = block mean > global mean
+    * of the 64 block means. Every step is exact integer math, so the
+    * closed-form DuckDB mirror (which renders [[patByte]] directly and
+    * never decodes) pins the WHOLE decode→feature path bit for bit.
+    * Same per-partition batch shape as the other real codecs. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null || img.getWidth != PatW || img.getHeight != PatH)
+              AHashRow(id, decoded_ok = false, "", -1L)
+            else {
+              val bm = new Array[Long](64)
+              var bj = 0
+              while (bj < 8) {
+                var bi = 0
+                while (bi < 8) {
+                  var s = 0L
+                  var dy = 0
+                  while (dy < 2) {
+                    var dx = 0
+                    while (dx < 2) {
+                      val rgb = img.getRGB(bi * 2 + dx, bj * 2 + dy)
+                      val r = (rgb >> 16) & 255; val g = (rgb >> 8) & 255
+                      val b = rgb & 255
+                      s += (b + g + r) / 3
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  bm(bj * 8 + bi) = s / 4
+                  bi += 1
+                }
+                bj += 1
+              }
+              val mean = bm.sum / 64
+              val bits = bm.map(v => if (v > mean) '1' else '0').mkString
+              AHashRow(id, decoded_ok = true, bits, mean)
+            }
+          } catch {
+            case _: Exception => AHashRow(id, decoded_ok = false, "", -1L)
+          }
+        }
+      }.toDF()
+  }
+
   /** One decoded audio payload: success flag, format fields as the
     * decoder reports them, and exact sample statistics (-1 on failure —
     * corrupt audio flags, never crashes the scan). */

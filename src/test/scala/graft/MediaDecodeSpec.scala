@@ -86,4 +86,29 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(!out(0L) && !out(1L) && !out(2L))
     assert(out(3L) && out(4L) && out(5L))
   }
+
+  test("aHash: identical renders hash equal, families differ, corrupt flags") {
+    // doc ids d and d+64 share (family, perturbation) -> identical image
+    // -> identical hash; different families must differ somewhere
+    val media = Multimodal.synthBmpPattern(docs(130))
+    val h = Multimodal.imageAHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(h.values.forall(_._1), "every synthesized BMP must decode")
+    assert(h.values.forall(_._2.length == 64))
+    for (d <- 0L until 64L) assert(h(d)._2 == h(d + 64)._2,
+      s"doc $d and ${d + 64} render identically but hash differently")
+    // the 16 families produce at least 8 distinct hash shapes
+    assert(h.values.map(_._2).toSet.size >= 8)
+    // perturbation siblings (same family) stay within the banded-join
+    // reach used by q_image_neardup... or at least differ only mildly
+    val fam0 = (0 to 3).map(p => h(0L + 16L * p)._2)
+    val hd = fam0.combinations(2).map { case Seq(a, b) =>
+      a.zip(b).count { case (x, y) => x != y } }.max
+    assert(hd <= 16, s"perturbation siblings drifted too far ($hd bits)")
+    // corrupt payload: truncated bytes flag, never throw
+    val corrupt = media.limit(1)
+      .select(col("doc_id"), expr("substring(payload, 1, 20)").as("payload"))
+    val c = Multimodal.imageAHash(corrupt).head()
+    assert(!c.getBoolean(1) && c.getString(2).isEmpty)
+  }
 }
