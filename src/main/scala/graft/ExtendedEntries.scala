@@ -1865,28 +1865,38 @@ object ExtendedEntries {
 
   /** SRP-LSH oracle: the ±1 plane matrix is embedded as literals from
     * Similarity.srpPlanes (single source of truth), so both engines hash
-    * identical codes, identical bands, identical candidates. */
+    * identical codes, identical bands, identical candidates. Band width is
+    * ADAPTIVE (Similarity.bandsFor): the oracle computes the same integer
+    * rule in SQL (`min b: 2^b·target ≥ n`) and always codes the MAX width
+    * (LshBands × LshBandBitsMax = 60 bits) — band extraction only reads
+    * the low `LshBands·bb` bits, so the wider code yields bit-identical
+    * band keys to the engine's prefix-width code. */
   private def oDedupEmbedLsh: String = {
     // single source of truth: the Similarity constants the query also uses
-    val nPlanes = Similarity.LshPlanes; val bandBits = Similarity.LshBandBits
     val dim = Similarity.LshDim; val tau = Similarity.LshTau
-    val planes = Similarity.srpPlanes(nPlanes, dim)
+    val nBands = Similarity.LshBands
+    val planesMax = nBands * Similarity.LshBandBitsMax
+    val planes = Similarity.srpPlanes(planesMax, dim)
     def oSrpDot(p: Int): String = {
       val signs = planes(p).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
       s"""list_reduce(list_transform(range(1, ${dim + 1}),
          |      i -> CAST(embedding[i] AS DOUBLE) * ([$signs])[i]), (x, y) -> x + y)""".stripMargin
     }
-    val code = (0 until nPlanes)
+    val code = (0 until planesMax)
       .map(p => s"(CASE WHEN ${oSrpDot(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString("\n    + ")
-    val nBands = nPlanes / bandBits
-    val mask = (1L << bandBits) - 1
-    s"""WITH c AS (
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings
+       |), pr AS (
+       |  SELECT coalesce(min(b), ${Similarity.LshBandBitsMax}) AS bb
+       |  FROM range(${Similarity.LshBandBits}, ${Similarity.LshBandBitsMax + 1}) t(b), nn
+       |  WHERE (CAST(1 AS BIGINT) << b) * ${Similarity.LshTargetBucket} >= n
+       |), c AS (
        |  SELECT vec_id, embedding, $code AS code
        |  FROM embeddings
        |), bands AS (
-       |  SELECT vec_id, r.b AS band, (code >> CAST($bandBits * r.b AS INT)) & $mask AS bkey
-       |  FROM c, range($nBands) r(b)
+       |  SELECT vec_id, r.b AS band,
+       |    (code >> CAST(pr.bb * r.b AS INT)) & ((CAST(1 AS BIGINT) << pr.bb) - 1) AS bkey
+       |  FROM c, pr, range($nBands) r(b)
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bands a JOIN bands b
@@ -1904,26 +1914,30 @@ object ExtendedEntries {
     * cross-set candidates (batch = vec_id % 5 = 0 probes corpus ∪
     * smaller-id batch), exact-cosine verify, first-wins decisions. */
   private def oDedupEmbedIncr: String = {
-    val nPlanes = Similarity.LshPlanes; val bandBits = Similarity.LshBandBits
     val dim = Similarity.LshDim; val tau = Similarity.LshTau
-    val planes = Similarity.srpPlanes(nPlanes, dim)
+    val nBands = Similarity.LshBands
+    val planesMax = nBands * Similarity.LshBandBitsMax
+    val planes = Similarity.srpPlanes(planesMax, dim)
     def oSrpDot(p: Int): String = {
       val signs = planes(p).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
       s"""list_reduce(list_transform(range(1, ${dim + 1}),
          |      i -> CAST(embedding[i] AS DOUBLE) * ([$signs])[i]), (x, y) -> x + y)""".stripMargin
     }
-    val code = (0 until nPlanes)
+    val code = (0 until planesMax)
       .map(p => s"(CASE WHEN ${oSrpDot(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString("\n    + ")
-    val nBands = nPlanes / bandBits
-    val mask = (1L << bandBits) - 1
-    s"""WITH c AS (
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings
+       |), pr AS (
+       |  SELECT coalesce(min(b), ${Similarity.LshBandBitsMax}) AS bb
+       |  FROM range(${Similarity.LshBandBits}, ${Similarity.LshBandBitsMax + 1}) t(b), nn
+       |  WHERE (CAST(1 AS BIGINT) << b) * ${Similarity.LshTargetBucket} >= n
+       |), c AS (
        |  SELECT vec_id, embedding, vec_id % 5 = 0 AS isb, $code AS code
        |  FROM embeddings
        |), bands AS (
        |  SELECT vec_id, isb, r.b AS band,
-       |    (code >> CAST($bandBits * r.b AS INT)) & $mask AS bkey
-       |  FROM c, range($nBands) r(b)
+       |    (code >> CAST(pr.bb * r.b AS INT)) & ((CAST(1 AS BIGINT) << pr.bb) - 1) AS bkey
+       |  FROM c, pr, range($nBands) r(b)
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, b.isb AS b_isb
        |  FROM bands a JOIN bands b

@@ -22,12 +22,35 @@ import graft.operators.Materialize.MatOps
   */
 object Similarity {
 
-  /** SRP-LSH defaults, shared by the shipped query (`q_dedup_embed_lsh`)
-    * and its DuckDB oracle so the two can never drift. */
-  val LshPlanes = 18
+  /** SRP-LSH defaults, shared by the shipped queries and their DuckDB
+    * oracles so the two can never drift. Band WIDTH is adaptive
+    * ([[bandsFor]]): `LshBandBits` is the floor, `LshBandBitsMax` the
+    * ceiling, and the band COUNT is fixed at [[LshBands]] — so the code
+    * width is `LshBands * bandBits` bits and always fits a signed long
+    * (6 × 10 = 60 < 63). */
+  val LshBands = 6
   val LshBandBits = 3
+  val LshBandBitsMax = 10
+  val LshTargetBucket = 64
+  val LshPlanes = LshBands * LshBandBits
   val LshDim = 64
   val LshTau = 0.4
+
+  /** Adaptive band width: smallest `bandBits` in
+    * [[[LshBandBits]], [[LshBandBitsMax]]] such that the expected bucket
+    * occupancy `n / 2^bandBits` stays ≤ `target`. This is the banding
+    * analog of [[clustersFor]] and exists for the same reason: with a
+    * FIXED width the per-band bucket count is constant, expected occupancy
+    * is Θ(n), and the "blocked" candidate join degenerates to O(n²/2^bits)
+    * — the scale-trend bench watched q_dedup_embed_lsh's per-SF ratio
+    * climb two rounds running (1.23 → 1.37) before this landed. Integer
+    * arithmetic only (`2^b · target ≥ n`), NOT `ceil(log2(n/target))`:
+    * both engines must pick the same width, and an FP log at an exact
+    * power-of-two boundary can round either way. The DuckDB oracles
+    * mirror this with `min(b) FROM range(...) WHERE (1<<b)*target >= n`. */
+  def bandsFor(n: Long, target: Int = LshTargetBucket): Int =
+    (LshBandBits to LshBandBitsMax)
+      .find(b => (1L << b) * target >= n).getOrElse(LshBandBitsMax)
 
   /** Ceiling on the broadcast probe side of the ANN entry points
     * ([[cosineTopK]], [[cosineTopKQ8]], [[knnClassify]], the IVF
@@ -549,9 +572,13 @@ object Similarity {
   }
 
   def dedupPairsLsh(emb: DataFrame, tau: Double = LshTau,
-      nPlanes: Int = LshPlanes, bandBits: Int = LshBandBits,
-      dim: Int = LshDim): DataFrame = {
-    require(nPlanes % bandBits == 0, "nPlanes must be a multiple of bandBits")
+      bandBitsOpt: Option[Int] = None, dim: Int = LshDim): DataFrame = {
+    // Band width scales with the corpus ([[bandsFor]]) so bucket occupancy
+    // — and therefore the candidate-pair count — stays bounded as N grows.
+    // The one-row count is parameter sizing, not a data collect (same
+    // contract as clustersFor on the IVF path).
+    val bandBits = bandBitsOpt.getOrElse(bandsFor(emb.count()))
+    val nPlanes = LshBands * bandBits
     // codes+norms feed the band self-join (twice) and the verify joins
     // (twice more): compute the nPlanes dot products once and cache. At
     // corpus scale this is the precomputed code table written next to the
@@ -631,7 +658,14 @@ object Similarity {
     * `batchPred` are screened against the rest of the corpus and against
     * smaller-id batch vectors. */
   def incrementalEmbed(emb: DataFrame, batchPred: Column, tau: Double,
-      nPlanes: Int = LshPlanes, bandBits: Int = LshBandBits): DataFrame = {
+      bandBitsOpt: Option[Int] = None): DataFrame = {
+    // Sized from the WHOLE table (corpus + batch) — the batch is a sliver
+    // of the standing corpus at scale, so this matches sizing from the
+    // corpus alone everywhere except right at a power-of-two boundary;
+    // callers needing bit-exact parity with a separately-sized stream
+    // (StreamEmbedDedup) pass the width explicitly.
+    val bandBits = bandBitsOpt.getOrElse(bandsFor(emb.count()))
+    val nPlanes = LshBands * bandBits
     val coded = srpCoded(emb, nPlanes).withColumn("_b", batchPred).materialize
     screenEmbedBatch(
       coded.filter(!col("_b")).withColumn("is_corpus", lit(true)),

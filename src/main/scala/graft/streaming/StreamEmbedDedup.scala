@@ -34,19 +34,30 @@ object StreamEmbedDedup {
     StructField("code", LongType)))
 
   /** (vec_id LONG, embedding ARRAY<FLOAT>) stream → decisions under
-    * `workDir/decisions`, coded-state under `workDir/seen_coded`. */
+    * `workDir/decisions`, coded-state under `workDir/seen_coded`.
+    *
+    * Band width is sized ONCE at stream setup from the standing corpus
+    * ([[Similarity.bandsFor]]) and held for the stream's lifetime — codes
+    * in state are `LshBands × bandBits` bits wide, so the width is part
+    * of the state schema and must not drift between batches. Pass
+    * `bandBits` explicitly when parity with a separately-sized one-shot
+    * run ([[Similarity.incrementalEmbed]]) matters. */
   def run(stream: DataFrame, corpusEmb: DataFrame, workDir: String,
-      tau: Double, compactEvery: Int = 16): StreamingQuery = {
+      tau: Double, bandBits: Option[Int] = None,
+      compactEvery: Int = 16): StreamingQuery = {
     val spark = corpusEmb.sparkSession
+    val bb = bandBits.getOrElse(Similarity.bandsFor(corpusEmb.count()))
+    val nPlanes = Similarity.LshBands * bb
     val corpusCoded = Materialize(
-      Similarity.srpCoded(corpusEmb).withColumn("is_corpus", lit(true)))
+      Similarity.srpCoded(corpusEmb, nPlanes)
+        .withColumn("is_corpus", lit(true)))
     stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
-        val batchCoded = Materialize(Similarity.srpCoded(mb))
+        val batchCoded = Materialize(Similarity.srpCoded(mb, nPlanes))
         val ref = corpusCoded.unionByName(
           seenCodedAsOf(spark, workDir, batchId).withColumn("is_corpus", lit(false)))
-        Similarity.screenEmbedBatch(ref, batchCoded, tau)
+        Similarity.screenEmbedBatch(ref, batchCoded, tau, nPlanes, bb)
           .write.mode("overwrite").parquet(f"$workDir/decisions/b-$batchId%09d")
         SegmentedState.maybeCompact(spark, s"$workDir/seen_coded", batchId,
           compactEvery, sortKeys = Seq("code"))

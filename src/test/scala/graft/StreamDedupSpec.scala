@@ -176,7 +176,12 @@ class StreamDedupSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding"))
     val isBatch = pmod(col("vec_id"), lit(5)) === 0
 
-    val batch = Similarity.incrementalEmbed(emb, isBatch, Similarity.LshTau)
+    // One explicit width for both runs: incrementalEmbed sizes from the
+    // whole table, the stream from the standing corpus — near a
+    // power-of-two boundary those can differ, so parity tests pin it.
+    val bb = Similarity.bandsFor(emb.count())
+    val batch = Similarity.incrementalEmbed(emb, isBatch, Similarity.LshTau,
+        bandBitsOpt = Some(bb))
       .orderBy("vec_id").collect()
 
     val batchVecs = emb.filter(isBatch).orderBy("vec_id").collect()
@@ -188,7 +193,7 @@ class StreamDedupSpec extends AnyFunSuite {
     val q = StreamEmbedDedup.run(
       input.toDF().toDF("vec_id", "embedding")
         .select(col("vec_id"), col("embedding").cast("array<float>")),
-      corpus, dir, Similarity.LshTau, compactEvery = 2)
+      corpus, dir, Similarity.LshTau, bandBits = Some(bb), compactEvery = 2)
     try {
       Seq(batchVecs.take(3), batchVecs.slice(3, 4), batchVecs.drop(4))
         .foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
