@@ -1233,6 +1233,7 @@ object ExtendedEntries {
     "q_cosine_q8" -> qCosineQ8,
     "q_cosine_pq" -> qCosinePq,
     "q_cosine_ivfpq" -> qCosineIvfPq,
+    "q_cosine_ivfpq_rerank" -> qCosineIvfPqRerank,
     "q_cosine_ivfpq_sampled" -> qCosineIvfPqSampled,
     "q_embed_drift" -> qEmbedDrift,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
@@ -1679,6 +1680,25 @@ object ExtendedEntries {
       nprobe = IvfPqNprobe)
   }
 
+  /** ADC shortlist size for q_cosine_ivfpq_rerank: 8× topK. */
+  private val IvfPqRerankShortlist = 40
+
+  /** IVFADC + EXACT RE-RANK ([[operators.ProductQuantizer
+    * .searchIvfPqRerank]]): stage 1 is the same probe-scoped ADC scan as
+    * q_cosine_ivfpq but keeps the top-40 shortlist; stage 2 re-scores
+    * those candidates with the exact float cosine and emits the exact
+    * top-5 — the serving shape for a curation pipeline that ACTS on
+    * matches (PqSpec pins the recall floor this stage buys). */
+  private def qCosineIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (cent, cbs, codes) = operators.ProductQuantizer.ivfPqIndex(emb,
+      nClusters = IvfPqC, ivfIters = IvfPqIvfIters,
+      subspaces = PqM, subDim = PqSub, k = PqK, pqIters = PqIters)
+    operators.ProductQuantizer.searchIvfPqRerank(emb, cent, cbs, codes,
+      nQueries = 10, topK = 5, subspaces = PqM, subDim = PqSub,
+      nprobe = IvfPqNprobe, shortlist = IvfPqRerankShortlist)
+  }
+
   /** The TRAIN-ON-SAMPLE IVFADC ([[operators.ProductQuantizer
     * .ivfPqIndexSampled]]): Lloyd runs on the deterministic evens-only
     * half, assignment and encoding cover every vector — the 100 TB
@@ -1703,8 +1723,9 @@ object ExtendedEntries {
     * micros. Every sub-contract reuses the idiom already proven by
     * q_cosine_ivf and q_cosine_pq. */
   private def oIvfPqSql(nQ: Int, topK: Int,
-      sampledTrain: Boolean = false): String = {
+      sampledTrain: Boolean = false, rerank: Option[Int] = None): String = {
     val dim = 64
+    val rerankTail = oIvfPqTail(nQ, topK, rerank)
     // sampled training (ivfPqIndexSampled mirror): Lloyd inputs come
     // from the evens-only half, seeds widen to < 2C / 2K so the sample
     // still yields C centroids and K codes; assignment/encode stay full
@@ -1850,16 +1871,48 @@ object ExtendedEntries {
        |  JOIN lut l ON l.query_id = p.query_id AND l.m = k.m AND l.code = k.code
        |  WHERE k.vec_id != p.query_id
        |  GROUP BY 1, 2, 3
-       |)
-       |SELECT query_id, neighbor_id, score_ivfpq, rk FROM (
-       |  SELECT s.query_id, s.neighbor_id,
-       |    ${r4("CAST(s.rsum + b.bd AS DOUBLE) / 1000000.0")} AS score_ivfpq,
-       |    CAST(row_number() OVER (PARTITION BY s.query_id
-       |      ORDER BY ${r4("CAST(s.rsum + b.bd AS DOUBLE) / 1000000.0")} DESC,
-       |        s.neighbor_id) AS INTEGER) AS rk
-       |  FROM scored s JOIN bt b
-       |    ON b.query_id = s.query_id AND b.centroid_id = s.centroid_id
-       |) WHERE rk <= $topK""".stripMargin
+       |)$rerankTail""".stripMargin
+  }
+
+  /** Final stage of [[oIvfPqSql]]: ADC top-k directly, or (rerank) ADC
+    * top-R shortlist → exact-dot re-rank — mirrors
+    * ProductQuantizer.searchIvfPqRerank mechanically. */
+  private def oIvfPqTail(nQ: Int, topK: Int, rerank: Option[Int]): String = {
+    val adcScore = r4("CAST(s.rsum + b.bd AS DOUBLE) / 1000000.0")
+    rerank match {
+      case None =>
+        s"""
+           |SELECT query_id, neighbor_id, score_ivfpq, rk FROM (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    $adcScore AS score_ivfpq,
+           |    CAST(row_number() OVER (PARTITION BY s.query_id
+           |      ORDER BY $adcScore DESC,
+           |        s.neighbor_id) AS INTEGER) AS rk
+           |  FROM scored s JOIN bt b
+           |    ON b.query_id = s.query_id AND b.centroid_id = s.centroid_id
+           |) WHERE rk <= $topK""".stripMargin
+      case Some(r) =>
+        s""",
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT s.query_id, s.neighbor_id,
+           |      row_number() OVER (PARTITION BY s.query_id
+           |        ORDER BY $adcScore DESC, s.neighbor_id) AS srn
+           |    FROM scored s JOIN bt b
+           |      ON b.query_id = s.query_id AND b.centroid_id = s.centroid_id
+           |  ) WHERE srn <= $r
+           |)
+           |SELECT query_id, neighbor_id, score, rk FROM (
+           |  SELECT a.query_id, a.neighbor_id,
+           |    ${r4(oDot("qn.e", "nn.e"))} AS score,
+           |    CAST(row_number() OVER (PARTITION BY a.query_id
+           |      ORDER BY ${r4(oDot("qn.e", "nn.e"))} DESC,
+           |        a.neighbor_id) AS INTEGER) AS rk
+           |  FROM short a
+           |  JOIN norm qn ON qn.vec_id = a.query_id
+           |  JOIN norm nn ON nn.vec_id = a.neighbor_id
+           |) WHERE rk <= $topK""".stripMargin
+    }
   }
   private val iAssignedName = "iassign"
 
@@ -3330,6 +3383,8 @@ object ExtendedEntries {
 
     "q_cosine_pq" -> oPqSql(10, 5),
     "q_cosine_ivfpq" -> oIvfPqSql(10, 5),
+    "q_cosine_ivfpq_rerank" -> oIvfPqSql(10, 5,
+      rerank = Some(IvfPqRerankShortlist)),
     "q_cosine_ivfpq_sampled" -> oIvfPqSql(10, 5, sampledTrain = true),
 
     // embedding drift: the scalar drift skeleton (q_drift, CorpusEntries)

@@ -205,6 +205,20 @@ object ProductQuantizer {
   def searchIvfPq(emb: DataFrame, cent: DataFrame, codebooks: DataFrame,
       codes: DataFrame, nQueries: Int, topK: Int, subspaces: Int,
       subDim: Int, nprobe: Int): DataFrame = {
+    val scored = adcScored(emb, cent, codebooks, codes, nQueries,
+      subspaces, subDim, nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ivfpq").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score_ivfpq"), col("rk"))
+  }
+
+  /** The probe-scoped ADC-scored candidate frame (query_id, neighbor_id,
+    * score_ivfpq) shared by [[searchIvfPq]] (top-k directly) and
+    * [[searchIvfPqRerank]] (top-R shortlist → exact re-rank). */
+  private def adcScored(emb: DataFrame, cent: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, nQueries: Int,
+      subspaces: Int, subDim: Int, nprobe: Int): DataFrame = {
     require(nQueries <= Similarity.MaxBroadcastQueries,
       s"query side of $nQueries rows would be broadcast — too large")
     val queries = normalize(emb.filter(col("vec_id") < nQueries))
@@ -221,7 +235,7 @@ object ProductQuantizer {
     val lut = qSubs.join(codebooks, "m")
       .select(col("query_id"), col("m"), col("code"),
         floor(dot(col("qe"), col("ce")) * 1000000 + lit(0.5)).cast("long").as("pd"))
-    val scored = codes.join(broadcast(probes), "centroid_id")
+    codes.join(broadcast(probes), "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"), col("centroid_id"))
@@ -229,10 +243,47 @@ object ProductQuantizer {
       .join(broadcast(baseTerm), Seq("query_id", "centroid_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         r4((col("rsum") + col("bd")).cast("double") / lit(1000000.0)).as("score_ivfpq"))
-    val w = Window.partitionBy(col("query_id"))
+  }
+
+  /** IVFADC search with EXACT RE-RANK — the standard two-stage serving
+    * shape (the codes answer "who is close", the floats answer "how
+    * close"): stage 1 takes the ADC top-R shortlist per query
+    * (R = `shortlist`, typically 4-8× topK; tiebreak by neighbor_id, same
+    * contract as [[searchIvfPq]]); stage 2 re-scores ONLY those nQ×R
+    * candidates with the exact cosine from the stored float vectors and
+    * emits the exact top-k. Plan shape at 100 TB: stage 1 is the same
+    * codes-table shuffle as ADC-only; stage 2 is one broadcast semi-join
+    * of the nQ×R shortlist against the float corpus — the floats are
+    * touched for R rows per query, never rescanned. Recall is bounded
+    * only by the probe (a true neighbor outside the probed clusters
+    * cannot appear); within the probe, any ADC ranking error inside the
+    * top-R window is corrected exactly. Output `score` is the exact
+    * 4dp cosine, so ties and ranks match a float-side oracle bit-for-bit. */
+  def searchIvfPqRerank(emb: DataFrame, cent: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, nQueries: Int, topK: Int,
+      subspaces: Int, subDim: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= topK, "shortlist must be at least topK")
+    val scored = adcScored(emb, cent, codebooks, codes, nQueries,
+      subspaces, subDim, nprobe)
+    val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("score_ivfpq").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("score_ivfpq"), col("rk"))
+    val short = scored.withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val normed = normalize(emb)
+    val exact = normed.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(normed.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        r4(dot(col("qe"), col("ne"))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rk"))
   }
 
   /** ADC top-k from CODES ONLY (plus the M×K codebook and the exact
