@@ -22,6 +22,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cosine_ivf", "q_cosine_ivf_probe", "q_ivf_append", // centroid bcasts
     "q_cosine_pq", "q_cosine_ivfpq", // K-row codebook / centroid bcasts
     "q_cosine_ivfpq_sampled",
+    // rerank shares the parent's adcScored stage — its BNLJs are the SAME
+    // constant-size centroid/codebook broadcasts; the rerank stage itself
+    // adds only keyed joins (ProductQuantizer.searchIvfPqRerank)
+    "q_cosine_ivfpq_rerank",
     "q_embed_clusters", "q_dedup_embed_ivf",
     "q_dedup_embed_ivf2", // centroid-table broadcast in ivfAssignTop
     "q_cosine_topk", "q_ivf_recall", // exact side = brute-force query bcast
