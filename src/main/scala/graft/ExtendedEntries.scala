@@ -1916,41 +1916,53 @@ object ExtendedEntries {
   }
   private val iAssignedName = "iassign"
 
-  /** SRP-LSH oracle: the ±1 plane matrix is embedded as literals from
-    * Similarity.srpPlanes (single source of truth), so both engines hash
-    * identical codes, identical bands, identical candidates. Band width is
-    * ADAPTIVE (Similarity.bandsFor): the oracle computes the same integer
-    * rule in SQL (`min b: 2^b·target ≥ n`) and always codes the MAX width
-    * (LshBands × LshBandBitsMax = 60 bits) — band extraction only reads
-    * the low `LshBands·bb` bits, so the wider code yields bit-identical
-    * band keys to the engine's prefix-width code. */
-  private def oDedupEmbedLsh: String = {
-    // single source of truth: the Similarity constants the query also uses
-    val dim = Similarity.LshDim; val tau = Similarity.LshTau
-    val nBands = Similarity.LshBands
-    val planesMax = nBands * Similarity.LshBandBitsMax
-    val planes = Similarity.srpPlanes(planesMax, dim)
-    def oSrpDot(p: Int): String = {
-      val signs = planes(p).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
-      s"""list_reduce(list_transform(range(1, ${dim + 1}),
-         |      i -> CAST(embedding[i] AS DOUBLE) * ([$signs])[i]), (x, y) -> x + y)""".stripMargin
-    }
-    val code = (0 until planesMax)
-      .map(p => s"(CASE WHEN ${oSrpDot(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
-      .mkString("\n    + ")
-    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings
+  /** SRP band-row CTE chain shared by the two LSH oracles: the plane
+    * matrix is DERIVED in SQL from md5 exactly as Similarity.srpPlanes
+    * derives it in Scala (sign = +1 iff the digest's first byte is even
+    * — the second hex char of DuckDB's md5() string), so the two engines
+    * compute identical planes with no literal matrix to drift. Band
+    * width is ADAPTIVE (Similarity.bandsFor — same integer rule in SQL:
+    * `min b: 2^b·target ≥ n`) and so is the band COUNT
+    * (Similarity.lshBandsFor — mirrored as the literal VALUES table).
+    * Plane p belongs to band p∕bb at bit p mod bb, matching srpCoded's
+    * consecutive-planes-per-band layout; each dot is the same
+    * left-to-right double fold as the engine's ArrayMath.dotF, so every
+    * band key is bit-identical. Ends in
+    * `bands(vec_id, embedding, band, bkey)`. */
+  private def oSrpBandCtes: String = {
+    val dim = Similarity.LshDim
+    val planesMax =
+      Similarity.LshBandBitsMax * Similarity.lshBandsFor(Similarity.LshBandBitsMax)
+    s"""nn AS (SELECT count(*) AS n FROM embeddings
        |), pr AS (
        |  SELECT coalesce(min(b), ${Similarity.LshBandBitsMax}) AS bb
        |  FROM range(${Similarity.LshBandBits}, ${Similarity.LshBandBitsMax + 1}) t(b), nn
        |  WHERE (CAST(1 AS BIGINT) << b) * ${Similarity.LshTargetBucket} >= n
-       |), c AS (
-       |  SELECT vec_id, embedding, $code AS code
-       |  FROM embeddings
-       |), bands AS (
-       |  SELECT vec_id, r.b AS band,
-       |    (code >> CAST(pr.bb * r.b AS INT)) & ((CAST(1 AS BIGINT) << pr.bb) - 1) AS bkey
-       |  FROM c, pr, range($nBands) r(b)
-       |), cand AS (
+       |), lt AS (
+       |  SELECT v.nb FROM (VALUES ${Similarity.lshBandsValuesSql}) v(b, nb), pr
+       |  WHERE v.b = pr.bb
+       |), pl AS MATERIALIZED (
+       |  SELECT t.p, list_transform(range(0, $dim), d ->
+       |    CASE WHEN strpos('02468ace', substr(md5('srp:' ||
+       |      CAST(t.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 2, 1)) > 0
+       |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS s
+       |  FROM range($planesMax) t(p), pr, lt WHERE t.p < pr.bb * lt.nb
+       |), dots AS (
+       |  SELECT e.vec_id, pl.p,
+       |    CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * pl.s[i]), (x, y) -> x + y) >= 0
+       |      THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e, pl
+       |), bands AS MATERIALIZED (
+       |  SELECT d.vec_id, CAST(d.p // pr.bb AS INT) AS band,
+       |    CAST(sum(d.bit << (d.p % pr.bb)) AS INT) AS bkey
+       |  FROM dots d, pr GROUP BY d.vec_id, d.p // pr.bb, pr.bb
+       |)""".stripMargin
+  }
+
+  private def oDedupEmbedLsh: String = {
+    val tau = Similarity.LshTau
+    s"""WITH ${oSrpBandCtes}, cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
@@ -1967,33 +1979,15 @@ object ExtendedEntries {
     * cross-set candidates (batch = vec_id % 5 = 0 probes corpus ∪
     * smaller-id batch), exact-cosine verify, first-wins decisions. */
   private def oDedupEmbedIncr: String = {
-    val dim = Similarity.LshDim; val tau = Similarity.LshTau
-    val nBands = Similarity.LshBands
-    val planesMax = nBands * Similarity.LshBandBitsMax
-    val planes = Similarity.srpPlanes(planesMax, dim)
-    def oSrpDot(p: Int): String = {
-      val signs = planes(p).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
-      s"""list_reduce(list_transform(range(1, ${dim + 1}),
-         |      i -> CAST(embedding[i] AS DOUBLE) * ([$signs])[i]), (x, y) -> x + y)""".stripMargin
-    }
-    val code = (0 until planesMax)
-      .map(p => s"(CASE WHEN ${oSrpDot(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
-      .mkString("\n    + ")
-    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings
-       |), pr AS (
-       |  SELECT coalesce(min(b), ${Similarity.LshBandBitsMax}) AS bb
-       |  FROM range(${Similarity.LshBandBits}, ${Similarity.LshBandBitsMax + 1}) t(b), nn
-       |  WHERE (CAST(1 AS BIGINT) << b) * ${Similarity.LshTargetBucket} >= n
-       |), c AS (
-       |  SELECT vec_id, embedding, vec_id % 5 = 0 AS isb, $code AS code
-       |  FROM embeddings
-       |), bands AS (
-       |  SELECT vec_id, isb, r.b AS band,
-       |    (code >> CAST(pr.bb * r.b AS INT)) & ((CAST(1 AS BIGINT) << pr.bb) - 1) AS bkey
-       |  FROM c, pr, range($nBands) r(b)
+    val tau = Similarity.LshTau
+    s"""WITH ${oSrpBandCtes}, c AS (
+       |  SELECT vec_id, vec_id % 5 = 0 AS isb FROM embeddings
+       |), bandsb AS MATERIALIZED (
+       |  SELECT bands.vec_id, c.isb, bands.band, bands.bkey
+       |  FROM bands JOIN c ON c.vec_id = bands.vec_id
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, b.isb AS b_isb
-       |  FROM bands a JOIN bands b
+       |  FROM bandsb a JOIN bandsb b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
        |    AND (NOT b.isb OR b.vec_id < a.vec_id)
        |  WHERE a.isb

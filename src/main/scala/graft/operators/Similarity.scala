@@ -25,14 +25,17 @@ object Similarity {
   /** SRP-LSH defaults, shared by the shipped queries and their DuckDB
     * oracles so the two can never drift. Band WIDTH is adaptive
     * ([[bandsFor]]): `LshBandBits` is the floor, `LshBandBitsMax` the
-    * ceiling, and the band COUNT is fixed at [[LshBands]] — so the code
-    * width is `LshBands * bandBits` bits and always fits a signed long
-    * (6 × 10 = 60 < 63). */
-  val LshBands = 6
+    * ceiling. Band keys are carried as one INT per band (an `ARRAY<INT>`
+    * code column, one key per band), NOT packed into a single long — the
+    * packed-long layout capped the width at ⌊63/bands⌋ = 10 bits, i.e.
+    * 1024 buckets per band, past which (n ≈ 64·2¹⁰ ≈ 65k vectors)
+    * occupancy grew linearly again and the candidate join degenerated to
+    * O(n²/1024). With per-band keys the width rides to
+    * [[LshBandBitsMax]] = 24 (16M buckets/band ≈ 10⁹ vectors at target
+    * occupancy 64). */
   val LshBandBits = 3
-  val LshBandBitsMax = 10
+  val LshBandBitsMax = 24
   val LshTargetBucket = 64
-  val LshPlanes = LshBands * LshBandBits
   val LshDim = 64
   val LshTau = 0.4
 
@@ -51,6 +54,39 @@ object Similarity {
   def bandsFor(n: Long, target: Int = LshTargetBucket): Int =
     (LshBandBits to LshBandBitsMax)
       .find(b => (1L << b) * target >= n).getOrElse(LshBandBitsMax)
+
+  /** Adaptive band COUNT: widening the bands keeps the candidate join
+    * linear, but it also shrinks the per-band collision probability
+    * (p^bandBits with p = 1 − θ/π), so with a FIXED band count recall
+    * decays toward zero as the corpus grows — at the old fixed 6 bands a
+    * true pair at cos 0.9 collided somewhere with ~99.7% probability at
+    * 3-bit bands but only ~76% at 10-bit. This table grows the band count
+    * with the width so the design-point recall holds:
+    * `L(b) = max(6, ⌈ln(0.01) / ln(1 − p^b)⌉)` with p = 1 − acos(0.9)/π
+    * ≈ 0.8564, i.e. ≥ 99% recall for a cos ≥ 0.9 pair at every width
+    * (verified ≥ 0.990 for all b in [3,24]). LITERAL values, not the
+    * closed form: both engines must pick the same count, and the oracle
+    * mirrors this table as a VALUES list — an FP log/pow evaluated by two
+    * engines can round a ceil either way. Total planes L·b grow from 18
+    * (b=3) to 4512 (b=24): the standard LSH index cost, precomputed once
+    * into the persisted code table at corpus scale. */
+  private val LshBandsTable: Array[Int] =
+    //          b = 3  4  5   6   7   8   9  10  11  12  13  14  15
+    Array(          6, 6, 8, 10, 12, 14, 17, 20, 23, 28, 33, 38, 45,
+    //             16  17  18  19   20   21   22   23   24
+                   53, 62, 73, 86, 100, 117, 137, 161, 188)
+
+  def lshBandsFor(bandBits: Int): Int = {
+    require(bandBits >= LshBandBits && bandBits <= LshBandBitsMax,
+      s"bandBits $bandBits outside [$LshBandBits, $LshBandBitsMax]")
+    LshBandsTable(bandBits - LshBandBits)
+  }
+
+  /** SQL literal `(VALUES (3,6),(4,6),...)` mirror of [[LshBandsTable]]
+    * for the DuckDB oracles — one source of truth. */
+  def lshBandsValuesSql: String =
+    (LshBandBits to LshBandBitsMax)
+      .map(b => s"($b, ${lshBandsFor(b)})").mkString(", ")
 
   /** Ceiling on the broadcast probe side of the ANN entry points
     * ([[cosineTopK]], [[cosineTopKQ8]], [[knnClassify]], the IVF
@@ -530,46 +566,38 @@ object Similarity {
   /** Deterministic Rademacher (±1) hyperplanes for sign-random-projection
     * LSH, derived from md5 so the DuckDB oracle can embed the exact same
     * matrix as literals (one source of truth: this function). */
-  def srpPlanes(nPlanes: Int, dim: Int): Array[Array[Float]] =
-    Array.tabulate(nPlanes, dim) { (p, d) =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"srp:$p:$d".getBytes("UTF-8"))
-      if ((h(0) & 1) == 0) 1.0f else -1.0f
-    }
+  def srpPlanes(nPlanes: Int, dim: Int): Array[Array[Float]] = {
+    val flat = graft.functions.SrpCode.planesFlat(nPlanes, dim)
+    Array.tabulate(nPlanes)(p => flat.slice(p * dim, (p + 1) * dim))
+  }
 
   /** SRP-LSH near-dup pairs — the keyed-shuffle alternative to the N²
-    * cross join: each vector gets an nPlanes-bit sign code (bit p = sign of
-    * the dot with hyperplane p; P[bit match] = 1 − θ/π), codes are split
-    * into bands, candidates come from an equi-join on (band, band-bits),
-    * and the exact cosine runs only on candidates. Recall is tunable with
-    * (nPlanes, bandBits): at a true near-dup threshold (τ ≥ 0.9) wide
-    * bands (8 bits × 4) block aggressively; at the low τ used on this
-    * synthetic corpus, short bands (3 bits × 6) keep recall high. The
-    * oracle mirrors the same planes/bands, so the gate checks the whole
-    * pipeline, not just the verify. */
+    * cross join: each vector gets a sign code (bit p = sign of the dot
+    * with hyperplane p; P[bit match] = 1 − θ/π), codes are split into
+    * bands, candidates come from an equi-join on (band, band-key), and
+    * the exact cosine runs only on candidates. Both knobs adapt to the
+    * corpus: band WIDTH via [[bandsFor]] (bounded bucket occupancy) and
+    * band COUNT via [[lshBandsFor]] (recall held at the design point as
+    * bands widen). The oracle mirrors the same planes/bands, so the gate
+    * checks the whole pipeline, not just the verify. */
   /** (vec_id, embedding, nrm, code) — the SRP code table a corpus-scale
-    * deployment precomputes and persists next to the embeddings. */
-  def srpCoded(emb: DataFrame, nPlanes: Int = LshPlanes,
-      dim: Int = LshDim): DataFrame = {
-    val planes = srpPlanes(nPlanes, dim)
-    val code = planes.zipWithIndex.map { case (pl, p) =>
-      when(dot(col("embedding"), lit(pl)) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * deployment precomputes and persists next to the embeddings. `code`
+    * is ARRAY<INT>, one band key per band: band b's key packs the sign
+    * bits of planes [b·bandBits, (b+1)·bandBits) little-endian. Per-band
+    * INT keys instead of one packed long so the width can exceed
+    * ⌊63/bands⌋ (see [[LshBandBitsMax]]). */
+  def srpCoded(emb: DataFrame, bandBits: Int, nBands: Int,
+      dim: Int = LshDim): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"), code.as("code"))
-  }
+      norm(col("embedding")).as("nrm"),
+      graft.functions.SrpCode.bandKeys(col("embedding"), bandBits, nBands, dim)
+        .as("code"))
 
   /** Band rows (vec_id, carried cols, band, bkey) of a coded frame. */
-  private def srpBands(coded: DataFrame, carry: Seq[String],
-      nPlanes: Int, bandBits: Int): DataFrame = {
-    val nBands = nPlanes / bandBits
-    val mask = (1L << bandBits) - 1
-    coded.select((Seq(col("vec_id"), col("code")) ++ carry.map(col) :+
-        explode(sequence(lit(0), lit(nBands - 1))).as("band")): _*)
-      .select((Seq(col("vec_id")) ++ carry.map(col) ++ Seq(col("band"),
-        expr(s"shiftright(code, CAST($bandBits * band AS INT)) & ${mask}L")
-          .as("bkey"))): _*)
-  }
+  private def srpBands(coded: DataFrame, carry: Seq[String]): DataFrame =
+    coded.select((Seq(col("vec_id")) ++ carry.map(col) :+
+      posexplode(col("code"))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
 
   def dedupPairsLsh(emb: DataFrame, tau: Double = LshTau,
       bandBitsOpt: Option[Int] = None, dim: Int = LshDim): DataFrame = {
@@ -578,13 +606,13 @@ object Similarity {
     // The one-row count is parameter sizing, not a data collect (same
     // contract as clustersFor on the IVF path).
     val bandBits = bandBitsOpt.getOrElse(bandsFor(emb.count()))
-    val nPlanes = LshBands * bandBits
+    val nBands = lshBandsFor(bandBits)
     // codes+norms feed the band self-join (twice) and the verify joins
     // (twice more): compute the nPlanes dot products once and cache. At
     // corpus scale this is the precomputed code table written next to the
     // embeddings.
-    val coded = srpCoded(emb, nPlanes, dim).materialize
-    val bands = srpBands(coded, Seq.empty, nPlanes, bandBits)
+    val coded = srpCoded(emb, bandBits, nBands, dim).materialize
+    val bands = srpBands(coded, Seq.empty)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -611,8 +639,7 @@ object Similarity {
     * id): `dup_of_corpus` (match_id = lowest matching corpus vec), else
     * `dup_in_batch`, else `kept`. */
   def screenEmbedBatch(refCoded: DataFrame, batchCoded: DataFrame,
-      tau: Double, nPlanes: Int = LshPlanes,
-      bandBits: Int = LshBandBits): DataFrame = {
+      tau: Double): DataFrame = {
     val coded = refCoded
       .select(col("vec_id"), col("embedding"), col("nrm"), col("code"),
         col("is_corpus"), lit(false).as("_is_batch"))
@@ -620,8 +647,7 @@ object Similarity {
         col("nrm"), col("code"), lit(false).as("is_corpus"),
         lit(true).as("_is_batch")))
       .materialize
-    val bands = srpBands(coded, Seq("is_corpus", "_is_batch"),
-      nPlanes, bandBits)
+    val bands = srpBands(coded, Seq("is_corpus", "_is_batch"))
     val probe = bands.filter(col("_is_batch"))
     val cand = probe.as("a")
       .join(bands.as("b"),
@@ -665,12 +691,12 @@ object Similarity {
     // callers needing bit-exact parity with a separately-sized stream
     // (StreamEmbedDedup) pass the width explicitly.
     val bandBits = bandBitsOpt.getOrElse(bandsFor(emb.count()))
-    val nPlanes = LshBands * bandBits
-    val coded = srpCoded(emb, nPlanes).withColumn("_b", batchPred).materialize
+    val coded = srpCoded(emb, bandBits, lshBandsFor(bandBits))
+      .withColumn("_b", batchPred).materialize
     screenEmbedBatch(
       coded.filter(!col("_b")).withColumn("is_corpus", lit(true)),
       coded.filter(col("_b")),
-      tau, nPlanes, bandBits)
+      tau)
   }
 
   /** All-pairs embedding near-dup — O(N²), correctness baseline ONLY (not a

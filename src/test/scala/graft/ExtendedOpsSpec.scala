@@ -83,6 +83,53 @@ class ExtendedOpsSpec extends AnyFunSuite {
       s"recall collapsed: ${lsh.size}/${brute.size}")
   }
 
+  test("SRP-LSH recall holds at the WIDEST band operating point (bandBitsMax)") {
+    // The adaptive band width ships operating points the default-sized spec
+    // above never exercises (bandsFor returns the 3-bit floor at sf0.001,
+    // and the natural sf0.001 corpus has NO cos ≥ 0.9 pair — max pair cos
+    // is 0.479). Plant true near-dups: 200 deterministic hash-derived base
+    // vectors, each with a jittered copy at cos ≥ 0.9, then force the
+    // maximum width. lshBandsFor grows the band count with the width so a
+    // design-point pair still collides somewhere with ≥ 99% probability —
+    // recall must stay ≈ 1, not decay toward p^bandBits.
+    val s = spark
+    import s.implicits._
+    def h(tag: String, i: Int, d: Int): Float = {
+      val x = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$i:$d".getBytes("UTF-8"))
+      ((((x(0) & 0xff) << 8) | (x(1) & 0xff)) - 32768) / 32768.0f
+    }
+    val nBase = 200
+    val base = (0 until nBase).map(i => Array.tabulate(64)(d => h("b", i, d)))
+    val jit = base.zipWithIndex.map { case (v, i) =>
+      val w = Array.tabulate(64)(d => h("j", i, d))
+      val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nw = math.sqrt(w.map(x => x.toDouble * x).sum)
+      // v' = v/|v| + 0.25·w/|w| → cos(v, v') ≥ 1/sqrt(1.0625²) ≈ 0.94
+      Array.tabulate(64)(d => (v(d) / nv + 0.25 * w(d) / nw).toFloat)
+    }
+    val emb = (base ++ jit).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val lsh = Similarity.dedupPairsLsh(emb, 0.9,
+        bandBitsOpt = Some(Similarity.LshBandBitsMax))
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until nBase)
+      .map(i => (i.toLong, (i + nBase).toLong))
+      .filter { case (a, b) => // keep only pairs genuinely at cos >= 0.9
+        val va = base(a.toInt); val vb = jit(a.toInt)
+        val dd = va.zip(vb).map { case (x, y) => x.toDouble * y }.sum
+        val na = math.sqrt(va.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+        dd / (na * nb) >= 0.9
+      }.toSet
+    assert(planted.size >= nBase / 2, s"jitter too hot: ${planted.size} planted")
+    val found = lsh.intersect(planted)
+    assert(found.size >= math.ceil(planted.size * 0.95).toInt,
+      s"design-point recall collapsed at max width: " +
+        s"${found.size}/${planted.size}")
+  }
+
   test("multi-assignment IVF dedup: subset of brute force, strictly better recall than r=1") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) =

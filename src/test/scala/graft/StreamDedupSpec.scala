@@ -215,4 +215,42 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(sr.getAs[Long]("n_batch_matches") == br.getAs[Long]("n_batch_matches"))
     }
   }
+
+  test("embed-dedup stream pins its band width across restarts") {
+    // The persisted seen_coded codes are only valid at the width they were
+    // computed at; a restart must ADOPT the recorded width (even when the
+    // corpus has since crossed a bandsFor boundary) and an explicit
+    // conflicting width must fail loudly, not silently mis-band old state.
+    import graft.operators.Similarity
+    import graft.streaming.StreamEmbedDedup
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 10L)
+      .map(i => (i, Array.tabulate(64)(d => (i * 64 + d).toFloat / 640f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sedup_bb").toString
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val q = StreamEmbedDedup.run(stream, corpus, dir, Similarity.LshTau,
+      bandBits = Some(5))
+    try { input.addData(Seq((100L, Array.fill(64)(0.1f)))); q.processAllAvailable() }
+    finally q.stop()
+    // restart with no explicit width: adopts the persisted 5, does not
+    // re-derive from the (tiny) corpus whose bandsFor floor is 3
+    val q2 = StreamEmbedDedup.run(stream, corpus, dir, Similarity.LshTau)
+    try { input.addData(Seq((101L, Array.fill(64)(0.2f)))); q2.processAllAvailable() }
+    finally q2.stop()
+    val codeLens = StreamEmbedDedup.seenCoded(spark, dir)
+      .select(size(col("code"))).collect().map(_.getInt(0)).toSet
+    assert(codeLens == Set(Similarity.lshBandsFor(5)),
+      s"restart drifted the code width: band counts $codeLens")
+    // an explicit conflicting width must refuse at setup
+    val err = intercept[IllegalArgumentException] {
+      StreamEmbedDedup.run(stream, corpus, dir, Similarity.LshTau,
+        bandBits = Some(7))
+    }
+    assert(err.getMessage.contains("bandBits"))
+  }
 }
