@@ -31,9 +31,21 @@ inconclusive (noisy + over-floor) gate run bumps a strike counter
 it. After MAX_STRIKES consecutive inconclusive runs the gate fails with
 exit 3 — breaches have gone unattributed too long to keep shipping.
 
+Floorless-query re-baseline (round 11): the host has held a STEADY
+1.33-1.43x calibration level for four consecutive rounds — a slower
+epoch, not contention — so --update's quiet-host requirement left every
+query added since round 7 with no committed floor at all (8 by round
+10). --update-new resolves that deadlock with the same level rule the
+gate already trusts for adjudication: on a steady run within LEVEL_MAX
+it ingests floors ONLY for queries that have none, at t/level
+(recovering quiet-host geometry), and never touches existing entries or
+_cal_sec — so r7-geometry floors can't be poisoned, and new queries
+stop shipping ungated.
+
 Usage:
-  python3 scripts/bench_floor.py bench_out.json            # gate
-  python3 scripts/bench_floor.py --update bench_out.json   # merge mins into the floor
+  python3 scripts/bench_floor.py bench_out.json              # gate
+  python3 scripts/bench_floor.py --update bench_out.json     # merge mins into the floor
+  python3 scripts/bench_floor.py --update-new bench_out.json # add missing floors at t/level
 Exit codes: 0 green/first-strikes, 1 real breach or bad --update,
 3 too many consecutive inconclusive runs.
 """
@@ -66,7 +78,8 @@ def write_strikes(n):
 def main():
     args = sys.argv[1:]
     update = "--update" in args
-    args = [a for a in args if a != "--update"]
+    update_new = "--update-new" in args
+    args = [a for a in args if a not in ("--update", "--update-new")]
     bench_file = args[0] if args else "bench_out.json"
     bench = json.load(open(bench_file))
     queries = bench["queries"]
@@ -80,6 +93,34 @@ def main():
     steady = (len(cal) == 2 and min(cal) > 0
               and max(cal) / min(cal) <= STEADY_TOL)
     level = noise if (noisy and steady and noise <= LEVEL_MAX) else 1.0
+
+    if update_new:
+        # steady-epoch re-baseline for queries with NO floor: divide by the
+        # measured level to recover quiet-host geometry; never touch
+        # existing entries (min-merge of scaled values could poison them
+        # if the level estimate overshoots a given query's true inflation)
+        if noise is None or not steady:
+            print("REFUSED: --update-new needs a run with a STEADY calibration "
+                  "pair (cal_before ~= cal_after) so the level is trustworthy")
+            return 1
+        if noise > LEVEL_MAX:
+            print(f"REFUSED: level {noise:.2f} > {LEVEL_MAX:g} — too far from "
+                  "floor geometry even for a steady host")
+            return 1
+        lvl = max(noise, 1.0)
+        added = []
+        for q, t in sorted(queries.items()):
+            if q not in floor:
+                floor[q] = round(t / lvl, 3)
+                added.append(q)
+        if not added:
+            print("nothing to add: every benched query already has a floor")
+            return 0
+        json.dump(floor, open(FLOOR, "w"), indent=1, sort_keys=True)
+        for q in added:
+            print(f"ADDED {q}: {floor[q]:.3f}s ({queries[q]:.3f}s / level {lvl:.2f})")
+        print(f"floor updated (new-only): +{len(added)} -> {FLOOR}")
+        return 0
 
     if update:
         if noisy:

@@ -66,4 +66,22 @@ mkjson "$td/too_slow.json" 9.0 2.5 2.5 2.5
 set +e; python3 bench_floor.py --update "$td/steady_ok.json" >/dev/null; r=$?; set -e
 [[ $r == 1 ]] || die "--update on an above-NOISE_MAX run must exit 1"
 
+# --update-new on a STEADY run: adds ONLY missing floors at t/level,
+# never touches existing entries
+printf '{"queries":{"q1":9.0,"q2":3.2},"noise_factor":1.6,"cal_before_sec":1.6,"cal_after_sec":1.6}\n' > "$td/new.json"
+python3 bench_floor.py --update-new "$td/new.json" >/dev/null \
+  || die "--update-new on a steady run must succeed"
+python3 - "$GRAFT_FLOOR_FILE" <<'EOF' || die "--update-new floor contents wrong"
+import json, sys
+f = json.load(open(sys.argv[1]))
+assert f["q1"] == 1.0, f          # existing floor untouched (9.0/1.6 NOT merged)
+assert f["q2"] == 2.0, f          # new floor = 3.2 / level 1.6
+EOF
+# unsteady run: refused
+set +e; python3 bench_floor.py --update-new "$td/noisy.json" >/dev/null; r=$?; set -e
+[[ $r == 1 ]] || die "--update-new on an unsteady run must exit 1"
+# past LEVEL_MAX: refused
+set +e; python3 bench_floor.py --update-new "$td/too_slow.json" >/dev/null; r=$?; set -e
+[[ $r == 1 ]] || die "--update-new past LEVEL_MAX must exit 1"
+
 echo "BENCH FLOOR LIFECYCLE OK"
