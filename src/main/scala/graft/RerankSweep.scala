@@ -43,12 +43,17 @@ object RerankSweep {
     val codesM = operators.Materialize(codes)
     codesM.count()
 
+    // probe-ceiling row: a shortlist >= the corpus can never truncate, so
+    // it measures recall bounded by the probe alone (and stays inside
+    // searchIvfPqRerank's nQueries*shortlist broadcast guard, unlike a
+    // blanket 10^6 sentinel)
+    val ceiling = codesM.select(col("vec_id")).distinct().count().toInt
     println(s"# rerank sweep @ $sfDir: index $m×$sub k=$k C=$c, " +
-      s"queries=$nQ, top-$topK (shortlist=1000000 ≈ probe ceiling)")
+      s"queries=$nQ, top-$topK (shortlist=$ceiling ≈ probe ceiling)")
     println("| nprobe | shortlist | recall@5 | search_s |")
     println("|---|---|---|---|")
     for (nprobe <- Seq(1, 2, 3);
-         shortlist <- Seq(topK, 4 * topK, 8 * topK, 16 * topK, 1000000)) {
+         shortlist <- Seq(topK, 4 * topK, 8 * topK, 16 * topK, ceiling)) {
       val t1 = System.nanoTime()
       val got = ProductQuantizer.searchIvfPqRerank(emb, cent, cbs, codesM,
         nQ, topK, m, sub, nprobe, shortlist)

@@ -264,6 +264,17 @@ object ProductQuantizer {
       subspaces: Int, subDim: Int, nprobe: Int,
       shortlist: Int): DataFrame = {
     require(shortlist >= topK, "shortlist must be at least topK")
+    // stage 2 broadcasts the nQueries×shortlist candidate list to every
+    // executor — the same every-executor-OOM hazard the other ANN entry
+    // points guard with MaxBroadcastQueries, except here the broadcast is
+    // the PRODUCT of the two knobs (RerankSweep legitimately passes
+    // shortlist up to 10^6 with a single query)
+    require(nQueries.toLong * shortlist <= Similarity.MaxBroadcastQueries.toLong * 16,
+      s"rerank shortlist of ${nQueries.toLong * shortlist} rows " +
+        s"(nQueries=$nQueries × shortlist=$shortlist) exceeds " +
+        s"${Similarity.MaxBroadcastQueries * 16L} — a candidate list this " +
+        "large would be broadcast to every executor; lower the shortlist " +
+        "or shard the query set")
     val scored = adcScored(emb, cent, codebooks, codes, nQueries,
       subspaces, subDim, nprobe)
     val wAdc = Window.partitionBy(col("query_id"))

@@ -402,17 +402,22 @@ object TextAnalysis {
     *
     * Shape at scale: three keyed count aggregates over the training
     * corpus (map-side partial), then the scored trigrams resolve all
-    * five lookups with equi-joins on the gram string. The pruned trigram
-    * table and the bigram/unigram tables are broadcast here (vocabulary-
-    * bounded at these SFs); at a size where they stop fitting, drop the
-    * hints and the same plan becomes shuffle hash joins on the gram key.
-    * N is a one-row aggregate read (bounded scalar probe, same pattern
-    * as the PageRank convergence probe). Arithmetic is mirrored
-    * op-for-op in the DuckDB oracle with explicit DOUBLE casts; per-gram
-    * NLLs are 4dp-quantized to integers BEFORE the per-doc sum so the
-    * aggregation order can't move the result. */
+    * five lookups with equi-joins on the gram string. The gram tables
+    * are NOT unconditionally broadcast: on a web-scale training corpus
+    * the bigram/trigram tables are billions of rows, and a hard
+    * `broadcast()` hint would OOM every executor instead of degrading.
+    * Default (`broadcastDims = false`) leaves them as keyed equi-joins
+    * and lets AQE's runtime size check convert each join to broadcast
+    * when the actual gram table is small — the auto path at any scale.
+    * Pass `broadcastDims = true` only for a corpus known to be
+    * vocabulary-bounded. N is a one-row aggregate read (bounded scalar
+    * probe, same pattern as the PageRank convergence probe). Arithmetic
+    * is mirrored op-for-op in the DuckDB oracle with explicit DOUBLE
+    * casts; per-gram NLLs are 4dp-quantized to integers BEFORE the
+    * per-doc sum so the aggregation order can't move the result. */
   def backoffLm(train: DataFrame, score: DataFrame, minCount: Long = 1L,
-      alpha: Double = 0.4, unseenP: Double = 0.0001): DataFrame = {
+      alpha: Double = 0.4, unseenP: Double = 0.0001,
+      broadcastDims: Boolean = false): DataFrame = {
     import graft.operators.Materialize.MatOps
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
     val toks = tokens(col("text"))
@@ -438,12 +443,13 @@ object TextAnalysis {
         concat_ws(" ", element_at(col("parts"), 2), element_at(col("parts"), 3)).as("g2"),
         element_at(col("parts"), 2).as("w2"),
         element_at(col("parts"), 3).as("w3"))
+    val dim = (df: DataFrame) => if (broadcastDims) broadcast(df) else df
     val joined = tris
-      .join(broadcast(tri.select(col("g").as("g3"), col("n3"))), Seq("g3"), "left")
-      .join(broadcast(bi.select(col("g").as("ctx2"), col("n2").as("nctx"))), Seq("ctx2"), "left")
-      .join(broadcast(bi.select(col("g").as("g2"), col("n2").as("n2g"))), Seq("g2"), "left")
-      .join(broadcast(uni.select(col("w").as("w2"), col("n1").as("n1w2"))), Seq("w2"), "left")
-      .join(broadcast(uni.select(col("w").as("w3"), col("n1").as("n1w3"))), Seq("w3"), "left")
+      .join(dim(tri.select(col("g").as("g3"), col("n3"))), Seq("g3"), "left")
+      .join(dim(bi.select(col("g").as("ctx2"), col("n2").as("nctx"))), Seq("ctx2"), "left")
+      .join(dim(bi.select(col("g").as("g2"), col("n2").as("n2g"))), Seq("g2"), "left")
+      .join(dim(uni.select(col("w").as("w2"), col("n1").as("n1w2"))), Seq("w2"), "left")
+      .join(dim(uni.select(col("w").as("w3"), col("n1").as("n1w3"))), Seq("w3"), "left")
     // a seen trigram implies its context bigram was seen (same corpus),
     // and a seen bigram implies its first word was — the CASE arms only
     // need the head condition, mirrored exactly in the oracle

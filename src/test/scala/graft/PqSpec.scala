@@ -146,6 +146,18 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.70, s"reranked recall@5 $recall < 0.70 floor")
   }
 
+  test("re-rank refuses an every-executor-sized shortlist broadcast") {
+    // stage 2 broadcasts nQueries×shortlist candidate rows; like the other
+    // ANN entry points, an unbounded product must refuse, not OOM
+    import ProductQuantizer.{DefaultSubspaces, DefaultSubDim}
+    val err = intercept[IllegalArgumentException] {
+      ProductQuantizer.searchIvfPqRerank(emb, emb, emb, emb,
+        nQueries = 1 << 12, topK = 5, DefaultSubspaces, DefaultSubDim,
+        nprobe = 1, shortlist = 1 << 12)
+    }
+    assert(err.getMessage.contains("shortlist"))
+  }
+
   test("train-on-sample IVFADC holds the same recall floor") {
     // the 100 TB path (Lloyd on the evens-only half, full assign/encode)
     // must not cost retrieval quality: pin the same 0.40 floor as the
