@@ -44,6 +44,7 @@ object BenchTrend {
     "q_cosine_ivfpq_sampled",
     "q_cdc_apply", "q_cdc_diff",
     "q_media_jpeg", "q_media_mp4", "q_media_png", "q_media_decode",
+    "q_media_decode_png",
     "q_image_neardup",
     "q_bpe_train", "q_bpe_encode", "q_backoff_lm")
 

@@ -216,6 +216,31 @@ object ExtendedEntries {
           col("dec_height") === col("height")).as("decode_agrees"))
   }
 
+  /** REAL PNG round trip ([[Multimodal.synthImageReal]] →
+    * [[Multimodal.imageAHash]]): the patByte pattern is rendered and
+    * pushed through javax.imageio's ACTUAL PNG encoder, decoded back,
+    * and aHashed. PNG is lossless, so the decoded pixels — and
+    * therefore the hash and mean — must match the closed-form
+    * [[Multimodal.patByte]] oracle bit for bit: one wrong byte in
+    * either codec direction fails the hash. (The synthPng/parsePng
+    * family pins the container WALK; this pins the pixel codec.) */
+  private def qMediaDecodePng(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageAHash(
+      Multimodal.synthImageReal(Tables.documents(s, dir), "png"))
+      .select(col("doc_id"), col("decoded_ok"), col("ahash"), col("mean_gray"))
+
+  /** REAL JPEG round trip: encode the pattern with the actual JPEG
+    * encoder, decode back, and score against the closed form. JPEG is
+    * LOSSY, so pixel equality is the wrong contract — the pinned fields
+    * are geometry + `mae_ok` (mean absolute gray error within 16 levels:
+    * quantization noise is a few levels, while a channel swap, stride
+    * bug, or row flip is tens). Oracle pins all three as literals. */
+  private def qMediaDecodeJpeg(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageVsPattern(
+      Multimodal.synthImageReal(Tables.documents(s, dir), "jpeg"))
+      .select(col("doc_id"), col("decoded_ok"), col("dec_width"),
+        col("dec_height"), col("mae_ok"))
+
   /** Banded-Hamming threshold for image near-dup: 4 bands of 16 bits
     * make the candidate join COMPLETE for hamming ≤ 3 (pigeonhole: 3
     * differing bits cannot touch all 4 bands). */
@@ -1248,6 +1273,8 @@ object ExtendedEntries {
     "q_media_decode_wav" -> qMediaDecodeWav,
     "q_image_ahash" -> qImageAhash,
     "q_image_neardup" -> qImageNeardup,
+    "q_media_decode_png" -> qMediaDecodePng,
+    "q_media_decode_jpeg" -> qMediaDecodeJpeg,
     "q_media_stats" -> qMediaStats,
     "q_media_png" -> qMediaPng,
     "q_media_jpeg" -> qMediaJpeg,
@@ -3756,6 +3783,21 @@ object ExtendedEntries {
     "q_image_ahash" ->
       (s"WITH $oAhashBits\n" +
         "SELECT doc_id, TRUE AS decoded_ok, ahash, mean_gray FROM bits"),
+
+    // REAL PNG encode→decode round trip: lossless, so the decoded-pixel
+    // aHash must equal the same closed-form pattern oracle as the BMP
+    // path — one wrong byte in either direction of the codec fails it
+    "q_media_decode_png" ->
+      (s"WITH $oAhashBits\n" +
+        "SELECT doc_id, TRUE AS decoded_ok, ahash, mean_gray FROM bits"),
+
+    // REAL JPEG round trip: lossy, so the contract is geometry + the
+    // MAE-within-16-gray-levels boolean, all pinned as literals
+    "q_media_decode_jpeg" ->
+      """SELECT doc_id, TRUE AS decoded_ok,
+        |  CAST(16 AS BIGINT) AS dec_width, CAST(16 AS BIGINT) AS dec_height,
+        |  TRUE AS mae_ok
+        |FROM documents""".stripMargin,
 
     // near-dup classes over the closed-form hashes with the identical
     // 4x16-bit banding + exact-Hamming verify the Spark plan runs

@@ -246,6 +246,113 @@ object Multimodal {
       }.toDF()
   }
 
+  /** [[patByte]] in plain JVM ints — the per-partition mirror the real
+    * encoders/decoders use; kept adjacent so the two formulas can be
+    * eyeballed as one. */
+  private[operators] def patByteJvm(d: Long, x: Int, y: Int, c: Int): Int = {
+    val pert = (d / 16) % 4
+    (((d % 16) * 40 + (x * 23 + y * 31 + c * 11) % 97 +
+      (if (x < pert && y < 2) 120 else 0)) % 256).toInt
+  }
+
+  /** Synthesize a REAL PNG or JPEG per document: render the [[patByte]]
+    * pattern into a BufferedImage and run it through javax.imageio's
+    * actual encoder — a genuinely decodable payload, unlike [[synthPng]]/
+    * [[synthJpeg]] whose zero-filled IDAT / dummy entropy data exercise
+    * the container WALK but no pixel codec. Same per-partition batch
+    * shape as the decoders (encode is per-row imperative codec work). */
+  def synthImageReal(docs: DataFrame, format: String): DataFrame = {
+    require(format == "png" || format == "jpeg",
+      s"format must be png|jpeg, got '$format'")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mt = s"image/$format"
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          PatW, PatH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < PatH) {
+          var x = 0
+          while (x < PatW) {
+            img.setRGB(x, y, (patByteJvm(id, x, y, 2) << 16) |
+              (patByteJvm(id, x, y, 1) << 8) | patByteJvm(id, x, y, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        if (format == "jpeg") {
+          // explicit quality 0.95: the pattern is per-pixel noise (worst
+          // case for JPEG), and the default 0.75 tables push worst-image
+          // MAE to 17 gray levels — past the 16-level decode contract.
+          // At 0.95 the worst case over ALL 64 distinct pattern images
+          // (d%16 × 4 perturbations — fully enumerated at any SF) is 14.1.
+          val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+          val p = w.getDefaultWriteParam
+          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(0.95f)
+          val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          w.setOutput(out)
+          w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          w.dispose(); out.close()
+        } else javax.imageio.ImageIO.write(img, format, bos)
+        MediaRow(id, mt, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** One real-decoded image scored against the closed-form pattern:
+    * decode flag, decoder-reported geometry, and whether the mean
+    * absolute gray error vs [[patByte]] stays within `maxMae` — TRUE for
+    * a correct lossless codec (MAE 0) and for a sane lossy one (JPEG
+    * quantization noise is a few gray levels; a channel swap, stride
+    * bug, or row flip is tens). The numeric MAE itself is deliberately
+    * NOT a column: it varies with the JVM's JPEG tables, so only the
+    * contract boolean is oracle-pinnable. */
+  final case class DecodedVsPattern(doc_id: Long, decoded_ok: Boolean,
+      dec_width: Long, dec_height: Long, mae_ok: Boolean)
+
+  def decodeImageVsPattern(media: DataFrame, maxMae: Double = 16.0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null || img.getWidth != PatW || img.getHeight != PatH)
+              DecodedVsPattern(id, decoded_ok = false, -1L, -1L, mae_ok = false)
+            else {
+              var errSum = 0L
+              var y = 0
+              while (y < PatH) {
+                var x = 0
+                while (x < PatW) {
+                  val rgb = img.getRGB(x, y)
+                  val gray = (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
+                  val want = (patByteJvm(id, x, y, 0) + patByteJvm(id, x, y, 1) +
+                    patByteJvm(id, x, y, 2)) / 3
+                  errSum += math.abs(gray - want)
+                  x += 1
+                }
+                y += 1
+              }
+              val mae = errSum.toDouble / (PatW * PatH)
+              DecodedVsPattern(id, decoded_ok = true,
+                img.getWidth.toLong, img.getHeight.toLong, mae <= maxMae)
+            }
+          } catch {
+            case _: Exception =>
+              DecodedVsPattern(id, decoded_ok = false, -1L, -1L, mae_ok = false)
+          }
+        }
+      }.toDF()
+  }
+
   /** One decoded audio payload: success flag, format fields as the
     * decoder reports them, and exact sample statistics (-1 on failure —
     * corrupt audio flags, never crashes the scan). */

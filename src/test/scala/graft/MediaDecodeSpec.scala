@@ -111,4 +111,32 @@ class MediaDecodeSpec extends AnyFunSuite {
     val c = Multimodal.imageAHash(corrupt).head()
     assert(!c.getBoolean(1) && c.getString(2).isEmpty)
   }
+
+  test("real PNG/JPEG round trips hold their decode contracts") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 80L).toDF("doc_id")
+    // PNG is lossless: decoded-pixel aHash equals the BMP path's (same
+    // pattern, different container+codec), so the closed-form oracle
+    // covers both
+    val viaPng = Multimodal.imageAHash(
+        Multimodal.synthImageReal(docs, "png"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    val viaBmp = Multimodal.imageAHash(
+        Multimodal.synthBmpPattern(docs))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(viaPng.values.forall(_._1), "every real PNG must decode")
+    for (d <- 0L until 80L)
+      assert(viaPng(d)._2 == viaBmp(d), s"doc $d: PNG hash != BMP hash")
+    // JPEG is lossy but bounded: geometry exact, MAE within contract
+    val jpeg = Multimodal.decodeImageVsPattern(
+        Multimodal.synthImageReal(docs, "jpeg")).collect()
+    assert(jpeg.forall(_.getBoolean(1)), "every real JPEG must decode")
+    assert(jpeg.forall(r => r.getLong(2) == 16 && r.getLong(3) == 16))
+    assert(jpeg.forall(_.getBoolean(4)), "JPEG MAE out of contract")
+    // corrupt payload: flags, never throws
+    val c = Multimodal.decodeImageVsPattern(
+      Seq((0L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).head()
+    assert(!c.getBoolean(1) && !c.getBoolean(4))
+  }
 }
