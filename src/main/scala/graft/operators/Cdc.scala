@@ -73,9 +73,15 @@ object Cdc {
       df.select(df.columns.map(c => col(c).as(pfx + c)): _*)
     val aa = side(a, "_da_")
     val bb = side(b, "_db_")
-    // null-safe key equality still extracts as an equi-join (SMJ/bucketed)
+    // PLAIN equality, not null-safe `<=>`: Catalyst rewrites null-safe
+    // join keys to (coalesce(k, 0), isnull(k)), which can never match a
+    // bucketed scan's HashPartitioning(k) — both snapshots would
+    // re-shuffle and the co-location claim above would be silently false
+    // (caught by BucketingSpec's plan pin). Null merge keys are already
+    // a documented precondition violation (no last-write-wins identity),
+    // so `===` is semantically identical on valid input.
     val joined = aa.join(bb,
-      keyCols.map(k => col("_da_" + k) <=> col("_db_" + k)).reduce(_ && _),
+      keyCols.map(k => col("_da_" + k) === col("_db_" + k)).reduce(_ && _),
       "full_outer")
     // presence sentinels: any key column is non-null iff the side matched
     val aPresent = col("_da_" + keyCols.head).isNotNull
