@@ -42,12 +42,23 @@ object StreamJoin {
     * across BOTH sides' watermark nodes, so a bounded replay must
     * append a far-future sentinel row to EACH stream to flush the tail
     * (advancing one side alone flushes nothing — spec-measured); the
-    * caller filters the reserved sentinel key from the report. */
+    * caller filters the reserved sentinel key from the report.
+    *
+    * `lateDelay` is the out-of-order tolerance (`withWatermark` delay on
+    * BOTH sides): a row arriving with an event time up to `lateDelay`
+    * behind the stream's max still joins; older rows are dropped as
+    * late, and with "left_outer" their would-be partners finalize as
+    * null matches — the deterministic late-data contract, spec-pinned in
+    * StreamJoinSpec. The price is state: rows are evictable only
+    * `lateDelay` later, so state is O((window + lateDelay) × arrival
+    * rate) per key. "0 seconds" (the parity default) admits only
+    * non-decreasing event times, which is what the ordered replay feeds
+    * deliver. */
   def run(left: DataFrame, right: DataFrame, keyCol: String, idCol: String,
-      windowUs: Long, workDir: String,
-      joinType: String = "inner"): StreamingQuery = {
-    val a = left.withWatermark("ts", "0 seconds").alias("a")
-    val b = right.withWatermark("ts", "0 seconds").alias("b")
+      windowUs: Long, workDir: String, joinType: String = "inner",
+      lateDelay: String = "0 seconds"): StreamingQuery = {
+    val a = left.withWatermark("ts", lateDelay).alias("a")
+    val b = right.withWatermark("ts", lateDelay).alias("b")
     a.join(b, expr(
         s"""a.$keyCol = b.$keyCol AND
            |b.ts >= a.ts AND

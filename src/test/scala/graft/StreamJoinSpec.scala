@@ -96,6 +96,53 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(streamMatches(events, 3, "left_outer") == b)
   }
 
+  test("late data: within lateDelay joins, beyond it drops to a null match") {
+    // The SAME out-of-order feed under two tolerances. Batch 1 pushes
+    // both sides' max event time to T+8min (sentinel key 9) while the
+    // real left row sits at T; batch 2 delivers its right partner
+    // out-of-order at T+1s.
+    //  - lateDelay "10 minutes": watermark T-2min < T+1s, the late row is
+    //    admitted, and the pair matches (the left is still in state:
+    //    eviction needs wm > T+window).
+    //  - lateDelay "0 seconds": watermark is already T+8min, the right
+    //    row is dropped as late AND the left was evicted — the left_outer
+    //    join must finalize it as a null match, never a silent loss.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val base = 1700000000000000L
+    val m = 60000000L // one minute in us
+    def run(lateDelay: String): Seq[(Long, Long, Any)] = {
+      val work = java.nio.file.Files.createTempDirectory("graft_sj_late").toString
+      val lin = MemoryStream[(Long, Long, Long)]
+      val rin = MemoryStream[(Long, Long, Long)]
+      def df(ms: MemoryStream[(Long, Long, Long)]) =
+        ms.toDF().toDF("user_id", "event_id", "us")
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(col("us")).as("ts"))
+      val q = StreamJoin.run(df(lin), df(rin), "user_id", "event_id",
+        2 * m, work, "left_outer", lateDelay)
+      try {
+        lin.addData((1L, 1L, base), (9L, 90L, base + 8 * m))
+        rin.addData((9L, 91L, base + 8 * m))
+        q.processAllAvailable()
+        rin.addData((1L, 2L, base + 1000000L)) // the late right partner
+        q.processAllAvailable()
+        // far-future sentinels on BOTH sides flush the outer tail
+        lin.addData((9L, 92L, base + 86400 * 1000000L))
+        rin.addData((9L, 93L, base + 86400 * 1000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      StreamJoin.report(spark, work)
+        .filter(col("user_id") =!= 9L).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+    }
+    assert(run("10 minutes") == Seq((1L, 1L, 2L)),
+      "an out-of-order row within lateDelay must still join")
+    assert(run("0 seconds") == Seq((1L, 1L, null)),
+      "a row beyond lateDelay must drop, finalizing its partner as null")
+  }
+
   test("sf0.001 events: streamed interval join == batch join, both types") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
