@@ -83,12 +83,25 @@ object Bpe {
     * greedy BPE would provably pick in the same order, so multiple
     * merges ride one pair-count refresh. Rules (exactness argument in
     * [[trainMerges]]'s scaladoc): a candidate is accepted while it is
-    * symbol-disjoint from everything accepted so far AND its count is
-    * strictly above the stop threshold — the first conflicting
-    * candidate's count (or, when the fetch was truncated with no
-    * conflict, the last fetched count, since unseen pairs can be
-    * anywhere at or below it). The head candidate is always safe: it IS
-    * the greedy choice. */
+    * symbol-disjoint from everything accepted so far — including every
+    * accepted MERGED symbol — AND its count is strictly above the stop
+    * threshold: the first conflicting candidate's count (or, when the
+    * fetch was truncated with no conflict, the last fetched count,
+    * since unseen pairs can be anywhere at or below it). The head
+    * candidate is always safe: it IS the greedy choice.
+    *
+    * Two acceptance rules exist because the plain-disjointness argument
+    * has holes the 512-merge plateau A/B (BpeSweep) caught live:
+    *  - a SELF-merge (a,a) creates the brand-new pair (aa,aa), whose
+    *    count is bounded only by the self-merge's OWN count — far above
+    *    the conflict bound — so sequential greedy can pick it next,
+    *    ahead of anything else in the batch (observed: (a,a,15079)
+    *    then batched (α,z,1731) vs sequential (aa,aa,6002)). A
+    *    self-merge therefore CLOSES the batch at its own count;
+    *  - the merged symbol a+b can COLLIDE with an existing symbol, and
+    *    merging then GROWS existing (x,ab)-shaped pair counts past
+    *    their ranked values — so accepted merged symbols join the
+    *    disjointness set like lefts and rights. */
   private def acceptBatch(top: Seq[(String, String, Long)],
       maxN: Int): Seq[(String, String, Long)] = {
     val used = scala.collection.mutable.Set.empty[String]
@@ -98,8 +111,15 @@ object Bpe {
     val it = top.iterator
     while (conflictCount.isEmpty && n < maxN && it.hasNext) {
       val c @ (a, b, cnt) = it.next()
-      if (used(a) || used(b)) conflictCount = Some(cnt)
-      else { prefix += c; used += a; used += b; n += 1 }
+      if (used(a) || used(b) || used(a + b)) conflictCount = Some(cnt)
+      else {
+        prefix += c; used += a; used += b; used += a + b; n += 1
+        // a self-merge's (aa,aa) twin is bounded only by cnt itself:
+        // nothing after it can be proven safe — close the batch (the
+        // head survives the strict cut via the take(1) exemption; a
+        // mid-batch self-merge is cut and re-picked next refresh)
+        if (a == b) conflictCount = Some(cnt)
+      }
     }
     // every pair whose count the accepted merges can change (or create)
     // is bounded by the first conflicting candidate — or, when the scan
@@ -149,7 +169,16 @@ object Bpe {
     * near-tie pairs (the shape of a real Zipfian vocabulary's early
     * merge rounds); the mechanism costs one take(256) instead of
     * take(1) per refresh, i.e. nothing. */
-  def trainMerges(docs: DataFrame, iters: Int): DataFrame = {
+  def trainMerges(docs: DataFrame, iters: Int): DataFrame =
+    trainMergesStats(docs, iters)._1
+
+  /** [[trainMerges]] plus its refresh count (Spark rounds actually run),
+    * and a `batched = false` mode forcing one merge per refresh — the
+    * sequential-greedy reference the batched mode must match bit for bit
+    * (BpeSpec) and the A/B baseline for the ≥512-merge amortization
+    * demo ([[graft.BpeSweep]]). */
+  private[graft] def trainMergesStats(docs: DataFrame, iters: Int,
+      batched: Boolean = true): (DataFrame, Int) = {
     require(iters >= 1, "iters must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -158,6 +187,7 @@ object Bpe {
     var it = 1
     var exhausted = false
     var sinceMat = 0 // merges since the last lineage truncation
+    var refreshes = 0
     while (it <= iters && !exhausted) {
       val top = dict
         .withColumn("syms", symbols(col("seq")))
@@ -175,9 +205,10 @@ object Bpe {
         .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
         .take(BatchFetch)
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      refreshes += 1
       if (top.isEmpty) exhausted = true // every word is one symbol
       else {
-        val batch = acceptBatch(top, maxN = iters - it + 1)
+        val batch = acceptBatch(top, maxN = if (batched) iters - it + 1 else 1)
         val merged = batch.foldLeft(col("seq")) { case (seqCol, (a, b, _)) =>
           mergeSeq(seqCol, a, b)
         }
@@ -198,7 +229,8 @@ object Bpe {
         }
       }
     }
-    rows.result().toDF("iter", "left_sym", "right_sym", "merged", "pair_count")
+    (rows.result().toDF("iter", "left_sym", "right_sym", "merged", "pair_count"),
+      refreshes)
   }
 
   /** How many chained `replace` merges [[encode]] stacks into one plan

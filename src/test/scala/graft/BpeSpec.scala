@@ -169,4 +169,41 @@ class BpeSpec extends AnyFunSuite {
     val m = Bpe.trainMerges(docs, 1).head()
     assert((m.getString(1), m.getString(2), m.getLong(4)) == ("a", "b", 1L))
   }
+
+  test("a self-merge closes the batch: (aa,aa) outranks the pre-merge runner-up") {
+    // The 512-merge A/B regression (BpeSweep) in miniature: merging the
+    // head (a,a) creates the brand-new pair (aa,aa) at half its count —
+    // far above the pre-merge runner-up (x,z) — so sequential greedy
+    // picks it SECOND. A batch that had accepted (x,z) alongside the
+    // self-merge shipped a wrong merge order.
+    val docs = docsOf(("aaaa " * 100) + ("xz " * 40) + ("uv " * 30))
+    val batched = Bpe.trainMerges(docs, 3).orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(batched == Seq(("a", "a", 300L), ("aa", "aa", 100L), ("x", "z", 40L)))
+    val (seqDf, _) = Bpe.trainMergesStats(docs, 3, batched = false)
+    assert(batched == seqDf.orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq)
+  }
+
+  test("wide-plateau batching: >=128 merges, few refreshes, sequential-exact") {
+    // the amortization case a production vocabulary's early rounds hit:
+    // disjoint near-tie pairs over a wide symbol population — many
+    // merges must ride each pair-count refresh AND the table must stay
+    // bit-identical to one-merge-per-round greedy
+    val s = spark
+    import s.implicits._
+    val wide = (0 until 400).map { i =>
+      val a = (0x4E00 + (i * 2) % 600).toChar
+      val b = (0x4E00 + (i * 2 + 1) % 600).toChar
+      (i.toLong, s"$a$b " * (1200 / (i + 1) + 1))
+    }.toDF("doc_id", "text")
+    val (mb, rb) = Bpe.trainMergesStats(wide, 128)
+    val (ms, rs) = Bpe.trainMergesStats(wide, 128, batched = false)
+    assert(mb.orderBy("iter").collect().map(_.toSeq).toSeq ==
+      ms.orderBy("iter").collect().map(_.toSeq).toSeq,
+      "batched merge table diverged from sequential greedy")
+    assert(rs >= 128, s"sequential must refresh per merge, got $rs")
+    assert(rb <= rs / 4,
+      s"wide plateau should amortize >=4x: $rb refreshes vs $rs")
+  }
 }
