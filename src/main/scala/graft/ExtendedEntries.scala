@@ -151,6 +151,13 @@ object ExtendedEntries {
   private def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.dedupPairsLsh(Tables.embeddings(s, dir))
 
+  /** Multi-probe variant ([[Similarity.dedupPairsLshMp]]): Hamming-≤1
+    * bucket probing holds the same design recall with ~5× fewer planes
+    * at wide operating points — the cheap-coding end of the LSH
+    * trade-off surface. */
+  private def qDedupEmbedLshMp(s: SparkSession, dir: String): DataFrame =
+    Similarity.dedupPairsLshMp(Tables.embeddings(s, dir))
+
   /** Scale-path variant: same verify expression, candidates blocked to the
     * probe's IVF cluster. Cluster count SCALES WITH THE CORPUS
     * ([[Similarity.clustersFor]]): a fixed k makes Σ|c|² quadratic in N —
@@ -1262,6 +1269,7 @@ object ExtendedEntries {
     "q_cosine_ivfpq_sampled" -> qCosineIvfPqSampled,
     "q_embed_drift" -> qEmbedDrift,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
+    "q_dedup_embed_lsh_mp" -> qDedupEmbedLshMp,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
     "q_dedup_embed_ivf2" -> qDedupEmbedIvf2,
     "q_dedup_embed_incremental" -> qDedupEmbedIncr,
@@ -1956,17 +1964,19 @@ object ExtendedEntries {
     * left-to-right double fold as the engine's ArrayMath.dotF, so every
     * band key is bit-identical. Ends in
     * `bands(vec_id, embedding, band, bkey)`. */
-  private def oSrpBandCtes: String = {
+  private def oSrpBandCtes: String =
+    oSrpBandCtesWith(Similarity.lshBandsValuesSql,
+      Similarity.LshBandBitsMax * Similarity.lshBandsFor(Similarity.LshBandBitsMax))
+
+  private def oSrpBandCtesWith(bandsValues: String, planesMax: Int): String = {
     val dim = Similarity.LshDim
-    val planesMax =
-      Similarity.LshBandBitsMax * Similarity.lshBandsFor(Similarity.LshBandBitsMax)
     s"""nn AS (SELECT count(*) AS n FROM embeddings
        |), pr AS (
        |  SELECT coalesce(min(b), ${Similarity.LshBandBitsMax}) AS bb
        |  FROM range(${Similarity.LshBandBits}, ${Similarity.LshBandBitsMax + 1}) t(b), nn
        |  WHERE (CAST(1 AS BIGINT) << b) * ${Similarity.LshTargetBucket} >= n
        |), lt AS (
-       |  SELECT v.nb FROM (VALUES ${Similarity.lshBandsValuesSql}) v(b, nb), pr
+       |  SELECT v.nb FROM (VALUES $bandsValues) v(b, nb), pr
        |  WHERE v.b = pr.bb
        |), pl AS MATERIALIZED (
        |  SELECT t.p, list_transform(range(0, $dim), d ->
@@ -1993,6 +2003,32 @@ object ExtendedEntries {
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+       |), v AS (
+       |  SELECT cand.vec_a, cand.vec_b,
+       |    ${r4(oCos("ea.embedding", "eb.embedding"))} AS cos
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a
+       |            JOIN embeddings eb ON eb.vec_id = cand.vec_b
+       |)
+       |SELECT vec_a, vec_b, cos FROM v WHERE cos >= $tau""".stripMargin
+  }
+
+  /** Multi-probe LSH oracle: same md5-derived planes over the MP band
+    * table, probe side expanded to the exact key plus every single-bit
+    * flip (Hamming ≤ 1), mirroring dedupPairsLshMp key for key. */
+  private def oDedupEmbedLshMp: String = {
+    val tau = Similarity.LshTau
+    val ctes = oSrpBandCtesWith(Similarity.lshBandsMpValuesSql,
+      Similarity.LshBandBitsMax * Similarity.lshBandsMpFor(Similarity.LshBandBitsMax))
+    s"""WITH $ctes, probes AS (
+       |  SELECT bands.vec_id, bands.band,
+       |    CASE WHEN j.j < 0 THEN bands.bkey
+       |         ELSE CAST(xor(bands.bkey, (1 << j.j)) AS INT) END AS pkey
+       |  FROM bands, pr, range(-1, ${Similarity.LshBandBitsMax}) j(j)
+       |  WHERE j.j < pr.bb
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM probes a JOIN bands b
+       |    ON a.band = b.band AND a.pkey = b.bkey AND a.vec_id < b.vec_id
        |), v AS (
        |  SELECT cand.vec_a, cand.vec_b,
        |    ${r4(oCos("ea.embedding", "eb.embedding"))} AS cos
@@ -3639,6 +3675,7 @@ object ExtendedEntries {
          |SELECT vec_a, vec_b, cos FROM v WHERE cos >= 0.4""".stripMargin,
 
     "q_dedup_embed_lsh" -> oDedupEmbedLsh,
+    "q_dedup_embed_lsh_mp" -> oDedupEmbedLshMp,
     "q_dedup_embed_incremental" -> oDedupEmbedIncr,
 
     "q_multimodal_meta" ->

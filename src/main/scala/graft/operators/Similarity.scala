@@ -88,6 +88,31 @@ object Similarity {
     (LshBandBits to LshBandBitsMax)
       .map(b => s"($b, ${lshBandsFor(b)})").mkString(", ")
 
+  /** Band counts for the MULTI-PROBE variant ([[dedupPairsLshMp]]): a
+    * band matches if the keys agree within Hamming ≤ 1 (the exact key
+    * plus each single-bit flip is probed), so the per-band collision
+    * probability rises from p^b to `p^b + b·p^(b-1)(1−p)` and far fewer
+    * bands hold the same ≥99% design recall — 36 vs 188 at the widest
+    * point, i.e. 864 planes instead of 4512 (5.2× cheaper coding, the
+    * dominant corpus-scale cost), traded for a bounded (b+1)-way probe
+    * fan-out in the candidate join. Same literal-table discipline as
+    * [[LshBandsTable]]; recall verified ≥ 0.990 for all b in [3,24]. */
+  private val LshBandsMpTable: Array[Int] =
+    //          b = 3  4  5  6  7  8  9 10  11  12  13  14  15
+    Array(          6, 6, 6, 6, 6, 6, 6, 6,  7,  8,  9, 10, 11,
+    //             16  17  18  19  20  21  22  23  24
+                   13, 15, 17, 19, 22, 25, 28, 32, 36)
+
+  def lshBandsMpFor(bandBits: Int): Int = {
+    require(bandBits >= LshBandBits && bandBits <= LshBandBitsMax,
+      s"bandBits $bandBits outside [$LshBandBits, $LshBandBitsMax]")
+    LshBandsMpTable(bandBits - LshBandBits)
+  }
+
+  def lshBandsMpValuesSql: String =
+    (LshBandBits to LshBandBitsMax)
+      .map(b => s"($b, ${lshBandsMpFor(b)})").mkString(", ")
+
   /** Ceiling on the broadcast probe side of the ANN entry points
     * ([[cosineTopK]], [[cosineTopKQ8]], [[knnClassify]], the IVF
     * searches). These plans broadcast the query set to every executor —
@@ -619,6 +644,13 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    verifyCandidates(coded, cand, tau)
+  }
+
+  /** Exact-cosine verify over a candidate pair set — the shared tail of
+    * the LSH blocked shapes. */
+  private def verifyCandidates(coded: DataFrame, cand: DataFrame,
+      tau: Double): DataFrame =
     cand
       .join(coded.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("nrm").as("na")), "vec_a")
@@ -627,6 +659,38 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         r4(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cos"))
       .filter(col("cos") >= tau)
+
+  /** MULTI-PROBE SRP-LSH near-dup pairs: one side of the band self-join
+    * additionally probes every single-bit flip of its band key, so a
+    * band matches within Hamming ≤ 1 — which lets [[lshBandsMpFor]] hold
+    * the ≥99% design recall with ~5× fewer planes than [[dedupPairsLsh]]
+    * at the widest operating points (864 vs 4512 at 24-bit bands). The
+    * probe expansion is a bounded (bandBits+1)-way explode on ONE side
+    * of the join (Hamming-1 is symmetric, so expanding one side finds
+    * every qualifying pair); candidates stay a keyed equi-join on
+    * (band, key), and the exact-cosine verify is unchanged. The coding
+    * pass is the dominant corpus-scale cost (it runs once per vector
+    * over all planes and is what a deployment persists), so trading it
+    * against probe fan-out in the delta-sized candidate join is the
+    * right direction at 100 TB. */
+  def dedupPairsLshMp(emb: DataFrame, tau: Double = LshTau,
+      bandBitsOpt: Option[Int] = None, dim: Int = LshDim): DataFrame = {
+    val bandBits = bandBitsOpt.getOrElse(bandsFor(emb.count()))
+    val nBands = lshBandsMpFor(bandBits)
+    val coded = srpCoded(emb, bandBits, nBands, dim).materialize
+    val bands = srpBands(coded, Seq.empty)
+    // j = -1 is the exact key; j in [0, bandBits) flips bit j
+    val probes = bands
+      .withColumn("j", explode(sequence(lit(-1), lit(bandBits - 1))))
+      .withColumn("pkey", when(col("j") < 0, col("bkey"))
+        .otherwise(expr("bkey ^ shiftleft(1, j)")))
+    val cand = probes.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.pkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    verifyCandidates(coded, cand, tau)
   }
 
   /** One micro-batch step of CONTINUOUS embedding near-dup screening —

@@ -83,6 +83,61 @@ class ExtendedOpsSpec extends AnyFunSuite {
       s"recall collapsed: ${lsh.size}/${brute.size}")
   }
 
+  test("multi-probe LSH: superset of exact-band candidates, subset of brute force") {
+    // at the 3-bit floor both tables use 6 bands over the SAME planes,
+    // and Hamming-1 probing strictly widens each band's reach — so the
+    // MP pair set must contain the exact-band set; exact cosine verify
+    // keeps it inside the brute-force truth either way
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.dedupPairs(emb, 0.4))
+    val lsh = pairs(Similarity.dedupPairsLsh(emb, 0.4))
+    val mp = pairs(Similarity.dedupPairsLshMp(emb, 0.4))
+    assert(lsh.subsetOf(mp), "Hamming-1 probing must not lose exact-band pairs")
+    assert(mp.subsetOf(brute), "MP-LSH must never invent a pair")
+  }
+
+  test("multi-probe LSH holds design recall at max width with 5x fewer planes") {
+    // same planted-near-dup corpus as the exact-band max-width spec: at
+    // bandBits=24 the MP table runs 36 bands (864 planes) instead of 188
+    // (4512) and must still find >=95% of the cos>=0.9 planted pairs
+    val s = spark
+    import s.implicits._
+    def h(tag: String, i: Int, d: Int): Float = {
+      val x = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$i:$d".getBytes("UTF-8"))
+      ((((x(0) & 0xff) << 8) | (x(1) & 0xff)) - 32768) / 32768.0f
+    }
+    val nBase = 200
+    val base = (0 until nBase).map(i => Array.tabulate(64)(d => h("b", i, d)))
+    val jit = base.zipWithIndex.map { case (v, i) =>
+      val w = Array.tabulate(64)(d => h("j", i, d))
+      val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nw = math.sqrt(w.map(x => x.toDouble * x).sum)
+      Array.tabulate(64)(d => (v(d) / nv + 0.25 * w(d) / nw).toFloat)
+    }
+    val emb = (base ++ jit).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val mp = Similarity.dedupPairsLshMp(emb, 0.9,
+        bandBitsOpt = Some(Similarity.LshBandBitsMax))
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until nBase)
+      .map(i => (i.toLong, (i + nBase).toLong))
+      .filter { case (a, _) =>
+        val va = base(a.toInt); val vb = jit(a.toInt)
+        val dd = va.zip(vb).map { case (x, y) => x.toDouble * y }.sum
+        val na = math.sqrt(va.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+        dd / (na * nb) >= 0.9
+      }.toSet
+    val found = mp.intersect(planted)
+    assert(found.size >= math.ceil(planted.size * 0.95).toInt,
+      s"MP design-point recall collapsed: ${found.size}/${planted.size}")
+  }
+
   test("SRP-LSH recall holds at the WIDEST band operating point (bandBitsMax)") {
     // The adaptive band width ships operating points the default-sized spec
     // above never exercises (bandsFor returns the 3-bit floor at sf0.001,
