@@ -44,6 +44,10 @@ def norm(v):
 
 def compare():
     con = duckdb.connect()
+    # let heavy oracles (the unrolled two-stage PQ mirrors at sf0.1)
+    # spill to disk instead of dying on DuckDB's in-memory limit
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         f = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(f):

@@ -146,17 +146,26 @@ object IndicatorMath {
       if (pos + neg == 0) None else Some(100.0 * pos / (pos + neg))
     } else None
 
-    val obv = if (haveVol) {
+    // OBV must mirror the batch SQL's null semantics EXACTLY, not gate on
+    // haveVol: in `sum(signed)` a null volume contributes nothing (SQL sum
+    // skips nulls) while a FLAT tick contributes a literal 0 regardless of
+    // volume — so a frame of all-null volumes with one repeated price sums
+    // to 0, not NULL. The haveVol gate returned None there; caught by the
+    // sf0.1 full-sweep parity diff (symbol 61, 2024-01-24 15:38:11.525).
+    val obv = {
       var acc = 0L
+      var any = false
       frame.indices.foreach { i =>
-        if (i == 0) acc += vols(0).get
+        if (i == 0) vols(0).foreach { v => acc += v; any = true }
         else {
           val d = closes(i) - closes(i - 1)
-          if (d > 0) acc += vols(i).get else if (d < 0) acc -= vols(i).get
+          if (d > 0) vols(i).foreach { v => acc += v; any = true }
+          else if (d < 0) vols(i).foreach { v => acc -= v; any = true }
+          else any = true // flat tick: literal 0 even with null volume
         }
       }
-      Some(acc)
-    } else None
+      if (any) Some(acc) else None
+    }
 
     val vwap = if (haveVol) {
       val day = last.time - math.floorMod(last.time, 86400000L)
