@@ -204,4 +204,24 @@ class StreamingSpec extends AnyFunSuite {
       corrupt.rsi_14.get != last.getAs[java.lang.Double]("rsi_14").doubleValue,
       "positional append must corrupt at least one order-sensitive indicator")
   }
+
+  test("OBV over null volumes: a flat tick makes it 0, no flat tick keeps it null") {
+    // SQL-null-semantics parity (the sf0.1 sweep regression): the batch
+    // oracle's sum(signed) skips null volumes but a FLAT tick contributes
+    // a literal 0 — an all-null-volume frame with one repeated price must
+    // therefore emit obv = 0, not null
+    import graft.streaming.IndicatorMath
+    import graft.streaming.IndicatorMath.BarState
+    def frame(ps: Seq[Double]): Vector[BarState] =
+      ps.zipWithIndex.map { case (p, i) =>
+        BarState(1700000000000L + i * 5000L, p, p, p, p, None)
+      }.toVector
+    val strictlyMoving = (1 to 30).map(_.toDouble) // every diff > 0, vols null
+    assert(IndicatorMath.latestRow("A", frame(strictlyMoving)).obv.isEmpty,
+      "all contributions null => OBV must stay null (SQL sum of all nulls)")
+    val withFlat = strictlyMoving.take(10) ++ Seq(10.0) ++
+      strictlyMoving.drop(10) // one repeated price mid-frame
+    assert(IndicatorMath.latestRow("A", frame(withFlat)).obv.contains(0L),
+      "a flat tick contributes a literal 0 => OBV must be 0, not null")
+  }
 }
