@@ -70,6 +70,13 @@ object ExtendedEntries {
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), 10)
 
+  /** Multi-index form ([[Dedup.simhashPairsMp]]): 6 bands of 10 bits +
+    * Hamming-1 probes instead of 12 bands of 5 bits — 32x the bucket
+    * count at the same exact completeness, so the emitted pairs are
+    * IDENTICAL to q_simhash (shared oracle). */
+  private def qSimhashMp(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsMp(Tables.documents(s, dir), 10)
+
   private def qCosineTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), 10, 5)
 
@@ -1251,6 +1258,7 @@ object ExtendedEntries {
     "q_containment" -> qContainment,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_simhash" -> qSimhash,
+    "q_simhash_mp" -> qSimhashMp,
     "q_cosine_topk" -> qCosineTopK,
     "q_knn_classify" -> qKnnClassify,
     "q_cosine_ivf" -> qCosineIvf,
@@ -2144,7 +2152,13 @@ object ExtendedEntries {
        |SELECT node, ${r4("rank * 1e6")} AS rank_ppm FROM r3""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** q_simhash_mp is EXACTLY complete like q_simhash (multi-index +
+    * Hamming-1 probes relax the pigeonhole without weakening it), so the
+    * two share one oracle verbatim. */
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    ("q_simhash_mp" -> oracleSqlBase("q_simhash"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     // Sketch queries: the shipped q_sketches / q_sketch_rollup plans are
     // sketch-only (engine-specific estimates, no DuckDB mirror → rows-only
     // at the oracle gate, so the bench measures the sketch, not its

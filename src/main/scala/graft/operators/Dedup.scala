@@ -611,4 +611,43 @@ object Dedup {
       .filter(col("hamming") <= maxHam)
       .distinct()
   }
+
+  /** Multi-index SimHash pairs — [[simhashPairs]]'s scale form, and still
+    * EXACTLY complete. [[simhashPairs]] needs nBands > maxHam for its
+    * pigeonhole (some band must be flip-free), which caps the per-band
+    * key width at 60/(maxHam+1) bits — 2^15 buckets at maxHam = 3, so
+    * past ~10⁶ docs bucket occupancy grows linearly and the verbatim
+    * band join trends quadratic (the residual 1.1× per-SF entry in the
+    * r10/r11 trend sweeps). Probing each band key's Hamming-≤1 ball
+    * relaxes the pigeonhole to nBands ≥ ⌈(maxHam+1)/2⌉ — some band then
+    * carries ≤ ⌊maxHam/nBands⌋ ≤ 1 flips and is found by a 1-bit probe —
+    * so maxHam = 3 runs 2 bands of 30 bits: 2³⁰ buckets/band (occupancy
+    * flat past 10¹⁰ docs) for a bounded 31-way probe explode on one join
+    * side. Same mechanism as Similarity.dedupPairsLshMp, but here the
+    * guarantee stays exact, so the emitted pair set is IDENTICAL to
+    * [[simhashPairs]] and the two share one oracle. */
+  def simhashPairsMp(docs: DataFrame, maxHam: Int): DataFrame = {
+    val nBands = (1 to 60).find(b => 60 % b == 0 && 2 * b > maxHam)
+      .getOrElse(throw new IllegalArgumentException(s"maxHam=$maxHam out of range"))
+    val width = 60 / nBands
+    val mask = (1L << width) - 1
+    val sh = simhash(docs).materialize
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr(s"shiftright(simhash, CAST($width * band AS INT)) & ${mask}L").as("bkey"))
+    // j = -1 probes the exact key; j in [0, width) flips bit j
+    val probes = bands
+      .withColumn("j", explode(sequence(lit(-1), lit(width - 1))))
+      .withColumn("pkey", when(col("j") < 0, col("bkey"))
+        .otherwise(expr("bkey ^ shiftleft(1L, j)")))
+    probes.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.pkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .distinct()
+  }
 }

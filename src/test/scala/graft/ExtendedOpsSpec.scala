@@ -83,6 +83,22 @@ class ExtendedOpsSpec extends AnyFunSuite {
       s"recall collapsed: ${lsh.size}/${brute.size}")
   }
 
+  test("multi-index SimHash emits exactly simhashPairs' pair set") {
+    // both are pigeonhole-COMPLETE for hamming <= maxHam (12x5-bit
+    // verbatim bands vs 6x10-bit bands + Hamming-1 probes), and the
+    // verify is the same exact bit_count — so the results must be
+    // row-identical, at 32x the bucket count
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val exact = pairs(Dedup.simhashPairs(docs, 10))
+    val mp = pairs(Dedup.simhashPairsMp(docs, 10))
+    assert(exact == mp, s"pair sets differ: ${exact.size} vs ${mp.size}")
+    assert(exact.nonEmpty)
+  }
+
   test("multi-probe LSH: superset of exact-band candidates, subset of brute force") {
     // at the 3-bit floor both tables use 6 bands over the SAME planes,
     // and Hamming-1 probing strictly widens each band's reach — so the
