@@ -9,9 +9,9 @@ import graft.operators.Materialize.MatOps
   *
   * Scale design (100 TB): never all-pairs. Every near-dup variant generates
   * candidates through an equi-join key — shingle inverted index, LSH band
-  * bucket, or (for SimHash at extreme scale) multi-index prefixes — so the
-  * shuffle is keyed and the pair space stays near-linear in the number of
-  * true duplicates. Verification (exact Jaccard / Hamming) runs only on
+  * bucket, or (for SimHash at extreme scale) the multi-index Hamming-probe
+  * form [[simhashPairsMp]] — so the shuffle is keyed and the pair space
+  * stays near-linear in the number of true duplicates. Verification (exact Jaccard / Hamming) runs only on
   * candidates. All hashes are md5-derived 60-bit ints reduced mod 2^31-1
   * so products stay inside int64 (DuckDB errors on overflow; Spark wraps).
   */
