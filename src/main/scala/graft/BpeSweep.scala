@@ -38,6 +38,9 @@ object BpeSweep {
 
     def measure(tag: String, docs: org.apache.spark.sql.DataFrame,
         alsoSequential: Boolean): Unit = {
+      // warm the dict build + codegen paths so the first-measured mode
+      // (batched) doesn't absorb JIT/first-scan cost the second avoids
+      Bpe.trainMergesStats(docs, 4)._1.collect()
       val t0 = System.nanoTime()
       val (mb, rb) = Bpe.trainMergesStats(docs, iters)
       val batchedRows = mb.collect()
