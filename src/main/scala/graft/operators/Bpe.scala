@@ -90,8 +90,10 @@ object Bpe {
     * since unseen pairs can be anywhere at or below it). The head
     * candidate is always safe: it IS the greedy choice.
     *
-    * Two acceptance rules exist because the plain-disjointness argument
-    * has holes the 512-merge plateau A/B (BpeSweep) caught live:
+    * Three acceptance rules exist because the plain-disjointness
+    * argument has holes the 512-merge plateau A/B (BpeSweep) caught
+    * live, plus one it could not have (the vocab-collision close, found
+    * by review — BpeSpec pins a constructed corpus for it):
     *  - a SELF-merge (a,a) creates the brand-new pair (aa,aa), whose
     *    count is bounded only by the self-merge's OWN count — far above
     *    the conflict bound — so sequential greedy can pick it next,
@@ -101,9 +103,30 @@ object Bpe {
     *  - the merged symbol a+b can COLLIDE with an existing symbol, and
     *    merging then GROWS existing (x,ab)-shaped pair counts past
     *    their ranked values — so accepted merged symbols join the
-    *    disjointness set like lefts and rights. */
-  private def acceptBatch(top: Seq[(String, String, Long)],
-      maxN: Int): Seq[(String, String, Long)] = {
+    *    disjointness set like lefts and rights;
+    *  - the same collision against a symbol z = a+b that PRE-DATES the
+    *    batch (an earlier refresh's merge) is worse: an unscanned
+    *    pre-existing pair (w,z) with count ≤ bound can GROW by up to
+    *    bound (each new (w,z) adjacency was a (w,a) adjacency), so its
+    *    post-merge count can reach 2·bound — above a mid-batch accepted
+    *    candidate in (bound, 2·bound], which sequential greedy would
+    *    then defer. When an accepted candidate's a+b is already in the
+    *    vocabulary, CLOSE the batch at that candidate's own count (the
+    *    candidate itself is still safe: within its batch nothing after
+    *    it is accepted, and the next refresh recounts).
+    *
+    * Reachability of the third rule: for non-self-overlapping symbols
+    * it is provably dead code — two FREE occurrences of the same char
+    * span segment identically at every point in training (induction
+    * over the global merge order; a boundary-crossing outside merge
+    * makes a span permanently non-free and non-exactly-coverable), so
+    * an [a][b] segmentation cannot coexist with a span already fused to
+    * [a+b]; and the self-overlapping run cases ((aa,aa) etc.) collapse
+    * into the self-merge close. It is kept as insurance because the
+    * bit-exactness contract is load-bearing and the check is O(1) per
+    * accepted candidate; BpeSpec pins the mechanism at the unit level. */
+  private[graft] def acceptBatch(top: Seq[(String, String, Long)],
+      maxN: Int, vocab: String => Boolean = _ => false): Seq[(String, String, Long)] = {
     val used = scala.collection.mutable.Set.empty[String]
     val prefix = Seq.newBuilder[(String, String, Long)]
     var conflictCount = Option.empty[Long]
@@ -114,11 +137,13 @@ object Bpe {
       if (used(a) || used(b) || used(a + b)) conflictCount = Some(cnt)
       else {
         prefix += c; used += a; used += b; used += a + b; n += 1
-        // a self-merge's (aa,aa) twin is bounded only by cnt itself:
-        // nothing after it can be proven safe — close the batch (the
-        // head survives the strict cut via the take(1) exemption; a
-        // mid-batch self-merge is cut and re-picked next refresh)
-        if (a == b) conflictCount = Some(cnt)
+        // a self-merge's (aa,aa) twin is bounded only by cnt itself,
+        // and a merged symbol colliding with the EXISTING vocabulary
+        // can grow unscanned (w,a+b) pairs past the conflict bound:
+        // nothing after either can be proven safe — close the batch
+        // (the head survives the strict cut via the take(1) exemption;
+        // a mid-batch closer is cut and re-picked next refresh)
+        if (a == b || vocab(a + b)) conflictCount = Some(cnt)
       }
     }
     // every pair whose count the accepted merges can change (or create)
@@ -184,6 +209,11 @@ object Bpe {
     import spark.implicits._
     var dict = sizedDict(docs).select("cnt", "seq")
     val rows = Seq.newBuilder[(Long, String, String, String, Long)]
+    // merged symbols committed by EARLIER refreshes — the existing
+    // vocabulary acceptBatch's collision close checks against. Initial
+    // symbols are single characters, and a candidate's a+b is always
+    // ≥ 2 chars, so prior merge outputs are the only possible collisions.
+    val vocab = scala.collection.mutable.Set.empty[String]
     var it = 1
     var exhausted = false
     var sinceMat = 0 // merges since the last lineage truncation
@@ -208,13 +238,14 @@ object Bpe {
       refreshes += 1
       if (top.isEmpty) exhausted = true // every word is one symbol
       else {
-        val batch = acceptBatch(top, maxN = if (batched) iters - it + 1 else 1)
+        val batch = acceptBatch(top, maxN = if (batched) iters - it + 1 else 1,
+          vocab = vocab)
         val merged = batch.foldLeft(col("seq")) { case (seqCol, (a, b, _)) =>
           mergeSeq(seqCol, a, b)
         }
         dict = dict.withColumn("seq", merged)
         batch.foreach { case (a, b, pc) =>
-          rows += ((it.toLong, a, b, a + b, pc)); it += 1
+          rows += ((it.toLong, a, b, a + b, pc)); it += 1; vocab += (a + b)
         }
         // truncate the iterative lineage every EncodeMaterializeEvery
         // merges (same cadence as encode), not every refresh: between

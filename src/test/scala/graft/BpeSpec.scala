@@ -185,6 +185,32 @@ class BpeSpec extends AnyFunSuite {
       .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq)
   }
 
+  test("a merged symbol colliding with the existing vocabulary closes the batch") {
+    // Mechanism pin for acceptBatch's vocab-collision close (review
+    // finding): if an accepted candidate's a+b already exists as a
+    // dictionary symbol z, unscanned pre-existing (w,z) pairs can GROW
+    // by up to the conflict bound when the candidate merges — so
+    // nothing after that candidate is provably safe and the batch must
+    // close at its own count. Reachability note: for non-self-
+    // overlapping symbols this state is provably unreachable in real
+    // training (two free occurrences of the same char span always
+    // segment identically, so [a][b] cannot coexist with an earlier
+    // fully-merged [a+b] — see Bpe.acceptBatch's scaladoc), and the
+    // self-overlapping run cases collapse into the self-merge close;
+    // the close is cheap insurance, pinned here at the unit level
+    // because no organic corpus can exercise it.
+    val top = Seq(("p", "q", 100L), ("a", "bc", 30L), ("e", "f", 25L))
+    // without a colliding vocabulary: all three are disjoint → all ride
+    assert(Bpe.acceptBatch(top, maxN = 8) == top)
+    // with "abc" pre-existing: accepting (a,bc) closes the batch at 30,
+    // the strict cut drops it (re-picked next refresh), (e,f) never rides
+    assert(Bpe.acceptBatch(top, maxN = 8, vocab = Set("abc")) ==
+      Seq(("p", "q", 100L)))
+    // a colliding HEAD still ships alone (it IS the greedy choice)
+    assert(Bpe.acceptBatch(top.tail, maxN = 8, vocab = Set("abc")) ==
+      Seq(("a", "bc", 30L)))
+  }
+
   test("wide-plateau batching: >=128 merges, few refreshes, sequential-exact") {
     // the amortization case a production vocabulary's early rounds hit:
     // disjoint near-tie pairs over a wide symbol population — many
