@@ -189,8 +189,11 @@ object ExtendedEntries {
     * q_dedup_incremental): every 5th vector plays the incoming batch,
     * screened against the standing corpus and smaller-id batch vectors
     * via cross-set SRP band joins — the corpus side is never
-    * self-joined. streaming.StreamEmbedDedup drives the same step per
-    * micro-batch with bit-exact parity (StreamDedupSpec). */
+    * self-joined, and the MULTI-PROBE layout (the default since r12)
+    * codes with ~5× fewer planes at wide widths while the Hamming-≤1
+    * probe fan-out lands on the delta-sized batch side only.
+    * streaming.StreamEmbedDedup drives the same step per micro-batch
+    * with bit-exact parity (StreamDedupSpec). */
   private def qDedupEmbedIncr(s: SparkSession, dir: String): DataFrame =
     Similarity.incrementalEmbed(Tables.embeddings(s, dir),
       pmod(col("vec_id"), lit(5)) === 0, Similarity.LshTau)
@@ -2046,22 +2049,32 @@ object ExtendedEntries {
        |SELECT vec_a, vec_b, cos FROM v WHERE cos >= $tau""".stripMargin
   }
 
-  /** Incremental-embed oracle: same planes/bands as [[oDedupEmbedLsh]],
-    * cross-set candidates (batch = vec_id % 5 = 0 probes corpus ∪
-    * smaller-id batch), exact-cosine verify, first-wins decisions. */
+  /** Incremental-embed oracle: the MULTI-PROBE layout ([[Similarity
+    * .incrementalEmbed]]'s default — same md5-derived planes over the MP
+    * band table, batch side expanded to the exact key plus every
+    * single-bit flip), cross-set candidates (batch = vec_id % 5 = 0
+    * probes corpus ∪ smaller-id batch), exact-cosine verify, first-wins
+    * decisions. */
   private def oDedupEmbedIncr: String = {
     val tau = Similarity.LshTau
-    s"""WITH ${oSrpBandCtes}, c AS (
+    val ctes = oSrpBandCtesWith(Similarity.lshBandsMpValuesSql,
+      Similarity.LshBandBitsMax * Similarity.lshBandsMpFor(Similarity.LshBandBitsMax))
+    s"""WITH $ctes, c AS (
        |  SELECT vec_id, vec_id % 5 = 0 AS isb FROM embeddings
        |), bandsb AS MATERIALIZED (
        |  SELECT bands.vec_id, c.isb, bands.band, bands.bkey
        |  FROM bands JOIN c ON c.vec_id = bands.vec_id
+       |), probes AS (
+       |  SELECT bandsb.vec_id, bandsb.band,
+       |    CASE WHEN j.j < 0 THEN bandsb.bkey
+       |         ELSE CAST(xor(bandsb.bkey, (1 << j.j)) AS INT) END AS pkey
+       |  FROM bandsb, pr, range(-1, ${Similarity.LshBandBitsMax}) j(j)
+       |  WHERE bandsb.isb AND j.j < pr.bb
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, b.isb AS b_isb
-       |  FROM bandsb a JOIN bandsb b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+       |  FROM probes a JOIN bandsb b
+       |    ON a.band = b.band AND a.pkey = b.bkey AND a.vec_id <> b.vec_id
        |    AND (NOT b.isb OR b.vec_id < a.vec_id)
-       |  WHERE a.isb
        |), v AS (
        |  SELECT cand.vec_a, cand.vec_b, cand.b_isb,
        |    ${r4(oCos("ea.embedding", "eb.embedding"))} AS cos

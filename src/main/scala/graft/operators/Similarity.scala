@@ -673,17 +673,23 @@ object Similarity {
     * over all planes and is what a deployment persists), so trading it
     * against probe fan-out in the delta-sized candidate join is the
     * right direction at 100 TB. */
+  /** Hamming-≤1 probe rows of a band frame: each row expanded to its
+    * exact key (j = -1) plus every single-bit flip (j in [0, bandBits))
+    * as `pkey` — the bounded (bandBits+1)-way fan-out every multi-probe
+    * shape pays on ONE join side. */
+  private def probeKeys(bands: DataFrame, bandBits: Int): DataFrame =
+    bands
+      .withColumn("j", explode(sequence(lit(-1), lit(bandBits - 1))))
+      .withColumn("pkey", when(col("j") < 0, col("bkey"))
+        .otherwise(expr("bkey ^ shiftleft(1, j)")))
+
   def dedupPairsLshMp(emb: DataFrame, tau: Double = LshTau,
       bandBitsOpt: Option[Int] = None, dim: Int = LshDim): DataFrame = {
     val bandBits = bandBitsOpt.getOrElse(bandsFor(emb.count()))
     val nBands = lshBandsMpFor(bandBits)
     val coded = srpCoded(emb, bandBits, nBands, dim).materialize
     val bands = srpBands(coded, Seq.empty)
-    // j = -1 is the exact key; j in [0, bandBits) flips bit j
-    val probes = bands
-      .withColumn("j", explode(sequence(lit(-1), lit(bandBits - 1))))
-      .withColumn("pkey", when(col("j") < 0, col("bkey"))
-        .otherwise(expr("bkey ^ shiftleft(1, j)")))
+    val probes = probeKeys(bands, bandBits)
     val cand = probes.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.pkey") === col("b.bkey") &&
@@ -701,9 +707,23 @@ object Similarity {
     * (the big reference side is never self-joined); matches are verified
     * with exact cosine ≥ tau. Decision per batch vector (first-wins by
     * id): `dup_of_corpus` (match_id = lowest matching corpus vec), else
-    * `dup_in_batch`, else `kept`. */
+    * `dup_in_batch`, else `kept`.
+    *
+    * `probeBits = Some(bandBits)` turns on MULTI-PROBE matching: the
+    * batch (probe) side additionally explodes every single-bit flip of
+    * its band keys, so a band matches within Hamming ≤ 1 — which means
+    * the code tables only need [[lshBandsMpFor]] bands instead of
+    * [[lshBandsFor]] for the same ≥99% design recall (~5× cheaper
+    * coding at wide widths: the coding pass is the dominant corpus-scale
+    * cost of a DAILY incremental screen, while the probe fan-out lands
+    * on the delta-sized batch side only). Hamming-1 is symmetric, so
+    * one-sided expansion finds every qualifying pair — including
+    * batch-batch pairs, where both directions exist as probes. The
+    * caller must code BOTH inputs at the matching band count; mixing
+    * layouts is a correctness bug, which is why [[graft.streaming
+    * .StreamEmbedDedup]] persists the variant alongside the width. */
   def screenEmbedBatch(refCoded: DataFrame, batchCoded: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double, probeBits: Option[Int] = None): DataFrame = {
     val coded = refCoded
       .select(col("vec_id"), col("embedding"), col("nrm"), col("code"),
         col("is_corpus"), lit(false).as("_is_batch"))
@@ -712,10 +732,14 @@ object Similarity {
         lit(true).as("_is_batch")))
       .materialize
     val bands = srpBands(coded, Seq("is_corpus", "_is_batch"))
-    val probe = bands.filter(col("_is_batch"))
+    val batchBands = bands.filter(col("_is_batch"))
+    val probe = probeBits match {
+      case Some(bb) => probeKeys(batchBands, bb)
+      case None => batchBands.withColumn("pkey", col("bkey"))
+    }
     val cand = probe.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.band") === col("b.band") && col("a.pkey") === col("b.bkey") &&
           col("a.vec_id") =!= col("b.vec_id") &&
           (!col("b._is_batch") || col("b.vec_id") < col("a.vec_id")))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -746,21 +770,26 @@ object Similarity {
   /** Batch-vs-corpus incremental embedding dedup (the one-shot form of
     * [[screenEmbedBatch]], and the stream parity truth): vectors matching
     * `batchPred` are screened against the rest of the corpus and against
-    * smaller-id batch vectors. */
+    * smaller-id batch vectors. Multi-probe by default — the daily
+    * corpus-scale screen codes with [[lshBandsMpFor]] bands (~5× fewer
+    * planes at wide widths, same design recall) and pays the bounded
+    * probe fan-out on the batch side only; `multiProbe = false` keeps
+    * the verbatim layout for parity with pre-existing code tables. */
   def incrementalEmbed(emb: DataFrame, batchPred: Column, tau: Double,
-      bandBitsOpt: Option[Int] = None): DataFrame = {
+      bandBitsOpt: Option[Int] = None, multiProbe: Boolean = true): DataFrame = {
     // Sized from the WHOLE table (corpus + batch) — the batch is a sliver
     // of the standing corpus at scale, so this matches sizing from the
     // corpus alone everywhere except right at a power-of-two boundary;
     // callers needing bit-exact parity with a separately-sized stream
     // (StreamEmbedDedup) pass the width explicitly.
     val bandBits = bandBitsOpt.getOrElse(bandsFor(emb.count()))
-    val coded = srpCoded(emb, bandBits, lshBandsFor(bandBits))
+    val nBands = if (multiProbe) lshBandsMpFor(bandBits) else lshBandsFor(bandBits)
+    val coded = srpCoded(emb, bandBits, nBands)
       .withColumn("_b", batchPred).materialize
     screenEmbedBatch(
       coded.filter(!col("_b")).withColumn("is_corpus", lit(true)),
       coded.filter(col("_b")),
-      tau)
+      tau, probeBits = if (multiProbe) Some(bandBits) else None)
   }
 
   /** All-pairs embedding near-dup — O(N²), correctness baseline ONLY (not a

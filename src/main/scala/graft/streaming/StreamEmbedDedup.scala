@@ -21,6 +21,13 @@ import graft.operators.{Materialize, Similarity}
   * one-shot [[Similarity.incrementalEmbed]] report bit-for-bit
   * (StreamDedupSpec).
   *
+  * MULTI-PROBE by default: the screen codes with [[Similarity
+  * .lshBandsMpFor]] bands and probes Hamming-≤1 key flips on the
+  * (delta-sized) batch side — at wide operating points ~5× fewer planes
+  * than the verbatim layout for the same ≥99% design recall, and the
+  * coding pass is the dominant cost of a screen that runs DAILY at
+  * corpus scale.
+  *
   * Same idempotency contract as [[StreamDedup]]: per-batch overwrite
   * writes keyed by batch id, replay-stable [[SegmentedState.readAsOf]]
   * reads, and periodic compaction bounding long-run state file counts.
@@ -38,25 +45,31 @@ object StreamEmbedDedup {
   /** (vec_id LONG, embedding ARRAY<FLOAT>) stream → decisions under
     * `workDir/decisions`, coded-state under `workDir/seen_coded`.
     *
-    * Band width is sized ONCE — at the FIRST stream setup, from the
-    * standing corpus ([[Similarity.bandsFor]]) — and then PERSISTED in
-    * `workDir/band_bits`: codes in state were computed at that width, so
-    * a restart that re-derived the width from a corpus that has since
-    * crossed a [[Similarity.bandsFor]] power-of-two boundary would
-    * reinterpret old state codes at a new width and silently miss
-    * duplicates. On restart the persisted width is adopted when the
-    * caller passed none, and a mismatching explicit `bandBits` fails
-    * loudly instead of corrupting the band join. Pass `bandBits`
-    * explicitly when parity with a separately-sized one-shot run
-    * ([[Similarity.incrementalEmbed]]) matters. */
+    * CODE LAYOUT — band width AND probe variant — is sized ONCE, at the
+    * FIRST stream setup (width from the standing corpus via
+    * [[Similarity.bandsFor]] when not given; variant defaults to
+    * multi-probe), and then PERSISTED in `workDir/band_bits`: codes in
+    * state were computed at that layout, so a restart that re-derived
+    * the width from a corpus that has since crossed a power-of-two
+    * boundary — or that coded new batches at the other band count —
+    * would reinterpret or mis-join old state codes and silently miss
+    * duplicates. On restart the persisted layout is adopted when the
+    * caller passed none, and a mismatching explicit `bandBits` or
+    * `multiProbe` fails loudly instead of corrupting the band join.
+    * Pass both explicitly when parity with a separately-sized one-shot
+    * run ([[Similarity.incrementalEmbed]]) matters. The layout file
+    * resolves through Hadoop's FileSystem like every other state path
+    * here, so a non-local workDir (hdfs://, s3a://) keeps the guard. */
   def run(stream: DataFrame, corpusEmb: DataFrame, workDir: String,
       tau: Double, bandBits: Option[Int] = None,
-      compactEvery: Int = 16): StreamingQuery = {
+      compactEvery: Int = 16, multiProbe: Option[Boolean] = None): StreamingQuery = {
     val spark = corpusEmb.sparkSession
-    val bb = resolveBandBits(workDir,
+    val (bb, mp) = resolveLayout(spark, workDir,
       bandBits.getOrElse(Similarity.bandsFor(corpusEmb.count())),
-      explicit = bandBits.isDefined)
-    val nBands = Similarity.lshBandsFor(bb)
+      widthExplicit = bandBits.isDefined, multiProbe)
+    val nBands =
+      if (mp) Similarity.lshBandsMpFor(bb) else Similarity.lshBandsFor(bb)
+    val probeBits = if (mp) Some(bb) else None
     val corpusCoded = Materialize(
       Similarity.srpCoded(corpusEmb, bb, nBands)
         .withColumn("is_corpus", lit(true)))
@@ -66,7 +79,7 @@ object StreamEmbedDedup {
         val batchCoded = Materialize(Similarity.srpCoded(mb, bb, nBands))
         val ref = corpusCoded.unionByName(
           seenCodedAsOf(spark, workDir, batchId).withColumn("is_corpus", lit(false)))
-        Similarity.screenEmbedBatch(ref, batchCoded, tau)
+        Similarity.screenEmbedBatch(ref, batchCoded, tau, probeBits)
           .write.mode("overwrite").parquet(f"$workDir/decisions/b-$batchId%09d")
         SegmentedState.maybeCompact(spark, s"$workDir/seen_coded", batchId,
           compactEvery, sortKeys = Seq("code"))
@@ -77,26 +90,45 @@ object StreamEmbedDedup {
       .start()
   }
 
-  /** First run records the width in `workDir/band_bits`; later runs adopt
-    * it (or, when the caller insists on a different width, fail loudly —
-    * the persisted seen_coded codes are only valid at the width they were
-    * computed at). */
-  private def resolveBandBits(workDir: String, derived: Int,
-      explicit: Boolean): Int = {
-    val path = java.nio.file.Paths.get(workDir, "band_bits")
-    if (java.nio.file.Files.exists(path)) {
-      val persisted =
-        new String(java.nio.file.Files.readAllBytes(path), "UTF-8").trim.toInt
-      require(!explicit || persisted == derived,
-        s"stream state at $workDir was coded at bandBits=$persisted but " +
-          s"caller passed bandBits=$derived — persisted codes cannot be " +
+  /** First run records "<width> <variant>" in `workDir/band_bits`; later
+    * runs adopt it (or, when the caller insists on a different layout,
+    * fail loudly — the persisted seen_coded codes are only valid at the
+    * layout they were computed at). Legacy files holding a bare width
+    * read as the verbatim variant (what they were written by). Resolved
+    * through Hadoop's FileSystem so the guard engages on non-local
+    * workDirs too. */
+  private def resolveLayout(spark: SparkSession, workDir: String,
+      derivedWidth: Int, widthExplicit: Boolean,
+      multiProbe: Option[Boolean]): (Int, Boolean) = {
+    val path = new org.apache.hadoop.fs.Path(workDir, "band_bits")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) {
+      val buf = new Array[Byte](fs.getFileStatus(path).getLen.toInt)
+      val in = fs.open(path)
+      try in.readFully(buf) finally in.close()
+      val txt = new String(buf, "UTF-8")
+      val parts = txt.trim.split("\\s+")
+      val persistedBb = parts(0).toInt
+      val persistedMp = parts.length > 1 && parts(1) == "mp"
+      require(!widthExplicit || persistedBb == derivedWidth,
+        s"stream state at $workDir was coded at bandBits=$persistedBb but " +
+          s"caller passed bandBits=$derivedWidth — persisted codes cannot be " +
           "reinterpreted at a different width; restart with the persisted " +
           "width or a fresh workDir")
-      persisted
+      require(multiProbe.forall(_ == persistedMp),
+        s"stream state at $workDir was coded with the " +
+          s"${if (persistedMp) "multi-probe" else "verbatim"} band layout " +
+          s"but caller passed multiProbe=${multiProbe.get} — band counts " +
+          "differ between layouts, so persisted codes cannot be re-joined " +
+          "under the other one; restart with the persisted variant or a " +
+          "fresh workDir")
+      (persistedBb, persistedMp)
     } else {
-      java.nio.file.Files.createDirectories(path.getParent)
-      java.nio.file.Files.write(path, derived.toString.getBytes("UTF-8"))
-      derived
+      val mp = multiProbe.getOrElse(true)
+      val out = fs.create(path, false)
+      try out.write(s"$derivedWidth ${if (mp) "mp" else "verbatim"}".getBytes("UTF-8"))
+      finally out.close()
+      (derivedWidth, mp)
     }
   }
 

@@ -244,7 +244,7 @@ class StreamDedupSpec extends AnyFunSuite {
     finally q2.stop()
     val codeLens = StreamEmbedDedup.seenCoded(spark, dir)
       .select(size(col("code"))).collect().map(_.getInt(0)).toSet
-    assert(codeLens == Set(Similarity.lshBandsFor(5)),
+    assert(codeLens == Set(Similarity.lshBandsMpFor(5)),
       s"restart drifted the code width: band counts $codeLens")
     // an explicit conflicting width must refuse at setup
     val err = intercept[IllegalArgumentException] {
@@ -252,5 +252,13 @@ class StreamDedupSpec extends AnyFunSuite {
         bandBits = Some(7))
     }
     assert(err.getMessage.contains("bandBits"))
+    // ... and so must an explicit conflicting probe VARIANT: band counts
+    // differ between layouts, so verbatim-coded batches would mis-join
+    // the persisted multi-probe state
+    val errMp = intercept[IllegalArgumentException] {
+      StreamEmbedDedup.run(stream, corpus, dir, Similarity.LshTau,
+        bandBits = Some(5), multiProbe = Some(false))
+    }
+    assert(errMp.getMessage.contains("multiProbe"))
   }
 }
