@@ -49,10 +49,29 @@ object StreamSessionize {
   val GapUs = 1800000000L
 
   /** events-shaped stream (user_id, ts, value, …) → finalized sessions
-    * appended under `workDir/sessions`, checkpoint under `workDir/ckpt`. */
-  def run(stream: DataFrame, workDir: String): StreamingQuery =
+    * appended under `workDir/sessions`, checkpoint under `workDir/ckpt`.
+    *
+    * `lateDelay` is the out-of-order tolerance (the `withWatermark`
+    * delay), the session analog of [[StreamJoin.run]]'s knob — with one
+    * session-window subtlety: Spark's late filter drops on the window
+    * END, and an event's provisional window is [ts, ts+gap), so the
+    * hard drop line is `max − lateDelay − gap` (not `max − lateDelay`).
+    * An event up to `lateDelay` behind the stream's max is FULLY safe:
+    * its session cannot have finalized yet (the watermark trails by
+    * `lateDelay`), so it merges exactly as in batch. An event more than
+    * `lateDelay + gap` behind is deterministically dropped and its
+    * session finalizes without it (spec-measured via
+    * numRowsDroppedByWatermark) — never a silent mis-merge. Between the
+    * two lines, an event is admitted but may open a FRESH session if
+    * its batch-session already finalized — size `lateDelay` to the
+    * feed's real disorder to stay out of that zone. The price is state
+    * lifetime: sessions emit only once `max − lateDelay` passes their
+    * merge horizon. "0 seconds" (the parity default) is exact for the
+    * non-decreasing event times the ordered replay feeds deliver. */
+  def run(stream: DataFrame, workDir: String,
+      lateDelay: String = "0 seconds"): StreamingQuery =
     stream
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", lateDelay)
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$GapUs microseconds"))
       .agg(

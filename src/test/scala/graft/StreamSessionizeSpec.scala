@@ -80,6 +80,59 @@ class StreamSessionizeSpec extends AnyFunSuite {
     assert(streamSessions(events, 3) == b)
   }
 
+  test("late data: within lateDelay merges into its session, beyond drops") {
+    // The SAME out-of-order feed under two tolerances (the StreamJoin
+    // late-data contract, mirrored for sessions). Batch 1 pushes the
+    // stream's max event time to T+40min (advancer key 9) while user
+    // 1's session opens at T; batch 2 delivers user 1's second event
+    // out-of-order at T+1s — 40min behind the max, i.e. beyond the
+    // 30min session gap. The session-window drop line is window-END
+    // based (max − lateDelay − gap, see the run() scaladoc):
+    //  - lateDelay "20 minutes": watermark T+20min; the late event's
+    //    provisional window ends T+1s+30min > that — admitted, and its
+    //    session (horizon T+30min) is still open, so it MERGES
+    //    (n_events 2, both values summed); 0 rows dropped.
+    //  - lateDelay "0 seconds": watermark T+40min > T+1s+30min — the
+    //    event is dropped as late (measured via
+    //    numRowsDroppedByWatermark) and the session finalizes WITHOUT
+    //    it (n_events 1), never a silent mis-merge.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val base = 1700000000000000L
+    val m = 60000000L // one minute in us
+    def run(lateDelay: String): (Seq[Row6], Long) = {
+      val work = java.nio.file.Files.createTempDirectory("graft_ss_late").toString
+      val in = MemoryStream[(Long, Long, Double)]
+      val df = in.toDF().toDF("user_id", "us", "value")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("value"))
+      val q = StreamSessionize.run(df, work, lateDelay)
+      val dropped =
+        try {
+          in.addData((1L, base, 1.0), (9L, base + 40 * m, 0.0))
+          q.processAllAvailable()
+          in.addData((1L, base + 1000000L, 2.0)) // late: 40min behind max
+          q.processAllAvailable()
+          in.addData((StreamSessionize.SentinelUser,
+            base + 86400L * 1000000L, 0.0)) // flush
+          q.processAllAvailable()
+          q.recentProgress.toSeq
+            .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+        } finally q.stop()
+      val sessions = StreamSessionize.report(spark, work)
+        .filter(col("user_id") === 1L).collect().map(Row6.of).sorted.toSeq
+      (sessions, dropped)
+    }
+    val (merged, d1) = run("20 minutes")
+    assert(merged == Seq(Row6(1L, base, base + 1000000L, 2L, 3.0)),
+      "an out-of-order event within lateDelay must merge into its session")
+    assert(d1 == 0L)
+    val (split, d2) = run("0 seconds")
+    assert(split == Seq(Row6(1L, base, base, 1L, 1.0)),
+      "an event beyond lateDelay must drop; the session finalizes without it")
+    assert(d2 == 1L, "exactly the one late event is dropped, measurably")
+  }
+
   test("sf0.001 events: stream sessions == batch sessions") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("ts"), col("value"))
