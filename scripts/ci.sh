@@ -54,7 +54,30 @@ echo "== sbt Test/compile =="
 sbt -batch Test/compile
 
 echo "== sbt test =="
-sbt -batch test
+SBT_TEST_LOG=$(mktemp /tmp/graft_ci_sbt_test.XXXXXX)
+sbt -batch test 2>&1 | tee "$SBT_TEST_LOG"
+
+echo "== doc-currency gate (README test count vs live suite) =="
+# The README advertises "<N> tests, <M> suites"; four rounds running the
+# manual update drifted, so the claim is now diffed mechanically against
+# scalatest's own summary lines from the run above. Fails loudly on drift.
+actual_tests=$(grep -oE 'Total number of tests run: [0-9]+' "$SBT_TEST_LOG" \
+  | tail -1 | grep -oE '[0-9]+')
+actual_suites=$(grep -oE 'Suites: completed [0-9]+' "$SBT_TEST_LOG" \
+  | tail -1 | grep -oE '[0-9]+')
+claimed=$(grep -oE '[0-9]+ tests, [0-9]+ suites' README.md | head -1)
+if [[ -z "$actual_tests" || -z "$actual_suites" || -z "$claimed" ]]; then
+  echo "CI DOC GATE FAILED: could not extract counts (claimed='$claimed'," \
+       "actual tests='$actual_tests' suites='$actual_suites')" >&2
+  exit 1
+fi
+if [[ "$claimed" != "$actual_tests tests, $actual_suites suites" ]]; then
+  echo "CI DOC GATE FAILED: README.md claims '$claimed' but the suite ran" \
+       "'$actual_tests tests, $actual_suites suites' — update README.md" >&2
+  exit 1
+fi
+echo "doc-currency OK: $claimed"
+rm -f "$SBT_TEST_LOG"
 
 echo "== oracle gate (sf0.001) =="
 python3 scripts/check.py /root/testdata/sf0.001 /tmp/graft_ci_sf0001
