@@ -248,19 +248,37 @@ object CorpusEntries {
     * while paying the full ~60-refresh driver loop a second time. The
     * cached value is the collected rows (≤ BpeIters of them — the
     * artifact a tokenizer ships is driver-sized by definition). */
+  // keyed by session UUID, not the session object — a session-keyed map
+  // would pin every closed session's state graph for the JVM lifetime
   private val bpeMergeRuns = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Array[(Long, String, String, String, Long)]]()
+    (String, String), Array[(Long, String, String, String, Long)]]()
 
   private def trainedMerges(s: SparkSession, dir: String): DataFrame = {
-    val rows = bpeMergeRuns.computeIfAbsent((s, dir), { _ =>
-      operators.Bpe.trainMerges(Tables.documents(s, dir), BpeIters)
-        .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-          r.getString(3), r.getLong(4)))
-    })
+    val key = (SessionScoped.key(s), dir)
+    var rows = bpeMergeRuns.get(key)
+    if (rows == null) {
+      // cold path: q_bpe_encode ran before q_bpe_train in this session,
+      // so the encode measurement is about to pay the full ~60-refresh
+      // training loop — say so, or a skewed bench time is unattributable.
+      // Training runs OUTSIDE the map (putIfAbsent, not computeIfAbsent):
+      // holding the bin lock across a distributed job would block every
+      // concurrent reader of the bin for its duration.
+      Console.err.println(
+        s"[graft] trainedMerges cache miss for $dir — cold-training " +
+          "BPE merges inside the calling query's measurement")
+      val trained = collectMerges(s, dir)
+      rows = Option(bpeMergeRuns.putIfAbsent(key, trained)).getOrElse(trained)
+    }
     import s.implicits._
     rows.toSeq.toDF("iter", "left_sym", "right_sym", "merged", "pair_count")
   }
+
+  private def collectMerges(
+      s: SparkSession, dir: String): Array[(Long, String, String, String, Long)] =
+    operators.Bpe.trainMerges(Tables.documents(s, dir), BpeIters)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
 
   /** Tokenizer learning ([[operators.Bpe]]): the 64 highest-count BPE
     * merges over the corpus — one distributed word count, then
@@ -269,7 +287,7 @@ object CorpusEntries {
     * query that MEASURES training) and refreshes the shared cache. */
   private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
     val merges = operators.Bpe.trainMerges(Tables.documents(s, dir), BpeIters)
-    bpeMergeRuns.put((s, dir), merges.collect()
+    bpeMergeRuns.put((SessionScoped.key(s), dir), merges.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))))
     merges

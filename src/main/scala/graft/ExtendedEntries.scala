@@ -100,7 +100,7 @@ object ExtendedEntries {
   private def qIvfAppend(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val cent = Similarity.ivfTrain(emb, 8)
-    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val idx = SessionScoped.scratchDir("graft_ivf_append")
     Similarity.saveIvfIndexWith(
       emb.filter(pmod(col("vec_id"), lit(2)) === 0), cent, idx)
     Similarity.appendToIvfIndex(s,
@@ -249,9 +249,12 @@ object ExtendedEntries {
   /** REAL JPEG round trip: encode the pattern with the actual JPEG
     * encoder, decode back, and score against the closed form. JPEG is
     * LOSSY, so pixel equality is the wrong contract — the pinned fields
-    * are geometry + `mae_ok` (mean absolute gray error within 16 levels:
-    * quantization noise is a few levels, while a channel swap, stride
-    * bug, or row flip is tens). Oracle pins all three as literals. */
+    * are geometry + `mae_ok` (mean absolute gray error within the bound
+    * derived from [[Multimodal.jpegWorstCaseMae]] — the enumerated
+    * worst case over all 64 pattern images on THIS JVM's encoder tables,
+    * times [[Multimodal.JpegMaeHeadroom]] — while a channel swap, stride
+    * bug, or row flip is tens of levels). Oracle pins all three as
+    * literals. */
   private def qMediaDecodeJpeg(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeImageVsPattern(
       Multimodal.synthImageReal(Tables.documents(s, dir), "jpeg"))
@@ -685,16 +688,18 @@ object ExtendedEntries {
     * deterministic, so re-running for the check would reproduce them
     * byte-for-byte while paying the full feed-write + streaming-query
     * cost a second time — and PlanAuditSpec's plan walks a third). */
+  // keyed by session UUID, not the session object — a session-keyed map
+  // would pin every closed session's state graph for the JVM lifetime
   private val streamTopkRuns =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   /** Replay the document token stream through [[graft.streaming
     * .StreamTopk]] (doc_id-sliced file feed, 3 micro-batches, per-batch
     * MG segments) and return the merged summary — the shared engine of
     * the q_stream_topk pair. */
   private def streamTopkSummary(s: SparkSession, dir: String): DataFrame = {
-    val work = streamTopkRuns.computeIfAbsent((s, dir), { _ =>
-      val w = java.nio.file.Files.createTempDirectory("graft_stream_topk").toString
+    val work = streamTopkRuns.computeIfAbsent((SessionScoped.key(s), dir), { _ =>
+      val w = SessionScoped.scratchDir("graft_stream_topk")
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       graft.streaming.Feeder.writeTimeSlicedFeed(
         docs.withColumn("_ms", col("doc_id")), "_ms", w, slices = 3)
@@ -786,7 +791,7 @@ object ExtendedEntries {
     * hash-checked against the batch query's own DuckDB oracle. Verify-
     * only: the cost is streaming machinery, not a query plan. */
   private def qStreamCdc(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+    val work = SessionScoped.scratchDir("graft_stream_cdc")
     val (base, changes) = cdcFrames(s, dir)
     // three time-range replay files → three in-(ts)-order micro-batches
     // (the slice-order precondition of Cdc's associativity law)
@@ -809,7 +814,7 @@ object ExtendedEntries {
     * (stream==batch also pinned per-edge in StreamSessionizeSpec).
     * Verify-only: streaming machinery, not a query plan. */
   private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    val work = SessionScoped.scratchDir("graft_stream_sess")
     val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
     graft.streaming.Feeder.writeTimeSlicedFeed(
       ev.withColumn("_ms", unix_millis(col("ts"))), "_ms", work, slices = 3)
@@ -835,7 +840,7 @@ object ExtendedEntries {
     * against a plain batch-SQL DuckDB oracle. Verify-only: streaming
     * machinery, not a query plan. */
   private def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    val work = SessionScoped.scratchDir("graft_stream_join")
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
     graft.streaming.Feeder.writeTimeSlicedFeed(
@@ -857,7 +862,7 @@ object ExtendedEntries {
     * the report): the join's eviction watermark is the MIN across the
     * two sides. Hash-gated against the batch LEFT JOIN oracle. */
   private def qStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_joino").toString
+    val work = SessionScoped.scratchDir("graft_stream_joino")
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
     graft.streaming.Feeder.writeTimeSlicedFeed(
@@ -893,7 +898,7 @@ object ExtendedEntries {
     * gate covers the slicing, the binning and the drift math at once.
     * Verify-only: streaming machinery, not a query plan. */
   private def qStreamDrift(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_drift").toString
+    val work = SessionScoped.scratchDir("graft_stream_drift")
     val ev = Tables.events(s, dir)
     val cut = lit("2024-01-16 00:00:00").cast("timestamp")
     val ref = ev.filter(col("ts") < cut).select(col("value"))

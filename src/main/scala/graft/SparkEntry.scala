@@ -260,7 +260,7 @@ object SparkEntry {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     s.conf.set(graft.streaming.StreamIngest.rocksdbConf._1,
       graft.streaming.StreamIngest.rocksdbConf._2)
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_ind").toString
+    val work = SessionScoped.scratchDir("graft_stream_ind")
     val wsym = Window.partitionBy(col("symbol")).orderBy(col("time"))
     val ticks = Tables.ticks(s, dir)
       .withColumn("rn", row_number().over(wsym))

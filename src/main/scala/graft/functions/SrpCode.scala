@@ -41,12 +41,34 @@ case class SrpBandKeys(child: Expression, bandBits: Int, nBands: Int, dim: Int)
       s"$prettyName requires ARRAY<FLOAT>, got ${dt.simpleString}")
   }
 
+  // getFloat would silently coin 0.0 for a null element, mis-coding the
+  // vector; parquet-read arrays are containsNull=true even when the data
+  // never is, so reject at RUNTIME with one cheap pre-pass over the dim
+  // elements (vs nPlanes×dim in the coding loop) — and skip the guard
+  // entirely when the type already proves non-null elements.
+  @transient private lazy val needNullGuard: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  private def failNullElement(): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: embedding contains a null element — null-coined " +
+        "codes would silently mis-bucket; filter or impute first")
+
   @transient private lazy val planes: Array[Float] =
     SrpCode.planesFlat(nBands * bandBits, dim)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
+    if (needNullGuard) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) failNullElement()
+        i += 1
+      }
+    }
     val keys = new Array[Int](nBands)
     val total = nBands * bandBits
     var p = 0
@@ -75,9 +97,23 @@ case class SrpBandKeys(child: Expression, bandBits: Int, nBands: Int, dim: Int)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val off = ctx.freshName("off")
+      val nullGuard = if (needNullGuard) {
+        val g = ctx.freshName("g")
+        s"""
+           |for (int $g = 0; $g < $n; $g++) {
+           |  if ($a.isNullAt($g)) {
+           |    throw new IllegalArgumentException(
+           |      "srp_band_keys: embedding contains a null element — " +
+           |      "null-coined codes would silently mis-bucket; filter " +
+           |      "or impute first");
+           |  }
+           |}
+         """.stripMargin
+      } else ""
       s"""
          |int[] $keys = new int[$nBands];
          |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |$nullGuard
          |for (int $p = 0; $p < ${nBands * bandBits}; $p++) {
          |  double $acc = 0.0;
          |  int $off = $p * $dim;

@@ -37,6 +37,20 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Evaluates to `value`, or raises if any merge key is null — the loud
+    * runtime guard for the documented non-null-key precondition (null
+    * keys have no last-write-wins identity; `===` joins would otherwise
+    * silently drop or duplicate them). Attached to NON-KEY expressions
+    * only: wrapping a join key would replace the bare attribute Catalyst
+    * needs to recognize a bucketed scan's HashPartitioning, silently
+    * re-shuffling both snapshots. */
+  private def keyGuard(keyCols: Seq[String], who: String,
+      value: Column): Column =
+    when(keyCols.map(col(_).isNull).reduce(_ || _),
+      raise_error(lit(s"Cdc.$who: null merge key (${keyCols.mkString(",")})" +
+        " — null keys have no last-write-wins identity; filter or repair" +
+        " upstream"))).otherwise(value)
+
   /** Inverse of [[applyChangelog]]: the MINIMAL changelog transforming
     * snapshot `a` into snapshot `b` — 'U' rows for keys whose payload
     * changed or appeared (B's full row), 'D' rows for keys that vanished
@@ -66,11 +80,18 @@ object Cdc {
     require(a.columns.sameElements(b.columns),
       s"snapshots must share a schema: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
     require(!a.columns.contains(opCol), s"snapshot already has a '$opCol' column")
+    require(!a.columns.contains("_p"),
+      "snapshot already has a '_p' column (reserved by diff)")
     val pay = a.columns.filterNot(keyCols.contains).toSeq
     // prefix-rename both sides: no ambiguous-attribute risk even when a
     // and b derive from the same plan (the common bootstrap case)
+    // each side also carries a guarded presence sentinel `_p`: TRUE on
+    // every (valid) row, raising on a null merge key BEFORE the join —
+    // post-join the null-keyed row would be indistinguishable from an
+    // unmatched one and would silently emit a corrupt all-null-key 'U'
     def side(df: DataFrame, pfx: String): DataFrame =
-      df.select(df.columns.map(c => col(c).as(pfx + c)): _*)
+      df.select(df.columns.map(c => col(c).as(pfx + c)) :+
+        keyGuard(keyCols, "diff", lit(true)).as(pfx + "_p"): _*)
     val aa = side(a, "_da_")
     val bb = side(b, "_db_")
     // PLAIN equality, not null-safe `<=>`: Catalyst rewrites null-safe
@@ -83,9 +104,10 @@ object Cdc {
     val joined = aa.join(bb,
       keyCols.map(k => col("_da_" + k) === col("_db_" + k)).reduce(_ && _),
       "full_outer")
-    // presence sentinels: any key column is non-null iff the side matched
-    val aPresent = col("_da_" + keyCols.head).isNotNull
-    val bPresent = col("_db_" + keyCols.head).isNotNull
+    // presence sentinels: the guarded `_p` is non-null iff the side
+    // matched (and its evaluation is what fires the null-key guard)
+    val aPresent = col("_da__p").isNotNull
+    val bPresent = col("_db__p").isNotNull
     def payStruct(pfx: String): Column =
       if (pay.isEmpty) lit(0) else struct(pay.map(c => col(pfx + c)): _*)
     val op = when(!aPresent, lit("U"))                        // appeared
@@ -114,14 +136,29 @@ object Cdc {
       "changes already has a '_rn' column (reserved by applyChangelog)")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).desc, col(seqCol).desc)
+    // the rank column doubles as the changes-side null-key guard: a
+    // null-keyed change would otherwise both upsert its corrupt row AND
+    // leave the base's null-keyed rows "untouched" past the anti-join
     val latest = changes
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .withColumn("_rn", keyGuard(keyCols, "applyChangelog",
+        row_number().over(w)))
+      .filter(col("_rn") === 1)
     // null-safe: a malformed row with op = NULL must be an UPSERT, not a
     // silent delete (plain =!= evaluates to null, dropping the row from
     // upserts while the anti-join below still removes its base row)
     val upserts = latest.filter(!col(opCol).eqNullSafe(lit("D")))
       .select(base.columns.map(col): _*)
-    val untouched = base.join(
+    // base-side guard rides the payload columns (keys stay bare
+    // attributes for bucketed co-location — see keyGuard). A keys-only
+    // base has no non-key column to carry it; diff() raises on such
+    // snapshots, and the changes-side guard above still fires.
+    val payCols = base.columns.filterNot(keyCols.contains)
+    val guardedBase =
+      if (payCols.isEmpty) base
+      else base.select(base.columns.map(c =>
+        if (keyCols.contains(c)) col(c)
+        else keyGuard(keyCols, "applyChangelog", col(c)).as(c)): _*)
+    val untouched = guardedBase.join(
       latest.select(keyCols.map(col): _*), keyCols, "left_anti")
     untouched.unionByName(upserts)
   }

@@ -281,52 +281,107 @@ object Multimodal {
     val mt = s"image/$format"
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
-      it.map { id =>
-        val img = new java.awt.image.BufferedImage(
-          PatW, PatH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < PatH) {
-          var x = 0
-          while (x < PatW) {
-            img.setRGB(x, y, (patByteJvm(id, x, y, 2) << 16) |
-              (patByteJvm(id, x, y, 1) << 8) | patByteJvm(id, x, y, 0))
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        if (format == "jpeg") {
-          // explicit quality 0.95: the pattern is per-pixel noise (worst
-          // case for JPEG), and the default 0.75 tables push worst-image
-          // MAE to 17 gray levels — past the 16-level decode contract.
-          // At 0.95 the worst case over ALL 64 distinct pattern images
-          // (d%16 × 4 perturbations — fully enumerated at any SF) is 14.1.
-          val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-          val p = w.getDefaultWriteParam
-          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-          p.setCompressionQuality(0.95f)
-          val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-          w.setOutput(out)
-          w.write(null, new javax.imageio.IIOImage(img, null, null), p)
-          w.dispose(); out.close()
-        } else javax.imageio.ImageIO.write(img, format, bos)
-        MediaRow(id, mt, bos.toByteArray)
-      }
+      it.map(id => MediaRow(id, mt, encodeImage(renderPattern(id), format)))
     }.toDF()
   }
+
+  /** Render doc `id`'s [[patByteJvm]] pattern — the image both the synth
+    * encoders and the decode-verify scoring share. */
+  private[operators] def renderPattern(id: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      PatW, PatH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < PatH) {
+      var x = 0
+      while (x < PatW) {
+        img.setRGB(x, y, (patByteJvm(id, x, y, 2) << 16) |
+          (patByteJvm(id, x, y, 1) << 8) | patByteJvm(id, x, y, 0))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode through javax.imageio's actual codec. JPEG uses explicit
+    * quality 0.95: the pattern is per-pixel noise (worst case for JPEG),
+    * and the default 0.75 tables push worst-image MAE to 17 gray
+    * levels — indistinguishable from a mild decode bug. */
+  private[operators] def encodeImage(img: java.awt.image.BufferedImage,
+      format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (format == "jpeg") {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.95f)
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      w.setOutput(out)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose(); out.close()
+    } else javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Mean absolute gray error of a decoded [[PatW]]×[[PatH]] image vs
+    * doc `id`'s closed-form pattern. */
+  private def maeVsPattern(img: java.awt.image.BufferedImage,
+      id: Long): Double = {
+    var errSum = 0L
+    var y = 0
+    while (y < PatH) {
+      var x = 0
+      while (x < PatW) {
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
+        val want = (patByteJvm(id, x, y, 0) + patByteJvm(id, x, y, 1) +
+          patByteJvm(id, x, y, 2)) / 3
+        errSum += math.abs(gray - want)
+        x += 1
+      }
+      y += 1
+    }
+    errSum.toDouble / (PatW * PatH)
+  }
+
+  /** Worst-case JPEG round-trip MAE over the 64 distinct pattern images
+    * (16 families × 4 perturbations — every image ANY SF can render,
+    * since the pattern depends on doc_id only through d%16 and d/16%4),
+    * measured against the RUNNING JVM's own encoder tables at the same
+    * 0.95 quality [[synthImageReal]] uses. Driver-side, 64 tiny images —
+    * microseconds next to any query. */
+  lazy val jpegWorstCaseMae: Double = {
+    javax.imageio.ImageIO.setUseCache(false)
+    (0L until 64L).map { d =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(encodeImage(renderPattern(d), "jpeg")))
+      maeVsPattern(img, d)
+    }.max
+  }
+
+  /** Headroom over [[jpegWorstCaseMae]] for the decode contract bound:
+    * quantization noise lands AT the enumerated worst case by
+    * construction, while the failure modes the boolean exists to catch
+    * (channel swap, stride bug, row flip) measure tens of gray levels —
+    * several times the bound on any sane encoder. Deriving the bound
+    * from the running JVM's own tables (instead of a constant pinned to
+    * one encoder's) keeps the contract portable across JREs. */
+  val JpegMaeHeadroom = 1.25
 
   /** One real-decoded image scored against the closed-form pattern:
     * decode flag, decoder-reported geometry, and whether the mean
     * absolute gray error vs [[patByte]] stays within `maxMae` — TRUE for
-    * a correct lossless codec (MAE 0) and for a sane lossy one (JPEG
-    * quantization noise is a few gray levels; a channel swap, stride
-    * bug, or row flip is tens). The numeric MAE itself is deliberately
-    * NOT a column: it varies with the JVM's JPEG tables, so only the
-    * contract boolean is oracle-pinnable. */
+    * a correct lossless codec (MAE 0) and for a sane lossy one (the
+    * default bound is the enumerated [[jpegWorstCaseMae]] with
+    * [[JpegMaeHeadroom]]; a channel swap, stride bug, or row flip is
+    * tens of gray levels). The numeric MAE itself is deliberately NOT a
+    * column: it varies with the JVM's JPEG tables, so only the contract
+    * boolean is oracle-pinnable. */
   final case class DecodedVsPattern(doc_id: Long, decoded_ok: Boolean,
       dec_width: Long, dec_height: Long, mae_ok: Boolean)
 
-  def decodeImageVsPattern(media: DataFrame, maxMae: Double = 16.0): DataFrame = {
+  def decodeImageVsPattern(media: DataFrame,
+      maxMae: Double = jpegWorstCaseMae * JpegMaeHeadroom): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
@@ -338,25 +393,10 @@ object Multimodal {
               new java.io.ByteArrayInputStream(bytes))
             if (img == null || img.getWidth != PatW || img.getHeight != PatH)
               DecodedVsPattern(id, decoded_ok = false, -1L, -1L, mae_ok = false)
-            else {
-              var errSum = 0L
-              var y = 0
-              while (y < PatH) {
-                var x = 0
-                while (x < PatW) {
-                  val rgb = img.getRGB(x, y)
-                  val gray = (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
-                  val want = (patByteJvm(id, x, y, 0) + patByteJvm(id, x, y, 1) +
-                    patByteJvm(id, x, y, 2)) / 3
-                  errSum += math.abs(gray - want)
-                  x += 1
-                }
-                y += 1
-              }
-              val mae = errSum.toDouble / (PatW * PatH)
+            else
               DecodedVsPattern(id, decoded_ok = true,
-                img.getWidth.toLong, img.getHeight.toLong, mae <= maxMae)
-            }
+                img.getWidth.toLong, img.getHeight.toLong,
+                mae_ok = maeVsPattern(img, id) <= maxMae)
           } catch {
             case _: Exception =>
               DecodedVsPattern(id, decoded_ok = false, -1L, -1L, mae_ok = false)

@@ -660,6 +660,16 @@ object Similarity {
         r4(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cos"))
       .filter(col("cos") >= tau)
 
+  /** Hamming-≤1 probe rows of a band frame: each row expanded to its
+    * exact key (j = -1) plus every single-bit flip (j in [0, bandBits))
+    * as `pkey` — the bounded (bandBits+1)-way fan-out every multi-probe
+    * shape pays on ONE join side. */
+  private def probeKeys(bands: DataFrame, bandBits: Int): DataFrame =
+    bands
+      .withColumn("j", explode(sequence(lit(-1), lit(bandBits - 1))))
+      .withColumn("pkey", when(col("j") < 0, col("bkey"))
+        .otherwise(expr("bkey ^ shiftleft(1, j)")))
+
   /** MULTI-PROBE SRP-LSH near-dup pairs: one side of the band self-join
     * additionally probes every single-bit flip of its band key, so a
     * band matches within Hamming ≤ 1 — which lets [[lshBandsMpFor]] hold
@@ -673,16 +683,6 @@ object Similarity {
     * over all planes and is what a deployment persists), so trading it
     * against probe fan-out in the delta-sized candidate join is the
     * right direction at 100 TB. */
-  /** Hamming-≤1 probe rows of a band frame: each row expanded to its
-    * exact key (j = -1) plus every single-bit flip (j in [0, bandBits))
-    * as `pkey` — the bounded (bandBits+1)-way fan-out every multi-probe
-    * shape pays on ONE join side. */
-  private def probeKeys(bands: DataFrame, bandBits: Int): DataFrame =
-    bands
-      .withColumn("j", explode(sequence(lit(-1), lit(bandBits - 1))))
-      .withColumn("pkey", when(col("j") < 0, col("bkey"))
-        .otherwise(expr("bkey ^ shiftleft(1, j)")))
-
   def dedupPairsLshMp(emb: DataFrame, tau: Double = LshTau,
       bandBitsOpt: Option[Int] = None, dim: Int = LshDim): DataFrame = {
     val bandBits = bandBitsOpt.getOrElse(bandsFor(emb.count()))

@@ -62,6 +62,9 @@ object Feeder {
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
     fs.rename(part, new org.apache.hadoop.fs.Path(
       f"$workDir/feed/b$index%05d.parquet"))
+    // the tmp dir's remaining contents (_SUCCESS, .crc) are scaffolding —
+    // drop it so a replay workDir holds only the feed itself
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   /** Write messages as JSON-lines text for file-based stream sources. */

@@ -107,9 +107,18 @@ object StreamEmbedDedup {
       val in = fs.open(path)
       try in.readFully(buf) finally in.close()
       val txt = new String(buf, "UTF-8")
-      val parts = txt.trim.split("\\s+")
-      val persistedBb = parts(0).toInt
-      val persistedMp = parts.length > 1 && parts(1) == "mp"
+      val (persistedBb, persistedMp) =
+        try {
+          val parts = txt.trim.split("\\s+")
+          (parts(0).toInt, parts.length > 1 && parts(1) == "mp")
+        } catch {
+          case e: Exception => throw new IllegalStateException(
+            s"layout file $path exists but is unparseable " +
+              s"(content: '${txt.trim}') — likely a crash mid-write by a " +
+              "legacy non-atomic writer. The persisted codes' layout is " +
+              "unknown; recover band_bits from the deployment record or " +
+              "restart with a fresh workDir", e)
+        }
       require(!widthExplicit || persistedBb == derivedWidth,
         s"stream state at $workDir was coded at bandBits=$persistedBb but " +
           s"caller passed bandBits=$derivedWidth — persisted codes cannot be " +
@@ -124,10 +133,28 @@ object StreamEmbedDedup {
           "fresh workDir")
       (persistedBb, persistedMp)
     } else {
+      // A missing layout file may only mean FIRST RUN. If coded state
+      // already exists (band_bits lost to a crash, a partial copy, or a
+      // legacy writer that put it on a different FS than the state),
+      // silently re-deriving a layout would mis-join every persisted
+      // code — exactly the duplicate-miss this guard exists to prevent.
+      val stateDirs = Seq("seen_coded", "decisions")
+        .map(d => new org.apache.hadoop.fs.Path(workDir, d))
+        .filter(fs.exists)
+      require(stateDirs.isEmpty,
+        s"stream state ${stateDirs.mkString(", ")} exists but the layout " +
+          s"file $path is missing — the persisted codes' band layout is " +
+          "unknown and cannot be re-derived safely; recover band_bits " +
+          "from the deployment record or restart with a fresh workDir")
       val mp = multiProbe.getOrElse(true)
-      val out = fs.create(path, false)
+      // write-temp + rename: a crash between create and close must never
+      // leave a half-written band_bits that a later run misparses
+      val tmp = new org.apache.hadoop.fs.Path(workDir, "band_bits.tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"$derivedWidth ${if (mp) "mp" else "verbatim"}".getBytes("UTF-8"))
       finally out.close()
+      require(fs.rename(tmp, path),
+        s"failed to atomically commit $tmp -> $path")
       (derivedWidth, mp)
     }
   }

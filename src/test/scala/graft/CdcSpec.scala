@@ -130,4 +130,38 @@ class CdcSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("payload"))
   }
+
+  test("a null merge key raises loudly everywhere, never silently merges") {
+    // the `===` key joins would silently DROP a null-keyed match (and
+    // the anti-join would silently KEEP a null-keyed base row next to
+    // its null-keyed upsert) — every path must refuse at runtime instead
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage))
+      .mkString(" | ")
+    val good = snap((1L, 1L, 10L, "old1"))
+    val nullBase = Seq((Option(1L), 1L, 10L, "old1"),
+      (Option.empty[Long], 2L, 10L, "ghost")).toDF("k", "seq", "ts", "payload")
+    val nullChg = Seq((Option.empty[Long], 10L, 20L, "x", "U"))
+      .toDF("k", "seq", "ts", "payload", "op")
+    // changes-side guard (rides the rank column)
+    val e1 = intercept[Exception] {
+      Cdc.applyChangelog(good, nullChg, Seq("k"), "ts", "seq", "op").collect()
+    }
+    assert(chain(e1).contains("null merge key"))
+    // base-side guard (rides the payload columns)
+    val e2 = intercept[Exception] {
+      Cdc.applyChangelog(nullBase, chg((1L, 10L, 20L, "new1", "U")),
+        Seq("k"), "ts", "seq", "op").collect()
+    }
+    assert(chain(e2).contains("null merge key"))
+    // diff guards BOTH snapshots (rides the presence sentinel)
+    val e3 = intercept[Exception] {
+      Cdc.diff(nullBase, good, Seq("k"), "op").collect()
+    }
+    assert(chain(e3).contains("null merge key"))
+    val e4 = intercept[Exception] {
+      Cdc.diff(good, nullBase, Seq("k"), "op").collect()
+    }
+    assert(chain(e4).contains("null merge key"))
+  }
 }

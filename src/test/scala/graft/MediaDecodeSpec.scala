@@ -134,6 +134,15 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(jpeg.forall(_.getBoolean(1)), "every real JPEG must decode")
     assert(jpeg.forall(r => r.getLong(2) == 16 && r.getLong(3) == 16))
     assert(jpeg.forall(_.getBoolean(4)), "JPEG MAE out of contract")
+    // the contract bound derives from the enumerated worst case on THIS
+    // JVM's encoder tables: sane magnitude (quantization noise, not a
+    // decode bug), and enough headroom that the bound still separates
+    // the bug signals it exists to catch (channel swap ≈ tens of levels)
+    val worst = Multimodal.jpegWorstCaseMae
+    assert(worst > 0.0 && worst < 20.0,
+      s"enumerated JPEG worst-case MAE $worst outside the plausible band")
+    assert(worst * Multimodal.JpegMaeHeadroom < 30.0,
+      "derived bound too slack to catch channel-swap-scale corruption")
     // corrupt payload: flags, never throws
     val c = Multimodal.decodeImageVsPattern(
       Seq((0L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).head()

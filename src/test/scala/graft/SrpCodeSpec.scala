@@ -75,4 +75,27 @@ class SrpCodeSpec extends AnyFunSuite {
       .orderBy(col("code").desc_nulls_last).collect()
     assert(!rows.head.isNullAt(0) && rows.last.isNullAt(0))
   }
+
+  test("a null ELEMENT raises loudly, never silently codes as 0.0") {
+    // getFloat would coin 0.0 for a null element and mis-bucket the
+    // vector; parquet-read arrays are containsNull=true, so the guard
+    // must be a runtime raise on the nullable-typed path — and cost
+    // nothing when the type already proves non-null elements
+    val s = spark
+    import s.implicits._
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage))
+      .mkString(" | ")
+    val df = Seq((0L, Seq(Option(1.0f), None)),
+        (1L, Seq(Option(0.5f), Option(0.25f))))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      df.select(SrpCode.bandKeys(col("embedding"), 4, 3, 64)).collect()
+    }
+    assert(chain(e).contains("null element"))
+    // clean rows through the SAME nullable-typed column still code fine
+    val ok = df.filter(col("vec_id") === 1L)
+      .select(SrpCode.bandKeys(col("embedding"), 4, 3, 64)).collect()
+    assert(ok.length == 1 && ok.head.getSeq[Int](0).length == 3)
+  }
 }

@@ -260,5 +260,26 @@ class StreamDedupSpec extends AnyFunSuite {
         bandBits = Some(5), multiProbe = Some(false))
     }
     assert(errMp.getMessage.contains("multiProbe"))
+
+    // a LOST layout file over existing coded state must refuse loudly —
+    // re-deriving a default layout would silently mis-join every
+    // persisted code (crash/partial-copy/legacy-writer scenario)
+    val bb = java.nio.file.Paths.get(dir, "band_bits")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "band_bits.tmp")),
+      "atomic layout write must not leave its temp file behind")
+    java.nio.file.Files.delete(bb)
+    val errLost = intercept[IllegalArgumentException] {
+      StreamEmbedDedup.run(stream, corpus, dir, Similarity.LshTau)
+    }
+    assert(errLost.getMessage.contains("band_bits") &&
+      errLost.getMessage.contains("missing"))
+
+    // ... and a half-written (empty) layout file must fail parse-loudly,
+    // not with an opaque NumberFormatException
+    java.nio.file.Files.write(bb, Array.empty[Byte])
+    val errEmpty = intercept[IllegalStateException] {
+      StreamEmbedDedup.run(stream, corpus, dir, Similarity.LshTau)
+    }
+    assert(errEmpty.getMessage.contains("unparseable"))
   }
 }
