@@ -42,10 +42,20 @@ it ingests floors ONLY for queries that have none, at t/level
 _cal_sec — so r7-geometry floors can't be poisoned, and new queries
 stop shipping ungated.
 
+Intentional-optimization re-baseline (round 13): when a query is made
+several times faster on purpose (r12's q_bpe_encode: 9.3s -> 0.6s), its
+committed floor is dead as a regression gate — 2x a floor that is itself
+~8x the steady time would admit a huge regression silently. Floors only
+ever min-merge, so the stale-high entry never heals on its own.
+--rebase q1,q2 resets ONLY the named queries to t/level under the same
+steady-host rule --update-new trusts, and refuses to move a floor UP
+(loosening stays impossible).
+
 Usage:
   python3 scripts/bench_floor.py bench_out.json              # gate
   python3 scripts/bench_floor.py --update bench_out.json     # merge mins into the floor
   python3 scripts/bench_floor.py --update-new bench_out.json # add missing floors at t/level
+  python3 scripts/bench_floor.py --rebase q1,q2 bench_out.json # reset named floors to t/level
 Exit codes: 0 green/first-strikes, 1 real breach or bad --update,
 3 too many consecutive inconclusive runs.
 """
@@ -79,6 +89,11 @@ def main():
     args = sys.argv[1:]
     update = "--update" in args
     update_new = "--update-new" in args
+    rebase = None
+    if "--rebase" in args:
+        i = args.index("--rebase")
+        rebase = [q for q in args[i + 1].split(",") if q]
+        del args[i:i + 2]
     args = [a for a in args if a not in ("--update", "--update-new")]
     bench_file = args[0] if args else "bench_out.json"
     bench = json.load(open(bench_file))
@@ -120,6 +135,37 @@ def main():
         for q in added:
             print(f"ADDED {q}: {floor[q]:.3f}s ({queries[q]:.3f}s / level {lvl:.2f})")
         print(f"floor updated (new-only): +{len(added)} -> {FLOOR}")
+        return 0
+
+    if rebase is not None:
+        # same trust rule as --update-new, but for NAMED existing entries
+        # whose floor a deliberate optimization has made stale-high
+        if noise is None or not steady:
+            print("REFUSED: --rebase needs a run with a STEADY calibration "
+                  "pair (cal_before ~= cal_after) so the level is trustworthy")
+            return 1
+        if noise > LEVEL_MAX:
+            print(f"REFUSED: level {noise:.2f} > {LEVEL_MAX:g} — too far from "
+                  "floor geometry even for a steady host")
+            return 1
+        lvl = max(noise, 1.0)
+        for q in rebase:
+            if q not in queries:
+                print(f"REFUSED: {q} is not in this bench run")
+                return 1
+            v = round(queries[q] / lvl, 3)
+            if q in floor and v >= floor[q]:
+                print(f"REFUSED: {q} rebase {v:.3f}s would not LOWER its "
+                      f"floor {floor[q]:.3f}s — --rebase is for stale-high "
+                      "floors only; a min-merge --update covers the rest")
+                return 1
+            old = floor.get(q)
+            floor[q] = v
+            print(f"REBASED {q}: {old if old is None else f'{old:.3f}'}s -> "
+                  f"{v:.3f}s ({queries[q]:.3f}s / level {lvl:.2f})")
+        json.dump(floor, open(FLOOR, "w"), indent=1, sort_keys=True)
+        print(f"floor updated (rebase): {len(rebase)} entr"
+              f"{'y' if len(rebase) == 1 else 'ies'} -> {FLOOR}")
         return 0
 
     if update:

@@ -41,6 +41,7 @@ object BenchTrend {
     "q_jaccard_pairs", "q_simhash", "q_simhash_mp", "q_minhash_lsh",
     "q_substring_dup",
     "q_rolling_quantile", "q_dedup_embed_lsh", "q_dedup_embed_lsh_mp",
+    "q_dedup_embed_incremental",
     "q_dedup_embed_ivf",
     "q_dedup_embed_ivf2", "q_cosine_pq", "q_cosine_ivfpq",
     "q_cosine_ivfpq_sampled",
