@@ -124,6 +124,13 @@ object CorpusEntries {
   /** Cross-doc duplicated-span n-gram width. */
   private val SubstrN = 5
 
+  /** Exact-substring (suffix-window) scrub span: minimum duplicated run
+    * length in CHARACTERS (Lee et al. use 50 BPE tokens on real corpora;
+    * the synthetic documents share shorter verbatim spans, so the
+    * threshold sits where the corpus actually exercises both arms —
+    * spans found AND spans rejected — at every SF). */
+  private val SubstrSpanLen = 30
+
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
     Decontamination.screen(Tables.documents(s, dir),
       pmod(col("doc_id"), lit(10)) === 0, n = DecontamN, minHits = DecontamMinHits)
@@ -184,6 +191,9 @@ object CorpusEntries {
 
   private def qSubstringDup(s: SparkSession, dir: String): DataFrame =
     Dedup.substringDup(Tables.documents(s, dir), SubstrN)
+
+  private def qSubstringSa(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(Tables.documents(s, dir), SubstrSpanLen)
 
   private def qSampleTemperature(s: SparkSession, dir: String): DataFrame =
     CorpusStats.temperatureSample(Tables.documents(s, dir), MixAlpha, SampleSalt)
@@ -325,6 +335,7 @@ object CorpusEntries {
     "q_pack" -> qPack,
     "q_sample_exact_n" -> qSampleExactN,
     "q_substring_dup" -> qSubstringDup,
+    "q_substring_sa" -> qSubstringSa,
     "q_sample_temperature" -> qSampleTemperature,
     "q_drift" -> qDrift,
     "q_split" -> qSplit,
@@ -560,6 +571,43 @@ object CorpusEntries {
          |  coalesce(${r4("a.n_dup_grams * 1.0 / a.n_grams")}, 0.0) AS dup_frac
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
     },
+
+    // suffix-window scrub spans: the same window→hash→distinct-doc→
+    // run-merge pipeline, with DuckDB's lag/sum window pair doing the
+    // maximal-run merge the Spark side does
+    "q_substring_sa" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, length(text) - ${SubstrSpanLen - 1} + 1)) AS p
+         |  FROM documents WHERE length(text) >= $SubstrSpanLen
+         |),
+         |hh AS (
+         |  SELECT doc_id, p,
+         |    CAST(concat('0x', substr(md5(
+         |      substr(text, CAST(p AS INTEGER), $SubstrSpanLen)), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM pos
+         |),
+         |nd AS (
+         |  SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS nd FROM hh GROUP BY 1
+         |  ) WHERE nd > 1
+         |),
+         |dup AS (SELECT doc_id, p FROM hh JOIN nd USING (h)),
+         |runs AS (
+         |  SELECT doc_id, p,
+         |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+         |         THEN 0 ELSE 1 END AS gap
+         |  FROM dup
+         |),
+         |grp AS (
+         |  SELECT doc_id, p, sum(gap) OVER (PARTITION BY doc_id ORDER BY p
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM runs
+         |)
+         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+         |  CAST(max(p) - min(p) + $SubstrSpanLen AS BIGINT) AS span_len
+         |FROM grp GROUP BY doc_id, g""".stripMargin,
 
     "q_sample_temperature" ->
       s"""WITH g AS (

@@ -75,6 +75,65 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Maximal cross-document duplicated character spans — the
+    * exact-substring scrub set of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") at its own character
+    * granularity, completing what [[substringDup]] approximates at
+    * token-n-gram granularity. The suffix-array step of the paper is
+    * re-expressed as a distributed prefix-group sort: every stride-1
+    * `minLen`-char window is keyed by its hash (the "prefix group" — two
+    * suffixes sharing a ≥ minLen prefix land in the same group by
+    * construction, which is the only adjacency the ≥ minLen cut ever
+    * inspects, so the global suffix order the single-node paper builds
+    * is unnecessary); groups seen in more than one document mark their
+    * window positions duplicated, and per-document runs of consecutive
+    * duplicated positions merge into maximal spans [start, start+len).
+    * A position is inside some cross-doc repeated substring of length
+    * ≥ minLen iff a duplicated window covers it, so the merged spans are
+    * EXACTLY the paper's scrub set (union over partner documents).
+    *
+    * Output: one row per maximal span (doc_id, span_start 1-based,
+    * span_len ≥ minLen); documents with no duplicated span emit nothing
+    * (the scrubber's work list).
+    *
+    * Shape at scale: positions-scale rows (as [[substringDup]] — the
+    * persisted intermediate of a multi-pass scrub job), ONE shuffle by
+    * window hash for the distinct-doc count with the join back reusing
+    * that exchange, then one shuffle by doc for the run-merge window.
+    * No pairwise join, no global sort: cost linear in corpus positions.
+    * Windows are keyed by [[TextAnalysis.hash60]] (a 60-bit space —
+    * corpus-scale collision odds are the same accepted trade as every
+    * shingle index here); keys are hashes, never the 50-char windows,
+    * so the shuffle moves 8-byte keys. */
+  def substringSpans(docs: DataFrame, minLen: Int = 50): DataFrame = {
+    val wins = docs
+      .filter(length(col("text")) >= minLen)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(minLen - 1)))
+          .as("p"))
+      .select(col("doc_id"), col("p"),
+        TextAnalysis.hash60(col("text").substr(col("p"), lit(minLen)))
+          .as("h"))
+      .materialize // feeds the doc count AND the join back — hash once
+    val nd = wins.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+    val dup = wins.join(nd, "h").select(col("doc_id"), col("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    dup
+      .withColumn("gap",
+        when(col("p") - lag(col("p"), 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("g", sum(col("gap"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) - min(col("p")) + lit(minLen.toLong)).as("span_len"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_len").cast("long").as("span_len"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the full shingle
     * index: work ∝ candidates × shingles-per-doc — only sound when the
     * candidate set is already small (the MinHash LSH blocker). */

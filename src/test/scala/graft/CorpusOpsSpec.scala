@@ -342,6 +342,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(so(1L).getAs[Long]("n_dup_grams") == 0L)
   }
 
+  test("substring spans: maximal cross-doc runs, exact boundaries, gaps split") {
+    // minLen 10 for hand-checkable geometry; semantics identical at 30/50
+    val shared = "ABCDEFGHIJKLMNOP" // 16 chars, appears in docs 1 and 2
+    val rep = "REPREPREPREP"        // 12 chars, twice in doc 3 ONLY
+    val s1 = "0123456789XYZ"        // 13 chars, shared by docs 4 and 5
+    val s2 = "QRSTUVWXYZ!"          // 11 chars, shared by docs 4 and 5
+    val d = Seq(
+      (1L, "xxx" + shared + "yyyyy"),         // span at 4, len 16
+      (2L, "zzzzz" + shared),                 // span at 6, len 16
+      (3L, "qq" + rep + "rr" + rep + "ss"),   // self-repeat: NOT cross-doc
+      (4L, s1 + "aaaa" + s2),                 // two spans, gap must split
+      (5L, "bb" + s1 + "cc" + s2 + "dd"),
+      (6L, "short")                           // under minLen: no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(d, minLen = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(out == Seq(
+      (1L, 4L, 16L), (2L, 6L, 16L),
+      (4L, 1L, 13L), (4L, 18L, 11L),
+      (5L, 3L, 13L), (5L, 18L, 11L)),
+      s"got $out")
+  }
+
   test("temperature resample flattens the mix and hits ~half the corpus") {
     // 800 docs in a dominant stratum, 100 in a rare one
     val d = ((0 until 800).map(i => (i.toLong, "text here", "en", "web", 9L)) ++
