@@ -11,7 +11,7 @@ class CurateSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   test("curate pipeline: monotone funnel, reproducible, output matches") {
-    val out = Files.createTempDirectory("graft_curate").toString
+    val out = graft.SessionScoped.scratchDir("graft_curate")
     val f = Curate.run(spark, "/root/testdata/sf0.001", out)
     // each stage can only shrink the corpus (chunks explode rows, excluded)
     assert(f.input >= f.quality)
@@ -27,11 +27,11 @@ class CurateSpec extends AnyFunSuite {
     // tokenizer artifact: full merge table learned, non-trivial vocabulary
     assert(f.merges == 32 && f.vocab > 26)
     // deterministic: a rerun lands the identical funnel
-    val out2 = Files.createTempDirectory("graft_curate2").toString
+    val out2 = graft.SessionScoped.scratchDir("graft_curate2")
     assert(Curate.run(spark, "/root/testdata/sf0.001", out2) == f)
     // the bloom-prescreened decontamination path is bit-exact by
     // contract, so the whole funnel must be unchanged under it
-    val out3 = Files.createTempDirectory("graft_curate3").toString
+    val out3 = graft.SessionScoped.scratchDir("graft_curate3")
     assert(Curate.run(spark, "/root/testdata/sf0.001", out3,
       bloomScreen = true) == f)
   }

@@ -98,7 +98,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("TableSetup: day-partitioned write, first-write-wins across appends, pruned range read") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString + "/stock_indicators"
+    val dir = graft.SessionScoped.scratchDir("graft_tbl") + "/stock_indicators"
     def mkBars(priceOff: Double) = (0 until 60).map { i =>
       val ts = new java.sql.Timestamp(1700000000000L + i * 3600_000L) // hourly, ~3 days
       (ts, "A", 100.0 + i + priceOff)
@@ -120,7 +120,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("backfillPartitions replaces only the touched partitions") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_bf").toString + "/t"
+    val dir = graft.SessionScoped.scratchDir("graft_bf") + "/t"
     def batch(rows: Seq[(String, Long, Double)]) =
       rows.toDF("day", "k", "v")
     // seed three day-partitions

@@ -13,7 +13,7 @@ class IvfPartitionSpec extends AnyFunSuite {
 
   test("IVF corpus partitioned by centroid_id: probe reads one cluster, pruned at the source") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"
+    val dir = graft.SessionScoped.scratchDir("graft_ivf") + "/corpus"
     val assigned = emb.join(
       Similarity.ivfAssign(emb, Similarity.ivfTrain(emb, 8))
         .select("vec_id", "centroid_id"), "vec_id")
@@ -111,7 +111,7 @@ class IvfPartitionSpec extends AnyFunSuite {
   test("persisted IVF index: loaded search == inline search; probe prunes partitions") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    val dir = graft.SessionScoped.scratchDir("graft_ivfidx")
     Similarity.saveIvfIndex(emb, dir, nCentroids = 8, iters = 2)
     // on-disk layout: one directory per cluster (partitioned by centroid_id)
     val parts = new java.io.File(s"$dir/assign").listFiles()
@@ -139,8 +139,8 @@ class IvfPartitionSpec extends AnyFunSuite {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val cent = Similarity.ivfTrain(emb, 8, 2)
-    val whole = java.nio.file.Files.createTempDirectory("graft_ivf_a").toString
-    val grown = java.nio.file.Files.createTempDirectory("graft_ivf_b").toString
+    val whole = graft.SessionScoped.scratchDir("graft_ivf_a")
+    val grown = graft.SessionScoped.scratchDir("graft_ivf_b")
     Similarity.saveIvfIndexWith(emb, cent, whole)
     // grown: even half saved, odd half appended as the "daily delta"
     Similarity.saveIvfIndexWith(emb.filter(col("vec_id") % 2 === 0), cent, grown)

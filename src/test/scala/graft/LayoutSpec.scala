@@ -44,7 +44,7 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("compact rewrites a many-small-file dir to the byte-targeted count") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val dir = graft.SessionScoped.scratchDir("graft_compact")
     val in = s"$dir/in"; val out = s"$dir/out"
     // 40 tiny files
     spark.range(20000).selectExpr("id", "id % 97 AS k")
@@ -68,7 +68,7 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("writeZOrdered files have tight bounding boxes in both dimensions") {
-    val out = Files.createTempDirectory("graft_zorder").toString + "/t"
+    val out = graft.SessionScoped.scratchDir("graft_zorder") + "/t"
     val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
       .toDF("a", "b")
     Layout.writeZOrdered(grid,

@@ -33,7 +33,7 @@ class MaterializeSpec extends AnyFunSuite {
 
   test("CC and PageRank results are identical under all three strategies") {
     spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      graft.SessionScoped.scratchDir("graft_ckpt"))
     def ccRun() = Dedup.connectedComponents(pairs)
       .orderBy("doc_id").collect().toSeq
     def prRun() = Graph.pagerank(edges, iters = 3)

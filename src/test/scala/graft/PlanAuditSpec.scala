@@ -97,7 +97,7 @@ class PlanAuditSpec extends AnyFunSuite {
       conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
       conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
-      val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+      val dir = graft.SessionScoped.scratchDir("graft_bloom")
       val spark2 = spark
       import spark2.implicits._
       (1 to 50000).map(i => (i.toLong, i % 1000, s"p$i"))
@@ -125,7 +125,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // key must only read the partitions the dim filter selects, with the
     // filter discovered at RUNTIME through the join (DPP), not hand-pushed.
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val dir = graft.SessionScoped.scratchDir("graft_dpp")
     val spark2 = spark
     import spark2.implicits._
     val fact = (1 to 10000).map(i => (i.toLong, i % 25, i * 1.5))
@@ -213,7 +213,7 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val spark2 = spark
     import spark2.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_tsvariants")
+    val base = graft.SessionScoped.scratchDir("graft_tsvariants")
     val instants = (0 until 1000).map(i =>
       java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 3600L))
     val rows = instants.zipWithIndex.map { case (t, i) => (i.toLong, t) }

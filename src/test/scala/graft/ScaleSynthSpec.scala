@@ -87,7 +87,7 @@ class ScaleSynthSpec extends AnyFunSuite {
   }
 
   test("synthesize writes all tables once and the marker makes it idempotent") {
-    val out = java.nio.file.Files.createTempDirectory("graft_synth").toString
+    val out = graft.SessionScoped.scratchDir("graft_synth")
     ScaleSynth.synthesize(spark, base, out, 2)
     for (t <- ScaleSynth.tables)
       assert(new java.io.File(s"$out/$t.parquet").exists(), s"missing $t")

@@ -48,7 +48,7 @@ class StreamCdcSpec extends AnyFunSuite {
   }
 
   test("sliced stream merge == one-shot batch apply, bit for bit") {
-    val work = java.nio.file.Files.createTempDirectory("graft_scdc").toString
+    val work = graft.SessionScoped.scratchDir("graft_scdc")
     runStream(work, slices = 4)
     val baseDf = base.toDF("k", "seq", "ts", "payload")
     val streamed = canon(StreamCdc.snapshot(spark, work, baseDf))
@@ -59,7 +59,7 @@ class StreamCdcSpec extends AnyFunSuite {
   }
 
   test("replaying a batch is idempotent: as-of read skips its own output") {
-    val work = java.nio.file.Files.createTempDirectory("graft_scdc2").toString
+    val work = graft.SessionScoped.scratchDir("graft_scdc2")
     runStream(work, slices = 3)
     val baseDf = base.toDF("k", "seq", "ts", "payload")
     val before = canon(StreamCdc.snapshot(spark, work, baseDf))
@@ -74,7 +74,7 @@ class StreamCdcSpec extends AnyFunSuite {
   }
 
   test("GC bounds the generation count to retain") {
-    val work = java.nio.file.Files.createTempDirectory("graft_scdc3").toString
+    val work = graft.SessionScoped.scratchDir("graft_scdc3")
     runStream(work, slices = 6)
     val fs = new org.apache.hadoop.fs.Path(work)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -55,7 +55,7 @@ class StreamDedupSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
 
     // stream: same docs in three uneven id-ordered micro-batches
-    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val dir = graft.SessionScoped.scratchDir("graft_sdedup")
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     // compactEvery=2 forces a state compaction between micro-batches 1 and
@@ -99,7 +99,7 @@ class StreamDedupSpec extends AnyFunSuite {
     import graft.streaming.{SegmentedState, StreamDedup}
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_segstate").toString + "/st"
+    val dir = graft.SessionScoped.scratchDir("graft_segstate") + "/st"
     val schema = StreamDedup.IdxSchema
     def seg(rows: (Long, Long)*) = rows.toDF("doc_id", "h")
 
@@ -146,7 +146,7 @@ class StreamDedupSpec extends AnyFunSuite {
 
     val trainDocs = docs.filter(!evalPred).orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
-    val dir = java.nio.file.Files.createTempDirectory("graft_sdecon").toString
+    val dir = graft.SessionScoped.scratchDir("graft_sdecon")
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val q = StreamDecontaminate.run(input.toDF().toDF("doc_id", "text"),
@@ -187,7 +187,7 @@ class StreamDedupSpec extends AnyFunSuite {
     val batchVecs = emb.filter(isBatch).orderBy("vec_id").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray))
     val corpus = emb.filter(!isBatch)
-    val dir = java.nio.file.Files.createTempDirectory("graft_sedup").toString
+    val dir = graft.SessionScoped.scratchDir("graft_sedup")
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Array[Float])]
     val q = StreamEmbedDedup.run(
@@ -228,7 +228,7 @@ class StreamDedupSpec extends AnyFunSuite {
     val corpus = (0L until 10L)
       .map(i => (i, Array.tabulate(64)(d => (i * 64 + d).toFloat / 640f)))
       .toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft_sedup_bb").toString
+    val dir = graft.SessionScoped.scratchDir("graft_sedup_bb")
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Array[Float])]
     val stream = input.toDF().toDF("vec_id", "embedding")

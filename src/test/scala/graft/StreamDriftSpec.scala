@@ -14,7 +14,7 @@ class StreamDriftSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("per-batch drift tables == batch Drift on each slice; replay idempotent") {
-    val work = java.nio.file.Files.createTempDirectory("graft_sdrift").toString
+    val work = graft.SessionScoped.scratchDir("graft_sdrift")
     val ref = (1 to 200).map(i => (i % 40).toDouble).toDF("value")
     // 300 rows over ms 0..299 with a value shift in the last third
     val cur = (0 until 300).map(i =>

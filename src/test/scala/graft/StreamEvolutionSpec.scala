@@ -44,7 +44,7 @@ class StreamEvolutionSpec extends AnyFunSuite {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.encodingFormat")
     spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
     try {
-      val root = Files.createTempDirectory("graft_evo").toString
+      val root = graft.SessionScoped.scratchDir("graft_evo")
       def dir(name: String): String = {
         Files.createDirectories(Paths.get(root, name)); s"$root/$name"
       }

@@ -38,7 +38,7 @@ class StreamJoinSpec extends AnyFunSuite {
 
   private def streamMatches(events: DataFrame, slices: Int,
       joinType: String = "inner"): Seq[(Long, Long, Any, Any)] = {
-    val work = java.nio.file.Files.createTempDirectory("graft_sj").toString
+    val work = graft.SessionScoped.scratchDir("graft_sj")
     Feeder.writeTimeSlicedFeed(
       events.withColumn("_ms", unix_millis(col("ts"))), "_ms", work, slices)
     if (joinType != "inner") {
@@ -112,7 +112,7 @@ class StreamJoinSpec extends AnyFunSuite {
     val base = 1700000000000000L
     val m = 60000000L // one minute in us
     def run(lateDelay: String): Seq[(Long, Long, Any)] = {
-      val work = java.nio.file.Files.createTempDirectory("graft_sj_late").toString
+      val work = graft.SessionScoped.scratchDir("graft_sj_late")
       val lin = MemoryStream[(Long, Long, Long)]
       val rin = MemoryStream[(Long, Long, Long)]
       def df(ms: MemoryStream[(Long, Long, Long)]) =

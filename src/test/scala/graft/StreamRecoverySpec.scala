@@ -57,7 +57,7 @@ class StreamRecoverySpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
 
   test("restart from checkpoint: no lost, no duplicate, bit-identical emissions") {
-    val root = Files.createTempDirectory("graft_recovery").toString
+    val root = graft.SessionScoped.scratchDir("graft_recovery")
     def dir(name: String): String = {
       Files.createDirectories(Paths.get(root, name)); s"$root/$name"
     }

@@ -44,12 +44,12 @@ class StreamRestartSpec extends AnyFunSuite {
       reader(work).filter(col("user_id") =!= -1L)
         .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
 
-    val oneShot = java.nio.file.Files.createTempDirectory("graft_rs1").toString
+    val oneShot = graft.SessionScoped.scratchDir("graft_rs1")
     feed(oneShot)
     val q1 = starter(oneShot, streamOf(oneShot, events))
     q1.processAllAvailable(); q1.stop()
 
-    val restarted = java.nio.file.Files.createTempDirectory("graft_rs2").toString
+    val restarted = graft.SessionScoped.scratchDir("graft_rs2")
     feed(restarted)
     // phase 1: process exactly two micro-batches, then kill
     val q2a = starter(restarted, streamOf(restarted, events, maxFiles = Some(1)))

@@ -34,7 +34,7 @@ class StreamSessionizeSpec extends AnyFunSuite {
   }
 
   private def streamSessions(ev: DataFrame, slices: Int): Seq[Row6] = {
-    val work = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    val work = graft.SessionScoped.scratchDir("graft_ss")
     Feeder.writeTimeSlicedFeed(
       ev.withColumn("_ms", unix_millis(col("ts"))), "_ms", work, slices)
     val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
@@ -101,7 +101,7 @@ class StreamSessionizeSpec extends AnyFunSuite {
     val base = 1700000000000000L
     val m = 60000000L // one minute in us
     def run(lateDelay: String): (Seq[Row6], Long) = {
-      val work = java.nio.file.Files.createTempDirectory("graft_ss_late").toString
+      val work = graft.SessionScoped.scratchDir("graft_ss_late")
       val in = MemoryStream[(Long, Long, Double)]
       val df = in.toDF().toDF("user_id", "us", "value")
         .select(col("user_id"), timestamp_micros(col("us")).as("ts"),

@@ -39,7 +39,7 @@ class StreamTopkSpec extends AnyFunSuite {
   }
 
   test("k above vocab: merged stream summary is exact and == batch") {
-    val work = java.nio.file.Files.createTempDirectory("graft_stopk1").toString
+    val work = graft.SessionScoped.scratchDir("graft_stopk1")
     val df = feed(work)
     runStream(work, k = 32) // vocab is 10 — no trim can ever fire
     val got = StreamTopk.merged(spark, work, 32)
@@ -59,7 +59,7 @@ class StreamTopkSpec extends AnyFunSuite {
   }
 
   test("small k: error theorems hold for the streamed summary") {
-    val work = java.nio.file.Files.createTempDirectory("graft_stopk2").toString
+    val work = graft.SessionScoped.scratchDir("graft_stopk2")
     val df = feed(work)
     val k = 4
     runStream(work, k)
@@ -82,7 +82,7 @@ class StreamTopkSpec extends AnyFunSuite {
   }
 
   test("replaying a batch overwrites its segment with identical bytes") {
-    val work = java.nio.file.Files.createTempDirectory("graft_stopk3").toString
+    val work = graft.SessionScoped.scratchDir("graft_stopk3")
     feed(work)
     runStream(work, k = 4)
     def merged() = StreamTopk.merged(spark, work, 4)

@@ -115,7 +115,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("IdempotentSink: first write wins within and across batches (ST4)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+    val dir = graft.SessionScoped.scratchDir("graft_sink") + "/out"
     val b1 = Seq((new Timestamp(1000L), "A", 1.0, 1L), (new Timestamp(1000L), "A", 2.0, 2L),
       (new Timestamp(2000L), "A", 3.0, 3L))
       .toDF("time", "symbol", "close", "seq")

@@ -16,7 +16,7 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+        graft.SessionScoped.scratchDir("graft_wh"))
       .config("spark.ui.enabled", "false")
       .config(graft.streaming.StreamIngest.rocksdbConf._1,
         graft.streaming.StreamIngest.rocksdbConf._2)
