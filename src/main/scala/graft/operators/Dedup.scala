@@ -98,8 +98,10 @@ object Dedup {
     *
     * Shape at scale: positions-scale rows (as [[substringDup]] — the
     * persisted intermediate of a multi-pass scrub job), ONE shuffle by
-    * window hash for the distinct-doc count with the join back reusing
-    * that exchange, then one shuffle by doc for the run-merge window.
+    * window hash where a min/max-doc window marks cross-doc groups
+    * (min(doc) ≠ max(doc) ⟺ ≥ 2 distinct docs — exact, and it needs no
+    * second pass, no doc-count aggregate, and no join back over the
+    * position rows), then one shuffle by doc for the run-merge window.
     * No pairwise join, no global sort: cost linear in corpus positions.
     * Windows are keyed by [[TextAnalysis.hash60]] (a 60-bit space —
     * corpus-scale collision odds are the same accepted trade as every
@@ -114,11 +116,12 @@ object Dedup {
       .select(col("doc_id"), col("p"),
         TextAnalysis.hash60(col("text").substr(col("p"), lit(minLen)))
           .as("h"))
-      .materialize // feeds the doc count AND the join back — hash once
-    val nd = wins.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
-    val dup = wins.join(nd, "h").select(col("doc_id"), col("p"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val dup = wins
+      .withColumn("mn", min(col("doc_id")).over(wh))
+      .withColumn("mx", max(col("doc_id")).over(wh))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("p"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
     dup
