@@ -276,6 +276,16 @@ object ExtendedEntries {
       Multimodal.synthBmpPattern(Tables.documents(s, dir)))
       .select(col("doc_id"), col("decoded_ok"), col("ahash"), col("mean_gray"))
 
+  /** REAL-decode 2× box-average resize over the patterned BMPs
+    * ([[Multimodal.imageResize]]): the thumbnail/normalize ingest step.
+    * The pixel digest pins the ENTIRE decode→resample path against the
+    * closed-form pattern oracle — one wrong pixel anywhere moves it. */
+  private def qImageResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageResize(
+      Multimodal.synthBmpPattern(Tables.documents(s, dir)), factor = 2)
+      .select(col("doc_id"), col("decoded_ok"), col("out_w"), col("out_h"),
+        col("px_digest"), col("mean_gray"))
+
   /** Image near-dup classes by banded Hamming join over the aHashes:
     * dedup to DISTINCT hashes first (identical renders collapse to one
     * row with a member count — the output stays class-sized, not
@@ -1296,6 +1306,7 @@ object ExtendedEntries {
     "q_media_decode" -> qMediaDecode,
     "q_media_decode_wav" -> qMediaDecodeWav,
     "q_image_ahash" -> qImageAhash,
+    "q_image_resize" -> qImageResize,
     "q_image_neardup" -> qImageNeardup,
     "q_media_decode_png" -> qMediaDecodePng,
     "q_media_decode_jpeg" -> qMediaDecodeJpeg,
@@ -3852,6 +3863,19 @@ object ExtendedEntries {
     "q_image_ahash" ->
       (s"WITH $oAhashBits\n" +
         "SELECT doc_id, TRUE AS decoded_ok, ahash, mean_gray FROM bits"),
+
+    // resize oracle: the bm CTE IS the closed-form 2x box average; the
+    // digest compares every resized pixel (row-major), so one wrong
+    // pixel anywhere in the real decode→resample path fails the hash
+    "q_image_resize" ->
+      (s"WITH $oAhashBits\n" +
+        """SELECT b.doc_id, TRUE AS decoded_ok,
+          |  CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+          |  md5(string_agg(CAST(b.bm AS VARCHAR), ',' ORDER BY b.bj, b.bi))
+          |    AS px_digest,
+          |  m.mean_gray
+          |FROM bm b JOIN mn m USING (doc_id)
+          |GROUP BY b.doc_id, m.mean_gray""".stripMargin),
 
     // REAL PNG encode→decode round trip: lossless, so the decoded-pixel
     // aHash must equal the same closed-form pattern oracle as the BMP

@@ -211,6 +211,74 @@ object Multimodal {
     * closed-form DuckDB mirror (which renders [[patByte]] directly and
     * never decodes) pins the WHOLE decode→feature path bit for bit.
     * Same per-partition batch shape as the other real codecs. */
+  /** One resized image row: geometry, the md5 digest of the resized
+    * gray pixels (comma-joined row-major — the compact oracle-comparable
+    * rendering of the pixel block), and their mean. */
+  final case class ResizedImage(doc_id: Long, decoded_ok: Boolean,
+    out_w: Int, out_h: Int, px_digest: String, mean_gray: Long)
+
+  /** REAL-decode image resize: decode via javax.imageio, then integer
+    * box-average downsample by `factor` — OWN math (block gray sum //
+    * block area, gray = (r+g+b)/3, trailing non-multiple rows/cols
+    * cropped), not AWT's interpolator, so the result is deterministic
+    * across JVMs and closed-form mirrorable by the oracle. This is the
+    * thumbnail/normalize step of a multimodal ingest pipeline: at scale
+    * it runs as the same per-partition imperative codec pass as the
+    * decoders, emitting a constant-size descriptor per image (digest +
+    * stats), never shuffling pixels. Corrupt payloads flag, never
+    * throw — the quarantine contract every codec here shares. */
+  def imageResize(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val ow = if (img == null) 0 else img.getWidth / factor
+            val oh = if (img == null) 0 else img.getHeight / factor
+            if (img == null || ow < 1 || oh < 1)
+              ResizedImage(id, decoded_ok = false, -1, -1, "", -1L)
+            else {
+              val px = new Array[Long](ow * oh)
+              var bj = 0
+              while (bj < oh) {
+                var bi = 0
+                while (bi < ow) {
+                  var s = 0L
+                  var dy = 0
+                  while (dy < factor) {
+                    var dx = 0
+                    while (dx < factor) {
+                      val rgb = img.getRGB(bi * factor + dx, bj * factor + dy)
+                      s += (((rgb >> 16) & 255) + ((rgb >> 8) & 255) +
+                        (rgb & 255)) / 3
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  px(bj * ow + bi) = s / (factor.toLong * factor)
+                  bi += 1
+                }
+                bj += 1
+              }
+              val digest = java.security.MessageDigest.getInstance("MD5")
+                .digest(px.mkString(",").getBytes("UTF-8"))
+                .map(b => f"${b & 0xff}%02x").mkString
+              ResizedImage(id, decoded_ok = true, ow, oh, digest,
+                px.sum / (ow * oh))
+            }
+          } catch {
+            case _: Exception =>
+              ResizedImage(id, decoded_ok = false, -1, -1, "", -1L)
+          }
+        }
+      }.toDF()
+  }
+
   def imageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

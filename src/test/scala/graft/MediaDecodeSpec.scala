@@ -112,6 +112,34 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(!c.getBoolean(1) && c.getString(2).isEmpty)
   }
 
+  test("box-average resize: geometry, ahash-consistent means, corrupt flags") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 64L).toDF("doc_id")
+    val bmps = Multimodal.synthBmpPattern(docs)
+    val out = Multimodal.imageResize(bmps, factor = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 64 && out.values.forall(_.getBoolean(1)))
+    assert(out.values.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))
+    assert(out.values.forall(_.getString(4).matches("[0-9a-f]{32}")))
+    // the resized blocks are the SAME 2x2 box averages imageAHash folds,
+    // so the means must agree exactly — a cross-operator pin of the
+    // block arithmetic (the full per-pixel pin is the DuckDB oracle)
+    val ahashMeans = Multimodal.imageAHash(bmps).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (d <- 0L until 64L)
+      assert(out(d).getLong(5) == ahashMeans(d), s"doc $d mean")
+    // all 64 distinct pattern images resize to distinct pixel digests
+    assert(out.values.map(_.getString(4)).toSet.size == 64)
+    // factor 1 = identity-resolution pass; still geometry 16x16
+    val id1 = Multimodal.imageResize(bmps, factor = 1).head()
+    assert(id1.getInt(2) == 16 && id1.getInt(3) == 16)
+    // corrupt payload: flags, never throws
+    val c = Multimodal.imageResize(
+      Seq((0L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")).head()
+    assert(!c.getBoolean(1) && c.getInt(2) == -1)
+  }
+
   test("real PNG/JPEG round trips hold their decode contracts") {
     val s = spark
     import s.implicits._
