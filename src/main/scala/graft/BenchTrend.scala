@@ -39,7 +39,7 @@ object BenchTrend {
     "q_profile", "q_containment", "q_sample_dedup", "q_split_safe",
     "q_dedup_keep_best", "q_dedup_corpus", "q_dedup_incremental",
     "q_jaccard_pairs", "q_simhash", "q_simhash_mp", "q_minhash_lsh",
-    "q_substring_dup",
+    "q_substring_dup", "q_substring_sa",
     "q_rolling_quantile", "q_dedup_embed_lsh", "q_dedup_embed_lsh_mp",
     "q_dedup_embed_incremental",
     "q_dedup_embed_ivf",
