@@ -92,6 +92,9 @@ def main():
     rebase = None
     if "--rebase" in args:
         i = args.index("--rebase")
+        if i + 1 >= len(args):
+            print("usage: bench_floor.py --rebase q1,q2 bench_out.json")
+            return 1
         rebase = [q for q in args[i + 1].split(",") if q]
         del args[i:i + 2]
     args = [a for a in args if a not in ("--update", "--update-new")]
@@ -149,6 +152,9 @@ def main():
                   "floor geometry even for a steady host")
             return 1
         lvl = max(noise, 1.0)
+        # validate EVERY name/value before printing or writing anything:
+        # a partial transcript of REBASED lines followed by a refusal
+        # would claim rebases that were never persisted
         for q in rebase:
             if q not in queries:
                 print(f"REFUSED: {q} is not in this bench run")
@@ -159,6 +165,8 @@ def main():
                       f"floor {floor[q]:.3f}s — --rebase is for stale-high "
                       "floors only; a min-merge --update covers the rest")
                 return 1
+        for q in rebase:
+            v = round(queries[q] / lvl, 3)
             old = floor.get(q)
             floor[q] = v
             print(f"REBASED {q}: {old if old is None else f'{old:.3f}'}s -> "

@@ -55,17 +55,20 @@ sbt -batch Test/compile
 
 echo "== sbt test =="
 SBT_TEST_LOG=$(mktemp /tmp/graft_ci_sbt_test.XXXXXX)
+trap 'rm -f "$SBT_TEST_LOG"' EXIT
 sbt -batch test 2>&1 | tee "$SBT_TEST_LOG"
 
 echo "== doc-currency gate (README test count vs live suite) =="
 # The README advertises "<N> tests, <M> suites"; four rounds running the
 # manual update drifted, so the claim is now diffed mechanically against
 # scalatest's own summary lines from the run above. Fails loudly on drift.
+# (`|| true` inside the substitutions: under pipefail a no-match grep
+# would otherwise abort the script before the could-not-extract branch.)
 actual_tests=$(grep -oE 'Total number of tests run: [0-9]+' "$SBT_TEST_LOG" \
-  | tail -1 | grep -oE '[0-9]+')
+  | tail -1 | grep -oE '[0-9]+' || true)
 actual_suites=$(grep -oE 'Suites: completed [0-9]+' "$SBT_TEST_LOG" \
-  | tail -1 | grep -oE '[0-9]+')
-claimed=$(grep -oE '[0-9]+ tests, [0-9]+ suites' README.md | head -1)
+  | tail -1 | grep -oE '[0-9]+' || true)
+claimed=$(grep -oE '[0-9]+ tests, [0-9]+ suites' README.md | head -1 || true)
 if [[ -z "$actual_tests" || -z "$actual_suites" || -z "$claimed" ]]; then
   echo "CI DOC GATE FAILED: could not extract counts (claimed='$claimed'," \
        "actual tests='$actual_tests' suites='$actual_suites')" >&2
@@ -77,7 +80,6 @@ if [[ "$claimed" != "$actual_tests tests, $actual_suites suites" ]]; then
   exit 1
 fi
 echo "doc-currency OK: $claimed"
-rm -f "$SBT_TEST_LOG"
 
 echo "== oracle gate (sf0.001) =="
 python3 scripts/check.py /root/testdata/sf0.001 /tmp/graft_ci_sf0001

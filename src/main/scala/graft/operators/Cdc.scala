@@ -150,11 +150,14 @@ object Cdc {
       .select(base.columns.map(col): _*)
     // base-side guard rides the payload columns (keys stay bare
     // attributes for bucketed co-location — see keyGuard). A keys-only
-    // base has no non-key column to carry it; diff() raises on such
-    // snapshots, and the changes-side guard above still fires.
+    // base has no non-key column to carry it, so there the guard wraps
+    // the keys themselves: the degenerate shape trades its (payload-less)
+    // co-location for the contract that a null key NEVER passes silently.
     val payCols = base.columns.filterNot(keyCols.contains)
     val guardedBase =
-      if (payCols.isEmpty) base
+      if (payCols.isEmpty)
+        base.select(base.columns.map(c =>
+          keyGuard(keyCols, "applyChangelog", col(c)).as(c)): _*)
       else base.select(base.columns.map(c =>
         if (keyCols.contains(c)) col(c)
         else keyGuard(keyCols, "applyChangelog", col(c)).as(c)): _*)

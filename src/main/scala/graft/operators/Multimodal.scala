@@ -432,8 +432,14 @@ object Multimodal {
     * construction, while the failure modes the boolean exists to catch
     * (channel swap, stride bug, row flip) measure tens of gray levels —
     * several times the bound on any sane encoder. Deriving the bound
-    * from the running JVM's own tables (instead of a constant pinned to
-    * one encoder's) keeps the contract portable across JREs. */
+    * from the running JVM's own tables adapts it to whatever JRE runs
+    * the job — with one honest caveat: the lazy val evaluates on the
+    * DRIVER (it feeds [[decodeImageVsPattern]]'s default parameter), so
+    * on a cluster whose executors carry a DIFFERENT ImageIO plugin set
+    * than the driver, executor-encoded noise may not be bounded by the
+    * driver-measured worst case. Homogeneous clusters (the normal Spark
+    * deployment) are fine; heterogeneous ones should pass an explicit
+    * `maxMae` measured on the executor image. */
   val JpegMaeHeadroom = 1.25
 
   /** One real-decoded image scored against the closed-form pattern:

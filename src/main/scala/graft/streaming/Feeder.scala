@@ -60,8 +60,13 @@ object Feeder {
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-    fs.rename(part, new org.apache.hadoop.fs.Path(
-      f"$workDir/feed/b$index%05d.parquet"))
+    val dest = new org.apache.hadoop.fs.Path(f"$workDir/feed/b$index%05d.parquet")
+    // rename returns false (not an exception) when dest already exists —
+    // e.g. a replayed append into a reused workDir. Fail loudly BEFORE
+    // deleting tmp: cleaning up after a failed rename would silently
+    // destroy the slice's only copy and leave the feed replaying stale data
+    require(fs.rename(part, dest), s"appendFeedFile: rename $part -> $dest " +
+      "failed (slice already present, or a cross-FS move?) — feed not updated")
     // the tmp dir's remaining contents (_SUCCESS, .crc) are scaffolding —
     // drop it so a replay workDir holds only the feed itself
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)

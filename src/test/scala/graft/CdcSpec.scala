@@ -163,5 +163,14 @@ class CdcSpec extends AnyFunSuite {
       Cdc.diff(good, nullBase, Seq("k"), "op").collect()
     }
     assert(chain(e4).contains("null merge key"))
+    // keys-only base (no payload column to carry the guard): the guard
+    // must wrap the keys themselves rather than silently lapse
+    val keysOnlyNull = Seq(Option(1L), Option.empty[Long]).toDF("k")
+    val koChg = Seq((2L, 1L, 20L, "U")).toDF("k", "seq", "ts", "op")
+    val e5 = intercept[Exception] {
+      Cdc.applyChangelog(keysOnlyNull, koChg, Seq("k"), "ts", "seq", "op")
+        .collect()
+    }
+    assert(chain(e5).contains("null merge key"))
   }
 }
