@@ -133,6 +133,48 @@ class StreamSessionizeSpec extends AnyFunSuite {
     assert(d2 == 1L, "exactly the one late event is dropped, measurably")
   }
 
+  test("restart mid-feed from the checkpoint: sessions equal the batch cut") {
+    // user 10's single 3-hour burst SPANS the stop point, so its session
+    // must merge across the restart purely from recovered session_window
+    // state; user 20's three separated bursts check ordinary sessions
+    // around it. Same event set as the micro-batch boundary test.
+    val base = 1700000000000000L
+    val min10 = 600000000L
+    val burst = (0 until 18).map(i => (10L, base + i * min10, 1.5))
+    val spaced = Seq(0L, 4L, 8L).zipWithIndex.flatMap { case (h, j) =>
+      (0 until 3).map(i => (20L, base + h * 3600000000L + i * min10, j + 0.25))
+    }
+    val events = ev(burst ++ spaced: _*)
+    val b = batchSessions(events)
+    val cut = base + 9 * min10 // inside user 10's burst
+    val work = graft.SessionScoped.scratchDir("graft_ss_restart")
+    def feed() = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    // phase 1: only the pre-cut events exist; run and STOP mid-session
+    Feeder.appendFeedFile(events.filter(col("ts") <
+      timestamp_micros(lit(cut))).orderBy(col("ts")), work, 0)
+    val q1 = StreamSessionize.run(feed(), work)
+    q1.processAllAvailable(); q1.stop()
+    // phase 2: the rest + the flush sentinel land; RESTART on the same
+    // checkpoint — open-session state must come back from it
+    Feeder.appendFeedFile(events.filter(col("ts") >=
+      timestamp_micros(lit(cut))).orderBy(col("ts")), work, 1)
+    val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinel = Seq((StreamSessionize.SentinelUser,
+        maxTs + 100L * 86400 * 1000000, 0.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    Feeder.appendFeedFile(sentinel, work, 2)
+    val q2 = StreamSessionize.run(feed(), work)
+    q2.processAllAvailable(); q2.stop()
+    val got = StreamSessionize.report(spark, work)
+      .collect().map(Row6.of).sorted.toSeq
+    assert(got.count(_.user == 10L) == 1,
+      "the session spanning the restart must merge, not split")
+    assert(got == b)
+  }
+
   test("sf0.001 events: stream sessions == batch sessions") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("ts"), col("value"))
