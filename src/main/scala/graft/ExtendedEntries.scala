@@ -337,6 +337,17 @@ object ExtendedEntries {
           .as("decode_agrees"))
   }
 
+  /** REAL-decode audio features over the patterned PCM WAVs
+    * ([[Multimodal.synthWavPattern]] → [[Multimodal.audioFeatures]]):
+    * RMS / zero-crossings / peak against the closed-form sample rule —
+    * the loudness/activity screen of a multimodal ingest pipeline,
+    * feature math pinned per clip by the oracle. */
+  private def qAudioFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeatures(
+      Multimodal.synthWavPattern(Tables.documents(s, dir)))
+      .select(col("doc_id"), col("decoded_ok"), col("n_samples"),
+        col("peak"), col("n_zero_cross"), col("rms_q"))
+
   /** Mixed-modality corpus inventory: evens are audio, odds are images. */
   private def qMediaStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -1305,6 +1316,7 @@ object ExtendedEntries {
     "q_media_bmp" -> qMediaBmp,
     "q_media_decode" -> qMediaDecode,
     "q_media_decode_wav" -> qMediaDecodeWav,
+    "q_audio_features" -> qAudioFeatures,
     "q_image_ahash" -> qImageAhash,
     "q_image_resize" -> qImageResize,
     "q_image_neardup" -> qImageNeardup,
@@ -3834,6 +3846,33 @@ object ExtendedEntries {
          |  CAST(data_size // 2 AS BIGINT) AS n_samples,
          |  TRUE AS decode_agrees
          |FROM g""".stripMargin,
+
+    // audio features over the patterned PCM: the closed-form sample rule
+    // s(d,k) = ((d%16)*371 + k*97) % 2048 - 1024 re-derived per sample;
+    // the Spark side REALLY decodes the WAV via javax.sound and folds the
+    // same exact-integer stats (sum of squares is exact below 2^53, so
+    // both engines take the same IEEE sqrt of the same value)
+    "q_audio_features" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, (doc_id % 100 + 1) * (1 + doc_id % 2) AS n
+         |  FROM documents
+         |), v AS (
+         |  SELECT doc_id, k,
+         |    ((doc_id % 16) * 371 + k * 97) % 2048 - 1024 AS s
+         |  FROM (SELECT doc_id, unnest(range(0, n)) AS k FROM f)
+         |), w AS (
+         |  SELECT doc_id, k, s,
+         |    lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+         |  FROM v
+         |)
+         |SELECT doc_id, TRUE AS decoded_ok,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(max(abs(s)) AS BIGINT) AS peak,
+         |  CAST(coalesce(sum(CASE WHEN pv * s < 0 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_zero_cross,
+         |  CAST(floor(sqrt(sum(CAST(s AS DOUBLE) * s) / count(*)) * 10000
+         |    + 0.5) AS BIGINT) AS rms_q
+         |FROM w GROUP BY doc_id""".stripMargin,
 
     // real-codec cross-check: walked fields re-derived from the shared
     // generation rule; decode_agrees is the in-band error contract — the

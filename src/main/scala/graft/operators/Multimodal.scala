@@ -494,55 +494,113 @@ object Multimodal {
     * whole decode path against closed-form expectations (the synthesized
     * bodies are constant 0x5A bytes ⇒ every sample is 0x5A5A = 23130).
     * Two real codecs (image + audio) now prove the stub plumbing. */
+  /** Real-decode a 16-bit LE PCM payload to its interleaved samples
+    * (None on anything malformed — the quarantine contract).
+    *
+    * NEVER trust the declared format for read sizing: the fuzz sweep
+    * (MediaDecodeSpec) caught readAllBytes spinning forever on a
+    * byte-flipped header — AudioInputStream.read returns 0 (not -1)
+    * whenever the request is smaller than the frame size, so a corrupt
+    * frameSize > the 8 KB chunk livelocks. Read in explicit
+    * frame-aligned chunks, capped by the CONTAINER size (PCM can't
+    * exceed the bytes we were handed). */
+  private def readPcm16(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val frameSize = fmt.getFrameSize
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          frameSize <= 0 || frameSize > 4096) {
+        ais.close()
+        None
+      } else {
+        val chunk = new Array[Byte](frameSize * math.max(1, 8192 / frameSize))
+        val out = new java.io.ByteArrayOutputStream()
+        var r = ais.read(chunk)
+        while (r > 0 && out.size <= bytes.length) {
+          out.write(chunk, 0, r)
+          r = ais.read(chunk)
+        }
+        ais.close()
+        val data = out.toByteArray
+        val n = data.length / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        Some((fmt, samples))
+      }
+    } catch { // malformed payload: quarantine-flag, never throw
+      case _: Exception => None
+    }
+
+  /** One audio-feature row: sample count, peak |s|, strict sign-change
+    * count, and RMS quantized to 1e-4 (floor(x·10⁴ + 0.5) — the repo's
+    * oracle-stable float rule; the sum of squares is an exact Long and
+    * its double image is exact below 2⁵³, so Spark and the oracle take
+    * the SAME IEEE sqrt of the SAME value). */
+  final case class AudioFeatureRow(doc_id: Long, decoded_ok: Boolean,
+      n_samples: Long, peak: Long, n_zero_cross: Long, rms_q: Long)
+
+  /** REAL-decode audio feature extraction — the feature-extract step of
+    * a multimodal ingest pipeline (loudness / activity screens), over
+    * the interleaved PCM stream exactly as [[decodeWav]] reads it. Same
+    * per-partition codec shape, constant-size descriptor per clip,
+    * corrupt payloads flag and never throw. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          readPcm16(bytes) match {
+            case None | Some((_, Array())) =>
+              AudioFeatureRow(id, decoded_ok = false, -1L, -1L, -1L, -1L)
+            case Some((_, samples)) =>
+              var peak = 0L
+              var zc = 0L
+              var sumSq = 0L
+              var i = 0
+              while (i < samples.length) {
+                val s = samples(i).toLong
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                if (i > 0 && samples(i - 1).toLong * s < 0) zc += 1
+                sumSq += s * s
+                i += 1
+              }
+              val rms = math.sqrt(sumSq.toDouble / samples.length)
+              AudioFeatureRow(id, decoded_ok = true, samples.length.toLong,
+                peak, zc, math.floor(rms * 10000 + 0.5).toLong)
+          }
+        }
+      }.toDF()
+  }
+
   def decodeWav(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            val fmt = ais.getFormat
-            // NEVER trust the declared format for read sizing: the fuzz
-            // sweep (MediaDecodeSpec) caught readAllBytes spinning forever
-            // on a byte-flipped header — AudioInputStream.read returns 0
-            // (not -1) whenever the request is smaller than the frame
-            // size, so a corrupt frameSize > the 8 KB chunk livelocks.
-            // Read in explicit frame-aligned chunks, capped by the
-            // CONTAINER size (PCM can't exceed the bytes we were handed).
-            val frameSize = fmt.getFrameSize
-            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
-                frameSize <= 0 || frameSize > 4096) {
-              ais.close()
+          readPcm16(bytes) match {
+            case None =>
               DecodedAudio(id, decoded_ok = false, -1L, -1L, -1L, -1L, -1L)
-            } else {
-              val chunk = new Array[Byte](frameSize * math.max(1, 8192 / frameSize))
-              val out = new java.io.ByteArrayOutputStream()
-              var r = ais.read(chunk)
-              while (r > 0 && out.size <= bytes.length) {
-                out.write(chunk, 0, r)
-                r = ais.read(chunk)
-              }
-              ais.close()
-              val data = out.toByteArray
-              val n = data.length / 2
+            case Some((fmt, samples)) =>
               var peak = 0L
-              var first = 0L
               var i = 0
-              while (i < n) {
-                val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
-                if (i == 0) first = s
-                val a = math.abs(s)
+              while (i < samples.length) {
+                val a = math.abs(samples(i).toLong)
                 if (a > peak) peak = a
                 i += 1
               }
               DecodedAudio(id, decoded_ok = true, fmt.getChannels.toLong,
-                fmt.getSampleRate.toLong, n.toLong, first, peak)
-            }
-          } catch { // malformed payload: quarantine-flag, never throw
-            case _: Exception =>
-              DecodedAudio(id, decoded_ok = false, -1L, -1L, -1L, -1L, -1L)
+                fmt.getSampleRate.toLong, samples.length.toLong,
+                if (samples.isEmpty) 0L else samples(0).toLong, peak)
           }
         }
       }.toDF()
@@ -588,20 +646,52 @@ object Multimodal {
     * fmt/data chunks, little-endian fields), body = `data_size` filler
     * bytes. Pure codegen: the header is built as a hex string and
     * `unhex`ed once. */
-  def synthWav(docs: DataFrame): DataFrame = {
-    val id = col("doc_id")
+  /** 44-byte RIFF/WAVE/fmt/data header as a hex column (one per doc). */
+  private def wavHeaderHex(id: Column): Column = {
     val (channels, rate, blockAlign, byteRate, dataSize) = wavFields(id)
-    val headerHex = concat(
+    concat(
       lit("52494646"), leHex(dataSize + lit(36L), 4),          // 'RIFF', chunk size
       lit("57415645"), lit("666D7420"),                        // 'WAVE', 'fmt '
       leHex(lit(16L), 4), leHex(lit(1L), 2),                   // fmt size, PCM
       leHex(channels, 2), leHex(rate, 4), leHex(byteRate, 4),
       leHex(blockAlign, 2), leHex(lit(16L), 2),                // 16-bit samples
       lit("64617461"), leHex(dataSize, 4))                     // 'data', size
+  }
+
+  def synthWav(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val (_, _, _, _, dataSize) = wavFields(id)
     docs.select(id, lit("audio/wav").as("media_type"),
-        headerHex.as("_h"), dataSize.cast("int").as("_n"))
+        wavHeaderHex(id).as("_h"), dataSize.cast("int").as("_n"))
       .select(col("doc_id"), col("media_type"),
         unhex(concat(col("_h"), expr("repeat('5A', _n)"))).as("payload"))
+  }
+
+  /** The closed-form PCM sample rule shared by [[synthWavPattern]], its
+    * real-decode consumers, and the DuckDB oracle:
+    * s(d, k) = ((d mod 16)·371 + k·97) mod 2048 − 1024 — varying and
+    * sign-changing, so downstream audio features are non-trivial. */
+  private def patSample(id: Column, k: Column): Column =
+    pmod(pmod(id, lit(16L)) * lit(371L) + k.cast("long") * lit(97L),
+      lit(2048L)) - lit(1024L)
+
+  /** Synthesize a patterned PCM WAV per document: the [[synthWav]]
+    * container with [[patSample]] 16-bit LE samples as the body (the
+    * audio analog of [[synthBmpPattern]] — a genuinely decodable signal
+    * the feature extractors can be oracle-checked against, where the
+    * constant-0x5A body of [[synthWav]] would make every feature
+    * trivial). Pure codegen: one `transform` over the sample range. */
+  def synthWavPattern(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val (_, _, _, _, dataSize) = wavFields(id)
+    val n = (dataSize / lit(2L)).cast("int")
+    val body = array_join(
+      transform(sequence(lit(0), n - lit(1)), k => leHex(patSample(id, k), 2)),
+      "")
+    docs.select(id, lit("audio/wav").as("media_type"),
+        wavHeaderHex(id).as("_h"), body.as("_b"))
+      .select(col("doc_id"), col("media_type"),
+        unhex(concat(col("_h"), col("_b"))).as("payload"))
   }
 
   /** Parse a WAV payload's header — magic check, format fields, and the

@@ -112,6 +112,31 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(!c.getBoolean(1) && c.getString(2).isEmpty)
   }
 
+  test("audio features over the patterned PCM match the closed form") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val out = Multimodal.audioFeatures(Multimodal.synthWavPattern(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 40 && out.values.forall(_.getBoolean(1)),
+      "every patterned WAV must really decode")
+    for (d <- 0L until 40L) {
+      val n = ((d % 100) + 1) * (1 + d % 2)
+      val samples = (0L until n).map(k => ((d % 16) * 371 + k * 97) % 2048 - 1024)
+      val zc = samples.sliding(2).count(p => p.size == 2 && p(0) * p(1) < 0)
+      val rms = math.sqrt(samples.map(v => v * v).sum.toDouble / n)
+      val r = out(d)
+      assert(r.getLong(2) == n, s"doc $d n_samples")
+      assert(r.getLong(3) == samples.map(math.abs).max, s"doc $d peak")
+      assert(r.getLong(4) == zc, s"doc $d zero-crossings")
+      assert(r.getLong(5) == math.floor(rms * 10000 + 0.5).toLong, s"doc $d rms")
+    }
+    // corrupt payload: flags, never throws
+    val c = Multimodal.audioFeatures(
+      Seq((0L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).head()
+    assert(!c.getBoolean(1) && c.getLong(2) == -1L)
+  }
+
   test("box-average resize: geometry, ahash-consistent means, corrupt flags") {
     val s = spark
     import s.implicits._
