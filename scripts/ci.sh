@@ -64,9 +64,15 @@ echo "== doc-currency gate (README test count vs live suite) =="
 # scalatest's own summary lines from the run above. Fails loudly on drift.
 # (`|| true` inside the substitutions: under pipefail a no-match grep
 # would otherwise abort the script before the could-not-extract branch.)
-actual_tests=$(grep -oE 'Total number of tests run: [0-9]+' "$SBT_TEST_LOG" \
+# ANSI escape sequences are stripped first: a color-enabled sbt/scalatest
+# would otherwise break the plain-text grep and hard-fail the gate
+# spuriously.
+SBT_TEST_PLAIN=$(mktemp /tmp/graft_ci_sbt_plain.XXXXXX)
+trap 'rm -f "$SBT_TEST_LOG" "$SBT_TEST_PLAIN"' EXIT
+sed $'s/\x1b\\[[0-9;]*[A-Za-z]//g' "$SBT_TEST_LOG" > "$SBT_TEST_PLAIN"
+actual_tests=$(grep -oE 'Total number of tests run: [0-9]+' "$SBT_TEST_PLAIN" \
   | tail -1 | grep -oE '[0-9]+' || true)
-actual_suites=$(grep -oE 'Suites: completed [0-9]+' "$SBT_TEST_LOG" \
+actual_suites=$(grep -oE 'Suites: completed [0-9]+' "$SBT_TEST_PLAIN" \
   | tail -1 | grep -oE '[0-9]+' || true)
 claimed=$(grep -oE '[0-9]+ tests, [0-9]+ suites' README.md | head -1 || true)
 if [[ -z "$actual_tests" || -z "$actual_suites" || -z "$claimed" ]]; then

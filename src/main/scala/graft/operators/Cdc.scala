@@ -148,19 +148,16 @@ object Cdc {
     // upserts while the anti-join below still removes its base row)
     val upserts = latest.filter(!col(opCol).eqNullSafe(lit("D")))
       .select(base.columns.map(col): _*)
-    // base-side guard rides the payload columns (keys stay bare
-    // attributes for bucketed co-location — see keyGuard). A keys-only
-    // base has no non-key column to carry it, so there the guard wraps
-    // the keys themselves: the degenerate shape trades its (payload-less)
-    // co-location for the contract that a null key NEVER passes silently.
-    val payCols = base.columns.filterNot(keyCols.contains)
+    // base-side guard is a FILTER, not a projection rider: a guard woven
+    // into payload columns only fires if those columns are EVALUATED, so
+    // a keys-only consumer (or a bare count) would let Catalyst prune the
+    // guarded expressions and a null-keyed base row would pass silently.
+    // Filter predicates survive column pruning, evaluate on every row,
+    // keep the key attributes bare (FilterExec passes partitioning
+    // through — bucketed co-location intact), and make the keys-only
+    // special case unnecessary.
     val guardedBase =
-      if (payCols.isEmpty)
-        base.select(base.columns.map(c =>
-          keyGuard(keyCols, "applyChangelog", col(c)).as(c)): _*)
-      else base.select(base.columns.map(c =>
-        if (keyCols.contains(c)) col(c)
-        else keyGuard(keyCols, "applyChangelog", col(c)).as(c)): _*)
+      base.where(keyGuard(keyCols, "applyChangelog", lit(true)))
     val untouched = guardedBase.join(
       latest.select(keyCols.map(col): _*), keyCols, "left_anti")
     untouched.unionByName(upserts)

@@ -106,16 +106,33 @@ object Dedup {
     * Windows are keyed by [[TextAnalysis.hash60]] (a 60-bit space —
     * corpus-scale collision odds are the same accepted trade as every
     * shingle index here); keys are hashes, never the 50-char windows,
-    * so the shuffle moves 8-byte keys. */
-  def substringSpans(docs: DataFrame, minLen: Int = 50): DataFrame = {
-    val wins = docs
-      .filter(length(col("text")) >= minLen)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - lit(minLen - 1)))
-          .as("p"))
-      .select(col("doc_id"), col("p"),
-        TextAnalysis.hash60(col("text").substr(col("p"), lit(minLen)))
-          .as("h"))
+    * so the shuffle moves 8-byte keys.
+    *
+    * Giant-document skew: the stride-1 explode turns one row of length L
+    * into L window rows inside the SOURCE task — one 100 MB outlier
+    * document would become a 100 M-row straggler before any exchange —
+    * and, worse, `substr(p, minLen)` on a UTF8String counts characters
+    * byte-wise from position 0 on EVERY call, so the unsharded window
+    * pass is O(L²) CPU in the document length, not O(L).
+    * Documents longer than `shardChars` are therefore pre-split into
+    * segments of `shardChars` window starts each, overlapped by
+    * minLen−1 chars so every stride-1 window of the original text is
+    * generated in EXACTLY ONE segment (segment i carries original chars
+    * [i·S+1, i·S+S+minLen−1] and emits window starts i·S+1 … i·S+S), and
+    * the bounded-size segments are hash-repartitioned on (doc, offset)
+    * (every segment its own key — deterministic under retry) before the
+    * window explode. Global positions are reconstructed from the segment
+    * offset, so the per-doc run-merge window sees the identical position
+    * set and spans crossing segment seams merge exactly as before — the
+    * output is byte-identical to the unsharded plan (spec-pinned). Short
+    * documents keep the direct shuffle-free path, so at uniform doc
+    * sizes the plan (and its cost) is unchanged. `shardChars` therefore
+    * bounds BOTH the per-task row amplification AND the per-window
+    * substr scan (a window never walks past its own segment), restoring
+    * the linear total cost the scale story claims. */
+  def substringSpans(docs: DataFrame, minLen: Int = 50,
+      shardChars: Int = 8192): DataFrame = {
+    val wins = substringWindows(docs, minLen, shardChars)
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val dup = wins
       .withColumn("mn", min(col("doc_id")).over(wh))
@@ -135,6 +152,49 @@ object Dedup {
         (max(col("p")) - min(col("p")) + lit(minLen.toLong)).as("span_len"))
       .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
         col("span_len").cast("long").as("span_len"))
+  }
+
+  /** The (doc_id, position, window-hash) relation behind
+    * [[substringSpans]] — exposed for the planted-skew spec, which pins
+    * both the exactly-once window coverage and the segment spread (no
+    * single source partition holds a giant document's full window set). */
+  private[graft] def substringWindows(docs: DataFrame, minLen: Int,
+      shardChars: Int): DataFrame = {
+    val eligible = docs.filter(length(col("text")) >= minLen)
+    val shortWins = eligible
+      .filter(length(col("text")) < lit(shardChars + minLen))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(minLen - 1)))
+          .as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        TextAnalysis.hash60(col("text").substr(col("p"), lit(minLen)))
+          .as("h"))
+    val longWins = eligible
+      .filter(length(col("text")) >= lit(shardChars + minLen))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - lit(minLen)).cast("double") /
+            lit(shardChars)).cast("int"))).as("i"))
+      .select(col("doc_id"),
+        (col("i").cast("long") * lit(shardChars.toLong)).as("off"),
+        col("text").substr(col("i") * lit(shardChars) + lit(1),
+          lit(shardChars + minLen - 1)).as("seg"))
+      // spread bounded segments across all tasks (deterministic — safe
+      // under task retry); this is the exchange that breaks the straggler.
+      // The partition count MUST be pinned: AQE sizes coalescing by map
+      // output bytes, and segments are tiny relative to the ~shardChars×
+      // row amplification of the explode that follows — left adaptive,
+      // AQE folds them back into one task and reintroduces the straggler.
+      .repartition(docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"), col("off"))
+      .select(col("doc_id"), col("off"), col("seg"),
+        explode(sequence(lit(1), length(col("seg")) - lit(minLen - 1)))
+          .as("lp"))
+      .select(col("doc_id"), (col("off") + col("lp")).as("p"),
+        TextAnalysis.hash60(col("seg").substr(col("lp"), lit(minLen)))
+          .as("h"))
+    shortWins.unionByName(longWins)
   }
 
   /** Exact-Jaccard verification of candidate pairs against the full shingle

@@ -243,24 +243,33 @@ object Multimodal {
             if (img == null || ow < 1 || oh < 1)
               ResizedImage(id, decoded_ok = false, -1, -1, "", -1L)
             else {
+              // row-wise bulk getRGB: ONE colour-model conversion per
+              // scanline instead of one per source pixel (the per-call
+              // conversion dominated the factor²-per-output-pixel loop).
+              // The integer math per pixel is unchanged, so the digest
+              // below is bit-identical to the per-pixel form.
               val px = new Array[Long](ow * oh)
+              val iw = ow * factor
+              val row = new Array[Int](iw)
+              val acc = new Array[Long](ow)
               var bj = 0
               while (bj < oh) {
+                java.util.Arrays.fill(acc, 0L)
+                var dy = 0
+                while (dy < factor) {
+                  img.getRGB(0, bj * factor + dy, iw, 1, row, 0, iw)
+                  var x = 0
+                  while (x < iw) {
+                    val rgb = row(x)
+                    acc(x / factor) += (((rgb >> 16) & 255) +
+                      ((rgb >> 8) & 255) + (rgb & 255)) / 3
+                    x += 1
+                  }
+                  dy += 1
+                }
                 var bi = 0
                 while (bi < ow) {
-                  var s = 0L
-                  var dy = 0
-                  while (dy < factor) {
-                    var dx = 0
-                    while (dx < factor) {
-                      val rgb = img.getRGB(bi * factor + dx, bj * factor + dy)
-                      s += (((rgb >> 16) & 255) + ((rgb >> 8) & 255) +
-                        (rgb & 255)) / 3
-                      dx += 1
-                    }
-                    dy += 1
-                  }
-                  px(bj * ow + bi) = s / (factor.toLong * factor)
+                  px(bj * ow + bi) = acc(bi) / (factor.toLong * factor)
                   bi += 1
                 }
                 bj += 1
@@ -439,8 +448,17 @@ object Multimodal {
     * than the driver, executor-encoded noise may not be bounded by the
     * driver-measured worst case. Homogeneous clusters (the normal Spark
     * deployment) are fine; heterogeneous ones should pass an explicit
-    * `maxMae` measured on the executor image. */
+    * `maxMae` measured on the executor image. The DEFAULT additionally
+    * floors the derived bound at [[JpegMaeAbsFloor]] gray levels so a
+    * driver whose own tables happen to be unusually tight never hands
+    * executors a bound below the historical cross-JRE worst case — the
+    * failure modes the boolean catches sit at tens of gray levels, so
+    * the floor costs no detection power. */
   val JpegMaeHeadroom = 1.25
+
+  /** Absolute floor (gray levels) under the derived default `maxMae` —
+    * the pre-derivation fixed bound, kept as the cross-JRE safety net. */
+  val JpegMaeAbsFloor = 16.0
 
   /** One real-decoded image scored against the closed-form pattern:
     * decode flag, decoder-reported geometry, and whether the mean
@@ -455,7 +473,9 @@ object Multimodal {
       dec_width: Long, dec_height: Long, mae_ok: Boolean)
 
   def decodeImageVsPattern(media: DataFrame,
-      maxMae: Double = jpegWorstCaseMae * JpegMaeHeadroom): DataFrame = {
+      maxMae: Double =
+        math.max(jpegWorstCaseMae * JpegMaeHeadroom, JpegMaeAbsFloor))
+      : DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]

@@ -148,12 +148,26 @@ class CdcSpec extends AnyFunSuite {
       Cdc.applyChangelog(good, nullChg, Seq("k"), "ts", "seq", "op").collect()
     }
     assert(chain(e1).contains("null merge key"))
-    // base-side guard (rides the payload columns)
+    // base-side guard (a Filter on the base)
     val e2 = intercept[Exception] {
       Cdc.applyChangelog(nullBase, chg((1L, 10L, 20L, "new1", "U")),
         Seq("k"), "ts", "seq", "op").collect()
     }
     assert(chain(e2).contains("null merge key"))
+    // column-pruning resistance (why the guard is a Filter, not a
+    // projection rider): a consumer that selects only key columns — or
+    // merely counts rows — must still trip the base-side guard; a guard
+    // woven into payload columns would be pruned away here
+    val e2a = intercept[Exception] {
+      Cdc.applyChangelog(nullBase, chg((1L, 10L, 20L, "new1", "U")),
+        Seq("k"), "ts", "seq", "op").select("k").collect()
+    }
+    assert(chain(e2a).contains("null merge key"))
+    val e2b = intercept[Exception] {
+      Cdc.applyChangelog(nullBase, chg((1L, 10L, 20L, "new1", "U")),
+        Seq("k"), "ts", "seq", "op").count()
+    }
+    assert(chain(e2b).contains("null merge key"))
     // diff guards BOTH snapshots (rides the presence sentinel)
     val e3 = intercept[Exception] {
       Cdc.diff(nullBase, good, Seq("k"), "op").collect()
@@ -163,8 +177,8 @@ class CdcSpec extends AnyFunSuite {
       Cdc.diff(good, nullBase, Seq("k"), "op").collect()
     }
     assert(chain(e4).contains("null merge key"))
-    // keys-only base (no payload column to carry the guard): the guard
-    // must wrap the keys themselves rather than silently lapse
+    // keys-only base: the filter guard needs no payload column to ride,
+    // so the degenerate shape is covered by the same mechanism
     val keysOnlyNull = Seq(Option(1L), Option.empty[Long]).toDF("k")
     val koChg = Seq((2L, 1L, 20L, "U")).toDF("k", "seq", "ts", "op")
     val e5 = intercept[Exception] {
