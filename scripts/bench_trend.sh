@@ -7,6 +7,18 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# --copies N  : scale multiple for the synthesized dir (default 3; the
+#               decade point is --copies 10 — run it on the heavy set via
+#               SPARK_GRAFT_TREND_ONLY to bound wall time)
+# --only a,b  : restrict to a comma-separated query list
+while [[ $# -gt 0 ]]; do
+  case "$1" in
+    --copies) export SPARK_GRAFT_TREND_COPIES="$2"; shift 2 ;;
+    --only)   export SPARK_GRAFT_TREND_ONLY="$2"; shift 2 ;;
+    *) echo "unknown arg: $1" >&2; exit 2 ;;
+  esac
+done
+
 sbt -batch compile 1>&2
 
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"

@@ -282,4 +282,67 @@ class StreamDedupSpec extends AnyFunSuite {
     }
     assert(errEmpty.getMessage.contains("unparseable"))
   }
+
+  test("embed-dedup late arrival: corpus decisions are order-independent," +
+      " batch classes keep exactly one first arrival") {
+    // The corpus screen is a set join against FIXED state, so a slice
+    // arriving late (after later-id vectors already went through) must
+    // make the identical corpus-match decisions. Batch-batch attribution
+    // is first-ARRIVAL-wins by design (the streaming analog of ST4's
+    // first-write-wins; id order only breaks ties INSIDE one micro-batch),
+    // so the order-independent contract there is exactly-one-keeper per
+    // near-dup class, with the dup pointing at whichever member arrived
+    // first — pinned here in both arrival orders.
+    import graft.operators.Similarity
+    import graft.streaming.StreamEmbedDedup
+    val s = spark
+    import s.implicits._
+    // one-hot vectors: cosine is EXACTLY 1 for identical ids and 0
+    // otherwise, so near-dup classes are unambiguous at any tau and
+    // identical vectors share SRP codes (deterministic candidacy)
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d => if (d == i) 1f else 0f)
+    val corpus = (0 until 10)
+      .map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    // A(100) == corpus vec 1 exactly; B1(101) == B2(102) (mutual dups,
+    // far from corpus); D(103) unique
+    val batch = Map(
+      100L -> vec(1), 101L -> vec(20), 102L -> vec(20), 103L -> vec(30))
+    val bb = Similarity.bandsFor(10L)
+
+    def runOrder(name: String, slices: Seq[Seq[Long]]): Map[Long, (String, Option[Long])] = {
+      val dir = SessionScoped.scratchDir(s"graft_sedup_late_$name")
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = StreamEmbedDedup.run(
+        input.toDF().toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding").cast("array<float>")),
+        corpus, dir, Similarity.LshTau, bandBits = Some(bb))
+      try slices.foreach { ids =>
+        input.addData(ids.map(id => (id, batch(id))))
+        q.processAllAvailable()
+      } finally q.stop()
+      StreamEmbedDedup.decisions(spark, dir).collect().map { r =>
+        r.getAs[Long]("vec_id") ->
+          (r.getAs[String]("status"), Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong))
+      }.toMap
+    }
+
+    // in-order vs late: the small-id slice [100, 101] arrives AFTER the
+    // later-id slice [102, 103] in the second run
+    val inOrder = runOrder("a", Seq(Seq(100L, 101L), Seq(102L, 103L)))
+    val late = runOrder("b", Seq(Seq(102L, 103L), Seq(100L, 101L)))
+
+    // corpus decisions: identical in both orders (set join, fixed state)
+    for (d <- Seq(inOrder, late)) {
+      assert(d(100L) == (("dup_of_corpus", Some(1L))), s"got ${d(100L)}")
+      assert(d(103L)._1 == "kept", s"got ${d(103L)}")
+    }
+    // batch-batch class {101, 102}: exactly one keeper in each order, the
+    // dup pointing at the first arrival
+    assert(inOrder(101L)._1 == "kept")
+    assert(inOrder(102L) == (("dup_in_batch", Some(101L))), s"got ${inOrder(102L)}")
+    assert(late(102L)._1 == "kept")
+    assert(late(101L) == (("dup_in_batch", Some(102L))), s"got ${late(101L)}")
+  }
 }
