@@ -310,9 +310,59 @@ object CorpusEntries {
   private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
     operators.Bpe.encode(Tables.documents(s, dir), trainedMerges(s, dir))
 
+  /** Unigram-LM parameters shared by the q_unigram pair's queries and
+    * oracles: seed 96 multi-char pieces, two hard-EM rounds pruning to
+    * 64 then 48 — past one round so the oracle's per-round CTE blocks
+    * prove the LOOP, not a single pass (the BpeIters > 16 reasoning). */
+  private val UnigramSeedMulti = 96
+  private val UnigramKeep = Seq(64, 48)
+
+  /** One trained unigram table per (session, sfDir) — the q_unigram pair
+    * shares it exactly like [[bpeMergeRuns]]: training is deterministic,
+    * so q_unigram_encode re-training would reproduce the identical table
+    * while paying the EM loop a second time. */
+  private val unigramRuns = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Array[(String, Long, Long)]]()
+
+  private def trainUnigram(s: SparkSession, dir: String): Array[(String, Long, Long)] =
+    operators.Unigram.train(Tables.documents(s, dir),
+      UnigramSeedMulti, UnigramKeep)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  private def trainedUnigram(s: SparkSession, dir: String): DataFrame = {
+    val key = (SessionScoped.key(s), dir)
+    var rows = unigramRuns.get(key)
+    if (rows == null) {
+      Console.err.println(
+        s"[graft] trainedUnigram cache miss for $dir — cold-training the " +
+          "unigram table inside the calling query's measurement")
+      val trained = trainUnigram(s, dir)
+      rows = Option(unigramRuns.putIfAbsent(key, trained)).getOrElse(trained)
+    }
+    import s.implicits._
+    rows.toSeq.toDF("piece", "n_uses", "logp_q")
+  }
+
+  /** Unigram-LM tokenizer training ([[operators.Unigram]]): seed + two
+    * hard-EM Viterbi/prune rounds. Always retrains (this query MEASURES
+    * training) and refreshes the shared cache. */
+  private def qUnigramTrain(s: SparkSession, dir: String): DataFrame = {
+    val rows = trainUnigram(s, dir)
+    unigramRuns.put((SessionScoped.key(s), dir), rows)
+    import s.implicits._
+    rows.toSeq.toDF("piece", "n_uses", "logp_q")
+  }
+
+  /** The corpus Viterbi-tokenized with the learned unigram table: exact
+    * per-piece counts (the subword-vocabulary view, like q_bpe_encode). */
+  private def qUnigramEncode(s: SparkSession, dir: String): DataFrame =
+    operators.Unigram.encode(Tables.documents(s, dir), trainedUnigram(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,
+    "q_unigram_train" -> qUnigramTrain,
+    "q_unigram_encode" -> qUnigramEncode,
     "q_sample_hash" -> qSampleHash,
     "q_vocab" -> qVocab,
     "q_tfidf" -> qTfidf,
@@ -449,7 +499,117 @@ object CorpusEntries {
        |${(1 to BpeIters).map(layer).mkString(",\n")}""".stripMargin
   }
 
+  /** Unigram-LM oracle CTE chain (mirrors Unigram.train step for step):
+    * word dict with the MaxWordLen filter, substring-seeded vocabulary,
+    * then per EM round one UNROLLED Viterbi DP (one cumulative layer per
+    * word position, ≤ MaxWordLen of them; ties broken (score DESC, split
+    * pos ASC) exactly like the Scala DP's ascending-i strict-> loop),
+    * usage counts from the bracketed segmentation strings, and the
+    * chars + top-k prune with Laplace +1 counts. Every layer is AS
+    * MATERIALIZED — the cumulative union is referenced by the next layer
+    * AND the final cut, and DuckDB inlines per reference (the oBpeChain
+    * lesson). `dpChain(pfx, vq)` ends in `fin$pfx(cnt, seg)`. */
+  private def oUnigramChain(withEncodeChain: Boolean): String = {
+    val W = operators.Unigram.MaxWordLen
+    val P = operators.Unigram.MaxPiece
+    def lqCte(name: String, src: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(floor(ln(CAST(c AS DOUBLE) / t.tot) * 10000 + 0.5) AS BIGINT)
+         |      AS lq
+         |  FROM $src, (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM $src) t
+         |)""".stripMargin
+    def dpChain(pfx: String, vq: String): String = {
+      val layers = (1 to W).map { j =>
+        s"""dp$pfx$j AS (
+           |  SELECT word, cnt, $j AS pos, sc, seg FROM (
+           |    SELECT d.word, d.cnt, d.sc + v.lq AS sc,
+           |      d.seg || chr(1) || v.piece || chr(2) AS seg,
+           |      row_number() OVER (PARTITION BY d.word
+           |        ORDER BY d.sc + v.lq DESC, d.pos ASC) AS rn
+           |    FROM dpc$pfx${j - 1} d
+           |    JOIN $vq v ON v.piece = substr(d.word, d.pos + 1, $j - d.pos)
+           |    WHERE d.pos >= $j - $P AND length(d.word) >= $j
+           |  ) WHERE rn = 1
+           |), dpc$pfx$j AS MATERIALIZED (
+           |  SELECT * FROM dpc$pfx${j - 1} UNION ALL SELECT * FROM dp$pfx$j
+           |)""".stripMargin
+      }
+      s"""dpc${pfx}0 AS MATERIALIZED (
+         |  SELECT word, cnt, 0 AS pos, CAST(0 AS BIGINT) AS sc, '' AS seg
+         |  FROM wc
+         |),
+         |${layers.mkString(",\n")},
+         |fin$pfx AS MATERIALIZED (
+         |  SELECT cnt, seg FROM dpc$pfx$W WHERE pos = length(word)
+         |)""".stripMargin
+    }
+    def usageCte(t: Int, finPfx: String) =
+      s"""u$t AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS u FROM (
+         |    SELECT cnt, unnest(regexp_extract_all(seg,
+         |      chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1)) AS piece
+         |    FROM fin$finPfx
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    def vocabCte(t: Int, k: Int) =
+      s"""v$t AS MATERIALIZED (
+         |  SELECT piece, CAST(u + 1 AS BIGINT) AS c, u FROM (
+         |    SELECT ch.piece, coalesce(uu.u, 0) AS u
+         |    FROM chars ch LEFT JOIN u$t uu USING (piece)
+         |    UNION ALL
+         |    SELECT piece, u FROM (
+         |      SELECT piece, u, row_number() OVER (ORDER BY u DESC, piece) AS rn
+         |      FROM u$t WHERE length(piece) > 1
+         |    ) WHERE rn <= $k
+         |  )
+         |)""".stripMargin
+    val base =
+      s"""wc AS MATERIALIZED (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+         |  ) WHERE length(word) > 0 AND length(word) <= $W
+         |    AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0
+         |  GROUP BY 1
+         |), s0 AS MATERIALIZED (
+         |  SELECT substr(word, i.i, l.l) AS piece, CAST(sum(cnt) AS BIGINT) AS u
+         |  FROM wc, range(1, ${W + 1}) i(i), range(1, ${P + 1}) l(l)
+         |  WHERE i.i + l.l - 1 <= length(word)
+         |  GROUP BY 1
+         |), chars AS MATERIALIZED (
+         |  SELECT piece, u FROM s0 WHERE length(piece) = 1
+         |), v0 AS MATERIALIZED (
+         |  SELECT piece, u AS c FROM chars
+         |  UNION ALL
+         |  SELECT piece, u AS c FROM (
+         |    SELECT piece, u, row_number() OVER (ORDER BY u DESC, piece) AS rn
+         |    FROM s0 WHERE length(piece) > 1
+         |  ) WHERE rn <= $UnigramSeedMulti
+         |),
+         |${lqCte("vq0", "v0")},
+         |${dpChain("a", "vq0")},
+         |${usageCte(1, "a")},
+         |${vocabCte(1, UnigramKeep(0))},
+         |${lqCte("vq1", "v1")},
+         |${dpChain("b", "vq1")},
+         |${usageCte(2, "b")},
+         |${vocabCte(2, UnigramKeep(1))},
+         |${lqCte("vq2", "v2")}""".stripMargin
+    if (withEncodeChain) base + ",\n" + dpChain("c", "vq2") else base
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_unigram_train" ->
+      s"""WITH ${oUnigramChain(withEncodeChain = false)}
+         |SELECT v2.piece, CAST(v2.u AS BIGINT) AS n_uses, vq2.lq AS logp_q
+         |FROM v2 JOIN vq2 USING (piece)""".stripMargin,
+    "q_unigram_encode" ->
+      s"""WITH ${oUnigramChain(withEncodeChain = true)}
+         |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |  SELECT cnt, unnest(regexp_extract_all(seg,
+         |    chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1)) AS token
+         |  FROM finc
+         |) GROUP BY 1""".stripMargin,
     "q_bpe_train" ->
       s"""WITH $oBpeChain
          |${(1 to BpeIters).map(i =>
