@@ -51,11 +51,22 @@ ever min-merge, so the stale-high entry never heals on its own.
 steady-host rule --update-new trusts, and refuses to move a floor UP
 (loosening stays impossible).
 
+Intentional-feature-growth re-baseline (round 14): the symmetric case —
+a query deliberately made BIGGER after its floor was set (r14's
+q_media_exif: the sub-IFD pointer-follow doubled the parsed surface one
+day after the 0.766 floor landed) reads as permanent upward "drift"
+against a floor that measures a smaller query. --regrow q1,q2 resets
+the named queries to t/level UPWARD-only, under the same steady-host
+rule; because regrow LOOSENS a gate, each use must cite the feature
+change in SCALE.md (judge-auditable), and it refuses to move a floor
+DOWN (that's --rebase / min-merge --update territory).
+
 Usage:
   python3 scripts/bench_floor.py bench_out.json              # gate
   python3 scripts/bench_floor.py --update bench_out.json     # merge mins into the floor
   python3 scripts/bench_floor.py --update-new bench_out.json # add missing floors at t/level
   python3 scripts/bench_floor.py --rebase q1,q2 bench_out.json # reset named floors to t/level
+  python3 scripts/bench_floor.py --regrow q1,q2 bench_out.json # raise named floors to t/level
 Exit codes: 0 green/first-strikes, 1 real breach or bad --update,
 3 too many consecutive inconclusive runs.
 """
@@ -96,6 +107,14 @@ def main():
             print("usage: bench_floor.py --rebase q1,q2 bench_out.json")
             return 1
         rebase = [q for q in args[i + 1].split(",") if q]
+        del args[i:i + 2]
+    regrow = None
+    if "--regrow" in args:
+        i = args.index("--regrow")
+        if i + 1 >= len(args):
+            print("usage: bench_floor.py --regrow q1,q2 bench_out.json")
+            return 1
+        regrow = [q for q in args[i + 1].split(",") if q]
         del args[i:i + 2]
     args = [a for a in args if a not in ("--update", "--update-new")]
     bench_file = args[0] if args else "bench_out.json"
@@ -174,6 +193,47 @@ def main():
         json.dump(floor, open(FLOOR, "w"), indent=1, sort_keys=True)
         print(f"floor updated (rebase): {len(rebase)} entr"
               f"{'y' if len(rebase) == 1 else 'ies'} -> {FLOOR}")
+        return 0
+
+    if regrow is not None:
+        # the UP-only mirror of --rebase, for a floor made stale-LOW by a
+        # deliberate feature growth (the query now does measurably more
+        # work than the one the floor measured). Because this LOOSENS a
+        # gate, each use must cite the feature change in SCALE.md.
+        if noise is None or not steady:
+            print("REFUSED: --regrow needs a run with a STEADY calibration "
+                  "pair (cal_before ~= cal_after) so the level is trustworthy")
+            return 1
+        if noise > LEVEL_MAX:
+            print(f"REFUSED: level {noise:.2f} > {LEVEL_MAX:g} — too far from "
+                  "floor geometry even for a steady host")
+            return 1
+        lvl = max(noise, 1.0)
+        for q in regrow:
+            if q not in queries:
+                print(f"REFUSED: {q} is not in this bench run")
+                return 1
+            if q not in floor:
+                print(f"REFUSED: {q} has no floor — --update-new covers "
+                      "first-time entries")
+                return 1
+            v = round(queries[q] / lvl, 3)
+            if v <= floor[q]:
+                print(f"REFUSED: {q} regrow {v:.3f}s would not RAISE its "
+                      f"floor {floor[q]:.3f}s — --regrow is for stale-low "
+                      "floors only (a feature made the query bigger); use "
+                      "--rebase for stale-high ones")
+                return 1
+        for q in regrow:
+            v = round(queries[q] / lvl, 3)
+            old = floor[q]
+            floor[q] = v
+            print(f"REGROWN {q}: {old:.3f}s -> {v:.3f}s "
+                  f"({queries[q]:.3f}s / level {lvl:.2f}) — cite the feature "
+                  "change in SCALE.md")
+        json.dump(floor, open(FLOOR, "w"), indent=1, sort_keys=True)
+        print(f"floor updated (regrow): {len(regrow)} entr"
+              f"{'y' if len(regrow) == 1 else 'ies'} -> {FLOOR}")
         return 0
 
     if update:

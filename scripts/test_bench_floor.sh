@@ -84,4 +84,26 @@ set +e; python3 bench_floor.py --update-new "$td/noisy.json" >/dev/null; r=$?; s
 set +e; python3 bench_floor.py --update-new "$td/too_slow.json" >/dev/null; r=$?; set -e
 [[ $r == 1 ]] || die "--update-new past LEVEL_MAX must exit 1"
 
+# --regrow on a STEADY run: RAISES only the named existing floor at
+# t/level (the up-only mirror of --rebase, for deliberate feature growth)
+printf '{"queries":{"q1":4.8,"q9":2.0},"noise_factor":1.6,"cal_before_sec":1.6,"cal_after_sec":1.6}\n' > "$td/grown.json"
+python3 bench_floor.py --regrow q1 "$td/grown.json" >/dev/null \
+  || die "--regrow on a steady run must succeed"
+python3 - "$GRAFT_FLOOR_FILE" <<'EOF' || die "--regrow floor contents wrong"
+import json, sys
+f = json.load(open(sys.argv[1]))
+assert f["q1"] == 3.0, f          # 4.8 / level 1.6
+assert f["q2"] == 2.0, f          # untouched
+EOF
+# a regrow that would LOWER the floor is refused (that's --rebase's job)
+printf '{"queries":{"q1":1.6},"noise_factor":1.6,"cal_before_sec":1.6,"cal_after_sec":1.6}\n' > "$td/down.json"
+set +e; python3 bench_floor.py --regrow q1 "$td/down.json" >/dev/null; r=$?; set -e
+[[ $r == 1 ]] || die "--regrow that lowers must exit 1"
+# a floorless query is refused (that's --update-new's job)
+set +e; python3 bench_floor.py --regrow q9 "$td/grown.json" >/dev/null; r=$?; set -e
+[[ $r == 1 ]] || die "--regrow on a floorless query must exit 1"
+# an unsteady run is refused
+set +e; python3 bench_floor.py --regrow q1 "$td/noisy.json" >/dev/null; r=$?; set -e
+[[ $r == 1 ]] || die "--regrow on an unsteady run must exit 1"
+
 echo "BENCH FLOOR LIFECYCLE OK"
