@@ -125,20 +125,25 @@ object Unigram {
     out.result()
   }
 
-  /** One distributed E-step: Viterbi usage counts over the dictionary
-    * (vocabulary rides the task closure — driver-sized artifact). */
+  /** One distributed E-step: Viterbi usage counts over the dictionary.
+    * The vocabulary ships as an explicit broadcast (not a task-closure
+    * capture): at the deployment-scale 32k-piece vocabulary a closure
+    * copy would re-serialize per task, a broadcast once per executor. */
   private def viterbiUsage(wd: DataFrame,
       lq: Map[String, Long]): Array[(String, Long)] = {
     val spark = wd.sparkSession
     import spark.implicits._
-    wd.select(col("word"), col("cnt")).as[(String, Long)]
-      .mapPartitions { it =>
-        it.flatMap { case (w, c) => viterbiPieces(w, lq).map(p => (p, c)) }
-      }
-      .toDF("piece", "cnt")
-      .groupBy("piece").agg(sum(col("cnt")).as("u"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+    val bc = spark.sparkContext.broadcast(lq)
+    try {
+      wd.select(col("word"), col("cnt")).as[(String, Long)]
+        .mapPartitions { it =>
+          it.flatMap { case (w, c) => viterbiPieces(w, bc.value).map(p => (p, c)) }
+        }
+        .toDF("piece", "cnt")
+        .groupBy("piece").agg(sum(col("cnt")).as("u"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    } finally bc.destroy()
   }
 
   /** Train: seed → `keep.size` hard-EM iterations, pruning the multi-char
@@ -152,6 +157,14 @@ object Unigram {
     val seed = seedWeights(wd).materialize
     val chars: Array[String] = seed.filter(length(col("piece")) === 1)
       .select("piece").collect().map(_.getString(0)).sorted
+    // an empty char set means NO word survived the wordDict filters — a
+    // tokenizer trained on nothing is always a configuration error
+    // (wrong column, over-aggressive MaxWordLen); fail loudly rather
+    // than shipping an empty vocabulary that encode would then apply
+    require(chars.nonEmpty,
+      "Unigram.train: no words survive the dictionary filters " +
+        s"(0 < length <= $MaxWordLen, no bracket control chars) — " +
+        "empty corpus or misconfigured input column")
     val seedMultiTop: Array[(String, Long)] = seed
       .filter(length(col("piece")) > 1)
       .orderBy(col("u").desc, col("piece"))
