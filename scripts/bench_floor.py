@@ -57,9 +57,10 @@ q_media_exif: the sub-IFD pointer-follow doubled the parsed surface one
 day after the 0.766 floor landed) reads as permanent upward "drift"
 against a floor that measures a smaller query. --regrow q1,q2 resets
 the named queries to t/level UPWARD-only, under the same steady-host
-rule; because regrow LOOSENS a gate, each use must cite the feature
-change in SCALE.md (judge-auditable), and it refuses to move a floor
-DOWN (that's --rebase / min-merge --update territory).
+rule; because regrow LOOSENS a gate, the SCALE.md citation is
+MECHANICAL — regrow refuses unless the query name already appears in
+SCALE.md (write the adjudication first) — and it refuses to move a
+floor DOWN (that's --rebase / min-merge --update territory).
 
 Usage:
   python3 scripts/bench_floor.py bench_out.json              # gate
@@ -82,6 +83,8 @@ FLOOR = os.environ.get("GRAFT_FLOOR_FILE",
                        os.path.join(os.path.dirname(__file__), "bench_floor.json"))
 STRIKES = os.environ.get("GRAFT_STRIKE_FILE",
                          os.path.join(os.path.dirname(__file__), ".bench_floor_strikes"))
+SCALE_MD = os.environ.get("GRAFT_SCALE_FILE",
+                          os.path.join(os.path.dirname(__file__), "..", "SCALE.md"))
 
 def read_strikes():
     try:
@@ -199,7 +202,7 @@ def main():
         # the UP-only mirror of --rebase, for a floor made stale-LOW by a
         # deliberate feature growth (the query now does measurably more
         # work than the one the floor measured). Because this LOOSENS a
-        # gate, each use must cite the feature change in SCALE.md.
+        # gate, the SCALE.md citation is checked mechanically below.
         if noise is None or not steady:
             print("REFUSED: --regrow needs a run with a STEADY calibration "
                   "pair (cal_before ~= cal_after) so the level is trustworthy")
@@ -209,6 +212,10 @@ def main():
                   "floor geometry even for a steady host")
             return 1
         lvl = max(noise, 1.0)
+        try:
+            scale_text = open(SCALE_MD).read()
+        except OSError:
+            scale_text = ""
         for q in regrow:
             if q not in queries:
                 print(f"REFUSED: {q} is not in this bench run")
@@ -216,6 +223,14 @@ def main():
             if q not in floor:
                 print(f"REFUSED: {q} has no floor — --update-new covers "
                       "first-time entries")
+                return 1
+            # the audit is mechanical, not convention: loosening a gate
+            # requires the paper trail to EXIST before the floor moves
+            if q not in scale_text:
+                print(f"REFUSED: {q} is not cited in {SCALE_MD} — a regrow "
+                      "loosens a gate, so the feature-growth adjudication "
+                      "must be written down (SCALE.md r-section naming the "
+                      "query) BEFORE the floor moves")
                 return 1
             v = round(queries[q] / lvl, 3)
             if v <= floor[q]:

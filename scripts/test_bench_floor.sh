@@ -12,7 +12,9 @@ set -euo pipefail
 cd "$(dirname "$0")"
 td=$(mktemp -d)
 trap 'rm -rf "$td"' EXIT
-export GRAFT_FLOOR_FILE="$td/floor.json" GRAFT_STRIKE_FILE="$td/strikes"
+export GRAFT_FLOOR_FILE="$td/floor.json" GRAFT_STRIKE_FILE="$td/strikes" \
+       GRAFT_SCALE_FILE="$td/scale.md"
+echo "adjudication: q1 grew on purpose" > "$GRAFT_SCALE_FILE"
 
 mkjson() { # $1=file $2=q1 seconds $3=noise_factor $4=cal_before $5=cal_after
   printf '{"queries":{"q1":%s},"noise_factor":%s,"cal_before_sec":%s,"cal_after_sec":%s}\n' \
@@ -105,5 +107,14 @@ set +e; python3 bench_floor.py --regrow q9 "$td/grown.json" >/dev/null; r=$?; se
 # an unsteady run is refused
 set +e; python3 bench_floor.py --regrow q1 "$td/noisy.json" >/dev/null; r=$?; set -e
 [[ $r == 1 ]] || die "--regrow on an unsteady run must exit 1"
+# a regrow whose query is NOT cited in SCALE.md is refused (the audit is
+# mechanical: the paper trail must exist before the gate loosens)
+printf '{"queries":{"q2":9.9},"noise_factor":1.6,"cal_before_sec":1.6,"cal_after_sec":1.6}\n' > "$td/grow2.json"
+set +e; python3 bench_floor.py --regrow q2 "$td/grow2.json" >/dev/null; r=$?; set -e
+[[ $r == 1 ]] || die "--regrow without a SCALE.md citation must exit 1"
+python3 - "$GRAFT_FLOOR_FILE" <<'EOF' || die "refused regrow must not move the floor"
+import json, sys
+assert json.load(open(sys.argv[1]))["q2"] == 2.0
+EOF
 
 echo "BENCH FLOOR LIFECYCLE OK"
