@@ -113,6 +113,15 @@ private[graft] object AnnEntries {
     Similarity.dedupPairsIvf(emb, 0.4, Similarity.clustersFor(emb.count()))
   }
 
+  /** SemDeDup ([[Similarity.semDedup]], Abbas et al. 2023): within-cluster
+    * semantic near-dup classes, keeping each class's member FARTHEST from
+    * its cluster centroid (the paper's diversity-preserving choice).
+    * Adaptive cluster count, as above. */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semDedup(emb, 0.4, Similarity.clustersFor(emb.count()))
+  }
+
   /** Multi-assignment (r=2) variant — closes q_dedup_embed_ivf's
     * cross-cluster blind spot; recall deltas vs the all-pairs baseline are
     * measured in SCALE.md. Adaptive cluster count, as above. */
@@ -749,6 +758,7 @@ private[graft] object AnnEntries {
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_lsh_mp" -> qDedupEmbedLshMp,
     "q_dedup_embed_ivf" -> qDedupEmbedIvf,
+    "q_semdedup" -> qSemDedup,
     "q_dedup_embed_ivf2" -> qDedupEmbedIvf2,
     "q_dedup_embed_incremental" -> qDedupEmbedIncr,
   )
@@ -1048,6 +1058,44 @@ private[graft] object AnnEntries {
          |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
          |)
          |SELECT centroid_id, vec_a, vec_b, cos FROM s WHERE cos >= 0.4""".stripMargin,
+    // SemDeDup mirror: same trained assignment (asg materialized — it is
+    // referenced four times and DuckDB inlines the whole Lloyd chain per
+    // reference), within-cluster pairs >= tau, recursive-CTE components
+    // (the q_dedup_corpus reach idiom), keeper = lowest cosine-to-centroid
+    // per component with vec_id tiebreak, singletons keep via coalesce
+    "q_semdedup" ->
+      s"""WITH RECURSIVE ${oIvfAssign(8, 2)},
+         |asg AS MATERIALIZED (SELECT * FROM assign),
+         |sc AS MATERIALIZED (
+         |  SELECT a.vec_id, a.centroid_id,
+         |    ${r4(oCos("a.embedding", "c.ce"))} AS cscore
+         |  FROM asg a JOIN cent2 c ON c.centroid_id = a.centroid_id
+         |),
+         |p AS MATERIALIZED (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM asg a JOIN asg b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  WHERE ${r4(oCos("a.embedding", "b.embedding"))} >= 0.4
+         |),
+         |und AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM p
+         |  UNION ALL SELECT vec_b, vec_a FROM p
+         |),
+         |reach AS (
+         |  SELECT DISTINCT src AS d, src AS r FROM und
+         |  UNION
+         |  SELECT reach.d, und.dst FROM reach JOIN und ON und.src = reach.r
+         |),
+         |cc AS (SELECT d AS vec_id, min(r) AS component FROM reach GROUP BY d),
+         |j AS (
+         |  SELECT sc.vec_id, sc.centroid_id, sc.cscore,
+         |    coalesce(cc.component, sc.vec_id) AS component
+         |  FROM sc LEFT JOIN cc USING (vec_id)
+         |)
+         |SELECT vec_id, centroid_id, cscore, component,
+         |  row_number() OVER (PARTITION BY component
+         |    ORDER BY cscore, vec_id) = 1 AS keep
+         |FROM j""".stripMargin,
     // multi-assignment (arn <= 2) blocking: DISTINCT candidate pairs from
     // the replicated per-cluster self-join, verified with exact cosine
     "q_dedup_embed_ivf2" ->

@@ -42,7 +42,7 @@ object BenchTrend {
     "q_substring_dup", "q_substring_sa",
     "q_rolling_quantile", "q_dedup_embed_lsh", "q_dedup_embed_lsh_mp",
     "q_dedup_embed_incremental",
-    "q_dedup_embed_ivf",
+    "q_dedup_embed_ivf", "q_semdedup",
     "q_dedup_embed_ivf2", "q_cosine_pq", "q_cosine_ivfpq",
     "q_cosine_ivfpq_sampled",
     "q_cdc_apply", "q_cdc_diff",

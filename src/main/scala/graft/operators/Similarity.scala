@@ -520,6 +520,54 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup
+    * pruning over embedding clusters. Pipeline: Lloyd-trained IVF
+    * assignment → within-cluster exact-cosine pairs ≥ tau (the blocked
+    * candidate shape of [[dedupPairsIvf]] — Σ|c|², never N²) →
+    * connected components over the pair graph → per component keep the
+    * member with the LOWEST cosine to its cluster centroid (the paper's
+    * diversity-preserving choice: among semantic duplicates, the one
+    * farthest from the cluster center carries the most marginal
+    * information), ties to the smallest vec_id. Singletons keep
+    * trivially.
+    *
+    * Scale shape: one broadcast-assign scan + the bounded per-cluster
+    * self-join + CC over the (duplicate-sized, not corpus-sized) pair
+    * graph + one window over clustered rows. Size `nCentroids` with
+    * [[clustersFor]]. Output: one row per vector —
+    * (vec_id, centroid_id, cscore, component, keep). */
+  def semDedup(emb: DataFrame, tau: Double, nCentroids: Int,
+      iters: Int = 2): DataFrame = {
+    val asg =
+      ivfAssign(emb, ivfTrain(emb, nCentroids, iters)).materialize
+    val withCluster = emb
+      .join(asg.select("vec_id", "centroid_id"), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        norm(col("embedding")).as("nrm"))
+    val a = withCluster.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withCluster.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        r4(cosinePre(col("ea"), col("eb"), col("na"), col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+    val cc = Dedup.connectedComponents(
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id").as("component"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("cscore").asc, col("vec_id"))
+    asg.join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("cscore"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("vec_id"), col("centroid_id"), col("cscore"),
+        col("component"), (col("rn") === 1).as("keep"))
+  }
+
   /** k-NN label classification over the labeled embedding corpus: each
     * probe's predicted label is the majority vote of its k nearest
     * neighbors by 4dp-rounded cosine (neighbor-id tiebreak inside the

@@ -338,4 +338,42 @@ class ExtendedOpsSpec extends AnyFunSuite {
     val st = TextAnalysis.stats(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
     assert(st.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
   }
+
+  test("semDedup keeps the farthest-from-centroid member per class, ties to min id") {
+    import graft.operators.Similarity
+    val s = spark
+    import s.implicits._
+    def v(weights: (Int, Double)*): Array[Float] = {
+      val a = new Array[Float](64)
+      weights.foreach { case (d, x) => a(d) = x.toFloat }
+      a
+    }
+    // seeds (vec_id < 2) anchor the two Lloyd clusters: id0 = e0 (class A),
+    // id1 = e2 (class B). Class A = four e0 copies + one tilted member —
+    // the tilted one ends FARTHEST from the trained centroid (≈ the group
+    // mean, e0-dominant), so SemDeDup must keep IT and drop the copies.
+    // Class B = two identical vectors (equal cscore → min-id tiebreak).
+    // id7 is orthogonal to everything: a singleton, kept.
+    val emb = Seq(
+      (0L, v(0 -> 1.0)), (1L, v(2 -> 1.0)),
+      (2L, v(0 -> 1.0)), (3L, v(0 -> 1.0)), (4L, v(0 -> 1.0)),
+      (5L, v(0 -> 0.8, 1 -> 0.6)),
+      (6L, v(2 -> 1.0)),
+      (7L, v(3 -> 1.0))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, tau = 0.4, nCentroids = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("component"), r.getAs[Boolean]("keep"))).toMap
+    assert(Seq(0L, 2L, 3L, 4L, 5L).forall(out(_)._1 == 0L), s"got $out")
+    assert(out(1L)._1 == 1L && out(6L)._1 == 1L, s"got $out")
+    assert(out(7L) == ((7L, true)), s"got $out") // singleton kept
+    // farthest-from-centroid wins class A; the identical e0 copies drop
+    assert(out(5L)._2, s"got $out")
+    Seq(0L, 2L, 3L, 4L).foreach(id => assert(!out(id)._2, s"id $id kept: $out"))
+    // min-id tiebreak on the identical pair
+    assert(out(1L)._2 && !out(6L)._2, s"got $out")
+    // exactly one keeper per component
+    val perComp = out.values.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.count(_._2) }
+    assert(perComp.values.forall(_ == 1), s"got $perComp")
+  }
 }

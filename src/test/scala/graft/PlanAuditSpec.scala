@@ -28,6 +28,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cosine_ivfpq_rerank",
     "q_embed_clusters", "q_dedup_embed_ivf",
     "q_dedup_embed_ivf2", // centroid-table broadcast in ivfAssignTop
+    "q_semdedup", // the same nCentroids-row broadcast assign
     "q_cosine_topk", "q_ivf_recall", // exact side = brute-force query bcast
     "q_cosine_q8", "q_hybrid_search", "q_sample_temperature",
     "q_bm25", "q_knn_classify", "q_drift",
