@@ -533,4 +533,66 @@ object TextAnalysis {
           ((col("ca").cast("double") / col("n_uni")) *
             (col("cb").cast("double") / col("n_uni"))))).as("pmi"))
   }
+
+  /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-n-gram features are under a
+    * TARGET distribution than under the raw corpus —
+    * log w(doc) = Σ_grams [log p_target(bucket) − log p_raw(bucket)],
+    * with unigram+bigram features hashed into `nBuckets` buckets and
+    * both bag-of-buckets models Laplace-smoothed. Positive weight =
+    * more target-like than raw-like, which is the principled
+    * deterministic selection cut (the paper's Gumbel resampling is the
+    * stochastic layer ON TOP of these weights; weights are the
+    * artifact).
+    *
+    * Determinism (mirrored in the DuckDB oracle): buckets are
+    * hash60(gram) mod nBuckets; p(b) = (count_b + 1)/(total + nBuckets)
+    * with counts as exact integers; per-bucket log-probs quantized to
+    * int64 at 4dp (the ln-at-4dp idiom of q_lm_score), so the per-doc
+    * sum is order-free integer math.
+    *
+    * Scale shape: one gram explode + bucket aggregate (the only
+    * corpus-sized pass), two nBuckets-row LM tables (broadcast — a
+    * bucketed LM is bounded by construction), one broadcast join back,
+    * one keyed per-doc aggregate. Docs with no grams surface with
+    * weight 0 / selected false rather than vanishing. */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+      nBuckets: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    val lq = (c: Column, total: Column) =>
+      floor(log((c + lit(1)).cast("double") /
+        (total + lit(nBuckets)).cast("double")) * lit(10000) + lit(0.5))
+        .cast("long")
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(concat(col("toks"), shinglesFromTokens(col("toks"), 2)))
+          .as("g"))
+      .select(col("doc_id"), pmod(hash60(col("g")), lit(nBuckets)).as("b"))
+      .materialize
+    val allB = spark.range(nBuckets).select(col("id").as("b"))
+    def model(src: DataFrame): DataFrame = {
+      val counts = src.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      allB.join(counts, Seq("b"), "left")
+        .select(col("b"), coalesce(col("c"), lit(0L)).as("c"))
+        .crossJoin(broadcast(
+          src.agg(count(lit(1)).as("tot"))))
+        .select(col("b"), lq(col("c"), col("tot")).as("lq"))
+    }
+    val tgt = model(grams.join(
+      docs.filter(targetPred).select("doc_id"), "doc_id"))
+    val raw = model(grams)
+    val perDoc = grams
+      .join(broadcast(tgt.select(col("b"), col("lq").as("lqt"))), "b")
+      .join(broadcast(raw.select(col("b"), col("lq").as("lqr"))), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("lqt") - col("lqr")).as("logw_q"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("logw_q"), lit(0L)).as("logw_q"),
+        (coalesce(col("logw_q"), lit(0L)) > 0L).as("selected"))
+  }
 }

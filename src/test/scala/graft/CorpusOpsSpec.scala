@@ -479,4 +479,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 1L && r.getLong(5) == 1L)
     assert(r.getDouble(6) > 0)
   }
+
+  test("DSIR weights: target-vocabulary docs score positive, off-target negative") {
+    // target (en) and off-target (de) halves use DISJOINT vocabularies, so
+    // every en-vocab gram bucket is denser under p_target than p_raw
+    // (positive per-gram contribution) and every de-vocab bucket exists
+    // ONLY in p_raw (negative). Weight signs follow per doc.
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", "en"),
+      (2L, "beta gamma alpha beta", "en"),
+      (3L, "gamma alpha beta gamma", "en"),
+      (4L, "zeta eta theta zeta", "de"),
+      (5L, "eta theta zeta eta", "de"),
+      (6L, "theta zeta eta theta", "de")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirWeights(docs, col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("logw_q"),
+          r.getAs[Boolean]("selected"))).toMap
+    // 4 tokens + 3 bigrams per doc
+    out.values.foreach { case (n, _, _) => assert(n == 7L) }
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id)._2 > 0 && out(id)._3, s"doc $id: ${out(id)}")
+    }
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(out(id)._2 < 0 && !out(id)._3, s"doc $id: ${out(id)}")
+    }
+    // determinism across runs
+    val again = TextAnalysis.dsirWeights(docs, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(again == out.toSeq.map { case (k, v) => (k, v._2) }.sortBy(_._1))
+  }
 }

@@ -37,6 +37,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_topk_sketch_check", // one-row merged MG-summary broadcast
     "q_stream_topk_check", // same one-row summary, streamed segments
     "q_decontaminate_bloom", // one-row bloom-filter broadcast
+    "q_dsir", // one-row gram-total broadcasts under the bucket LMs
     "q_pmi", // one-row unigram/bigram-total broadcast
     "q_triangles", // one-row census × one-row totals join
     // one-row node-count + dangling-mass broadcasts ride along every round
