@@ -91,12 +91,6 @@ object Bench {
 
     val calBefore = calibrate()
 
-    // warmup: exercise scan + shuffle + window + join codepaths once
-    try {
-      materialize("q_bars_hourly")
-      materialize("q_join_revenue")
-    } catch { case _: Throwable => () }
-
     // dev-only subset filter (unset for the driver's full run). An empty or
     // whitespace-only value is treated as unset — Set("") would otherwise
     // silently filter out EVERY query with no signal in the output.
@@ -111,6 +105,22 @@ object Bench {
     only.foreach { _ =>
       System.err.println(
         s"[bench] SPARK_GRAFT_ONLY active: running ${names.size}/${all.size} queries")
+    }
+
+    // warmup: exercise scan + shuffle + window + join codepaths once
+    try {
+      materialize("q_bars_hourly")
+      materialize("q_join_revenue")
+    } catch { case _: Throwable => () }
+    // Shared trained-table pre-warm: in sorted order each tokenizer pair's
+    // encode query runs before its train sibling, so whichever sweep includes
+    // an encode query would otherwise pay the full training loop inside that
+    // encode measurement (q_bpe_encode first-sample was 7× its converged
+    // value in the r14 driver sweep). Training stays timed where it belongs:
+    // q_bpe_train / q_unigram_train retrain unconditionally.
+    if (names.exists(Set("q_bpe_encode", "q_unigram_encode"))) {
+      try CorpusEntries.prewarmTrained(spark, sfDir)
+      catch { case _: Throwable => () }
     }
 
     def timeOnce(name: String): (Boolean, Double) = {

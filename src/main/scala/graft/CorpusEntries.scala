@@ -354,6 +354,26 @@ object CorpusEntries {
     rows.toSeq.toDF("piece", "n_uses", "logp_q")
   }
 
+  /** Populate BOTH shared trained-table caches outside any timed
+    * measurement. In a sorted bench sweep the encode query of each
+    * tokenizer pair runs BEFORE its train sibling (q_bpe_encode <
+    * q_bpe_train, q_unigram_encode < q_unigram_train), so without a
+    * pre-warm the first encode measurement silently absorbs the full
+    * training loop — the r14 sweep measured q_bpe_encode at 7× its
+    * converged value for exactly this reason. Benchers call this once
+    * during warmup so encode floors measure steady-state encoding; the
+    * train queries still retrain unconditionally (training IS what they
+    * measure). Idempotent and quiet — the cache-miss warnings in
+    * [[trainedMerges]]/[[trainedUnigram]] stay reserved for the
+    * unattributed cold path this hook exists to prevent. */
+  private[graft] def prewarmTrained(s: SparkSession, dir: String): Unit = {
+    val key = (SessionScoped.key(s), dir)
+    if (!bpeMergeRuns.containsKey(key))
+      bpeMergeRuns.putIfAbsent(key, collectMerges(s, dir))
+    if (!unigramRuns.containsKey(key))
+      unigramRuns.putIfAbsent(key, trainUnigram(s, dir))
+  }
+
   /** Unigram-LM tokenizer training ([[operators.Unigram]]): seed + two
     * hard-EM Viterbi/prune rounds. Always retrains (this query MEASURES
     * training) and refreshes the shared cache. */

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Chunking, Decontamination, Dedup, Packing, Sampling, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Decontamination, Dedup, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.{Tables, TextIngest}
 
 /** End-to-end corpus curation pipeline — the composed "raw documents →
@@ -11,23 +11,35 @@ import graft.sources.{Tables, TextIngest}
   * entirely from the library's operators:
   *
   *   quality-score filter → structural rule gate → repetition filter →
-  *   near-dup corpus dedup → benchmark decontamination → deterministic
+  *   near-dup corpus dedup → SemDeDup semantic pruning → benchmark
+  *   decontamination → DSIR importance-weight selection → deterministic
   *   sample → chunk → sequence-pack → partitioned parquet write →
   *   BPE tokenizer artifact (merge table + subword vocabulary) trained
   *   on exactly the surviving corpus
   *
+  * Stage order follows the published recipes: lexical near-dup dedup
+  * first, then SemDeDup over what survives (Abbas et al. 2023 run
+  * semantic pruning after exact/near dedup — semantic clusters over a
+  * lexically-deduped corpus, so the embedding pass never re-finds what
+  * string hashing already caught), then decontamination, then the DSIR
+  * target-likeness cut (Xie et al. 2023 — selection is the LAST content
+  * gate, so its importance model is estimated over already-cleaned text).
+  *
   * Every stage is a DataFrame→DataFrame function, so the whole pipeline
   * is ONE lazy plan per materialization and inherits each operator's
   * scale shape (no collects, keyed shuffles only, broadcast where the
-  * small side is bounded). Run: `graft.Curate <sfDir> <outDir>`; prints
-  * one JSON line of per-stage survivor counts.
+  * small side is bounded; the two count() actions that size SemDeDup's
+  * cluster count are parameter-sizing, not data collects). Run:
+  * `graft.Curate <sfDir> <outDir>`; prints one JSON line of per-stage
+  * survivor counts.
   */
 object Curate {
 
   /** Stage survivors, in order (`chunks`/`seqs` count training rows, not
     * documents; `merges`/`vocab` describe the tokenizer artifact). */
   final case class Funnel(input: Long, quality: Long, rules: Long,
-      repetition: Long, dedup: Long, decontaminated: Long, sampled: Long,
+      repetition: Long, dedup: Long, semdedup: Long, decontaminated: Long,
+      dsir: Long, sampled: Long,
       chunks: Long, seqs: Long, merges: Long, vocab: Long)
 
   /** @param bloomScreen run decontamination through the bloom prescreen
@@ -36,7 +48,7 @@ object Curate {
     *   asserts it); the switch exists because at real eval-suite sizes
     *   the exact gram broadcast is the first thing to outgrow executors. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      tau: Double = 0.7, sampleRate: Double = 0.5,
+      tau: Double = 0.7, semTau: Double = 0.4, sampleRate: Double = 0.5,
       bloomScreen: Boolean = false): Funnel = {
     val docs = Tables.documents(spark, sfDir)
 
@@ -65,20 +77,42 @@ object Curate {
       .filter(col("is_duplicate")).select(col("doc_id"))
     val deduped = repetition.join(keepDedup, Seq("doc_id"), "left_anti")
 
-    // 5. decontamination against the eval split (doc_id ≡ 0 mod 10)
+    // 5. SemDeDup semantic pruning over the lexical survivors: embeddings
+    // restricted to surviving doc_ids (vec_id ≡ doc_id in the star schema),
+    // IVF-cluster-blocked cosine classes at semTau, keep each class's
+    // farthest-from-centroid member. The cluster count is sized from the
+    // SURVIVOR count, so the Σ|cluster|² pair space stays linear however
+    // much the earlier gates removed.
+    val survEmb = Tables.embeddings(spark, sfDir)
+      .join(deduped.select(col("doc_id").as("vec_id")), "vec_id")
+    val keepSem = Similarity.semDedup(survEmb, semTau,
+        Similarity.clustersFor(survEmb.count()))
+      .filter(col("keep")).select(col("vec_id").as("doc_id"))
+    val pruned = deduped.join(keepSem, "doc_id")
+
+    // 6. decontamination against the eval split (doc_id ≡ 0 mod 10)
     val evalPred = pmod(col("doc_id"), lit(10)) === 0
     val screened =
-      if (bloomScreen) Decontamination.screenBloom(deduped, evalPred, n = 5, minHits = 1)
-      else Decontamination.screen(deduped, evalPred, n = 5, minHits = 1)
+      if (bloomScreen) Decontamination.screenBloom(pruned, evalPred, n = 5, minHits = 1)
+      else Decontamination.screen(pruned, evalPred, n = 5, minHits = 1)
     val contaminated = screened
       .filter(col("contaminated")).select("doc_id")
-    val train = deduped.filter(!evalPred)
+    val train = pruned.filter(!evalPred)
       .join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 6. deterministic sample (reproducible across reruns)
-    val sampled = Sampling.sample(train, col("doc_id"), "curate:", sampleRate)
+    // 7. DSIR importance-weight selection cut: hashed-n-gram bucket LMs
+    // estimated over the CLEANED corpus (target = its English slice, the
+    // q_dsir domain stand-in), keep docs whose target-vs-raw log weight is
+    // positive. Estimating the LMs post-decontamination means eval-set
+    // n-grams can't inflate the target model.
+    val keepDsir = TextAnalysis.dsirWeights(train, col("lang") === "en")
+      .filter(col("selected")).select("doc_id")
+    val weighted = train.join(keepDsir, "doc_id")
 
-    // 7. chunk into training windows, pack into fixed-length sequences,
+    // 8. deterministic sample (reproducible across reruns)
+    val sampled = Sampling.sample(weighted, col("doc_id"), "curate:", sampleRate)
+
+    // 9. chunk into training windows, pack into fixed-length sequences,
     // write the partitioned corpus
     val packed = Packing.pack(
       Chunking.chunk(sampled, chunkSize = 40, stride = 30), seqLen = 512)
@@ -87,7 +121,7 @@ object Curate {
     TextIngest.writePartitioned(out, s"$outDir/chunks",
       partitionCols = Seq("lang"), sortCols = Seq("doc_id", "chunk_id"))
 
-    // 8. tokenizer artifact: BPE merge table learned on EXACTLY the
+    // 10. tokenizer artifact: BPE merge table learned on EXACTLY the
     // surviving corpus (training the tokenizer on pre-curation text
     // would bake duplicated/contaminated n-grams into the vocabulary),
     // plus the exact subword vocabulary with corpus counts
@@ -98,7 +132,8 @@ object Curate {
 
     val written = spark.read.parquet(s"$outDir/chunks")
     Funnel(docs.count(), quality.count(), ruled.count(), repetition.count(),
-      deduped.count(), train.count(), sampled.count(),
+      deduped.count(), pruned.count(), train.count(), weighted.count(),
+      sampled.count(),
       written.count(),
       written.select(col("seq_id")).distinct().count(),
       spark.read.parquet(s"$outDir/tokenizer/merges").count(),
@@ -118,8 +153,8 @@ object Curate {
     spark.sparkContext.setLogLevel("WARN")
     val f = run(spark, sfDir, outDir)
     println(s"""{"input":${f.input},"quality":${f.quality},"rules":${f.rules},""" +
-      s""""repetition":${f.repetition},"dedup":${f.dedup},""" +
-      s""""decontaminated":${f.decontaminated},"sampled":${f.sampled},""" +
+      s""""repetition":${f.repetition},"dedup":${f.dedup},"semdedup":${f.semdedup},""" +
+      s""""decontaminated":${f.decontaminated},"dsir":${f.dsir},"sampled":${f.sampled},""" +
       s""""chunks":${f.chunks},"seqs":${f.seqs},""" +
       s""""merges":${f.merges},"vocab":${f.vocab}}""")
     spark.stop()

@@ -18,8 +18,15 @@ class CurateSpec extends AnyFunSuite {
     assert(f.quality >= f.rules)
     assert(f.rules >= f.repetition)
     assert(f.repetition >= f.dedup)
-    assert(f.dedup >= f.decontaminated)
-    assert(f.decontaminated >= f.sampled)
+    assert(f.dedup >= f.semdedup)
+    assert(f.semdedup >= f.decontaminated)
+    assert(f.decontaminated >= f.dsir)
+    assert(f.dsir >= f.sampled)
+    // the two new gates actually gate on the synthetic corpus: SemDeDup
+    // finds at least one semantic near-dup class, and the DSIR cut keeps a
+    // non-trivial target-like slice without emptying the funnel
+    assert(f.semdedup < f.dedup)
+    assert(f.dsir > 0 && f.dsir < f.decontaminated)
     // every stage leaves a non-trivial corpus on the synthetic data
     assert(f.sampled > 0 && f.chunks >= f.sampled)
     // packing: sequence count ≈ total tokens / 512, never above chunk count
