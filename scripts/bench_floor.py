@@ -71,7 +71,7 @@ Usage:
 Exit codes: 0 green/first-strikes, 1 real breach or bad --update,
 3 too many consecutive inconclusive runs.
 """
-import json, os, sys
+import json, os, re, sys
 
 FACTOR = 2.0
 NOISE_MAX = 1.3   # max calibration slowdown accepted as a "quiet host"
@@ -225,8 +225,11 @@ def main():
                       "first-time entries")
                 return 1
             # the audit is mechanical, not convention: loosening a gate
-            # requires the paper trail to EXIST before the floor moves
-            if q not in scale_text:
+            # requires the paper trail to EXIST before the floor moves.
+            # Word-boundary match, not substring: q_media_decode must not
+            # ride on a q_media_decode_jpeg citation (names are prefixes
+            # of each other across the query families).
+            if not re.search(r"\b" + re.escape(q) + r"\b(?!_)", scale_text):
                 print(f"REFUSED: {q} is not cited in {SCALE_MD} — a regrow "
                       "loosens a gate, so the feature-growth adjudication "
                       "must be written down (SCALE.md r-section naming the "

@@ -151,6 +151,12 @@ object Unigram {
     * piece: (piece, n_uses, logp_q). Work shape: 1 corpus pass + 1
     * dictionary aggregate + keep.size dictionary Viterbi passes. */
   def train(docs: DataFrame, seedMulti: Int, keep: Seq[Int]): DataFrame = {
+    // zero EM rounds would leave lastUsage empty and die at lastUsage(p)
+    // with an opaque NoSuchElementException — fail like the other
+    // misconfigurations do (empty corpus, uncoverable word): loudly
+    require(keep.nonEmpty,
+      "Unigram.train: keep must name at least one EM round " +
+        "(each entry is that round's multi-char vocabulary size)")
     val spark = docs.sparkSession
     import spark.implicits._
     val wd = wordDict(docs).materialize

@@ -67,5 +67,12 @@ class UnigramSpec extends AnyFunSuite {
     val again = Unigram.train(docs, seedMulti = 16, keep = Seq(8, 6))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+
+    // zero EM rounds is a configuration error and fails loudly, like the
+    // empty-corpus and uncoverable-word cases
+    val e = intercept[IllegalArgumentException] {
+      Unigram.train(docs, seedMulti = 16, keep = Seq.empty)
+    }
+    assert(e.getMessage.contains("at least one EM round"))
   }
 }
