@@ -192,8 +192,10 @@ object CorpusEntries {
   private def qSubstringDup(s: SparkSession, dir: String): DataFrame =
     Dedup.substringDup(Tables.documents(s, dir), SubstrN)
 
-  /** DSIR bucket count shared by q_dsir's query and oracle. */
-  private val DsirBuckets = 1024
+  /** DSIR bucket count shared by q_dsir's query and oracle — and by the
+    * streaming gate (StreamEntries.qStreamDsir), which is hash-gated
+    * against the SAME oracle. */
+  private[graft] val DsirBuckets = 1024
 
   /** DSIR importance weights ([[TextAnalysis.dsirWeights]]): target
     * distribution = the English half of the corpus — the paper's shape

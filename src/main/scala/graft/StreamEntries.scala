@@ -385,6 +385,31 @@ private[graft] object StreamEntries {
     graft.streaming.StreamJoin.report(s, work).filter(col("user_id") =!= -1L)
   }
 
+  /** The STREAMING DSIR quality gate, gated like q_stream_drift: the
+    * documents table replayed as three doc_id-sliced micro-batches
+    * through [[graft.streaming.StreamDsir]] — per-batch target-vs-raw
+    * importance weights against the two bucket LMs estimated once at
+    * stream start from the full reference corpus. Because each doc lands
+    * in exactly one slice and the LMs are fixed, the unioned report is
+    * row-for-row q_dsir's batch output, so this query is hash-gated
+    * against q_dsir's DuckDB oracle UNCHANGED. Verify-only: streaming
+    * machinery, not a query plan. */
+  private def qStreamDsir(s: SparkSession, dir: String): DataFrame = {
+    val work = SessionScoped.scratchDir("graft_stream_dsir")
+    val docs = Tables.documents(s, dir)
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      docs.select(col("doc_id"), col("text"), col("doc_id").as("_ms")),
+      "_ms", work, slices = 3)
+    val feedSchema = org.apache.spark.sql.types.StructType(
+      docs.select(col("doc_id"), col("text")).schema)
+    val stream = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamDsir.run(stream, docs,
+      col("lang") === "en", CorpusEntries.DsirBuckets, work)
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamDsir.report(s, work)
+  }
+
   /** Streaming drift parameters shared by q_stream_drift's query and
     * oracle (events.value spans [0, ~490], mean ~50). */
   private val SdBinW = 25.0
@@ -536,6 +561,7 @@ private[graft] object StreamEntries {
     "q_cdc_diff" -> qCdcDiff,
     "q_stream_cdc" -> qStreamCdc,
     "q_stream_drift" -> qStreamDrift,
+    "q_stream_dsir" -> qStreamDsir,
     "q_stream_sessionize" -> qStreamSessionize,
     "q_stream_join" -> qStreamJoin,
     "q_stream_join_outer" -> qStreamJoinOuter,
@@ -597,6 +623,9 @@ private[graft] object StreamEntries {
     // against the batch query's oracle unchanged
     "q_stream_cdc" -> cdcOracleSql,
     "q_stream_drift" -> oStreamDriftSql,
+    // fixed-LM stateless scoring over exactly-once-partitioned slices ==
+    // the batch scorer, so the oracle is q_dsir's, verbatim
+    "q_stream_dsir" -> CorpusEntries.oracleSql("q_dsir"),
     "q_cdc_diff" ->
       s"""WITH applied AS ($cdcOracleSql),
          |ev2 AS (

@@ -559,31 +559,51 @@ object TextAnalysis {
     * weight 0 / selected false rather than vanishing. */
   def dsirWeights(docs: DataFrame, targetPred: Column,
       nBuckets: Int = 1024): DataFrame = {
-    val spark = docs.sparkSession
-    val lq = (c: Column, total: Column) =>
-      floor(log((c + lit(1)).cast("double") /
-        (total + lit(nBuckets)).cast("double")) * lit(10000) + lit(0.5))
-        .cast("long")
-    val grams = docs
+    val grams = dsirBuckets(docs, nBuckets).materialize
+    val tgt = dsirModel(grams.join(
+      docs.filter(targetPred).select("doc_id"), "doc_id"), nBuckets)
+    val raw = dsirModel(grams, nBuckets)
+    dsirScore(docs, grams, tgt, raw)
+  }
+
+  /** DSIR feature extraction: one (doc_id, bucket) row per gram
+    * occurrence — unigrams + adjacent bigrams, hash60-bucketed mod
+    * `nBuckets`. Shared by [[dsirWeights]] and the streaming gate
+    * ([[graft.streaming.StreamDsir]]) so batch and stream score the
+    * exact same features by construction. */
+  private[graft] def dsirBuckets(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(concat(col("toks"), shinglesFromTokens(col("toks"), 2)))
           .as("g"))
       .select(col("doc_id"), pmod(hash60(col("g")), lit(nBuckets)).as("b"))
-      .materialize
-    val allB = spark.range(nBuckets).select(col("id").as("b"))
-    def model(src: DataFrame): DataFrame = {
-      val counts = src.groupBy(col("b")).agg(count(lit(1)).as("c"))
-      allB.join(counts, Seq("b"), "left")
-        .select(col("b"), coalesce(col("c"), lit(0L)).as("c"))
-        .crossJoin(broadcast(
-          src.agg(count(lit(1)).as("tot"))))
-        .select(col("b"), lq(col("c"), col("tot")).as("lq"))
-    }
-    val tgt = model(grams.join(
-      docs.filter(targetPred).select("doc_id"), "doc_id"))
-    val raw = model(grams)
-    val perDoc = grams
+
+  /** Laplace-smoothed bucket LM over gram-bucket rows: exactly `nBuckets`
+    * rows of (b, lq) with lq = the 4dp-quantized int64 log of
+    * (count_b + 1)/(total + nBuckets) — bounded by construction, so the
+    * result always broadcasts. */
+  private[graft] def dsirModel(src: DataFrame, nBuckets: Int): DataFrame = {
+    val lq = (c: Column, total: Column) =>
+      floor(log((c + lit(1)).cast("double") /
+        (total + lit(nBuckets)).cast("double")) * lit(10000) + lit(0.5))
+        .cast("long")
+    val allB = src.sparkSession.range(nBuckets).select(col("id").as("b"))
+    val counts = src.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    allB.join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(
+        src.agg(count(lit(1)).as("tot"))))
+      .select(col("b"), lq(col("c"), col("tot")).as("lq"))
+  }
+
+  /** Score gram-bucket rows against FIXED target/raw bucket LMs; `docs`
+    * supplies the doc universe so gram-less docs surface with weight 0 /
+    * selected false rather than vanishing. The LM joins broadcast
+    * (nBuckets rows each); the only shuffle is the per-doc aggregate. */
+  private[graft] def dsirScore(docs: DataFrame, buckets: DataFrame,
+      tgt: DataFrame, raw: DataFrame): DataFrame = {
+    val perDoc = buckets
       .join(broadcast(tgt.select(col("b"), col("lq").as("lqt"))), "b")
       .join(broadcast(raw.select(col("b"), col("lq").as("lqr"))), "b")
       .groupBy(col("doc_id"))

@@ -345,4 +345,44 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(late(102L)._1 == "kept")
     assert(late(101L) == (("dup_in_batch", Some(102L))), s"got ${late(101L)}")
   }
+
+  test("streamed DSIR weights match the one-shot scorer in any arrival order") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamDsir
+    val s = spark
+    import s.implicits._
+    val nBuckets = 256
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = col("lang") === "en"
+    val batch = TextAnalysis.dsirWeights(docs, target, nBuckets)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("logw_q"), r.getAs[Boolean]("selected")))
+
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    def runStream(name: String, order: Array[(Long, String)], splitAt: Int) = {
+      val dir = SessionScoped.scratchDir(s"graft_sdsir_$name")
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = StreamDsir.run(input.toDF().toDF("doc_id", "text"),
+        docs, target, nBuckets, dir)
+      try Seq(order.take(splitAt), order.drop(splitAt)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      StreamDsir.report(spark, dir).orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("logw_q"), r.getAs[Boolean]("selected")))
+    }
+
+    // ascending ids split 1/3-2/3, then DESCENDING ids split in half: the
+    // scoring is stateless against fixed LMs, so both arrival orders must
+    // reproduce the batch report row-for-row
+    val fwd = runStream("fwd", rows.sortBy(_._1), rows.length / 3)
+    val rev = runStream("rev", rows.sortBy(-_._1), rows.length / 2)
+    assert(fwd.length == batch.length && batch.nonEmpty)
+    assert(fwd.toSeq == batch.toSeq)
+    assert(rev.toSeq == batch.toSeq)
+  }
 }
