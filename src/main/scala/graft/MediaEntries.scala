@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.EntryMath._
-import graft.operators.Multimodal
+import graft.operators.{MediaDecode, MediaSynth, MediaWalk, Multimodal}
 import graft.operators.Materialize.MatOps
 import graft.sources.Tables
 
@@ -33,54 +33,54 @@ private[graft] object MediaEntries {
     * every field (and the 44 header bytes) arithmetically from doc_id, so
     * a single bit wrong in either direction of the codec fails the hash. */
   private def qMediaWav(s: SparkSession, dir: String): DataFrame =
-    Multimodal.parseWav(Multimodal.synthWav(Tables.documents(s, dir)))
+    MediaWalk.parseWav(MediaSynth.synthWav(Tables.documents(s, dir)))
 
   private def qMediaBmp(s: SparkSession, dir: String): DataFrame =
-    Multimodal.parseBmp(Multimodal.synthBmp(Tables.documents(s, dir)))
+    MediaWalk.parseBmp(MediaSynth.synthBmp(Tables.documents(s, dir)))
 
-  /** REAL-codec cross-check ([[Multimodal.decodeBmp]]): javax.imageio
+  /** REAL-codec cross-check ([[MediaDecode.decodeBmp]]): javax.imageio
     * pixel-decodes every synthesized BMP in a per-partition batch pass,
     * and must agree with the pure-codegen header walk on (width,
     * height) row by row — the oracle pins the walked fields AND
     * `decode_agrees` as literal TRUE, so one disagreeing (or failing)
     * decode anywhere in the corpus fails the hash. */
   private def qMediaDecode(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.synthBmp(Tables.documents(s, dir))
-    Multimodal.parseBmp(media)
+    val media = MediaSynth.synthBmp(Tables.documents(s, dir))
+    MediaWalk.parseBmp(media)
       .select(col("doc_id"), col("width"), col("height"), col("bpp"),
         col("n_bytes"))
-      .join(Multimodal.decodeBmp(media), Seq("doc_id"))
+      .join(MediaDecode.decodeBmp(media), Seq("doc_id"))
       .select(col("doc_id"), col("width"), col("height"), col("bpp"),
         col("n_bytes"),
         (col("decoded_ok") && col("dec_width") === col("width") &&
           col("dec_height") === col("height")).as("decode_agrees"))
   }
 
-  /** REAL PNG round trip ([[Multimodal.synthImageReal]] →
-    * [[Multimodal.imageAHash]]): the patByte pattern is rendered and
+  /** REAL PNG round trip ([[MediaDecode.synthImageReal]] →
+    * [[MediaDecode.imageAHash]]): the patByte pattern is rendered and
     * pushed through javax.imageio's ACTUAL PNG encoder, decoded back,
     * and aHashed. PNG is lossless, so the decoded pixels — and
     * therefore the hash and mean — must match the closed-form
-    * [[Multimodal.patByte]] oracle bit for bit: one wrong byte in
+    * [[MediaDecode.patByte]] oracle bit for bit: one wrong byte in
     * either codec direction fails the hash. (The synthPng/parsePng
     * family pins the container WALK; this pins the pixel codec.) */
   private def qMediaDecodePng(s: SparkSession, dir: String): DataFrame =
-    Multimodal.imageAHash(
-      Multimodal.synthImageReal(Tables.documents(s, dir), "png"))
+    MediaDecode.imageAHash(
+      MediaDecode.synthImageReal(Tables.documents(s, dir), "png"))
       .select(col("doc_id"), col("decoded_ok"), col("ahash"), col("mean_gray"))
 
   /** REAL JPEG round trip: encode the pattern with the actual JPEG
     * encoder, decode back, and score against the closed form. JPEG is
     * LOSSY, so pixel equality is the wrong contract — the pinned fields
     * are geometry + `mae_ok` (mean absolute gray error within the bound
-    * derived from [[Multimodal.jpegWorstCaseMae]] — the enumerated
+    * derived from [[MediaDecode.jpegWorstCaseMae]] — the enumerated
     * worst case over all 64 pattern images on THIS JVM's encoder tables,
-    * times [[Multimodal.JpegMaeHeadroom]] — while a channel swap, stride
+    * times [[MediaDecode.JpegMaeHeadroom]] — while a channel swap, stride
     * bug, or row flip is tens of levels). Oracle pins all three as
     * literals. */
   private def qMediaDecodeJpeg(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeImageVsPattern(
-      Multimodal.synthImageReal(Tables.documents(s, dir), "jpeg"))
+    MediaDecode.decodeImageVsPattern(
+      MediaDecode.synthImageReal(Tables.documents(s, dir), "jpeg"))
       .select(col("doc_id"), col("decoded_ok"), col("dec_width"),
         col("dec_height"), col("mae_ok"))
 
@@ -91,21 +91,21 @@ private[graft] object MediaEntries {
 
   /** Perceptual image hashing over REAL-decoded pixels: synthesize the
     * patterned 16×16 BMPs, decode them with javax.imageio, and compute
-    * the 64-bit average-hash ([[Multimodal.imageAHash]]). The oracle
-    * renders [[Multimodal.patByte]] in closed form and never decodes —
+    * the 64-bit average-hash ([[MediaDecode.imageAHash]]). The oracle
+    * renders [[MediaDecode.patByte]] in closed form and never decodes —
     * a hash mismatch anywhere means the decode→feature path broke. */
   private def qImageAhash(s: SparkSession, dir: String): DataFrame =
-    Multimodal.imageAHash(
-      Multimodal.synthBmpPattern(Tables.documents(s, dir)))
+    MediaDecode.imageAHash(
+      MediaDecode.synthBmpPattern(Tables.documents(s, dir)))
       .select(col("doc_id"), col("decoded_ok"), col("ahash"), col("mean_gray"))
 
   /** REAL-decode 2× box-average resize over the patterned BMPs
-    * ([[Multimodal.imageResize]]): the thumbnail/normalize ingest step.
+    * ([[MediaDecode.imageResize]]): the thumbnail/normalize ingest step.
     * The pixel digest pins the ENTIRE decode→resample path against the
     * closed-form pattern oracle — one wrong pixel anywhere moves it. */
   private def qImageResize(s: SparkSession, dir: String): DataFrame =
-    Multimodal.imageResize(
-      Multimodal.synthBmpPattern(Tables.documents(s, dir)), factor = 2)
+    MediaDecode.imageResize(
+      MediaDecode.synthBmpPattern(Tables.documents(s, dir)), factor = 2)
       .select(col("doc_id"), col("decoded_ok"), col("out_w"), col("out_h"),
         col("px_digest"), col("mean_gray"))
 
@@ -116,8 +116,8 @@ private[graft] object MediaEntries {
     * [[AhashMaxHamming]] verify — the simhash shape applied to decoded
     * image content. */
   private def qImageNeardup(s: SparkSession, dir: String): DataFrame = {
-    val hashes = Multimodal.imageAHash(
-        Multimodal.synthBmpPattern(Tables.documents(s, dir)))
+    val hashes = MediaDecode.imageAHash(
+        MediaDecode.synthBmpPattern(Tables.documents(s, dir)))
       .filter(col("decoded_ok"))
       .groupBy(col("ahash")).agg(count(lit(1)).as("n_members")).materialize
     val bands = hashes.select(col("ahash"), col("n_members"),
@@ -139,18 +139,18 @@ private[graft] object MediaEntries {
         col("n_a"), col("n_b"))
   }
 
-  /** REAL-codec cross-check, audio flavor ([[Multimodal.decodeWav]]):
+  /** REAL-codec cross-check, audio flavor ([[MediaDecode.decodeWav]]):
     * javax.sound decodes every synthesized PCM WAV; format fields must
     * match the codegen header walk and the exact sample statistics must
     * match the closed-form expectation (constant 0x5A body ⇒ every
     * 16-bit LE sample is 23130) — the oracle pins the walked fields AND
     * `decode_agrees` as literal TRUE. */
   private def qMediaDecodeWav(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.synthWav(Tables.documents(s, dir))
-    Multimodal.parseWav(media)
+    val media = MediaSynth.synthWav(Tables.documents(s, dir))
+    MediaWalk.parseWav(media)
       .select(col("doc_id"), col("channels"), col("sample_rate"),
         col("data_size"))
-      .join(Multimodal.decodeWav(media), Seq("doc_id"))
+      .join(MediaDecode.decodeWav(media), Seq("doc_id"))
       .select(col("doc_id"), col("channels"), col("sample_rate"),
         col("data_size"), (col("data_size") / 2).cast("long").as("n_samples"),
         (col("decoded_ok") && col("a_channels") === col("channels") &&
@@ -161,23 +161,23 @@ private[graft] object MediaEntries {
   }
 
   /** REAL-decode audio features over the patterned PCM WAVs
-    * ([[Multimodal.synthWavPattern]] → [[Multimodal.audioFeatures]]):
+    * ([[MediaSynth.synthWavPattern]] → [[MediaDecode.audioFeatures]]):
     * RMS / zero-crossings / peak against the closed-form sample rule —
     * the loudness/activity screen of a multimodal ingest pipeline,
     * feature math pinned per clip by the oracle. */
   private def qAudioFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.audioFeatures(
-      Multimodal.synthWavPattern(Tables.documents(s, dir)))
+    MediaDecode.audioFeatures(
+      MediaSynth.synthWavPattern(Tables.documents(s, dir)))
       .select(col("doc_id"), col("decoded_ok"), col("n_samples"),
         col("peak"), col("n_zero_cross"), col("rms_q"))
 
   /** Mixed-modality corpus inventory: evens are audio, odds are images. */
   private def qMediaStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    Multimodal.modalityStats(
-      Multimodal.parseWav(Multimodal.synthWav(
+    MediaWalk.modalityStats(
+      MediaWalk.parseWav(MediaSynth.synthWav(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0))),
-      Multimodal.parseBmp(Multimodal.synthBmp(
+      MediaWalk.parseBmp(MediaSynth.synthBmp(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1))))
   }
 
@@ -185,14 +185,14 @@ private[graft] object MediaEntries {
     * chunk count + lengths, real CRC-32s) and parse them back by walking
     * the offset-chained chunk list in pure codegen. */
   private def qMediaPng(s: SparkSession, dir: String): DataFrame =
-    Multimodal.parsePng(Multimodal.synthPng(Tables.documents(s, dir)))
+    MediaWalk.parsePng(MediaSynth.synthPng(Tables.documents(s, dir)))
 
   /** JPEG marker-segment walk: variable-length self-counting segment
     * lengths, SOF0 dimensions captured mid-walk, and the entropy span
     * closed by SCANNING for EOI (no length field exists — the structural
     * wrinkle PNG's indexed chain doesn't have). */
   private def qMediaJpeg(s: SparkSession, dir: String): DataFrame =
-    Multimodal.parseJpeg(Multimodal.synthJpeg(Tables.documents(s, dir)))
+    MediaWalk.parseJpeg(MediaSynth.synthJpeg(Tables.documents(s, dir)))
 
   /** EXIF TIFF-IFD parse: the APP1 block is located by the marker walk,
     * then read in the PER-FILE byte order its TIFF header declares (II
@@ -203,16 +203,16 @@ private[graft] object MediaEntries {
     // with the marker walk overflows the 64 KB codegen method limit and
     // drops the stage to interpreted eval (a real pipeline parses stored
     // bytes anyway — same shape as synthPngCorrupt's barrier)
-    Multimodal.parseExif(
-      operators.Materialize(Multimodal.synthJpegExif(Tables.documents(s, dir))))
+    MediaWalk.parseExif(
+      operators.Materialize(MediaSynth.synthJpegExif(Tables.documents(s, dir))))
 
   /** Nested-container walk: minimal ISO-BMFF (MP4) files — ftyp, moov
     * holding mvhd + trak ▸ tkhd, mdat — parsed by chained bounded folds,
     * one per nesting level, each scoped to the extent its parent level
     * recorded. */
   private def qMediaMp4(s: SparkSession, dir: String): DataFrame =
-    Multimodal.parseMp4(
-      operators.Materialize(Multimodal.synthMp4(Tables.documents(s, dir))))
+    MediaWalk.parseMp4(
+      operators.Materialize(MediaSynth.synthMp4(Tables.documents(s, dir))))
 
   /** Corrupt-payload quarantine across BOTH walked formats: deterministic
     * corruptions (bad magic / bad CRC / bad marker prefix / truncated)
@@ -220,12 +220,12 @@ private[graft] object MediaEntries {
     * the integrity gates of the PNG and JPEG walks. */
   private def qMediaQuarantine(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val png = Multimodal.pngQuarantine(
-      Multimodal.parsePng(Multimodal.synthPngCorrupt(docs)))
+    val png = MediaWalk.pngQuarantine(
+      MediaWalk.parsePng(MediaSynth.synthPngCorrupt(docs)))
       .select(col("doc_id"), lit("image/png").as("modality"),
         col("n_bytes"), col("n_chunks"), col("reason"))
-    val jpg = Multimodal.jpegQuarantine(
-      Multimodal.parseJpeg(Multimodal.synthJpegCorrupt(docs)))
+    val jpg = MediaWalk.jpegQuarantine(
+      MediaWalk.parseJpeg(MediaSynth.synthJpegCorrupt(docs)))
       .select(col("doc_id"), lit("image/jpeg").as("modality"),
         col("n_bytes"), col("n_chunks"), col("reason"))
     png.unionByName(jpg)
@@ -236,7 +236,7 @@ private[graft] object MediaEntries {
       stride = 30, tokensPerFrame = 64, seqLen = 512, docsPerBucket = 64)
 
   /** Closed-form aHash pipeline over the patterned BMPs: pixel bytes
-    * from the shared generation rule (Multimodal.patByte mirrored
+    * from the shared generation rule (MediaDecode.patByte mirrored
     * digit-for-digit), gray/block/threshold in exact integer math — the
     * `bits` CTE both image-hash oracles build on. The Spark side REALLY
     * decodes the BMP bytes; this never does. */

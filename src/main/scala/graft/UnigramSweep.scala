@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Unigram
+
+/** Vocabulary-scale unigram-LM training sweep (offline tooling, the
+  * BpeSweep precedent): the shipped q_unigram_train proves the EM loop at
+  * a 47-piece toy vocabulary; the 100 TB claim is "EM cost ∝ dictionary,
+  * not corpus", and this sweep measures one realistic point per axis:
+  *
+  *  - VOCAB axis: train at 1k / 4k / 16k final pieces (two-round prune
+  *    schedule keep = [3k/2, k], the shipped shape) over the SAME corpus —
+  *    if the claim holds, wall time is near-flat in k because each
+  *    EM round is one dictionary-sized Viterbi pass whose per-word cost
+  *    is bounded by MaxPiece window lookups, not vocabulary size (the
+  *    vocabulary enters only as a broadcast hash map).
+  *  - CORPUS axis: the same 4k config at base sf0.1 and at the 10×
+  *    ScaleSynth dir — the delta isolates the one corpus-sized pass
+  *    (the word count feeding the dictionary).
+  *
+  * Run: java … -cp <classes:spark-jars> graft.UnigramSweep \
+  *   [baseDir] [synthDir] — synthDir is synthesized (10×) if absent.
+  */
+object UnigramSweep {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val synthDir = args.lift(1).getOrElse(
+      s"/tmp/graft_trend/${new java.io.File(baseDir).getName}x10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(synthDir))) {
+      System.err.println(s"[unigram-sweep] synthesizing $synthDir = ${baseDir} x10")
+      sources.ScaleSynth.synthesize(spark, baseDir, synthDir, 10)
+    }
+
+    def docs(dir: String) = sources.Tables.documents(spark, dir)
+
+    def measure(tag: String, dir: String, k: Int): Unit = {
+      val keep = Seq(k * 3 / 2, k)
+      val t0 = System.nanoTime()
+      val rows = Unigram.train(docs(dir), seedMulti = k * 3 / 2, keep = keep)
+        .collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      val multi = rows.count(_.getString(0).length > 1)
+      println(f"| $tag | $dir | $k | ${rows.length} | $multi | $t%.1f |")
+    }
+
+    println(s"# unigram vocab-scale sweep: base=$baseDir synth=$synthDir")
+    println("| axis | dir | keep_k | pieces | multi_pieces | wall_s |")
+    println("|---|---|---|---|---|---|")
+    // warm the scan/codegen path once so the first measured config does
+    // not absorb first-read costs (the BpeSweep warmup rationale)
+    Unigram.train(docs(synthDir), seedMulti = 96, keep = Seq(64, 48)).collect()
+
+    measure("vocab", synthDir, 1024)
+    measure("vocab", synthDir, 4096)
+    measure("vocab", synthDir, 16384)
+    measure("corpus", baseDir, 4096)
+
+    spark.stop()
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MediaDecode, MediaSynth, MediaWalk, Multimodal, Similarity, TextAnalysis}
 
 class ExtendedOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark

@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Multimodal
+import graft.operators.{MediaDecode, MediaSynth, MediaWalk, Multimodal}
 
-/** Real-codec contract of [[Multimodal.decodeBmp]]: javax.imageio must
+/** Real-codec contract of [[MediaDecode.decodeBmp]]: javax.imageio must
   * agree with the codegen header walk on valid payloads, and corrupt
   * payloads must FLAG (decoded_ok=false), never crash the scan — the
   * quarantine semantics every media query here relies on. */
@@ -17,10 +17,10 @@ class MediaDecodeSpec extends AnyFunSuite {
     (0 until n).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
 
   test("imageio decode agrees with the header walk on every valid BMP") {
-    val media = Multimodal.synthBmp(docs(64))
-    val joined = Multimodal.parseBmp(media)
+    val media = MediaSynth.synthBmp(docs(64))
+    val joined = MediaWalk.parseBmp(media)
       .select(col("doc_id"), col("width"), col("height"))
-      .join(Multimodal.decodeBmp(media), Seq("doc_id"))
+      .join(MediaDecode.decodeBmp(media), Seq("doc_id"))
     assert(joined.count() == 64)
     val bad = joined.filter(!col("decoded_ok") ||
       col("dec_width") =!= col("width") ||
@@ -29,10 +29,10 @@ class MediaDecodeSpec extends AnyFunSuite {
   }
 
   test("javax.sound decode agrees with the WAV walk and sample math") {
-    val media = Multimodal.synthWav(docs(32))
-    val joined = Multimodal.parseWav(media)
+    val media = MediaSynth.synthWav(docs(32))
+    val joined = MediaWalk.parseWav(media)
       .select(col("doc_id"), col("channels"), col("sample_rate"), col("data_size"))
-      .join(Multimodal.decodeWav(media), Seq("doc_id"))
+      .join(MediaDecode.decodeWav(media), Seq("doc_id"))
     val bad = joined.filter(!col("decoded_ok") ||
       col("a_channels") =!= col("channels") ||
       col("a_rate") =!= col("sample_rate") ||
@@ -42,13 +42,13 @@ class MediaDecodeSpec extends AnyFunSuite {
   }
 
   test("corrupt WAV payloads flag, never throw") {
-    val media = Multimodal.synthWav(docs(4))
+    val media = MediaSynth.synthWav(docs(4))
     val corrupt = media.withColumn("payload",
       when(col("doc_id") === 0, expr("substring(payload, 1, 10)"))  // truncated
         .when(col("doc_id") === 1,
           expr("concat(X'DEADBEEF', substring(payload, 5))"))       // bad magic
         .otherwise(col("payload")))
-    val out = Multimodal.decodeWav(corrupt).collect()
+    val out = MediaDecode.decodeWav(corrupt).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(!out(0L) && !out(1L) && out(2L) && out(3L))
   }
@@ -59,8 +59,8 @@ class MediaDecodeSpec extends AnyFunSuite {
     // every row gets one random byte overwritten; the decoders must
     // flag-or-succeed on all of them, never throw
     val n = 200
-    val base = Multimodal.synthBmp(docs(n))
-      .unionByName(Multimodal.synthWav(docs(n))
+    val base = MediaSynth.synthBmp(docs(n))
+      .unionByName(MediaSynth.synthWav(docs(n))
         .withColumn("doc_id", col("doc_id") + n))
     val mutated = base.withColumn("payload", expr(
       """concat(
@@ -69,19 +69,19 @@ class MediaDecodeSpec extends AnyFunSuite {
         |  substring(payload, CAST(pmod(hash(doc_id, 1), octet_length(payload)) AS INT) + 2))
         |""".stripMargin))
     // count() forces both full decode passes; any throw fails the test
-    assert(Multimodal.decodeBmp(mutated).count() == 2L * n)
-    assert(Multimodal.decodeWav(mutated).count() == 2L * n)
+    assert(MediaDecode.decodeBmp(mutated).count() == 2L * n)
+    assert(MediaDecode.decodeWav(mutated).count() == 2L * n)
   }
 
   test("corrupt payloads flag, never throw") {
-    val media = Multimodal.synthBmp(docs(6))
+    val media = MediaSynth.synthBmp(docs(6))
     val corrupt = media.withColumn("payload",
       when(col("doc_id") === 0, expr("substring(payload, 1, 20)")) // truncated
         .when(col("doc_id") === 1, lit(Array[Byte]()))             // empty
         .when(col("doc_id") === 2,
           expr("concat(X'FFFF', substring(payload, 3))"))          // bad magic
         .otherwise(col("payload")))
-    val out = Multimodal.decodeBmp(corrupt).collect()
+    val out = MediaDecode.decodeBmp(corrupt).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(!out(0L) && !out(1L) && !out(2L))
     assert(out(3L) && out(4L) && out(5L))
@@ -90,8 +90,8 @@ class MediaDecodeSpec extends AnyFunSuite {
   test("aHash: identical renders hash equal, families differ, corrupt flags") {
     // doc ids d and d+64 share (family, perturbation) -> identical image
     // -> identical hash; different families must differ somewhere
-    val media = Multimodal.synthBmpPattern(docs(130))
-    val h = Multimodal.imageAHash(media).collect()
+    val media = MediaDecode.synthBmpPattern(docs(130))
+    val h = MediaDecode.imageAHash(media).collect()
       .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
     assert(h.values.forall(_._1), "every synthesized BMP must decode")
     assert(h.values.forall(_._2.length == 64))
@@ -108,7 +108,7 @@ class MediaDecodeSpec extends AnyFunSuite {
     // corrupt payload: truncated bytes flag, never throw
     val corrupt = media.limit(1)
       .select(col("doc_id"), expr("substring(payload, 1, 20)").as("payload"))
-    val c = Multimodal.imageAHash(corrupt).head()
+    val c = MediaDecode.imageAHash(corrupt).head()
     assert(!c.getBoolean(1) && c.getString(2).isEmpty)
   }
 
@@ -116,7 +116,7 @@ class MediaDecodeSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val docs = (0L until 40L).toDF("doc_id")
-    val out = Multimodal.audioFeatures(Multimodal.synthWavPattern(docs))
+    val out = MediaDecode.audioFeatures(MediaSynth.synthWavPattern(docs))
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out.size == 40 && out.values.forall(_.getBoolean(1)),
       "every patterned WAV must really decode")
@@ -132,7 +132,7 @@ class MediaDecodeSpec extends AnyFunSuite {
       assert(r.getLong(5) == math.floor(rms * 10000 + 0.5).toLong, s"doc $d rms")
     }
     // corrupt payload: flags, never throws
-    val c = Multimodal.audioFeatures(
+    val c = MediaDecode.audioFeatures(
       Seq((0L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).head()
     assert(!c.getBoolean(1) && c.getLong(2) == -1L)
   }
@@ -141,8 +141,8 @@ class MediaDecodeSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val docs = (0L until 64L).toDF("doc_id")
-    val bmps = Multimodal.synthBmpPattern(docs)
-    val out = Multimodal.imageResize(bmps, factor = 2).collect()
+    val bmps = MediaDecode.synthBmpPattern(docs)
+    val out = MediaDecode.imageResize(bmps, factor = 2).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out.size == 64 && out.values.forall(_.getBoolean(1)))
     assert(out.values.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))
@@ -150,17 +150,17 @@ class MediaDecodeSpec extends AnyFunSuite {
     // the resized blocks are the SAME 2x2 box averages imageAHash folds,
     // so the means must agree exactly — a cross-operator pin of the
     // block arithmetic (the full per-pixel pin is the DuckDB oracle)
-    val ahashMeans = Multimodal.imageAHash(bmps).collect()
+    val ahashMeans = MediaDecode.imageAHash(bmps).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     for (d <- 0L until 64L)
       assert(out(d).getLong(5) == ahashMeans(d), s"doc $d mean")
     // all 64 distinct pattern images resize to distinct pixel digests
     assert(out.values.map(_.getString(4)).toSet.size == 64)
     // factor 1 = identity-resolution pass; still geometry 16x16
-    val id1 = Multimodal.imageResize(bmps, factor = 1).head()
+    val id1 = MediaDecode.imageResize(bmps, factor = 1).head()
     assert(id1.getInt(2) == 16 && id1.getInt(3) == 16)
     // corrupt payload: flags, never throws
-    val c = Multimodal.imageResize(
+    val c = MediaDecode.imageResize(
       Seq((0L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")).head()
     assert(!c.getBoolean(1) && c.getInt(2) == -1)
   }
@@ -172,18 +172,18 @@ class MediaDecodeSpec extends AnyFunSuite {
     // PNG is lossless: decoded-pixel aHash equals the BMP path's (same
     // pattern, different container+codec), so the closed-form oracle
     // covers both
-    val viaPng = Multimodal.imageAHash(
-        Multimodal.synthImageReal(docs, "png"))
+    val viaPng = MediaDecode.imageAHash(
+        MediaDecode.synthImageReal(docs, "png"))
       .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
-    val viaBmp = Multimodal.imageAHash(
-        Multimodal.synthBmpPattern(docs))
+    val viaBmp = MediaDecode.imageAHash(
+        MediaDecode.synthBmpPattern(docs))
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(viaPng.values.forall(_._1), "every real PNG must decode")
     for (d <- 0L until 80L)
       assert(viaPng(d)._2 == viaBmp(d), s"doc $d: PNG hash != BMP hash")
     // JPEG is lossy but bounded: geometry exact, MAE within contract
-    val jpeg = Multimodal.decodeImageVsPattern(
-        Multimodal.synthImageReal(docs, "jpeg")).collect()
+    val jpeg = MediaDecode.decodeImageVsPattern(
+        MediaDecode.synthImageReal(docs, "jpeg")).collect()
     assert(jpeg.forall(_.getBoolean(1)), "every real JPEG must decode")
     assert(jpeg.forall(r => r.getLong(2) == 16 && r.getLong(3) == 16))
     assert(jpeg.forall(_.getBoolean(4)), "JPEG MAE out of contract")
@@ -191,13 +191,13 @@ class MediaDecodeSpec extends AnyFunSuite {
     // JVM's encoder tables: sane magnitude (quantization noise, not a
     // decode bug), and enough headroom that the bound still separates
     // the bug signals it exists to catch (channel swap ≈ tens of levels)
-    val worst = Multimodal.jpegWorstCaseMae
+    val worst = MediaDecode.jpegWorstCaseMae
     assert(worst > 0.0 && worst < 20.0,
       s"enumerated JPEG worst-case MAE $worst outside the plausible band")
-    assert(worst * Multimodal.JpegMaeHeadroom < 30.0,
+    assert(worst * MediaDecode.JpegMaeHeadroom < 30.0,
       "derived bound too slack to catch channel-swap-scale corruption")
     // corrupt payload: flags, never throws
-    val c = Multimodal.decodeImageVsPattern(
+    val c = MediaDecode.decodeImageVsPattern(
       Seq((0L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).head()
     assert(!c.getBoolean(1) && !c.getBoolean(4))
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.Multimodal
+import graft.operators.{MediaDecode, MediaSynth, MediaWalk, Multimodal}
 
 /** Byte-level pins for the JPEG marker-segment walk.
   *
@@ -42,7 +42,7 @@ class MediaWalkSpec extends AnyFunSuite {
   private def parseOne(bytes: Array[Byte]) = {
     val s = spark
     import s.implicits._
-    Multimodal.parseJpeg(
+    MediaWalk.parseJpeg(
       Seq((1L, "image/jpeg", bytes)).toDF("doc_id", "media_type", "payload"))
       .collect().head
   }
@@ -100,7 +100,7 @@ class MediaWalkSpec extends AnyFunSuite {
   test("hand-built big-endian EXIF parses: byte order, tags, SOF0 cross-check") {
     val s = spark
     import s.implicits._
-    val r = Multimodal.parseExif(
+    val r = MediaWalk.parseExif(
       Seq((1L, "image/jpeg", handBuiltExifJpeg))
         .toDF("doc_id", "media_type", "payload"))
       .collect().head
@@ -150,7 +150,7 @@ class MediaWalkSpec extends AnyFunSuite {
   test("hand-built sub-IFD follows the 0x8769 pointer; dangling pointer quarantines") {
     val s = spark
     import s.implicits._
-    def parse(bytes: Array[Byte]) = Multimodal.parseExif(
+    def parse(bytes: Array[Byte]) = MediaWalk.parseExif(
       Seq((1L, "image/jpeg", bytes)).toDF("doc_id", "media_type", "payload"))
       .collect().head
     val ok = parse(handBuiltExifSubJpeg())
@@ -226,7 +226,7 @@ class MediaWalkSpec extends AnyFunSuite {
   test("hand-built MP4 parses: nested walk, out-of-order boxes, skipped free box") {
     val s = spark
     import s.implicits._
-    val r = graft.operators.Multimodal.parseMp4(
+    val r = graft.operators.MediaWalk.parseMp4(
       Seq((1L, "video/mp4", handBuiltMp4)).toDF("doc_id", "media_type", "payload"))
       .collect().head
     assert(r.getAs[Boolean]("is_mp4"))
@@ -246,7 +246,7 @@ class MediaWalkSpec extends AnyFunSuite {
     import s.implicits._
     val good = handBuiltMp4
     val truncated = good.dropRight(20) // moov's declared size now overruns
-    val r = graft.operators.Multimodal.parseMp4(
+    val r = graft.operators.MediaWalk.parseMp4(
       Seq((1L, "video/mp4", truncated)).toDF("doc_id", "media_type", "payload"))
       .collect().head
     assert(r.getAs[Boolean]("is_mp4")) // ftyp intact
@@ -278,12 +278,12 @@ class MediaWalkSpec extends AnyFunSuite {
     }
     val cases: Seq[(String, Seq[Array[Byte]],
         org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, String)] = Seq(
-      ("wav", payloads(Multimodal.synthWav(docs)), Multimodal.parseWav, "is_wav"),
-      ("bmp", payloads(Multimodal.synthBmp(docs)), Multimodal.parseBmp, "is_bmp"),
-      ("png", payloads(Multimodal.synthPng(docs)), Multimodal.parsePng, "is_png"),
-      ("jpeg", payloads(Multimodal.synthJpeg(docs)), Multimodal.parseJpeg, "is_jpeg"),
-      ("exif", payloads(Multimodal.synthJpegExif(docs)), Multimodal.parseExif, "has_exif"),
-      ("mp4", payloads(Multimodal.synthMp4(docs)), Multimodal.parseMp4, "is_mp4"))
+      ("wav", payloads(MediaSynth.synthWav(docs)), MediaWalk.parseWav, "is_wav"),
+      ("bmp", payloads(MediaSynth.synthBmp(docs)), MediaWalk.parseBmp, "is_bmp"),
+      ("png", payloads(MediaSynth.synthPng(docs)), MediaWalk.parsePng, "is_png"),
+      ("jpeg", payloads(MediaSynth.synthJpeg(docs)), MediaWalk.parseJpeg, "is_jpeg"),
+      ("exif", payloads(MediaSynth.synthJpegExif(docs)), MediaWalk.parseExif, "has_exif"),
+      ("mp4", payloads(MediaSynth.synthMp4(docs)), MediaWalk.parseMp4, "is_mp4"))
     cases.foreach { case (fmt, bases, parse, flagCol) =>
       val mutants = bases.zipWithIndex.flatMap { case (base, bi) =>
         (0 until 5).map { mi =>
@@ -306,8 +306,8 @@ class MediaWalkSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val docs = (0L until 100L).toDF("doc_id")
-    val reasons = Multimodal.jpegQuarantine(
-      Multimodal.parseJpeg(Multimodal.synthJpegCorrupt(docs)))
+    val reasons = MediaWalk.jpegQuarantine(
+      MediaWalk.parseJpeg(MediaSynth.synthJpegCorrupt(docs)))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason"))
       .toMap
     for (id <- 0L until 100L) {
@@ -319,7 +319,7 @@ class MediaWalkSpec extends AnyFunSuite {
       assert(reasons.get(id) == expected, s"doc $id")
     }
     // and the uncorrupted synth stream is fully clean
-    val clean = Multimodal.parseJpeg(Multimodal.synthJpeg(docs))
+    val clean = MediaWalk.parseJpeg(MediaSynth.synthJpeg(docs))
       .filter(!col("is_jpeg") || !col("marker_ok") || !col("eoi_ok"))
     assert(clean.count() == 0)
   }

@@ -51,7 +51,7 @@ class ReviewRegressionSpec extends AnyFunSuite {
   }
 
   test("multimodal channels agree between columnar path and stub codec on non-ASCII payloads") {
-    import graft.operators.Multimodal
+    import graft.operators.{MediaDecode, MediaSynth, MediaWalk, Multimodal}
     val docs = Seq((1L, "éclair pastry")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocs(docs)
     val colChannels = Multimodal.features(media).select("channels").head().getLong(0)
