@@ -19,6 +19,14 @@ import graft.operators.Unigram
   *    ScaleSynth dir — the delta isolates the one corpus-sized pass
   *    (the word count feeding the dictionary).
   *
+  *  - WIDE-VOCAB axis: ScaleSynth repeats vocabulary, so the sf corpora
+  *    saturate at a few hundred USED pieces and the 16k point is vacuous
+  *    (measured: 372 multi pieces in use at keep=16384). A syllable-
+  *    composed Zipfian corpus (the BpeSweep wide-plateau precedent:
+  *    200k distinct words over 500 shared syllables) gives the EM loop a
+  *    real 16k-piece candidate space, so the large-k cost actually
+  *    exercises the dictionary term.
+  *
   * Run: java … -cp <classes:spark-jars> graft.UnigramSweep \
   *   [baseDir] [synthDir] — synthDir is synthesized (10×) if absent.
   */
@@ -63,6 +71,36 @@ object UnigramSweep {
     measure("vocab", synthDir, 4096)
     measure("vocab", synthDir, 16384)
     measure("corpus", baseDir, 4096)
+
+    // wide-vocabulary Zipfian corpus: words composed from a shared
+    // syllable pool so substrings repeat ACROSS words (per-word-unique
+    // substrings would never accumulate usage and the vocab would
+    // saturate like the synth corpora do)
+    import spark.implicits._
+    val syl = (0 until 500).map { i =>
+      val a = ('a' + i % 26).toChar
+      val b = ('a' + (i * 7 + i / 26) % 26).toChar
+      s"$a$b"
+    }
+    val zipf = (0 until 200000).map { i =>
+      var x = i * 2654435761L & 0x7fffffffL
+      val w = new StringBuilder
+      (0 until 4).foreach { _ => w ++= syl((x % syl.length).toInt); x /= 37 }
+      val cnt = math.min(200, 2000000 / (i + 1) + 1)
+      (i.toLong, (w.toString + " ") * cnt)
+    }.toDF("doc_id", "text")
+
+    def measureDf(tag: String, docs: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+      val keep = Seq(k * 3 / 2, k)
+      val t0 = System.nanoTime()
+      val rows = Unigram.train(docs, seedMulti = k * 3 / 2, keep = keep).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      val multi = rows.count(_.getString(0).length > 1)
+      println(f"| $tag | (generated) | $k | ${rows.length} | $multi | $t%.1f |")
+    }
+    measureDf("zipf", zipf, 1024)
+    measureDf("zipf", zipf, 4096)
+    measureDf("zipf", zipf, 16384)
 
     spark.stop()
   }
