@@ -205,6 +205,19 @@ object CorpusEntries {
     TextAnalysis.dsirWeights(Tables.documents(s, dir),
       col("lang") === "en", DsirBuckets)
 
+  /** DSIR resample parameters shared by q_dsir_resample's query and
+    * oracle: row budget and the jitter-hash salt. */
+  private val DsirResampleN = 120
+  private val DsirSalt = "dsir:"
+
+  /** DSIR importance resampling ([[TextAnalysis.dsirResample]]): the
+    * paper's Gumbel-top-k selection layer over the q_dsir weights — a
+    * deterministic exponential-jitter weighted sample of
+    * [[DsirResampleN]] docs, P(select) ∝ w(doc). TakeOrdered plan. */
+  private def qDsirResample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirResample(Tables.documents(s, dir),
+      col("lang") === "en", DsirResampleN, DsirBuckets, DsirSalt)
+
   private def qSubstringSa(s: SparkSession, dir: String): DataFrame =
     Dedup.substringSpans(Tables.documents(s, dir), SubstrSpanLen)
 
@@ -419,6 +432,7 @@ object CorpusEntries {
     "q_sample_exact_n" -> qSampleExactN,
     "q_substring_dup" -> qSubstringDup,
     "q_dsir" -> qDsir,
+    "q_dsir_resample" -> qDsirResample,
     "q_substring_sa" -> qSubstringSa,
     "q_sample_temperature" -> qSampleTemperature,
     "q_drift" -> qDrift,
@@ -632,59 +646,83 @@ object CorpusEntries {
     if (withEncodeChain) base + ",\n" + dpChain("c", "vq2") else base
   }
 
+  /** DSIR mirror chain shared by q_dsir and q_dsir_resample:
+    * unigram+bigram grams with multiplicity, hash60-bucketed mod
+    * DsirBuckets, Laplace bucket LMs for target (lang='en') and raw,
+    * per-bucket log-probs quantized at 4dp (ln idiom), per-doc integer
+    * sum of (lqt - lqr) as CTE `per`. */
+  private def oDsirChain: String =
+    s"""tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), g0 AS (
+       |  SELECT doc_id, unnest(toks) AS g FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2
+       |      THEN CAST([] AS VARCHAR[])
+       |      ELSE list_transform(range(1, len(toks)),
+       |             i -> concat_ws(' ', toks[i], toks[i+1])) END) AS g
+       |  FROM tk
+       |), gb AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % $DsirBuckets
+       |      AS b
+       |  FROM g0
+       |), tc AS (
+       |  SELECT gb.b, count(*) AS c FROM gb
+       |  JOIN documents d ON d.doc_id = gb.doc_id AND d.lang = 'en'
+       |  GROUP BY gb.b
+       |), rc AS (SELECT b, count(*) AS c FROM gb GROUP BY b
+       |), tt AS (
+       |  SELECT (SELECT count(*) FROM gb
+       |          JOIN documents d ON d.doc_id = gb.doc_id AND d.lang = 'en')
+       |    AS tot_t,
+       |    (SELECT count(*) FROM gb) AS tot_r
+       |), lqs AS MATERIALIZED (
+       |  SELECT r.range AS b,
+       |    CAST(floor(ln((coalesce(tc.c, 0) + 1) /
+       |      CAST(tt.tot_t + $DsirBuckets AS DOUBLE)) * 10000 + 0.5)
+       |      AS BIGINT) AS lqt,
+       |    CAST(floor(ln((coalesce(rc.c, 0) + 1) /
+       |      CAST(tt.tot_r + $DsirBuckets AS DOUBLE)) * 10000 + 0.5)
+       |      AS BIGINT) AS lqr
+       |  FROM range($DsirBuckets) r
+       |  LEFT JOIN tc ON tc.b = r.range
+       |  LEFT JOIN rc ON rc.b = r.range, tt
+       |), per AS (
+       |  SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(lqs.lqt - lqs.lqr) AS BIGINT) AS logw_q
+       |  FROM gb JOIN lqs ON lqs.b = gb.b
+       |  GROUP BY gb.doc_id
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    // DSIR mirror: unigram+bigram grams with multiplicity, hash60-bucketed
-    // mod DsirBuckets, Laplace bucket LMs for target (lang='en') and raw,
-    // per-bucket log-probs quantized at 4dp (ln idiom), per-doc integer
-    // sum of (lqt - lqr); gramless docs surface at weight 0, not absent
+    // gramless docs surface at weight 0, not absent (see oDsirChain)
     "q_dsir" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |), g0 AS (
-         |  SELECT doc_id, unnest(toks) AS g FROM tk
-         |  UNION ALL
-         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2
-         |      THEN CAST([] AS VARCHAR[])
-         |      ELSE list_transform(range(1, len(toks)),
-         |             i -> concat_ws(' ', toks[i], toks[i+1])) END) AS g
-         |  FROM tk
-         |), gb AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % $DsirBuckets
-         |      AS b
-         |  FROM g0
-         |), tc AS (
-         |  SELECT gb.b, count(*) AS c FROM gb
-         |  JOIN documents d ON d.doc_id = gb.doc_id AND d.lang = 'en'
-         |  GROUP BY gb.b
-         |), rc AS (SELECT b, count(*) AS c FROM gb GROUP BY b
-         |), tt AS (
-         |  SELECT (SELECT count(*) FROM gb
-         |          JOIN documents d ON d.doc_id = gb.doc_id AND d.lang = 'en')
-         |    AS tot_t,
-         |    (SELECT count(*) FROM gb) AS tot_r
-         |), lqs AS MATERIALIZED (
-         |  SELECT r.range AS b,
-         |    CAST(floor(ln((coalesce(tc.c, 0) + 1) /
-         |      CAST(tt.tot_t + $DsirBuckets AS DOUBLE)) * 10000 + 0.5)
-         |      AS BIGINT) AS lqt,
-         |    CAST(floor(ln((coalesce(rc.c, 0) + 1) /
-         |      CAST(tt.tot_r + $DsirBuckets AS DOUBLE)) * 10000 + 0.5)
-         |      AS BIGINT) AS lqr
-         |  FROM range($DsirBuckets) r
-         |  LEFT JOIN tc ON tc.b = r.range
-         |  LEFT JOIN rc ON rc.b = r.range, tt
-         |), per AS (
-         |  SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |    CAST(sum(lqs.lqt - lqs.lqr) AS BIGINT) AS logw_q
-         |  FROM gb JOIN lqs ON lqs.b = gb.b
-         |  GROUP BY gb.doc_id
-         |)
+      s"""WITH $oDsirChain
          |SELECT d.doc_id,
          |  coalesce(per.n_grams, 0) AS n_grams,
          |  coalesce(per.logw_q, 0) AS logw_q,
          |  coalesce(per.logw_q, 0) > 0 AS selected
          |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin,
+    // exponential-jitter weighted top-n: key_q = logw_q - lnu_q with u
+    // the salted 16-bit md5 bucket uniform (the Sampling.hashBucket
+    // mirror), ln quantized at 4dp; ties to the smaller doc_id
+    "q_dsir_resample" ->
+      s"""WITH $oDsirChain,
+         |base AS (
+         |  SELECT d.doc_id,
+         |    coalesce(per.n_grams, 0) AS n_grams,
+         |    coalesce(per.logw_q, 0) AS logw_q
+         |  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, n_grams, logw_q,
+         |  logw_q - CAST(floor(ln(
+         |      (CAST(concat('0x', substr(md5(concat('$DsirSalt',
+         |        CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) + 0.5)
+         |      / 65536.0) * 10000 + 0.5) AS BIGINT) AS key_q
+         |FROM base
+         |ORDER BY key_q DESC, doc_id
+         |LIMIT $DsirResampleN""".stripMargin,
     "q_unigram_train" ->
       s"""WITH ${oUnigramChain(withEncodeChain = false)}
          |SELECT v2.piece, CAST(v2.u AS BIGINT) AS n_uses, vq2.lq AS logp_q

@@ -566,6 +566,36 @@ object TextAnalysis {
     dsirScore(docs, grams, tgt, raw)
   }
 
+  /** DSIR selection layer — the paper's importance RESAMPLING on top of
+    * [[dsirWeights]] (Xie et al. 2023 select the corpus subset by
+    * Gumbel-top-k over the log importance weights; the hard `selected`
+    * cut in [[dsirWeights]] is the deterministic floor under it): a
+    * deterministic weighted sample-without-replacement of `n` documents
+    * with P(select) ∝ w(doc), via exponential jitter (A-ES / Gumbel
+    * top-k): ranking key = 10⁴·(ln w − ln u) = logw_q − lnu_q, where u
+    * is the salted 16-bit hash uniform ((bucket + 0.5)/65536 — never 0
+    * or 1, the [[Sampling.prioritySample]] construction) and BOTH logs
+    * are 4dp-int64-quantized (the repo's ln idiom), so the ranking is
+    * exact integer order either engine replays; ties break to the
+    * smaller doc_id.
+    *
+    * Scale shape: [[dsirWeights]]'s one corpus-sized gram pass, then
+    * orderBy+limit plans as TakeOrderedAndProject — per-partition top-n
+    * heaps merged over n·#partitions rows, never a global sort. Output:
+    * the n selected rows (doc_id, n_grams, logw_q, key_q). */
+  def dsirResample(docs: DataFrame, targetPred: Column, n: Int,
+      nBuckets: Int = 1024, salt: String = "dsir:"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (Sampling.hashBucket(col("doc_id"), salt).cast("double") +
+      lit(0.5)) / lit(65536.0)
+    val lnuQ = floor(log(u) * lit(10000) + lit(0.5)).cast("long")
+    dsirWeights(docs, targetPred, nBuckets)
+      .select(col("doc_id"), col("n_grams"), col("logw_q"),
+        (col("logw_q") - lnuQ).as("key_q"))
+      .orderBy(col("key_q").desc, col("doc_id"))
+      .limit(n)
+  }
+
   /** DSIR feature extraction: one (doc_id, bucket) row per gram
     * occurrence — unigrams + adjacent bigrams, hash60-bucketed mod
     * `nBuckets`. Shared by [[dsirWeights]] and the streaming gate

@@ -509,4 +509,41 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
     assert(again == out.toSeq.map { case (k, v) => (k, v._2) }.sortBy(_._1))
   }
+
+  test("DSIR resample: jittered weighted top-n, exact key, partition-invariant") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", "en"),
+      (2L, "beta gamma alpha beta", "en"),
+      (3L, "gamma alpha beta gamma", "en"),
+      (4L, "zeta eta theta zeta", "de"),
+      (5L, "eta theta zeta eta", "de"),
+      (6L, "theta zeta eta theta", "de")).toDF("doc_id", "text", "lang")
+    val n = 3
+    val out = TextAnalysis.dsirResample(docs, col("lang") === "en", n)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("logw_q"),
+        r.getAs[Long]("key_q")))
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    // key_q recomputes exactly from the published construction:
+    // logw_q - floor(ln((md5-bucket + 0.5)/65536) * 1e4 + 0.5)
+    out.foreach { case (id, lw, key) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 65536.0
+      val lnuQ = math.floor(math.log(u) * 10000.0 + 0.5).toLong
+      assert(key == lw - lnuQ, s"doc $id: key $key != $lw - $lnuQ")
+    }
+    // the winners beat every non-selected doc's key (true top-n, not a
+    // per-partition artifact): recompute all six keys and compare
+    val all = TextAnalysis.dsirResample(docs, col("lang") === "en", 6)
+      .collect().map(r => (r.getAs[Long]("key_q"), r.getAs[Long]("doc_id")))
+      .sortBy { case (k, id) => (-k, id) }
+    assert(out.map(_._1).toSeq == all.take(n).map(_._2).toSeq)
+    // partition-layout invariance: the hash jitter has no RNG/row-order
+    // dependence, so a repartitioned input selects the identical set
+    val rep = TextAnalysis.dsirResample(docs.repartition(7), col("lang") === "en", n)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("key_q")))
+    assert(rep.sortBy(_._1).toSeq ==
+      out.map(t => (t._1, t._3)).sortBy(_._1).toSeq)
+  }
 }
