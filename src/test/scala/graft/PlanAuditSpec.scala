@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_stream_topk_check", // same one-row summary, streamed segments
     "q_decontaminate_bloom", // one-row bloom-filter broadcast
     "q_dsir", // one-row gram-total broadcasts under the bucket LMs
+    "q_dsir_resample", // the same one-row totals under the weights stage
     "q_pmi", // one-row unigram/bigram-total broadcast
     "q_triangles", // one-row census × one-row totals join
     // one-row node-count + dangling-mass broadcasts ride along every round
