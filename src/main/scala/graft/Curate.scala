@@ -82,13 +82,19 @@ object Curate {
     // IVF-cluster-blocked cosine classes at semTau, keep each class's
     // farthest-from-centroid member. The cluster count is sized from the
     // SURVIVOR count, so the Σ|cluster|² pair space stays linear however
-    // much the earlier gates removed.
+    // much the earlier gates removed. Coverage policy: a doc with NO
+    // embedding row cannot be semantically deduped and PASSES THROUGH —
+    // the prune is an anti-join against the docs SemDeDup explicitly
+    // dropped, never an inner join against the kept set (which would
+    // silently discard every unembedded doc; at sf0.1 the embeddings
+    // table covers 2,000 of 5,000 docs, so the difference is most of the
+    // corpus).
     val survEmb = Tables.embeddings(spark, sfDir)
       .join(deduped.select(col("doc_id").as("vec_id")), "vec_id")
-    val keepSem = Similarity.semDedup(survEmb, semTau,
+    val dropSem = Similarity.semDedup(survEmb, semTau,
         Similarity.clustersFor(survEmb.count()))
-      .filter(col("keep")).select(col("vec_id").as("doc_id"))
-    val pruned = deduped.join(keepSem, "doc_id")
+      .filter(!col("keep")).select(col("vec_id").as("doc_id"))
+    val pruned = deduped.join(dropSem, Seq("doc_id"), "left_anti")
 
     // 6. decontamination against the eval split (doc_id ≡ 0 mod 10)
     val evalPred = pmod(col("doc_id"), lit(10)) === 0
