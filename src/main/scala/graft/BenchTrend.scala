@@ -50,7 +50,8 @@ object BenchTrend {
     "q_media_decode_png",
     "q_image_neardup",
     "q_bpe_train", "q_bpe_encode", "q_backoff_lm",
-    "q_unigram_train", "q_unigram_encode", "q_dsir", "q_dsir_resample")
+    "q_unigram_train", "q_unigram_encode", "q_dsir", "q_dsir_resample",
+    "q_decontaminate_fuzzy", "q_shuffle_shards", "q_jsonl_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

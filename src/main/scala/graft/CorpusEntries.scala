@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, CorpusStats, Decontamination, Dedup, Drift, Packing, Sampling, TextAnalysis}
-import graft.sources.Tables
+import graft.operators.{Chunking, CorpusStats, Decontamination, Dedup, Drift, Layout, Packing, Sampling, TextAnalysis}
+import graft.sources.{Jsonl, Tables}
 
 /** Corpus-curation operators (sampling / vocabulary / TF-IDF / PII /
   * chunking / passage dedup), each with its DuckDB oracle — the
@@ -229,6 +229,40 @@ object CorpusEntries {
       Tables.documents(s, dir).select(col("doc_id"), col("lang")),
       col("doc_id"), col("lang"), SampleSalt, ExactNPerLang)
 
+  /** Shard-shuffle parameters (query and oracle read the same values). */
+  private val ShardSalt = "sh1:"
+  private val ShardSize = 64
+
+  /** Seeded deterministic global shuffle into exact [[ShardSize]]-row
+    * training shards ([[Layout.shuffleShards]]): bucket-offset global
+    * rank over the salted content hash — no single-partition sort. */
+  private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
+    Layout.shuffleShards(
+      Tables.documents(s, dir).select(col("doc_id")),
+      col("doc_id"), ShardSalt, ShardSize)
+      .withColumnRenamed("k", "doc_id")
+
+  /** JSONL round trip ([[sources.Jsonl]]): export the corpus as
+    * .jsonl.gz shards, re-read schema-pinned/FAILFAST, and aggregate
+    * per (source, lang) with a content-hash checksum over `text`. The
+    * oracle computes the SAME aggregate from the parquet originals, so a
+    * hash-green result proves the export→import path is lossless down to
+    * every text byte — the actual contract a corpus interchange format
+    * must honor. Write lands in a scratch dir deleted at JVM exit. */
+  private def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = SessionScoped.scratchDir("graft_jsonl_") + "/documents"
+    Jsonl.write(docs, path)
+    Jsonl.read(s, path, docs.schema)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(pmod(TextAnalysis.hash60(col("text")), lit(1000003L)))
+          .as("text_hash_sum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
   /** BM25 query-term set + result size (query and oracle share these). */
   private val Bm25Terms = Seq("hash", "join", "vector")
   private val Bm25TopK = 20
@@ -437,7 +471,9 @@ object CorpusEntries {
     "q_sample_temperature" -> qSampleTemperature,
     "q_drift" -> qDrift,
     "q_split" -> qSplit,
-    "q_sample_weighted" -> qSampleWeighted)
+    "q_sample_weighted" -> qSampleWeighted,
+    "q_shuffle_shards" -> qShuffleShards,
+    "q_jsonl_roundtrip" -> qJsonlRoundtrip)
 
   // ---------------------------------------------------------------- oracle
 
@@ -770,6 +806,30 @@ object CorpusEntries {
          |    ELSE 'test'
          |  END AS split
          |FROM documents""".stripMargin,
+
+    // global rank over (salted hash, doc_id) — the oracle's single-node
+    // row_number IS the spec the bucket-offset construction must equal
+    "q_shuffle_shards" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${EntryMath.oHash60(s"concat('$ShardSalt', CAST(doc_id AS VARCHAR))")} AS h
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) - 1 AS rk FROM h
+         |)
+         |SELECT doc_id, rk // $ShardSize AS shard, rk % $ShardSize AS pos
+         |FROM r""".stripMargin,
+
+    // the oracle reads the PARQUET originals: matching the Spark side's
+    // jsonl re-read proves the export→import path lossless
+    "q_jsonl_roundtrip" ->
+      s"""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(${EntryMath.oHash60("text")} % 1000003) AS BIGINT)
+         |    AS text_hash_sum,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q_drift" ->
       """WITH hr AS (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Chunking, Decontamination, Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Decontamination, Dedup, Layout, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.{Tables, TextIngest}
 
 /** End-to-end corpus curation pipeline — the composed "raw documents →
@@ -12,10 +12,11 @@ import graft.sources.{Tables, TextIngest}
   *
   *   quality-score filter → structural rule gate → repetition filter →
   *   near-dup corpus dedup → SemDeDup semantic pruning → benchmark
-  *   decontamination → DSIR importance-weight selection → deterministic
-  *   sample → chunk → sequence-pack → partitioned parquet write →
-  *   BPE tokenizer artifact (merge table + subword vocabulary) trained
-  *   on exactly the surviving corpus
+  *   decontamination (exact n-gram + fuzzy near-dup) → DSIR
+  *   importance-weight selection → deterministic sample → chunk →
+  *   sequence-pack → partitioned parquet write → BPE tokenizer artifact
+  *   (merge table + subword vocabulary) trained on exactly the surviving
+  *   corpus → seeded shard shuffle of the packed sequences
   *
   * Stage order follows the published recipes: lexical near-dup dedup
   * first, then SemDeDup over what survives (Abbas et al. 2023 run
@@ -39,8 +40,8 @@ object Curate {
     * documents; `merges`/`vocab` describe the tokenizer artifact). */
   final case class Funnel(input: Long, quality: Long, rules: Long,
       repetition: Long, dedup: Long, semdedup: Long, decontaminated: Long,
-      dsir: Long, sampled: Long,
-      chunks: Long, seqs: Long, merges: Long, vocab: Long)
+      fuzzyClean: Long, dsir: Long, sampled: Long,
+      chunks: Long, seqs: Long, merges: Long, vocab: Long, shards: Long)
 
   /** @param bloomScreen run decontamination through the bloom prescreen
     *   ([[Decontamination.screenBloom]]) instead of the exact broadcast —
@@ -106,14 +107,23 @@ object Curate {
     val train = pruned.filter(!evalPred)
       .join(contaminated, Seq("doc_id"), "left_anti")
 
+    // 6b. fuzzy decontamination: near-COPIES of eval docs (reworded,
+    // truncated, boilerplate-shifted) that the exact gram screen misses —
+    // the cross-set MinHash screen at a lower tau than the dedup pass
+    // (contamination flags partial copies, not just mirrors). Eval bands
+    // are the broadcast-sized side; the corpus is never self-joined.
+    val fuzzyHits = Dedup.fuzzyDecontaminate(pruned, evalPred, tau = 0.6)
+      .select("doc_id")
+    val fuzzyClean = train.join(fuzzyHits, Seq("doc_id"), "left_anti")
+
     // 7. DSIR importance-weight selection cut: hashed-n-gram bucket LMs
     // estimated over the CLEANED corpus (target = its English slice, the
     // q_dsir domain stand-in), keep docs whose target-vs-raw log weight is
     // positive. Estimating the LMs post-decontamination means eval-set
     // n-grams can't inflate the target model.
-    val keepDsir = TextAnalysis.dsirWeights(train, col("lang") === "en")
+    val keepDsir = TextAnalysis.dsirWeights(fuzzyClean, col("lang") === "en")
       .filter(col("selected")).select("doc_id")
-    val weighted = train.join(keepDsir, "doc_id")
+    val weighted = fuzzyClean.join(keepDsir, "doc_id")
 
     // 8. deterministic sample (reproducible across reruns)
     val sampled = Sampling.sample(weighted, col("doc_id"), "curate:", sampleRate)
@@ -136,14 +146,26 @@ object Curate {
     val vocab = Bpe.encode(sampled, merges)
     vocab.write.mode("overwrite").parquet(s"$outDir/tokenizer/vocab")
 
+    // 11. shard layout: seeded global shuffle of the PACKED SEQUENCES into
+    // fixed-size shards — the training-loader handoff (reproducible random
+    // order, equal shards, loaders stride without coordination). Written
+    // partitioned by shard so a loader reads exactly its slice.
     val written = spark.read.parquet(s"$outDir/chunks")
+    val shardOf = Layout.shuffleShards(
+        written.select(col("seq_id")).distinct(),
+        col("seq_id"), "curate-sh:", shardSize = 16)
+      .select(col("k").as("seq_id"), col("shard"))
+    written.join(shardOf, "seq_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards")
+
     Funnel(docs.count(), quality.count(), ruled.count(), repetition.count(),
-      deduped.count(), pruned.count(), train.count(), weighted.count(),
-      sampled.count(),
+      deduped.count(), pruned.count(), train.count(), fuzzyClean.count(),
+      weighted.count(), sampled.count(),
       written.count(),
       written.select(col("seq_id")).distinct().count(),
       spark.read.parquet(s"$outDir/tokenizer/merges").count(),
-      spark.read.parquet(s"$outDir/tokenizer/vocab").count())
+      spark.read.parquet(s"$outDir/tokenizer/vocab").count(),
+      spark.read.parquet(s"$outDir/shards").select("shard").distinct().count())
   }
 
   def main(args: Array[String]): Unit = {
@@ -160,9 +182,10 @@ object Curate {
     val f = run(spark, sfDir, outDir)
     println(s"""{"input":${f.input},"quality":${f.quality},"rules":${f.rules},""" +
       s""""repetition":${f.repetition},"dedup":${f.dedup},"semdedup":${f.semdedup},""" +
-      s""""decontaminated":${f.decontaminated},"dsir":${f.dsir},"sampled":${f.sampled},""" +
+      s""""decontaminated":${f.decontaminated},"fuzzy_clean":${f.fuzzyClean},""" +
+      s""""dsir":${f.dsir},"sampled":${f.sampled},""" +
       s""""chunks":${f.chunks},"seqs":${f.seqs},""" +
-      s""""merges":${f.merges},"vocab":${f.vocab}}""")
+      s""""merges":${f.merges},"vocab":${f.vocab},"shards":${f.shards}}""")
     spark.stop()
   }
 }

@@ -53,6 +53,19 @@ private[graft] object TextDedupEntries {
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, dir), 0.7)
 
+  /** Fuzzy-decontamination threshold (query and oracle read the same
+    * value) — lower than the dedup tau on purpose: contamination screens
+    * flag partial/reworded benchmark copies, not just mirror pages. */
+  private val FuzzyDecontamTau = 0.6
+
+  /** Near-dup decontamination ([[Dedup.fuzzyDecontaminate]]): training
+    * docs whose shingle Jaccard vs ANY eval doc (doc_id % 10 = 0, the
+    * same held-out set as q_decontaminate's exact screen) reaches tau —
+    * best match by (4dp jaccard desc, eval id). */
+  private def qDecontaminateFuzzy(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyDecontaminate(Tables.documents(s, dir),
+      pmod(col("doc_id"), lit(10)) === 0, FuzzyDecontamTau)
+
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), 10)
 
@@ -144,6 +157,28 @@ private[graft] object TextDedupEntries {
        |)""".stripMargin
   }
 
+  /** Cross-set variant of [[oMinhash]] for q_decontaminate_fuzzy: same
+    * signatures/bands, but candidates pair a TRAINING doc (doc_a) with an
+    * EVAL doc (doc_b, doc_id % 10 = 0) instead of self-joining. */
+  private val oMinhashXEval: String = {
+    val sig = (0 until Dedup.MinHashK)
+      .map(j => s"min((h * ${Dedup.mhA(j)} + ${Dedup.mhB(j)}) % ${Dedup.MinHashP}) AS mh$j")
+      .mkString(", ")
+    val bands = (0 until Dedup.MinHashK / 2)
+      .map(bd => s"SELECT doc_id, $bd AS band, mh${2 * bd} AS x, mh${2 * bd + 1} AS y FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""sig AS (SELECT doc_id, $sig FROM shidx GROUP BY doc_id),
+       |bands AS (
+       |  $bands
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       |   AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+       |)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> ((s, dir) =>
@@ -165,6 +200,7 @@ private[graft] object TextDedupEntries {
     "q_jaccard_pairs" -> qJaccardPairs,
     "q_containment" -> qContainment,
     "q_minhash_lsh" -> qMinhashLsh,
+    "q_decontaminate_fuzzy" -> qDecontaminateFuzzy,
     "q_simhash" -> qSimhash,
     "q_simhash_mp" -> qSimhashMp,
   )
@@ -443,6 +479,34 @@ private[graft] object TextDedupEntries {
          |${oJaccard(0.7)}
          |SELECT c.doc_a, c.doc_b, j.jaccard
          |FROM cand c JOIN jpairs j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b""".stripMargin,
+    // cross-set candidates → exact Jaccard ≥ tau → best eval match per
+    // training doc by (4dp jaccard desc, eval id) — mirrors
+    // Dedup.fuzzyDecontaminate's window exactly
+    "q_decontaminate_fuzzy" ->
+      s"""WITH $oShingleIdx,
+         |$oMinhashXEval,
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c JOIN shidx ia ON ia.doc_id = c.doc_a
+         |              JOIN shidx ib ON ib.doc_id = c.doc_b AND ib.h = ia.h
+         |  GROUP BY 1, 2
+         |),
+         |jac AS (
+         |  SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jraw,
+         |    ${r4("i / (sa.sz + sb.sz - i)")} AS jaccard
+         |  FROM inter JOIN shsz sa ON sa.doc_id = doc_a
+         |             JOIN shsz sb ON sb.doc_id = doc_b
+         |),
+         |jp AS (SELECT * FROM jac WHERE jraw >= $FuzzyDecontamTau),
+         |rk AS (
+         |  SELECT doc_a, doc_b, jaccard,
+         |    row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rn,
+         |    count(*) OVER (PARTITION BY doc_a) AS nm
+         |  FROM jp
+         |)
+         |SELECT doc_a AS doc_id, doc_b AS eval_match, jaccard AS max_jaccard,
+         |  CAST(nm AS BIGINT) AS n_eval_matches
+         |FROM rk WHERE rn = 1""".stripMargin,
     "q_simhash" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |tok0 AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators.Materialize.MatOps
 
@@ -614,6 +614,63 @@ object Dedup {
         coalesce(col("corpus_match"), col("batch_match")).as("match_id"),
         coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
         coalesce(col("n_batch_matches"), lit(0L)).as("n_batch_matches"))
+  }
+
+  /** Near-duplicate DECONTAMINATION: flag training documents that are a
+    * near-copy of an eval/benchmark document. The exact n-gram screen
+    * ([[Decontamination]]) catches verbatim inclusion; this catches the
+    * reworded/truncated/boilerplate-shifted contamination mode that exact
+    * grams miss — whole-document shingle-set Jaccard ≥ tau against the
+    * eval set, the document-level analog of published LM contamination
+    * analyses.
+    *
+    * Same MinHash band machinery as [[minhashLshPairs]] but the candidate
+    * join is CROSS-SET (training bands probe eval bands), so the corpus is
+    * never self-joined: at 100 TB the eval side is a benchmark suite —
+    * thousands of documents, a broadcast-sized band table — and candidate
+    * generation is a broadcast semi-probe over one corpus scan. Candidates
+    * are verified with exact Jaccard on the shingle index (work ∝
+    * candidates × shingles, bounded by the tiny eval side).
+    *
+    * Output: one row per CONTAMINATED training doc — (doc_id, eval_match =
+    * the eval doc with the highest 4dp Jaccard, ties to the lowest eval
+    * id; max_jaccard; n_eval_matches). Clean docs are absent (the keep
+    * list is an anti-join away), eval docs are never reported. */
+  def fuzzyDecontaminate(docs: DataFrame, evalPred: Column, tau: Double,
+      n: Int = 3): DataFrame = {
+    val flagged = docs.withColumn("_is_eval", evalPred)
+    // one tokenize→md5 pass feeds signatures and verification
+    val idx = shingleIndex(flagged, n).materialize
+    val sig = minhashSignaturesFromIndex(idx)
+      .join(flagged.select(col("doc_id"), col("_is_eval")), "doc_id")
+      .materialize
+    val bands = sig.select(col("doc_id"), col("_is_eval"),
+      explode(expr(
+        (0 until MinHashK / 2)
+          .map(bd => s"struct(${bd} AS band, mh${2 * bd} AS x, mh${2 * bd + 1} AS y)")
+          .mkString("array(", ", ", ")"))).as("bb"))
+      .select(col("doc_id"), col("_is_eval"), col("bb.band"), col("bb.x"), col("bb.y"))
+    val cand = bands.filter(!col("_is_eval")).as("a")
+      .join(bands.filter(col("_is_eval")).as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+          col("a.y") === col("b.y"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // doc_a = training doc, doc_b = eval doc; jaccard is 4dp-floored by
+    // verifyJaccard, so the arg-max ordering (and its ties) is identical
+    // in any engine computing the same quantized value
+    val verified = verifyJaccard(cand, idx, tau)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"))
+      .orderBy(col("jaccard").desc, col("doc_b"))
+    verified
+      .withColumn("rn", row_number().over(best))
+      .withColumn("n_eval_matches", count(lit(1)).over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("eval_match"),
+        col("jaccard").as("max_jaccard"), col("n_eval_matches"))
   }
 
   /** One micro-batch step of CONTINUOUS near-dup screening — the streaming

@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.operators.Materialize.MatOps
 
 /** Data-layout operators: Z-order (Morton) keys for multi-dimensional
   * file clustering.
@@ -110,5 +113,55 @@ object Layout {
       if (written.next().getPath.getName.endsWith(".parquet")) count += 1
     }
     count
+  }
+
+  /** Deterministic seeded GLOBAL SHUFFLE into exact fixed-size training
+    * shards — the layout step between curation and training: samples must
+    * reach the trainer in a reproducible random order, cut into
+    * equal-size shards so data loaders stride without coordination. A
+    * `rand()` sort fails reproducibility; a plain `repartition(n)` gives
+    * hash-balanced but UNORDERED, non-replayable shards.
+    *
+    * The permutation is the salted 60-bit md5 hash of the key ([[
+    * graft.operators.TextAnalysis.hash60]]); the global rank over (hash,
+    * key) is computed WITHOUT a single-partition sort: rows bucket by the
+    * hash's top `log2(nBuckets)` bits, per-bucket counts (an nBuckets-row
+    * aggregate) prefix-sum into bucket offsets on the driver-side-tiny
+    * frame, and each bucket ranks independently under its offset. Because
+    * the bucket is a PREFIX of the sort key, (bucket, hash, key) order IS
+    * (hash, key) order — exact global ranks from one hash-partitioned
+    * window plus one broadcast of nBuckets rows. At 100 TB: nBuckets
+    * scales so a bucket fits a task (md5 is uniform, so buckets are
+    * balanced — no planted skew is possible), the only wide exchange is
+    * the bucket hash-partition, and every shard except the last is
+    * exactly `shardSize` rows.
+    *
+    * Output: (key, shard, pos) — shard = rank/shardSize, pos within it. */
+  def shuffleShards(df: DataFrame, key: Column, salt: String,
+      shardSize: Int, nBuckets: Int = 1024): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0 && nBuckets <= (1 << 20),
+      "nBuckets must be a power of two in [1, 2^20]")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val keyed = df
+      .select(key.as("k"),
+        TextAnalysis.hash60(concat(lit(salt), key.cast("string"))).as("_h"))
+      .withColumn("_b", shiftright(col("_h"), shift))
+      .materialize // counts and ranks read the same hashed frame once
+    val offs = keyed.groupBy("_b").agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_n")).over(Window.orderBy(col("_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_b"), col("_off"))
+    val inBucket = Window.partitionBy(col("_b")).orderBy(col("_h"), col("k"))
+    keyed
+      .join(broadcast(offs), "_b")
+      .withColumn("_rk",
+        col("_off") + row_number().over(inBucket).cast("long") - 1)
+      .select(col("k"),
+        expr(s"_rk DIV $shardSize").as("shard"),
+        (col("_rk") % shardSize).as("pos"))
   }
 }

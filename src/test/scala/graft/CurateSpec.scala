@@ -20,19 +20,22 @@ class CurateSpec extends AnyFunSuite {
     assert(f.repetition >= f.dedup)
     assert(f.dedup >= f.semdedup)
     assert(f.semdedup >= f.decontaminated)
-    assert(f.decontaminated >= f.dsir)
+    assert(f.decontaminated >= f.fuzzyClean)
+    assert(f.fuzzyClean >= f.dsir)
     assert(f.dsir >= f.sampled)
     // the two new gates actually gate on the synthetic corpus: SemDeDup
     // finds at least one semantic near-dup class, and the DSIR cut keeps a
     // non-trivial target-like slice without emptying the funnel
     assert(f.semdedup < f.dedup)
-    assert(f.dsir > 0 && f.dsir < f.decontaminated)
+    assert(f.dsir > 0 && f.dsir < f.fuzzyClean)
     // every stage leaves a non-trivial corpus on the synthetic data
     assert(f.sampled > 0 && f.chunks >= f.sampled)
     // packing: sequence count ≈ total tokens / 512, never above chunk count
     assert(f.seqs > 0 && f.seqs <= f.chunks)
     // tokenizer artifact: full merge table learned, non-trivial vocabulary
     assert(f.merges == 32 && f.vocab > 26)
+    // shard layout: every 16-sequence shard full except the last
+    assert(f.shards == (f.seqs + 15) / 16)
     // deterministic: a rerun lands the identical funnel
     val out2 = graft.SessionScoped.scratchDir("graft_curate2")
     assert(Curate.run(spark, "/root/testdata/sf0.001", out2) == f)

@@ -94,4 +94,47 @@ class LayoutSpec extends AnyFunSuite {
       .agg((max("b") - min("b")).as("sb")).collect()
     assert(spread1d.forall(_.getAs[Long]("sb") == 31L))
   }
+
+  /** JVM-side mirror of TextAnalysis.hash60 (first 15 md5 hex chars as a
+    * long) — the single-node spec the distributed rank must equal. */
+  private def localHash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  test("shuffleShards: exact global (hash, key) rank, fixed-size shards") {
+    val n = 1000L
+    val df = spark.range(n).select(col("id"))
+    val got = Layout.shuffleShards(df, col("id"), "t1:", shardSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n)
+    // single-node spec: sort by (hash60("t1:"+id), id), rank positionally
+    val expected = (0L until n).map(id => (localHash60("t1:" + id), id))
+      .sorted.map(_._2).zipWithIndex
+      .map { case (id, rk) => (id, rk.toLong / 64, rk.toLong % 64) }.toSet
+    assert(got.toSet == expected)
+    // every shard except the last is exactly shardSize rows
+    val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val last = sizes.keys.max
+    assert(sizes(last) == (n % 64).toInt)
+    sizes.filter(_._1 != last).values.foreach(sz => assert(sz == 64))
+  }
+
+  test("shuffleShards: seeded (salt changes the permutation), bucket-count-invariant") {
+    val df = spark.range(500).select(col("id"))
+    val a = Layout.shuffleShards(df, col("id"), "sA:", 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a2 = Layout.shuffleShards(df, col("id"), "sA:", 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == a2) // reproducible
+    val b = Layout.shuffleShards(df, col("id"), "sB:", 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a != b) // the salt IS the seed
+    // nBuckets is an implementation knob: any power of two gives the
+    // identical assignment (bucket = hash prefix, so order is unchanged)
+    val few = Layout.shuffleShards(df, col("id"), "sA:", 32, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(few == a)
+  }
 }
