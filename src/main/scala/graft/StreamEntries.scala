@@ -410,6 +410,31 @@ private[graft] object StreamEntries {
     graft.streaming.StreamDsir.report(s, work)
   }
 
+  /** The STREAMING near-dup decontamination gate: training docs replayed
+    * as three id-ordered micro-batches through
+    * [[graft.streaming.StreamFuzzyDecontam]] against the fixed eval set
+    * (doc_id % 10 = 0). Stateless across batches (the eval set is fixed,
+    * a doc's report depends only on itself), so the accumulated report is
+    * hash-gated against q_decontaminate_fuzzy's batch oracle — stream ==
+    * batch regardless of slicing. Verify-only: streaming machinery. */
+  private def qStreamFuzzyDecontam(s: SparkSession, dir: String): DataFrame = {
+    val work = SessionScoped.scratchDir("graft_stream_fuzzy")
+    val docs = Tables.documents(s, dir)
+    val evalPred = pmod(col("doc_id"), lit(10)) === 0
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      docs.filter(!evalPred)
+        .select(col("doc_id"), col("text"), col("doc_id").as("_ms")),
+      "_ms", work, slices = 3)
+    val feedSchema = org.apache.spark.sql.types.StructType(
+      docs.select(col("doc_id"), col("text")).schema)
+    val stream = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamFuzzyDecontam.run(stream,
+      docs.filter(evalPred), work, TextDedupEntries.FuzzyDecontamTau)
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamFuzzyDecontam.report(s, work)
+  }
+
   /** Streaming drift parameters shared by q_stream_drift's query and
     * oracle (events.value spans [0, ~490], mean ~50). */
   private val SdBinW = 25.0
@@ -562,6 +587,7 @@ private[graft] object StreamEntries {
     "q_stream_cdc" -> qStreamCdc,
     "q_stream_drift" -> qStreamDrift,
     "q_stream_dsir" -> qStreamDsir,
+    "q_stream_fuzzy_decontam" -> qStreamFuzzyDecontam,
     "q_stream_sessionize" -> qStreamSessionize,
     "q_stream_join" -> qStreamJoin,
     "q_stream_join_outer" -> qStreamJoinOuter,
@@ -626,6 +652,9 @@ private[graft] object StreamEntries {
     // fixed-LM stateless scoring over exactly-once-partitioned slices ==
     // the batch scorer, so the oracle is q_dsir's, verbatim
     "q_stream_dsir" -> CorpusEntries.oracleSql("q_dsir"),
+    // the streamed fuzzy screen accumulates the SAME per-doc report the
+    // batch query emits (stateless vs a fixed eval set) — shared oracle
+    "q_stream_fuzzy_decontam" -> TextDedupEntries.oracleSql("q_decontaminate_fuzzy"),
     "q_cdc_diff" ->
       s"""WITH applied AS ($cdcOracleSql),
          |ev2 AS (

@@ -53,10 +53,11 @@ private[graft] object TextDedupEntries {
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, dir), 0.7)
 
-  /** Fuzzy-decontamination threshold (query and oracle read the same
-    * value) — lower than the dedup tau on purpose: contamination screens
-    * flag partial/reworded benchmark copies, not just mirror pages. */
-  private val FuzzyDecontamTau = 0.6
+  /** Fuzzy-decontamination threshold (query, oracle, AND the streaming
+    * gate read the same value) — lower than the dedup tau on purpose:
+    * contamination screens flag partial/reworded benchmark copies, not
+    * just mirror pages. */
+  private[graft] val FuzzyDecontamTau = 0.6
 
   /** Near-dup decontamination ([[Dedup.fuzzyDecontaminate]]): training
     * docs whose shingle Jaccard vs ANY eval doc (doc_id % 10 = 0, the

@@ -355,6 +355,20 @@ object Dedup {
     idx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Explode a MinHash signature frame into one row per LSH band:
+    * (doc_id [, extra passthrough cols], band, x, y) — the shared band
+    * generator behind every banded candidate join (self-join, cross-set
+    * incremental, decontamination, streaming screens). */
+  private[graft] def bandsOf(sig: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val keep = "doc_id" +: extra
+    sig.select(keep.map(col) :+
+        explode(expr(
+          (0 until MinHashK / 2)
+            .map(bd => s"struct(${bd} AS band, mh${2 * bd} AS x, mh${2 * bd + 1} AS y)")
+            .mkString("array(", ", ", ")"))).as("bb"): _*)
+      .select(keep.map(col) ++ Seq(col("bb.band"), col("bb.x"), col("bb.y")): _*)
+  }
+
   /** MinHash+LSH near-dup pairs: band-bucket join → candidates → exact
     * Jaccard verification ≥ tau. The LSH bands are the only join keys, so
     * candidate generation is an equi-join, not a cross product. */
@@ -367,12 +381,7 @@ object Dedup {
     // band self-join reads a cached frame instead of re-running the 16-agg
     // pipeline per side
     val sig = minhashSignaturesFromIndex(idx).materialize
-    val bands = sig.select(col("doc_id"),
-      explode(expr(
-        (0 until MinHashK / 2)
-          .map(bd => s"struct(${bd} AS band, mh${2 * bd} AS x, mh${2 * bd + 1} AS y)")
-          .mkString("array(", ", ", ")"))).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.x"), col("bb.y"))
+    val bands = bandsOf(sig)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
@@ -580,12 +589,7 @@ object Dedup {
     val sig = minhashSignaturesFromIndex(idx)
       .join(flagged.select(col("doc_id"), col("_is_batch")), "doc_id")
       .materialize // narrow per-doc row; reused by both join sides
-    val bands = sig.select(col("doc_id"), col("_is_batch"),
-      explode(expr(
-        (0 until MinHashK / 2)
-          .map(bd => s"struct(${bd} AS band, mh${2 * bd} AS x, mh${2 * bd + 1} AS y)")
-          .mkString("array(", ", ", ")"))).as("bb"))
-      .select(col("doc_id"), col("_is_batch"), col("bb.band"), col("bb.x"), col("bb.y"))
+    val bands = bandsOf(sig, extra = Seq("_is_batch"))
     val probe = bands.filter(col("_is_batch"))
     // other side: corpus docs always; batch docs only with a smaller id
     val cand = probe.as("a")
@@ -644,21 +648,25 @@ object Dedup {
     val sig = minhashSignaturesFromIndex(idx)
       .join(flagged.select(col("doc_id"), col("_is_eval")), "doc_id")
       .materialize
-    val bands = sig.select(col("doc_id"), col("_is_eval"),
-      explode(expr(
-        (0 until MinHashK / 2)
-          .map(bd => s"struct(${bd} AS band, mh${2 * bd} AS x, mh${2 * bd + 1} AS y)")
-          .mkString("array(", ", ", ")"))).as("bb"))
-      .select(col("doc_id"), col("_is_eval"), col("bb.band"), col("bb.x"), col("bb.y"))
-    val cand = bands.filter(!col("_is_eval")).as("a")
-      .join(bands.filter(col("_is_eval")).as("b"),
+    val bands = bandsOf(sig, extra = Seq("_is_eval"))
+    fuzzyScreenBands(bands.filter(!col("_is_eval")),
+      bands.filter(col("_is_eval")), idx, tau)
+  }
+
+  /** Core of the fuzzy screen, shared with the streaming gate: candidate
+    * cross-set band join (probe docs × eval docs — never a self-join) →
+    * exact-Jaccard verify on `idx` (which must cover BOTH sides' doc_ids)
+    * → per-probe-doc best-match report. jaccard is 4dp-floored by
+    * verifyJaccard, so the arg-max ordering (and its ties) is identical
+    * in any engine computing the same quantized value. */
+  private[graft] def fuzzyScreenBands(probeBands: DataFrame,
+      evalBands: DataFrame, idx: DataFrame, tau: Double): DataFrame = {
+    val cand = probeBands.as("a")
+      .join(evalBands.as("b"),
         col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
           col("a.y") === col("b.y"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // doc_a = training doc, doc_b = eval doc; jaccard is 4dp-floored by
-    // verifyJaccard, so the arg-max ordering (and its ties) is identical
-    // in any engine computing the same quantized value
     val verified = verifyJaccard(cand, idx, tau)
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"))

@@ -12,10 +12,11 @@ import org.apache.spark.sql.types.StructType
   *   - reads are SCHEMA-PINNED, never inferred — inference is a full
   *     extra pass over the input and can widen types per-file, silently
   *     changing the schema between drops;
-  *   - the read mode is explicit: FAILFAST for round-trip/export paths
-  *     (corruption must be loud), PERMISSIVE + corrupt-record capture for
-  *     raw crawl intake (one bad line must not kill a 100 TB job — the
-  *     quarantine decision belongs to the caller, like MediaWalk's);
+  *   - the read mode is explicit: FAILFAST here for round-trip/export
+  *     paths (corruption in data WE wrote must be loud); raw crawl
+  *     intake — where one bad line must not kill a 100 TB job — already
+  *     lives in [[TextIngest.readJsonl]] (splittable text + from_json
+  *     with quarantine capture);
   *   - gzip is the interchange default (splittability is already lost on
   *     .gz; shard-per-file parallelism comes from MANY files, which is
   *     how jsonl corpora ship).
@@ -29,22 +30,9 @@ object Jsonl {
 
   /** Strict schema-pinned read: any malformed line fails the job —
     * the contract for data we wrote ourselves (round trips, re-imports
-    * of exported shards). */
+    * of exported shards). UNTRUSTED intake goes through
+    * [[TextIngest.readJsonl]] instead, which captures malformed lines in
+    * a quarantine column rather than failing the job. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
-
-  /** Intake read for UNTRUSTED jsonl: malformed lines land whole in
-    * `_corrupt_record` (other columns null) instead of failing the job,
-    * so the caller can quarantine-count them — same contract as the
-    * media quarantine path. Caveat from Spark's json scan: a query may
-    * not reference ONLY the corrupt column (QUERY_ONLY_CORRUPT_RECORD_
-    * COLUMN) — project at least one data column alongside it, or cache
-    * the parsed frame first. */
-  def readPermissive(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    spark.read
-      .schema(schema.add("_corrupt_record", "string"))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
 }

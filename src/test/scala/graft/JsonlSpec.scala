@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.Jsonl
+import graft.sources.{Jsonl, TextIngest}
 
 /** JSONL interchange: byte-exact round trip (including JSON-hostile text),
-  * strict-mode failure on corruption, and permissive-mode quarantine. */
+  * strict-mode failure on corruption, and the intake handoff — the same
+  * corrupt shard that fails the strict re-import is quarantined line-wise
+  * by TextIngest.readJsonl. */
 class JsonlSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -51,9 +53,8 @@ class JsonlSpec extends AnyFunSuite {
     intercept[org.apache.spark.SparkException] {
       Jsonl.read(spark, dir, schema).collect()
     }
-    // project a data column alongside _corrupt_record: Spark refuses scans
-    // that reference ONLY the corrupt column (documented in readPermissive)
-    val perm = Jsonl.readPermissive(spark, dir, schema)
+    // intake handoff: the untrusted-read path quarantines the same line
+    val perm = TextIngest.readJsonl(spark, dir, schema)
       .select(col("doc_id"), col("_corrupt_record")).collect()
     val bad = perm.filter(_.getString(1) != null)
     assert(bad.length == 1 && perm.length == 3)

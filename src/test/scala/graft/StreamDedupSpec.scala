@@ -167,6 +167,76 @@ class StreamDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed fuzzy decontamination matches the one-shot screen") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamFuzzyDecontam
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val evalPred = pmod(col("doc_id"), lit(10)) === 0
+    val batch = Dedup.fuzzyDecontaminate(docs, evalPred, tau = 0.6)
+      .orderBy("doc_id").collect()
+    assert(batch.nonEmpty) // the synthetic corpus plants cross-set near-dups
+
+    val trainDocs = docs.filter(!evalPred).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val dir = graft.SessionScoped.scratchDir("graft_sfuzzy")
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamFuzzyDecontam.run(input.toDF().toDF("doc_id", "text"),
+      docs.filter(evalPred), dir, tau = 0.6)
+    try {
+      Seq(trainDocs.take(100), trainDocs.drop(100))
+        .foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    val stream = StreamFuzzyDecontam.report(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(stream sameElements batch.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))))
+  }
+
+  test("fuzzy decontamination gate: restart from checkpoint == one-shot run") {
+    // the recovery contract on the newest gate (StreamRestartSpec pattern):
+    // a hard stop mid-replay + restart from the same checkpoint re-emits
+    // its micro-batch into the overwrite-keyed report dir — nothing lost,
+    // nothing duplicated
+    import graft.streaming.{Feeder, StreamFuzzyDecontam}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val evalPred = pmod(col("doc_id"), lit(10)) === 0
+    val evalDocs = docs.filter(evalPred)
+    val feedCols = docs.filter(!evalPred)
+    def feed(work: String): Unit = Feeder.writeTimeSlicedFeed(
+      feedCols.withColumn("_ms", col("doc_id")), "_ms", work, 4)
+    def stream(work: String): org.apache.spark.sql.DataFrame =
+      spark.readStream.schema(feedCols.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    def rows(work: String): Seq[String] =
+      StreamFuzzyDecontam.report(spark, work).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+    val one = graft.SessionScoped.scratchDir("graft_sfuzzy_rs1")
+    feed(one)
+    val q1 = StreamFuzzyDecontam.run(stream(one), evalDocs, one, tau = 0.6)
+    q1.processAllAvailable(); q1.stop()
+
+    val re = graft.SessionScoped.scratchDir("graft_sfuzzy_rs2")
+    feed(re)
+    val q2a = StreamFuzzyDecontam.run(stream(re), evalDocs, re, tau = 0.6)
+    var waited = 0
+    while (q2a.recentProgress.length < 2 && waited < 300) {
+      Thread.sleep(100); waited += 1
+    }
+    q2a.stop() // hard stop mid-replay
+    val q2b = StreamFuzzyDecontam.run(stream(re), evalDocs, re, tau = 0.6)
+    q2b.processAllAvailable(); q2b.stop()
+    val (o, r) = (rows(one), rows(re))
+    assert(o.nonEmpty && o == r)
+  }
+
   test("streamed embedding micro-batches reproduce the one-shot incremental report") {
     import graft.operators.Similarity
     import graft.streaming.StreamEmbedDedup
