@@ -399,6 +399,14 @@ object MediaDecode {
       maxMae: Double =
         math.max(jpegWorstCaseMae * JpegMaeHeadroom, JpegMaeAbsFloor))
       : DataFrame = {
+    // make the looser-than-derived default visible: on a host whose JPEG
+    // tables derive a bound under the cross-JRE floor, decoder errors
+    // between the two would pass silently — intentional, but log it so a
+    // tightened-table host shows up in the run's output
+    if (jpegWorstCaseMae * JpegMaeHeadroom < JpegMaeAbsFloor)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"decodeImageVsPattern default maxMae is the $JpegMaeAbsFloor-gray " +
+          f"cross-JRE floor (derived bound ${jpegWorstCaseMae * JpegMaeHeadroom}%.2f is tighter)")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
