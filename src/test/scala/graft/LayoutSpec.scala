@@ -137,4 +137,19 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(few == a)
   }
+
+  test("shuffleShards edges: empty input, shardSize=1, shardSize>n") {
+    val empty = spark.range(0).select(col("id"))
+    assert(Layout.shuffleShards(empty, col("id"), "e:", 8).count() == 0)
+    // shardSize=1: shard == global rank, pos always 0
+    val one = Layout.shuffleShards(spark.range(20).select(col("id")),
+      col("id"), "e:", 1).collect()
+    assert(one.map(_.getLong(1)).sorted.sameElements(0L until 20L))
+    assert(one.forall(_.getLong(2) == 0L))
+    // shardSize > n: everything lands in shard 0, pos is the full rank
+    val big = Layout.shuffleShards(spark.range(20).select(col("id")),
+      col("id"), "e:", 1000).collect()
+    assert(big.forall(_.getLong(1) == 0L))
+    assert(big.map(_.getLong(2)).sorted.sameElements(0L until 20L))
+  }
 }
