@@ -51,7 +51,8 @@ object BenchTrend {
     "q_image_neardup",
     "q_bpe_train", "q_bpe_encode", "q_backoff_lm",
     "q_unigram_train", "q_unigram_encode", "q_dsir", "q_dsir_resample",
-    "q_decontaminate_fuzzy", "q_shuffle_shards", "q_jsonl_roundtrip")
+    "q_decontaminate_fuzzy", "q_shuffle_shards", "q_shards_stratified",
+    "q_jsonl_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

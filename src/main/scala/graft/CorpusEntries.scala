@@ -242,6 +242,20 @@ object CorpusEntries {
       col("doc_id"), ShardSalt, ShardSize)
       .withColumnRenamed("k", "doc_id")
 
+  /** Stratified-shard parameters (query and oracle read the same values). */
+  private val StratShardSalt = "shs:"
+  private val StratShardSize = 50
+
+  /** Mixture-preserving shard shuffle ([[Layout.stratifiedShards]]):
+    * deterministic stride interleave by language, so every 50-doc shard
+    * carries the corpus's global lang proportions to within rounding. */
+  private def qShardsStratified(s: SparkSession, dir: String): DataFrame =
+    Layout.stratifiedShards(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"), StratShardSalt, StratShardSize)
+      .select(col("k").as("doc_id"), col("s").as("lang"),
+        col("shard"), col("pos"))
+
   /** JSONL round trip ([[sources.Jsonl]]): export the corpus as
     * .jsonl.gz shards, re-read schema-pinned/FAILFAST, and aggregate
     * per (source, lang) with a content-hash checksum over `text`. The
@@ -473,6 +487,7 @@ object CorpusEntries {
     "q_split" -> qSplit,
     "q_sample_weighted" -> qSampleWeighted,
     "q_shuffle_shards" -> qShuffleShards,
+    "q_shards_stratified" -> qShardsStratified,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip)
 
   // ---------------------------------------------------------------- oracle
@@ -820,6 +835,35 @@ object CorpusEntries {
          |)
          |SELECT doc_id, rk // $ShardSize AS shard, rk % $ShardSize AS pos
          |FROM r""".stripMargin,
+
+    // the stride-interleave spec: in-stratum seeded rank → evenly-spaced
+    // frac = (2r+1)/(2·n_s) → one global order over (frac, lang, doc_id);
+    // the single-node row_number IS what the bucketed construction equals
+    "q_shards_stratified" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    ${EntryMath.oHash60(s"concat('$StratShardSalt', CAST(doc_id AS VARCHAR))")} AS h
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1 AS r,
+         |    count(*) OVER (PARTITION BY lang) AS ns
+         |  FROM h
+         |),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    CAST(2 * r + 1 AS DOUBLE) / CAST(2 * ns AS DOUBLE) AS frac
+         |  FROM r
+         |),
+         |g AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (ORDER BY frac, lang, doc_id) - 1 AS rk
+         |  FROM f
+         |)
+         |SELECT doc_id, lang, rk // $StratShardSize AS shard,
+         |  rk % $StratShardSize AS pos
+         |FROM g""".stripMargin,
 
     // the oracle reads the PARQUET originals: matching the Spark side's
     // jsonl re-read proves the export→import path lossless

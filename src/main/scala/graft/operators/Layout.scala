@@ -164,4 +164,76 @@ object Layout {
         expr(s"_rk DIV $shardSize").as("shard"),
         (col("_rk") % shardSize).as("pos"))
   }
+
+  /** MIXTURE-PRESERVING variant of [[shuffleShards]]: every shard carries
+    * (to within rounding) the corpus's global stratum proportions — the
+    * property a training loader needs for a stationary data mixture, which
+    * a plain seeded shuffle only delivers in expectation (a run of shards
+    * can drift source-heavy by chance; curriculum-sensitive training
+    * notices).
+    *
+    * Classic deterministic stride interleave: within each stratum, rows
+    * take their seeded rank r (same salted-hash order as shuffleShards);
+    * a stratum of n_s rows then emits evenly-spaced positions
+    * frac = (2r+1)/(2·n_s) in [0, 1), and the global order is
+    * (frac, stratum, key). Any window of width w in [0,1) contains
+    * ≈ w·n_s of each stratum, so every shardSize-row cut is proportional
+    * to ±O(1) per stratum. frac is an exact small-integer division —
+    * bit-identical in any IEEE engine, which is what lets the oracle
+    * replay the interleave verbatim.
+    *
+    * Scale shape: the in-stratum rank reuses the bucket-offset
+    * construction PER STRATUM ((stratum, bucket) counts — strata-count ×
+    * nBuckets rows, broadcast), and the global rank reuses it over
+    * floor(frac·nBuckets), which is monotone in frac (prefix-aligned
+    * again). Two wide exchanges total, no single-partition sort, no
+    * stratum ever collected. */
+  def stratifiedShards(df: DataFrame, key: Column, stratum: Column,
+      salt: String, shardSize: Int, nBuckets: Int = 1024): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0 && nBuckets <= (1 << 20),
+      "nBuckets must be a power of two in [1, 2^20]")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val keyed = df
+      .select(key.as("k"), stratum.cast("string").as("s"),
+        TextAnalysis.hash60(concat(lit(salt), key.cast("string"))).as("_h"))
+      .withColumn("_b", shiftright(col("_h"), shift))
+      .materialize
+    // in-stratum seeded rank r and stratum size n_s, bucket-offset style
+    val sOffs = keyed.groupBy("s", "_b").agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_n")).over(Window.partitionBy(col("s")).orderBy(col("_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("_ns", sum(col("_n")).over(Window.partitionBy(col("s"))))
+      .select(col("s"), col("_b"), col("_off"), col("_ns"))
+    val inSB = Window.partitionBy(col("s"), col("_b")).orderBy(col("_h"), col("k"))
+    val fracs = keyed
+      .join(broadcast(sOffs), Seq("s", "_b"))
+      .withColumn("_r",
+        col("_off") + row_number().over(inSB).cast("long") - 1)
+      .select(col("k"), col("s"),
+        ((col("_r") * 2 + 1).cast("double") / (col("_ns") * 2).cast("double"))
+          .as("_f"))
+      .withColumn("_fb", floor(col("_f") * nBuckets).cast("long"))
+      .materialize
+    // global rank over (frac, stratum, key), bucketed by the frac prefix
+    val gOffs = fracs.groupBy("_fb").agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_n")).over(Window.orderBy(col("_fb"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_fb"), col("_off"))
+    val inFb = Window.partitionBy(col("_fb"))
+      .orderBy(col("_f"), col("s"), col("k"))
+    fracs
+      .join(broadcast(gOffs), "_fb")
+      .withColumn("_rk",
+        col("_off") + row_number().over(inFb).cast("long") - 1)
+      .select(col("k"), col("s"),
+        expr(s"_rk DIV $shardSize").as("shard"),
+        (col("_rk") % shardSize).as("pos"))
+  }
 }

@@ -138,6 +138,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(few == a)
   }
 
+  test("stratifiedShards: every shard carries the global mixture to ±2") {
+    // 4 strata at 40/30/20/10% of 1000 rows; shards of 50 → proportional
+    // counts 20/15/10/5 per shard, stride interleave guarantees ±2
+    val df = spark.range(1000).select(col("id"),
+      when(col("id") % 10 < 4, "a").when(col("id") % 10 < 7, "b")
+        .when(col("id") % 10 < 9, "c").otherwise("d").as("src"))
+    val out = Layout.stratifiedShards(df, col("id"), col("src"), "st:", 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 1000)
+    // a permutation: every id once, every shard full (1000/50 = 20 shards)
+    assert(out.map(_._1).toSet.size == 1000)
+    val byShard = out.groupBy(_._3)
+    assert(byShard.size == 20 && byShard.values.forall(_.length == 50))
+    val expected = Map("a" -> 20, "b" -> 15, "c" -> 10, "d" -> 5)
+    byShard.foreach { case (sh, rows) =>
+      val mix = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      expected.foreach { case (s, e) =>
+        val got = mix.getOrElse(s, 0)
+        assert(math.abs(got - e) <= 2, s"shard $sh stratum $s: $got vs $e")
+      }
+    }
+    // positions within a shard are 0..49 exactly
+    byShard.values.foreach(rows =>
+      assert(rows.map(_._4).sorted.sameElements(0L until 50L)))
+    // deterministic, and bucket-count-invariant like the plain variant
+    val again = Layout.stratifiedShards(df, col("id"), col("src"), "st:", 50,
+      nBuckets = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("shuffleShards edges: empty input, shardSize=1, shardSize>n") {
     val empty = spark.range(0).select(col("id"))
     assert(Layout.shuffleShards(empty, col("id"), "e:", 8).count() == 0)

@@ -64,11 +64,13 @@ class PlanAuditSpec extends AnyFunSuite {
     * hours) — never corpus-sized, so one partition is the right plan.
     * q_corr_matrix row-numbers the DISTINCT SYMBOL dictionary
     * (O(listing count) rows) to dictionary-encode its pair keys.
-    * q_shuffle_shards prefix-sums PER-BUCKET COUNTS — one row per hash
-    * bucket (nBuckets total, a fixed knob ≤ 2^20), never per-document;
-    * the corpus-sized rank runs under the bucket-partitioned window. */
+    * q_shuffle_shards / q_shards_stratified prefix-sum PER-BUCKET COUNTS
+    * — one row per hash/frac bucket (nBuckets total, a fixed knob
+    * ≤ 2^20), never per-document; the corpus-sized ranks run under the
+    * bucket-partitioned windows. */
   private val globalWindowAllowed =
-    Set("q_rolling_beta", "q_leadlag", "q_corr_matrix", "q_shuffle_shards")
+    Set("q_rolling_beta", "q_leadlag", "q_corr_matrix", "q_shuffle_shards",
+      "q_shards_stratified")
 
   test("no shipped query windows over an unpartitioned frame") {
     import org.apache.spark.sql.execution.window.WindowExec
