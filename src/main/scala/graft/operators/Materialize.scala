@@ -39,9 +39,40 @@ object Materialize {
         s"$ConfKey must be local|persist|checkpoint, got '$other'")
     }
 
+  val HugeConfKey = "spark.graft.materializer.huge"
+
+  /** Materialization for frames ∝ CORPUS size (gram explodes, shingle
+    * indexes) — the frames whose cached blocks cannot be assumed to fit
+    * executor memory at scale. The standard strategies unroll each block
+    * in memory before spilling (localCheckpoint and MEMORY_AND_DISK both
+    * build the partition array first); at 1000×-sf0.1 in one 16 GB JVM
+    * that unroll pressure OOMed the DSIR gram cache (measured, SCALE.md
+    * r15). Strategies via `spark.graft.materializer.huge`:
+    *
+    *  - `disk` (default): `persist(DISK_ONLY)` — streams blocks through
+    *    serialization to disk, no in-memory unroll; lineage kept, so
+    *    executor loss recomputes.
+    *  - `off`: no materialization — each consumer recomputes the frame
+    *    (N linear passes instead of one write + N reads; zero cache
+    *    footprint, the safest 100 TB setting when input scans are cheap).
+    *  - `inherit`: use the standard [[apply]] strategy (the pre-r15
+    *    behavior; right when the frame is known to fit).
+    *
+    * All strategies produce bit-identical frames (MaterializeSpec). */
+  def huge(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(HugeConfKey, "disk") match {
+      case "disk"    => df.persist(StorageLevel.DISK_ONLY)
+      case "off"     => df
+      case "inherit" => apply(df)
+      case other => throw new IllegalArgumentException(
+        s"$HugeConfKey must be disk|off|inherit, got '$other'")
+    }
+
   /** `.materialize` chain syntax — drop-in replacement for the former
     * hard-wired `.localCheckpoint()` call sites. */
   implicit class MatOps(private val df: DataFrame) extends AnyVal {
     def materialize: DataFrame = Materialize(df)
+    /** corpus-sized variant — see [[Materialize.huge]]. */
+    def materializeHuge: DataFrame = Materialize.huge(df)
   }
 }

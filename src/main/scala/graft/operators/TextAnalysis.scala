@@ -559,7 +559,10 @@ object TextAnalysis {
     * weight 0 / selected false rather than vanishing. */
   def dsirWeights(docs: DataFrame, targetPred: Column,
       nBuckets: Int = 1024): DataFrame = {
-    val grams = dsirBuckets(docs, nBuckets).materialize
+    // corpus-sized frame (one row per gram occurrence): disk-streamed
+    // materialization — the in-memory unroll of the standard strategy
+    // OOMed at 1000×-sf0.1 (SCALE.md r15 three-decade point)
+    val grams = dsirBuckets(docs, nBuckets).materializeHuge
     val tgt = dsirModel(grams.join(
       docs.filter(targetPred).select("doc_id"), "doc_id"), nBuckets)
     val raw = dsirModel(grams, nBuckets)

@@ -52,4 +52,26 @@ class MaterializeSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def withHuge[A](s: String)(f: => A): A = {
+    spark.conf.set(Materialize.HugeConfKey, s)
+    try f finally spark.conf.unset(Materialize.HugeConfKey)
+  }
+
+  test("huge-frame strategies (disk/off/inherit) are value-identical") {
+    // DSIR is the consumer that motivated huge(): its gram frame feeds
+    // three downstream readers, so a strategy that changed values would
+    // corrupt the weights
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run() = graft.operators.TextAnalysis
+      .dsirWeights(docs, org.apache.spark.sql.functions.col("lang") === "en")
+      .orderBy("doc_id").collect().toSeq
+    val base = run()                                       // default: disk
+    for (s <- Seq("off", "inherit")) withHuge(s) {
+      assert(run() == base, s"dsirWeights drifted under huge=$s")
+    }
+    withHuge("bogus") {
+      intercept[IllegalArgumentException] { run() }
+    }
+  }
 }
