@@ -39,6 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_decontaminate_bloom", // one-row bloom-filter broadcast
     "q_dsir", // one-row gram-total broadcasts under the bucket LMs
     "q_dsir_resample", // the same one-row totals under the weights stage
+    // one-row n_docs-total broadcast under the IDF weights; surfaced in the
+    // static plan once the r15 huge() materialize stopped truncating lineage
+    "q_tfidf_pairs",
     "q_pmi", // one-row unigram/bigram-total broadcast
     "q_triangles", // one-row census × one-row totals join
     // one-row node-count + dangling-mass broadcasts ride along every round
