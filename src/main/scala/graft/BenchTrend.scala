@@ -38,7 +38,8 @@ object BenchTrend {
     "q_communities", "q_kcore",
     "q_profile", "q_containment", "q_sample_dedup", "q_split_safe",
     "q_dedup_keep_best", "q_dedup_corpus", "q_dedup_incremental",
-    "q_jaccard_pairs", "q_simhash", "q_simhash_mp", "q_minhash_lsh",
+    "q_jaccard_pairs", "q_simhash", "q_simhash_mp", "q_simhash_classes",
+    "q_minhash_lsh",
     "q_substring_dup", "q_substring_sa",
     "q_rolling_quantile", "q_dedup_embed_lsh", "q_dedup_embed_lsh_mp",
     "q_dedup_embed_incremental",
@@ -52,7 +53,7 @@ object BenchTrend {
     "q_bpe_train", "q_bpe_encode", "q_backoff_lm",
     "q_unigram_train", "q_unigram_encode", "q_dsir", "q_dsir_resample",
     "q_decontaminate_fuzzy", "q_shuffle_shards", "q_shards_stratified",
-    "q_jsonl_roundtrip")
+    "q_jsonl_roundtrip", "q_export_shards")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -277,6 +277,36 @@ object CorpusEntries {
         max(col("doc_id")).as("max_id"))
   }
 
+  /** Export-shard parameters (query and oracle read the same values). */
+  private val ExportSalt = "ex1:"
+  private val ExportShardSize = 100
+
+  /** Sharded training-data export END-TO-END ([[Layout.exportShards]]):
+    * seeded shuffle → one .jsonl.gz file per shard + checksummed manifest
+    * → schema-pinned read-back → per-shard aggregate joined to the
+    * manifest. The oracle recomputes everything from the parquet
+    * originals, so a hash-green result proves (a) the export lossless
+    * down to every text byte AND its in-shard position (the checksum is
+    * position-weighted), (b) shard sizes exact, and (c) the manifest in
+    * agreement with the shards it describes. */
+  private def qExportShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out = SessionScoped.scratchDir("graft_export_") + "/export"
+    Layout.exportShards(docs, col("doc_id"), ExportSalt, ExportShardSize,
+      col("text"), out)
+    val back = Jsonl.read(s, s"$out/shards",
+      docs.schema.add("pos", org.apache.spark.sql.types.LongType))
+    back
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum((col("pos") + 1) *
+          pmod(TextAnalysis.hash60(col("text")), lit(1000003L)))
+          .as("pos_checksum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .join(s.read.parquet(s"$out/manifest"), "shard")
+  }
+
   /** BM25 query-term set + result size (query and oracle share these). */
   private val Bm25Terms = Seq("hash", "join", "vector")
   private val Bm25TopK = 20
@@ -488,7 +518,8 @@ object CorpusEntries {
     "q_sample_weighted" -> qSampleWeighted,
     "q_shuffle_shards" -> qShuffleShards,
     "q_shards_stratified" -> qShardsStratified,
-    "q_jsonl_roundtrip" -> qJsonlRoundtrip)
+    "q_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "q_export_shards" -> qExportShards)
 
   // ---------------------------------------------------------------- oracle
 
@@ -864,6 +895,36 @@ object CorpusEntries {
          |SELECT doc_id, lang, rk // $StratShardSize AS shard,
          |  rk % $StratShardSize AS pos
          |FROM g""".stripMargin,
+
+    // the oracle recomputes shard assignment AND both checksum copies from
+    // the parquet originals: matching the Spark side's jsonl re-read ⊕
+    // manifest join proves export losslessness, exact shard sizes, and
+    // manifest agreement in one hash compare
+    "q_export_shards" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars, text,
+         |    ${EntryMath.oHash60(s"concat('$ExportSalt', CAST(doc_id AS VARCHAR))")} AS h
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id, n_chars, text,
+         |    row_number() OVER (ORDER BY h, doc_id) - 1 AS rk
+         |  FROM h
+         |),
+         |a AS (
+         |  SELECT doc_id, n_chars, text, rk // $ExportShardSize AS shard,
+         |    rk % $ExportShardSize AS pos
+         |  FROM r
+         |)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum((pos + 1) * (${EntryMath.oHash60("text")} % 1000003)) AS BIGINT)
+         |    AS pos_checksum,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  CAST(count(*) AS BIGINT) AS m_n_rows,
+         |  CAST(sum((pos + 1) * (${EntryMath.oHash60("text")} % 1000003)) AS BIGINT)
+         |    AS m_checksum
+         |FROM a GROUP BY shard""".stripMargin,
 
     // the oracle reads the PARQUET originals: matching the Spark side's
     // jsonl re-read proves the export→import path lossless

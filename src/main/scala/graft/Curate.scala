@@ -50,7 +50,27 @@ object Curate {
     *   the exact gram broadcast is the first thing to outgrow executors. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tau: Double = 0.7, semTau: Double = 0.4, sampleRate: Double = 0.5,
-      bloomScreen: Boolean = false): Funnel = {
+      bloomScreen: Boolean = false): Funnel =
+    runTimed(spark, sfDir, outDir, tau, semTau, sampleRate, bloomScreen)._1
+
+  /** [[run]] plus per-stage wall times (stage label → seconds). Stages are
+    * timed at their ACTIONS — the funnel counts and the writes — so each
+    * entry is the cumulative cost of computing through that stage from the
+    * scan (the pipeline is one lazy plan; stages don't cache each other).
+    * Per-stage MARGINAL cost at a given SF is the delta between adjacent
+    * count entries; per-stage scaling is the ratio of those deltas across
+    * SFs (both sides carry the same recompute prefix, so it cancels from
+    * the ratio). Used by [[CurateTrend]] for the 10× composition check. */
+  def runTimed(spark: SparkSession, sfDir: String, outDir: String,
+      tau: Double = 0.7, semTau: Double = 0.4, sampleRate: Double = 0.5,
+      bloomScreen: Boolean = false): (Funnel, Vector[(String, Double)]) = {
+    val times = Vector.newBuilder[(String, Double)]
+    def t[A](label: String)(a: => A): A = {
+      val s = System.nanoTime()
+      val r = a
+      times += ((label, (System.nanoTime() - s) / 1e9))
+      r
+    }
     val docs = Tables.documents(spark, sfDir)
 
     // 1. quality gate: score floor (composite length/diversity/stopword)
@@ -97,22 +117,32 @@ object Curate {
       .filter(!col("keep")).select(col("vec_id").as("doc_id"))
     val pruned = deduped.join(dropSem, Seq("doc_id"), "left_anti")
 
-    // 6. decontamination against the eval split (doc_id ≡ 0 mod 10)
+    // 6. decontamination against the eval split (doc_id ≡ 0 mod 10).
+    // BOTH screens take the eval side from the RAW corpus, not from
+    // `pruned`: the near-dup pass at stage 4 is eval-blind, so when it
+    // collapses a training doc with its eval near-copy and drops the eval
+    // doc, a pruned-only screen would never see the eval twin and the
+    // surviving near-copy would sail through — exactly the most-verbatim
+    // contamination the screen exists to catch (ADVICE r15). Gates/dedup
+    // may shrink the TRAINING side; they must never shrink the eval side.
     val evalPred = pmod(col("doc_id"), lit(10)) === 0
+    val evalDocs = docs.filter(evalPred)
+    val trainSide = pruned.filter(!evalPred)
     val screened =
-      if (bloomScreen) Decontamination.screenBloom(pruned, evalPred, n = 5, minHits = 1)
-      else Decontamination.screen(pruned, evalPred, n = 5, minHits = 1)
+      if (bloomScreen)
+        Decontamination.screenBloomDocs(trainSide, evalDocs, n = 5, minHits = 1)
+      else Decontamination.screenDocs(trainSide, evalDocs, n = 5, minHits = 1)
     val contaminated = screened
       .filter(col("contaminated")).select("doc_id")
-    val train = pruned.filter(!evalPred)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    val train = trainSide.join(contaminated, Seq("doc_id"), "left_anti")
 
     // 6b. fuzzy decontamination: near-COPIES of eval docs (reworded,
     // truncated, boilerplate-shifted) that the exact gram screen misses —
     // the cross-set MinHash screen at a lower tau than the dedup pass
-    // (contamination flags partial copies, not just mirrors). Eval bands
-    // are the broadcast-sized side; the corpus is never self-joined.
-    val fuzzyHits = Dedup.fuzzyDecontaminate(pruned, evalPred, tau = 0.6)
+    // (contamination flags partial copies, not just mirrors). Same raw
+    // eval side as stage 6; eval bands are the broadcast-sized side and
+    // the corpus is never self-joined.
+    val fuzzyHits = Dedup.fuzzyDecontaminateDocs(trainSide, evalDocs, tau = 0.6)
       .select("doc_id")
     val fuzzyClean = train.join(fuzzyHits, Seq("doc_id"), "left_anti")
 
@@ -134,17 +164,19 @@ object Curate {
       Chunking.chunk(sampled, chunkSize = 40, stride = 30), seqLen = 512)
     val out = sampled.select(col("doc_id"), col("lang"), col("source"))
       .join(packed, "doc_id")
-    TextIngest.writePartitioned(out, s"$outDir/chunks",
-      partitionCols = Seq("lang"), sortCols = Seq("doc_id", "chunk_id"))
+    t("write_chunks")(TextIngest.writePartitioned(out, s"$outDir/chunks",
+      partitionCols = Seq("lang"), sortCols = Seq("doc_id", "chunk_id")))
 
     // 10. tokenizer artifact: BPE merge table learned on EXACTLY the
     // surviving corpus (training the tokenizer on pre-curation text
     // would bake duplicated/contaminated n-grams into the vocabulary),
     // plus the exact subword vocabulary with corpus counts
-    val merges = Bpe.trainMerges(sampled, iters = 32)
-    merges.write.mode("overwrite").parquet(s"$outDir/tokenizer/merges")
+    val merges = t("bpe_train")(Bpe.trainMerges(sampled, iters = 32))
+    t("write_merges")(
+      merges.write.mode("overwrite").parquet(s"$outDir/tokenizer/merges"))
     val vocab = Bpe.encode(sampled, merges)
-    vocab.write.mode("overwrite").parquet(s"$outDir/tokenizer/vocab")
+    t("write_vocab")(
+      vocab.write.mode("overwrite").parquet(s"$outDir/tokenizer/vocab"))
 
     // 11. shard layout: seeded global shuffle of the PACKED SEQUENCES into
     // fixed-size shards — the training-loader handoff (reproducible random
@@ -155,17 +187,26 @@ object Curate {
         written.select(col("seq_id")).distinct(),
         col("seq_id"), "curate-sh:", shardSize = 16)
       .select(col("k").as("seq_id"), col("shard"))
-    written.join(shardOf, "seq_id")
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards")
+    t("write_shards")(written.join(shardOf, "seq_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards"))
 
-    Funnel(docs.count(), quality.count(), ruled.count(), repetition.count(),
-      deduped.count(), pruned.count(), train.count(), fuzzyClean.count(),
-      weighted.count(), sampled.count(),
+    val funnel = Funnel(
+      t("count_input")(docs.count()),
+      t("count_quality")(quality.count()),
+      t("count_rules")(ruled.count()),
+      t("count_repetition")(repetition.count()),
+      t("count_dedup")(deduped.count()),
+      t("count_semdedup")(pruned.count()),
+      t("count_decontaminated")(train.count()),
+      t("count_fuzzy_clean")(fuzzyClean.count()),
+      t("count_dsir")(weighted.count()),
+      t("count_sampled")(sampled.count()),
       written.count(),
       written.select(col("seq_id")).distinct().count(),
       spark.read.parquet(s"$outDir/tokenizer/merges").count(),
       spark.read.parquet(s"$outDir/tokenizer/vocab").count(),
       spark.read.parquet(s"$outDir/shards").select("shard").distinct().count())
+    (funnel, times.result())
   }
 
   def main(args: Array[String]): Unit = {

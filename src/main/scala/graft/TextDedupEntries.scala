@@ -77,6 +77,13 @@ private[graft] object TextDedupEntries {
   private def qSimhashMp(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairsMp(Tables.documents(s, dir), 10)
 
+  /** Linear-output SimHash class report ([[Dedup.simhashClasses]]): the
+    * scale-safe alternative to q_simhash's pair enumeration — one row per
+    * duplicate class however wide the class, same exact multi-index
+    * candidates, components via min-label propagation. */
+  private def qSimhashClasses(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashClasses(Tables.documents(s, dir), 10)
+
   /** Which documents to drop: LSH pairs → components → canonical per doc. */
   private def qDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(Tables.documents(s, dir), 0.7)
@@ -204,6 +211,7 @@ private[graft] object TextDedupEntries {
     "q_decontaminate_fuzzy" -> qDecontaminateFuzzy,
     "q_simhash" -> qSimhash,
     "q_simhash_mp" -> qSimhashMp,
+    "q_simhash_classes" -> qSimhashClasses,
   )
 
   /** q_simhash_mp is EXACTLY complete like q_simhash (multi-index +
@@ -509,30 +517,59 @@ private[graft] object TextDedupEntries {
          |  CAST(nm AS BIGINT) AS n_eval_matches
          |FROM rk WHERE rn = 1""".stripMargin,
     "q_simhash" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |tok0 AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-        |         ELSE list_transform(range(1, len(toks) - 1),
-        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END)) AS tok
-        |  FROM tk
-        |), tokh AS (
-        |  SELECT DISTINCT doc_id,
-        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
-        |  FROM tok0
-        |), bits AS (
-        |  SELECT doc_id, r.i AS i,
-        |    sum(CASE WHEN (h >> CAST(r.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM tokh, range(60) r(i) GROUP BY doc_id, r.i
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN v >= 0
-        |      THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id
-        |)
+      s"""WITH $oSimhashSig
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin,
+    // same simhash signatures → all-pairs Hamming graph (the oracle may
+    // brute-force what the engine bands) → recursive components (the
+    // q_dedup_corpus reach idiom) → one row per class of >= 2 members
+    "q_simhash_classes" ->
+      s"""WITH RECURSIVE $oSimhashSig,
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+        |),
+        |und AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM prs
+        |  UNION ALL SELECT doc_b, doc_a FROM prs
+        |),
+        |reach AS (
+        |  SELECT DISTINCT src AS d, src AS r FROM und
+        |  UNION
+        |  SELECT reach.d, und.dst FROM reach JOIN und ON und.src = reach.r
+        |),
+        |cc AS (SELECT d AS doc_id, min(r) AS class_id FROM reach GROUP BY d)
+        |SELECT class_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(count(DISTINCT dd.source) AS BIGINT) AS n_sources
+        |FROM cc JOIN documents dd USING (doc_id)
+        |GROUP BY class_id""".stripMargin,
   )
+
+  /** Shared DuckDB CTE chain for the 60-bit shingle SimHash signature
+    * (mirrors [[Dedup.simhash]]) — feeds both the pair and class oracles. */
+  private val oSimhashSig: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok0 AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END)) AS tok
+      |  FROM tk
+      |), tokh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      |  FROM tok0
+      |), bits AS (
+      |  SELECT doc_id, r.i AS i,
+      |    sum(CASE WHEN (h >> CAST(r.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM tokh, range(60) r(i) GROUP BY doc_id, r.i
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v >= 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
 }

@@ -39,6 +39,19 @@ object Decontamination {
       evalGrams, minHits)
   }
 
+  /** Two-frame variant of [[screen]] for COMPOSED pipelines: the eval set
+    * arrives as its own frame, independent of whatever gates/dedup the
+    * training side has been through. The single-frame form is eval-blind
+    * under composition — if an upstream dedup collapsed a training doc
+    * with its eval near-copy and dropped the EVAL doc, screening the
+    * surviving frame against its own eval slice misses exactly the
+    * most-verbatim contamination (ADVICE r15). Callers pass the RAW eval
+    * docs here; `trainDocs` must not contain eval doc_ids. */
+  def screenDocs(trainDocs: DataFrame, evalDocs: DataFrame, n: Int,
+      minHits: Int): DataFrame =
+    screenAgainst(Dedup.shingleIndex(trainDocs, n),
+      Dedup.shingleIndex(evalDocs, n).select(col("h")).distinct(), minHits)
+
   /** Bloom-prescreened variant of [[screen]]: identical output (bit-exact
     * — it shares q_decontaminate's oracle), different scale envelope. The
     * exact path broadcasts the full distinct eval-gram set; real
@@ -59,6 +72,21 @@ object Decontamination {
     val evalGrams = idx.join(evalIds, "doc_id").select(col("h")).distinct()
       .materialize // two consumers: bloom build + exact recheck
     val trainIdx = idx.join(evalIds, Seq("doc_id"), "left_anti")
+    screenBloomAgainst(trainIdx, evalGrams, minHits, numBits, k)
+  }
+
+  /** Two-frame variant of [[screenBloom]] — same composed-pipeline
+    * rationale as [[screenDocs]], same bit-exactness contract vs the
+    * exact screen (CurateSpec pins the funnel unchanged under it). */
+  def screenBloomDocs(trainDocs: DataFrame, evalDocs: DataFrame, n: Int,
+      minHits: Int, numBits: Int = 1 << 20, k: Int = 5): DataFrame =
+    screenBloomAgainst(Dedup.shingleIndex(trainDocs, n),
+      Dedup.shingleIndex(evalDocs, n).select(col("h")).distinct()
+        .materialize, // two consumers: bloom build + exact recheck
+      minHits, numBits, k)
+
+  private def screenBloomAgainst(trainIdx: DataFrame, evalGrams: DataFrame,
+      minHits: Int, numBits: Int, k: Int): DataFrame = {
     val bf = evalGrams.agg(graft.functions.BloomSet
       .bloomAgg(col("h"), numBits, k).as("bf"))
     val candidates = trainIdx.crossJoin(broadcast(bf))

@@ -661,6 +661,29 @@ object Dedup {
       bands.filter(col("_is_eval")), idx, tau)
   }
 
+  /** Two-frame variant of [[fuzzyDecontaminate]] for COMPOSED pipelines:
+    * the eval set arrives as its own frame, independent of whatever
+    * gates/dedup the training side has been through. The single-frame
+    * form is eval-blind under composition — an upstream near-dup pass
+    * that collapsed a training doc with its eval near-copy and dropped
+    * the EVAL doc leaves the surviving near-copy invisible to a screen
+    * over the surviving frame alone (ADVICE r15: the effective window
+    * collapses to tau_screen ≤ J < tau_dedup, missing the most-verbatim
+    * contamination). Callers pass the RAW eval docs; doc_ids must be
+    * DISJOINT between the two frames (asserted — a shared id would
+    * silently merge both sides' shingle sets in the verify index). */
+  def fuzzyDecontaminateDocs(trainDocs: DataFrame, evalDocs: DataFrame,
+      tau: Double, n: Int = 3): DataFrame = {
+    val tIdx = shingleIndex(trainDocs, n).materialize
+    val eIdx = shingleIndex(evalDocs, n).materialize
+    val tBands = bandsOf(minhashSignaturesFromIndex(tIdx))
+    val eBands = bandsOf(minhashSignaturesFromIndex(eIdx))
+    require(tIdx.select(col("doc_id")).distinct()
+        .join(eIdx.select(col("doc_id")).distinct(), "doc_id").isEmpty,
+      "fuzzyDecontaminateDocs: train and eval doc_ids must be disjoint")
+    fuzzyScreenBands(tBands, eBands, tIdx.unionByName(eIdx), tau)
+  }
+
   /** Core of the fuzzy screen, shared with the streaming gate: candidate
     * cross-set band join (probe docs × eval docs — never a self-join) →
     * exact-Jaccard verify on `idx` (which must cover BOTH sides' doc_ids)
@@ -845,4 +868,26 @@ object Dedup {
       .filter(col("hamming") <= maxHam)
       .distinct()
   }
+
+  /** Linear-OUTPUT SimHash near-dup reporting: one row per duplicate
+    * CLASS instead of Θ(k²) rows per width-k class. Pair enumeration's
+    * wall time tracks emitted pairs (the r15 trend adjudication of the
+    * q_simhash 30× flag: the plan added no candidate outside colliding
+    * buckets — the OUTPUT SPEC was quadratic in class width), so at class
+    * widths a crawl corpus actually produces (mirror farms, boilerplate
+    * families with thousands of members) pair reporting is unshippable
+    * while class reporting stays linear in corpus size. Candidates come
+    * from the same exact multi-index banding as [[simhashPairsMp]] (100%
+    * recall at Hamming ≤ maxHam — pigeonhole, not probabilistic), classes
+    * from [[connectedComponents]] min-label propagation; the per-class
+    * aggregate is one keyed shuffle over class MEMBERS (≤ corpus rows),
+    * never over pairs. Output: one row per class with ≥ 2 members —
+    * (class_id = member minimum, n_members, n_sources = distinct `source`
+    * values among members, the mirror-farm signal). */
+  def simhashClasses(docs: DataFrame, maxHam: Int): DataFrame =
+    connectedComponents(simhashPairsMp(docs, maxHam))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("canonical_id").as("class_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"))
 }

@@ -140,8 +140,11 @@ object Layout {
   def shuffleShards(df: DataFrame, key: Column, salt: String,
       shardSize: Int, nBuckets: Int = 1024): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
-    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0 && nBuckets <= (1 << 20),
-      "nBuckets must be a power of two in [1, 2^20]")
+    // >= 2, not >= 1: one bucket degenerates the construction into exactly
+    // the single-partition global sort the no-collect contract forbids
+    // (the whole corpus ranks in one window partition) — ADVICE r15
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0 && nBuckets <= (1 << 20),
+      "nBuckets must be a power of two in [2, 2^20]")
     val shift = 60 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
     val keyed = df
       .select(key.as("k"),
@@ -163,6 +166,56 @@ object Layout {
       .select(col("k"),
         expr(s"_rk DIV $shardSize").as("shard"),
         (col("_rk") % shardSize).as("pos"))
+  }
+
+  /** End-to-end sharded TRAINING-DATA EXPORT — the deliverable a curation
+    * pipeline hands to a trainer: [[shuffleShards]]' seeded global
+    * permutation cut into exact `shardSize`-row shards, each shard written
+    * as ONE `.jsonl.gz` file (the de-facto corpus interchange format,
+    * [[graft.sources.Jsonl]]), plus a MANIFEST parquet the loader checks
+    * before touching data.
+    *
+    * Manifest row per shard: `m_n_rows` (exact row count) and
+    * `m_checksum` — a POSITION-WEIGHTED content checksum
+    * Σ (pos+1) · (hash60(checksumCol) mod 1000003), so it pins not just
+    * which rows a shard holds but the exact position of each: a dropped
+    * line, a swapped pair, or a re-ordered write all change it. Both are
+    * computed from the assignment frame at write time; re-aggregating the
+    * shards after read-back and comparing proves the export lossless
+    * end-to-end (q_export_shards gates this against the parquet originals).
+    *
+    * Layout: `outDir/shards/shard=N/part-*.json.gz` (one file per shard —
+    * rows hash-partition BY SHARD before the partitioned write, so each
+    * shard's rows land in exactly one task), `outDir/manifest` (parquet).
+    * `pos` is exported as a data column — the loader's in-shard order key,
+    * and what lets a reader re-verify the positional checksum without
+    * trusting line order through decompression.
+    *
+    * Scale shape: assignment is shuffleShards' bucket-offset construction
+    * (no single-partition sort), the join back to full rows is keyed on
+    * `key` (which must be unique — doc_id/seq_id), and the manifest is a
+    * per-shard aggregate of corpus-sized input into output rows / shardSize
+    * rows. One extra wide exchange total (the partition-by-shard), which
+    * the write itself requires. */
+  def exportShards(docs: DataFrame, key: Column, salt: String,
+      shardSize: Int, checksumCol: Column, outDir: String,
+      nBuckets: Int = 1024): Unit = {
+    val assign = shuffleShards(docs.select(key.as("_ek")), col("_ek"),
+        salt, shardSize, nBuckets)
+      .select(col("k").as("_ek"), col("shard"), col("pos"))
+    val rows = docs.withColumn("_ek", key).join(assign, "_ek").drop("_ek")
+      .materialize // two consumers: shard write + manifest aggregate
+    rows
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", "gzip").json(s"$outDir/shards")
+    rows.groupBy(col("shard"))
+      .agg(count(lit(1)).as("m_n_rows"),
+        sum((col("pos") + 1) *
+          pmod(TextAnalysis.hash60(checksumCol), lit(1000003L)))
+          .as("m_checksum"))
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
   }
 
   /** MIXTURE-PRESERVING variant of [[shuffleShards]]: every shard carries
@@ -191,8 +244,11 @@ object Layout {
   def stratifiedShards(df: DataFrame, key: Column, stratum: Column,
       salt: String, shardSize: Int, nBuckets: Int = 1024): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
-    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0 && nBuckets <= (1 << 20),
-      "nBuckets must be a power of two in [1, 2^20]")
+    // >= 2, not >= 1: one bucket degenerates the construction into exactly
+    // the single-partition global sort the no-collect contract forbids
+    // (the whole corpus ranks in one window partition) — ADVICE r15
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0 && nBuckets <= (1 << 20),
+      "nBuckets must be a power of two in [2, 2^20]")
     val shift = 60 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
     val keyed = df
       .select(key.as("k"), stratum.cast("string").as("s"),

@@ -402,8 +402,11 @@ object MediaDecode {
     // make the looser-than-derived default visible: on a host whose JPEG
     // tables derive a bound under the cross-JRE floor, decoder errors
     // between the two would pass silently — intentional, but log it so a
-    // tightened-table host shows up in the run's output
-    if (jpegWorstCaseMae * JpegMaeHeadroom < JpegMaeAbsFloor)
+    // tightened-table host shows up in the run's output. Only when the
+    // bound in EFFECT is the floor (maxMae == JpegMaeAbsFloor) — an
+    // explicit caller-passed maxMae is the caller's contract, not the
+    // default's, and the message would be wrong for it
+    if (maxMae == JpegMaeAbsFloor && jpegWorstCaseMae * JpegMaeHeadroom < JpegMaeAbsFloor)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"decodeImageVsPattern default maxMae is the $JpegMaeAbsFloor-gray " +
           f"cross-JRE floor (derived bound ${jpegWorstCaseMae * JpegMaeHeadroom}%.2f is tighter)")

@@ -99,6 +99,34 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("simhash classes: one row per component of the pair graph, linear output") {
+    // classes must be exactly the connected components of the (complete)
+    // pair set: sizes add up, class_id is each component's minimum, and a
+    // width-k class is ONE row (the whole point vs Θ(k²) pairs)
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairRows = Dedup.simhashPairsMp(corpus, 10)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference components via tiny driver-side union-find on the spec data
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairRows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.toSeq.groupBy(find).map { case (_, ms) =>
+      (ms.min, ms.size.toLong)
+    }.toSet
+    val got = Dedup.simhashClasses(corpus, 10)
+      .select("class_id", "n_members").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"classes differ: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty && got.forall(_._2 >= 2))
+  }
+
   test("multi-probe LSH: superset of exact-band candidates, subset of brute force") {
     // at the 3-bit floor both tables use 6 bands over the SAME planes,
     // and Hamming-1 probing strictly widens each band's reach — so the

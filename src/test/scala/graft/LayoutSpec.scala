@@ -183,4 +183,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(big.forall(_.getLong(1) == 0L))
     assert(big.map(_.getLong(2)).sorted.sameElements(0L until 20L))
   }
+
+  test("exportShards: one jsonl.gz file per shard; manifest matches read-back") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.SessionScoped.scratchDir("graft_export_spec") + "/e"
+    Layout.exportShards(docs, col("doc_id"), "xs:", 64, col("text"), out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // layout contract: shard=N dirs, each with exactly ONE .json.gz file
+    val shardDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/shards"))
+      .filter(_.isDirectory).map(_.getPath)
+    assert(shardDirs.length == math.ceil(docs.count() / 64.0).toInt)
+    shardDirs.foreach { d =>
+      val dataFiles = fs.listStatus(d)
+        .filter(_.getPath.getName.endsWith(".json.gz"))
+      assert(dataFiles.length == 1, s"$d has ${dataFiles.length} data files")
+    }
+    // manifest row counts and position-weighted checksums equal a fresh
+    // aggregate of the read-back shards — losslessness including order
+    val back = graft.sources.Jsonl.read(spark, s"$out/shards",
+      docs.schema.add("pos", org.apache.spark.sql.types.LongType))
+    val agg = back.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("pos") + 1) *
+          pmod(graft.operators.TextAnalysis.hash60(col("text")), lit(1000003L)))
+          .as("checksum"))
+    val man = spark.read.parquet(s"$out/manifest")
+    val joined = agg.join(man, "shard")
+    assert(joined.count() == shardDirs.length)
+    assert(joined.filter(col("n_rows") =!= col("m_n_rows") ||
+      col("checksum") =!= col("m_checksum")).count() == 0)
+    // every shard but the last is exactly shardSize rows
+    val sizes = man.orderBy("shard").collect().map(_.getAs[Long]("m_n_rows"))
+    assert(sizes.init.forall(_ == 64L) && sizes.last <= 64L)
+  }
 }

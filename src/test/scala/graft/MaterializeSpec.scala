@@ -45,6 +45,23 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("SemDeDup is identical under all three strategies (real embeddings)") {
+    // the semdedup family materializes its IVF assignment mid-pipeline
+    // (Similarity.semDedup) — the other iterative consumer class next to
+    // CC/PageRank, pinned here on real sf0.001 vectors so the strategy
+    // swap crosses a genuine multi-consumer cached frame
+    spark.sparkContext.setCheckpointDir(
+      graft.SessionScoped.scratchDir("graft_ckpt_sd"))
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def sdRun() = graft.operators.Similarity
+      .semDedup(emb, 0.4, graft.operators.Similarity.clustersFor(emb.count()))
+      .orderBy("vec_id").collect().toSeq
+    val base = sdRun()                                     // default: local
+    for (s <- Seq("persist", "checkpoint")) withStrategy(s) {
+      assert(sdRun() == base, s"semDedup drifted under strategy=$s")
+    }
+  }
+
   test("unknown strategy fails fast") {
     withStrategy("bogus") {
       intercept[IllegalArgumentException] {
