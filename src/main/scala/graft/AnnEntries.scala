@@ -362,7 +362,13 @@ private[graft] object AnnEntries {
       nprobe = IvfPqNprobe)
   }
 
-  /** ADC shortlist size for q_cosine_ivfpq_rerank: 8× topK. */
+  /** ADC shortlist size for q_cosine_ivfpq_rerank: 8× topK — the
+    * operating point chosen from the measured nprobe × shortlist sweep
+    * (graft.RerankSweep, table in SCALE.md r16): at the shipped
+    * nprobe=2 it captures 97% of the probe ceiling (recall@5 0.724 vs
+    * 0.744 with an unbounded shortlist) at half the rerank broadcast of
+    * 16×; past 8× the binding constraint is the PROBE — recall moves
+    * with nprobe (3 probes → 0.912), not with more shortlist. */
   private val IvfPqRerankShortlist = 40
 
   /** IVFADC + EXACT RE-RANK ([[operators.ProductQuantizer

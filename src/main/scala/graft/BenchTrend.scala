@@ -50,7 +50,8 @@ object BenchTrend {
     "q_media_jpeg", "q_media_mp4", "q_media_png", "q_media_decode",
     "q_media_decode_png",
     "q_image_neardup",
-    "q_bpe_train", "q_bpe_encode", "q_backoff_lm",
+    "q_bpe_train", "q_bpe_encode", "q_backoff_lm", "q_kn_lm",
+    "q_nb_classify",
     "q_unigram_train", "q_unigram_encode", "q_dsir", "q_dsir_resample",
     "q_decontaminate_fuzzy", "q_shuffle_shards", "q_shards_stratified",
     "q_jsonl_roundtrip", "q_export_shards")

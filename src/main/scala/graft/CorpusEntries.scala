@@ -185,6 +185,38 @@ object CorpusEntries {
       BackoffMinCount, BackoffAlpha, LmUnseenP)
   }
 
+  /** Kneser–Ney discount shared by q_kn_lm's query and oracle. */
+  private val KnDiscount = 0.75
+
+  /** Interpolated Kneser–Ney bigram LM: train on even doc_ids, score the
+    * odd (the backoffLm held-out split, so the discounted-hit,
+    * continuation-backoff and unseen-context arms all carry traffic). */
+  private def qKnLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.kneserNeyLm(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      KnDiscount, LmUnseenP)
+  }
+
+  /** Multinomial Naive Bayes lang classifier: train on even doc_ids,
+    * classify the odd — the counts-only quality/domain-router stand-in
+    * (GPT-3 quality filter / CCNet routing shape). */
+  private def qNbClassify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.nbClassify(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
+  /** Confusion matrix over the q_nb_classify predictions (C²-bounded). */
+  private def qNbConfusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.nbConfusion(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
   private def qPack(s: SparkSession, dir: String): DataFrame =
     Packing.pack(Chunking.chunk(Tables.documents(s, dir), 40, 30),
       seqLen = PackSeqLen, docsPerBucket = PackDocsPerBucket)
@@ -503,6 +535,9 @@ object CorpusEntries {
     "q_dedup_incremental" -> qDedupIncremental,
     "q_bigram_lm" -> qBigramLm,
     "q_backoff_lm" -> qBackoffLm,
+    "q_kn_lm" -> qKnLm,
+    "q_nb_classify" -> qNbClassify,
+    "q_nb_confusion" -> qNbConfusion,
     "q_quality_deciles" -> qQualityDeciles,
     "q_quality_rules" -> qQualityRules,
     "q_lm_score" -> qLmScore,
@@ -777,7 +812,128 @@ object CorpusEntries {
        |  GROUP BY gb.doc_id
        |)""".stripMargin
 
+  /** Naive-Bayes prediction chain shared by q_nb_classify and
+    * q_nb_confusion (mirrors TextAnalysis.nbClassify: Laplace +1, per-token
+    * NLL micros, argmin with label-asc tiebreak). */
+  private val oNbChain: String =
+    s"""tr AS (SELECT lang, string_split(text, ' ') AS toks FROM documents
+       |  WHERE doc_id % 2 = 0),
+       |sc AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+       |  WHERE doc_id % 2 = 1),
+       |cls AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM tr GROUP BY 1),
+       |ntd AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM cls),
+       |wc AS (SELECT label, w, CAST(count(*) AS BIGINT) AS n_wc
+       |  FROM (SELECT lang AS label, unnest(toks) AS w FROM tr) GROUP BY 1, 2),
+       |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM wc),
+       |totc AS (SELECT label, CAST(sum(n_wc) AS BIGINT) AS n_c FROM wc GROUP BY 1),
+       |st AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+       |  FROM (SELECT doc_id, unnest(toks) AS w FROM sc) GROUP BY 1, 2),
+       |pdc AS (
+       |  SELECT st.doc_id, c.label,
+       |    CAST(floor(-ln(CAST(c.n_docs AS DOUBLE) / CAST(ntd.n AS DOUBLE))
+       |        * 10000 + 0.5) AS BIGINT)
+       |      + CAST(sum(st.k * CAST(floor(-ln(
+       |            (CAST(coalesce(wc.n_wc, 0) AS DOUBLE) + 1.0)
+       |            / (CAST(t.n_c AS DOUBLE) + CAST(vv.v AS DOUBLE)))
+       |          * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS nll4,
+       |    CAST(sum(CASE WHEN wc.n_wc IS NULL THEN st.k ELSE 0 END) AS BIGINT)
+       |      AS n_unseen
+       |  FROM st
+       |  CROSS JOIN cls c
+       |  JOIN totc t ON t.label = c.label
+       |  CROSS JOIN ntd
+       |  CROSS JOIN vv
+       |  LEFT JOIN wc ON wc.label = c.label AND wc.w = st.w
+       |  GROUP BY st.doc_id, c.label, c.n_docs, ntd.n
+       |),
+       |win AS (
+       |  SELECT doc_id, label, nll4, n_unseen,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY nll4, label) AS rk
+       |  FROM pdc
+       |),
+       |nbp AS (
+       |  SELECT s.doc_id, s.lang AS actual, w.label AS pred,
+       |    (s.lang = w.label) AS correct,
+       |    ${r4("CAST(w.nll4 AS DOUBLE) / 10000.0")} AS nll,
+       |    w.n_unseen AS n_unseen
+       |  FROM sc s JOIN win w ON w.doc_id = s.doc_id AND w.rk = 1
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_nb_classify" ->
+      s"""WITH $oNbChain
+         |SELECT doc_id, actual, pred, correct, nll, n_unseen FROM nbp""".stripMargin,
+
+    "q_nb_confusion" ->
+      s"""WITH $oNbChain
+         |SELECT actual, pred, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM nbp GROUP BY actual, pred""".stripMargin,
+
+    // arithmetic mirrored op-for-op with explicit DOUBLE casts and the
+    // same parenthesization as TextAnalysis.kneserNeyLm; per-gram NLLs
+    // 4dp-quantized before the per-doc sum (the backoff_lm idiom)
+    "q_kn_lm" ->
+      s"""WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |sc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |bi AS (SELECT g, CAST(count(*) AS BIGINT) AS n2,
+         |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+         |  FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(1, len(toks)),
+         |             i -> concat_ws(' ', toks[i], toks[i+1])) END) AS g
+         |    FROM tr) GROUP BY g),
+         |pfx AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS fanout FROM bi GROUP BY w1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM bi GROUP BY w2),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bi),
+         |grams AS (SELECT doc_id, g,
+         |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+         |  FROM (SELECT doc_id,
+         |      unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |        ELSE list_transform(range(1, len(toks)),
+         |               i -> concat_ws(' ', toks[i], toks[i+1])) END) AS g
+         |    FROM sc)),
+         |j AS (
+         |  SELECT gr.doc_id,
+         |    CASE WHEN p.c1 IS NOT NULL AND b.n2 IS NOT NULL THEN 2
+         |         WHEN p.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+         |    CASE WHEN p.c1 IS NOT NULL THEN greatest(
+         |        greatest(CAST(coalesce(b.n2, 0) AS DOUBLE)
+         |            - CAST($KnDiscount AS DOUBLE), 0.0)
+         |          / CAST(p.c1 AS DOUBLE)
+         |        + CAST($KnDiscount AS DOUBLE) * CAST(p.fanout AS DOUBLE)
+         |          / CAST(p.c1 AS DOUBLE)
+         |          * (CAST(coalesce(ct.n_cont, 0) AS DOUBLE) / CAST(nt.n AS DOUBLE)),
+         |        CAST($LmUnseenP AS DOUBLE))
+         |      ELSE greatest(
+         |        CAST(coalesce(ct.n_cont, 0) AS DOUBLE) / CAST(nt.n AS DOUBLE),
+         |        CAST($LmUnseenP AS DOUBLE)) END AS p
+         |  FROM grams gr
+         |  LEFT JOIN bi b ON b.g = gr.g
+         |  LEFT JOIN pfx p ON p.w1 = gr.w1
+         |  LEFT JOIN cont ct ON ct.w2 = gr.w2
+         |  CROSS JOIN nt
+         |),
+         |a AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |    CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont_backoff,
+         |    CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_unseen,
+         |    CAST(sum(CAST(floor(-ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s4
+         |  FROM j GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(a.n_cont_backoff, 0) AS BIGINT) AS n_cont_backoff,
+         |  CAST(coalesce(a.n_ctx_unseen, 0) AS BIGINT) AS n_ctx_unseen,
+         |  ${r4("a.s4 / 10000.0 / a.n_bigrams")} AS avg_nll
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |WHERE d.doc_id % 2 = 1""".stripMargin,
+
     // gramless docs surface at weight 0, not absent (see oDsirChain)
     "q_dsir" ->
       s"""WITH $oDsirChain

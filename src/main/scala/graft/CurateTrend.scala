@@ -24,8 +24,12 @@ object CurateTrend {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_TREND_COPIES", "10").toInt
+    // NOT the shared BenchTrend dir: the composition needs the stopword-
+    // PRESERVING synthesis (see ScaleSynth.keepStopwords — plain rotation
+    // fails every copy at the first stopword-keyed gate and the pipeline
+    // silently shrinks back to base size past stage 2)
     val synthDir = sys.env.getOrElse("SPARK_GRAFT_TREND_DIR",
-      s"/tmp/graft_trend/${new java.io.File(baseDir).getName}x$copies")
+      s"/tmp/graft_trend/${new java.io.File(baseDir).getName}x${copies}sw")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,8 +40,8 @@ object CurateTrend {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    System.err.println(s"[curate-trend] synthesizing $synthDir = $baseDir x$copies")
-    sources.ScaleSynth.synthesize(spark, baseDir, synthDir, copies)
+    System.err.println(s"[curate-trend] synthesizing $synthDir = $baseDir x$copies (stopword-preserving)")
+    sources.ScaleSynth.synthesize(spark, baseDir, synthDir, copies, keepStopwords = true)
 
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

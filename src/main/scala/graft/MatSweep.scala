@@ -20,6 +20,23 @@ object MatSweep {
   val Queries: Seq[String] =
     Seq("q_dedup_corpus", "q_pagerank", "q_semdedup", "q_dedup_embed_ivf")
 
+  /** (query, strategy) cells measured to be non-viable, skipped so the
+    * sweep terminates: `persist` keeps lineage, and on a loop whose body
+    * references its predecessor more than once the logical plan is a deep
+    * self-referencing DAG — `TreeNode.generateTreeString` expands a DAG as
+    * a TREE, so merely DESCRIBING the plan for the UI/event-log is
+    * exponential in loop depth. The r16 sweep measured both failure
+    * shapes at sf0.1: uncapped `spark.sql.maxPlanStringLength` OOMed the
+    * 16 GB driver building the string; capped, the WALK itself spun the
+    * driver >20 min single-threaded inside generateTreeString (jstack-
+    * confirmed) on the Lloyd-iteration families. The shallow-loop
+    * families (CC's ~6 rounds, PageRank's 3) stay under the horizon and
+    * get real persist numbers; the k-means families need lineage
+    * TRUNCATION (local/checkpoint) — which is the cluster recommendation
+    * SCALE.md records. */
+  val Skip: Set[(String, String)] =
+    Set("q_semdedup" -> "persist", "q_dedup_embed_ivf" -> "persist")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,6 +44,14 @@ object MatSweep {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // lineage-keeping strategies make the iterative loops' logical plan
+      // a deep DAG; generateTreeString expands a DAG as a TREE, so the
+      // plan STRING is exponential in rounds even though the plan object
+      // graph is linear — uncapped, the r16 sweep OOMed the 16g driver
+      // just STRINGIFYING the persist-strategy CC plan. Capping the plan
+      // string is also the cluster-mode recommendation when running
+      // lineage-kept iterative workloads.
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -45,18 +70,27 @@ object MatSweep {
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val strategies = Seq("local", "persist", "checkpoint")
-    val rows = Queries.map { q =>
-      q -> strategies.map { s =>
-        spark.conf.set(Materialize.ConfKey, s)
-        try s -> Seq(timed(q), timed(q)).min
-        finally spark.conf.unset(Materialize.ConfKey)
-      }
-    }
-    println(s"# materializer sweep @ $sfDir (best of 2)")
+    println(s"# materializer sweep @ $sfDir (best of 2; NaN = strategy failed)")
     println("| query | " + strategies.mkString(" | ") + " |")
     println("|---|---|---|---|")
-    rows.foreach { case (q, ts) =>
+    // stream each row as it lands so a mid-sweep failure keeps the rows
+    // already measured; a strategy that dies (e.g. driver OOM risk paths)
+    // records NaN instead of killing the sweep
+    val rows = Queries.map { q =>
+      val ts = strategies.map { s =>
+        if (Skip(q -> s)) s -> Double.NaN
+        else {
+          spark.conf.set(Materialize.ConfKey, s)
+          try s -> Seq(timed(q), timed(q)).min
+          catch { case e: Throwable =>
+            System.err.println(s"[matsweep] $q/$s failed: ${e.getClass.getSimpleName}")
+            s -> Double.NaN
+          }
+          finally spark.conf.unset(Materialize.ConfKey)
+        }
+      }
       println(s"| $q | " + ts.map(t => f2(t._2)).mkString(" | ") + " |")
+      q -> ts
     }
     val json = rows.map { case (q, ts) =>
       s""""$q":{${ts.map { case (s, t) => s""""$s":${f2(t)}""" }.mkString(",")}}"""

@@ -648,4 +648,169 @@ object TextAnalysis {
         coalesce(col("logw_q"), lit(0L)).as("logw_q"),
         (coalesce(col("logw_q"), lit(0L)) > 0L).as("selected"))
   }
+
+  /** Multinomial Naive Bayes document classifier with Laplace (+1)
+    * smoothing — the counts-only stand-in for the fasttext-style quality/
+    * domain classifiers real curation pipelines train (GPT-3's WebText
+    * quality filter, CCNet's lang/domain routing): per-class token counts
+    * from `train`, then every `score` document gets
+    *
+    *   NLL(c | d) = −ln P(c) + Σ_w k(w,d) · −ln (n(w,c)+1)/(N_c + V)
+    *
+    * and the predicted class is the NLL argmin (ties broken by label asc).
+    *
+    * Shape at scale: the model is two keyed count aggregates (map-side
+    * partial) — per-class priors (C rows) and per-(class, token) counts
+    * (≤ C·V rows). Scoring explodes each doc ONCE into (doc, token, k)
+    * token types, widens by the C-row class table (a bounded broadcast —
+    * the one BNLJ in the plan, allowlisted like the centroid tables), and
+    * resolves counts with a (label, w)-keyed equi-join that AQE broadcasts
+    * when the model fits. The argmin is a per-doc min over C rows —
+    * C·|docs| intermediate rows total, never vocab × docs.
+    *
+    * Determinism: per-token NLLs and the prior are 4dp-quantized to int64
+    * micros BEFORE the weighted sum (the lmScore idiom), so aggregation
+    * order cannot move the result and the argmin compares exact integers. */
+  def nbClassify(train: DataFrame, score: DataFrame,
+      labelCol: String = "lang"): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val lbl = col(labelCol)
+    // class priors: docs per class + the one-row corpus total
+    val cls = train.groupBy(lbl.as("label"))
+      .agg(count(lit(1)).as("n_docs")).materialize
+    val nTrainDocs = cls.agg(sum(col("n_docs"))).head().getLong(0)
+    // per-(class, token) occurrence counts and per-class token totals
+    val wc = train.select(lbl.as("label"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("label"), col("w")).agg(count(lit(1)).as("n_wc"))
+      .materialize
+    val vocabV = wc.select(col("w")).distinct().count()
+    val totc = wc.groupBy(col("label")).agg(sum(col("n_wc")).as("n_c"))
+    val classes = cls.join(totc, "label")
+      .select(col("label"), col("n_docs"), col("n_c"))
+    // score side: one explode per doc, collapsed to (doc, token-type, k)
+    val st = score
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
+    val prior4 = floor(-log(col("n_docs").cast("double") / lit(nTrainDocs.toDouble))
+      * lit(10000) + lit(0.5)).cast("long")
+    val condP = (coalesce(col("n_wc"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("n_c").cast("double") + lit(vocabV.toDouble))
+    val tokNll4 = floor(-log(condP) * lit(10000) + lit(0.5)).cast("long")
+    val perDocClass = st
+      .join(broadcast(classes), trueLit) // C-row class table: bounded BNLJ
+      .join(wc, Seq("label", "w"), "left")
+      .groupBy(col("doc_id"), col("label"), prior4.as("prior4"))
+      .agg(sum(col("k") * tokNll4).as("tok4"),
+        sum(when(col("n_wc").isNull, col("k")).otherwise(0L)).as("n_unseen"))
+      .select(col("doc_id"), col("label"),
+        (col("prior4") + col("tok4")).as("nll4"), col("n_unseen"))
+    // argmin over the C candidate rows per doc; label asc breaks exact ties
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("nll4"), col("label"))
+    val winner = perDocClass.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    score.select(col("doc_id"), lbl.as("actual"))
+      .join(winner, Seq("doc_id"))
+      .select(col("doc_id"), col("actual"), col("label").as("pred"),
+        (col("actual") === col("label")).as("correct"),
+        r4(col("nll4").cast("double") / lit(10000.0)).as("nll"),
+        col("n_unseen"))
+  }
+
+  /** `lit(true)` as a join condition (crossJoin rejects a condition arg;
+    * join(df, lit(true)) is the idiomatic bounded-broadcast widen). */
+  private def trueLit: Column = lit(true)
+
+  /** Class confusion matrix over [[nbClassify]] predictions: one row per
+    * (actual, predicted) pair with counts — the per-class quality report a
+    * curation pipeline reads before trusting the classifier's routing.
+    * Same plan as nbClassify plus one C²-bounded aggregate. */
+  def nbConfusion(train: DataFrame, score: DataFrame,
+      labelCol: String = "lang"): DataFrame =
+    nbClassify(train, score, labelCol)
+      .groupBy(col("actual"), col("pred"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+
+  /** Interpolated Kneser–Ney bigram language model (Kneser & Ney 1995;
+    * Chen & Goodman 1999 empirical study) scored over `score` docs:
+    *
+    *   P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *                 + D · N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(··)
+    *
+    * with absolute discount `d` (default 0.75) and continuation counts
+    * N1+ = distinct-bigram-type counts. A context never seen in training
+    * backs off to the continuation probability alone; the whole estimate
+    * floors at `unseenP` so fully-novel bigrams stay finite. This is the
+    * standard n-gram smoothing (KenLM's default) — the discounted mass is
+    * redistributed by how PROMISCUOUS a continuation is, not how frequent,
+    * which is what separates KN from the stupid-backoff family above.
+    *
+    * Shape at scale: one bigram count aggregate feeds all four model
+    * tables (bigram counts, prefix totals, prefix fanouts, continuation
+    * counts) — each vocabulary-bounded, resolved on the scoring side by
+    * gram-keyed equi-joins (AQE broadcasts when small; no unconditional
+    * broadcast hints, same policy as backoffLm). Per-gram NLLs are
+    * 4dp-quantized to int64 before the per-doc sum. */
+  def kneserNeyLm(train: DataFrame, score: DataFrame, d: Double = 0.75,
+      unseenP: Double = 0.0001): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val toks = tokens(col("text"))
+    // one corpus-wide bigram count; every model table derives from it
+    val bi = train.select(explode(shinglesFromTokens(toks, 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n2"))
+      .withColumn("parts", split(col("g"), " "))
+      .select(col("g"), col("n2"),
+        element_at(col("parts"), 1).as("w1"),
+        element_at(col("parts"), 2).as("w2"))
+      .materialize
+    val pfx = bi.groupBy(col("w1")).agg(
+      sum(col("n2")).as("c1"),          // c(w1·): prefix occurrence total
+      count(lit(1)).as("fanout"))       // N1+(w1,·): distinct continuations
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_cont")) // N1+(·,w2)
+    val nTypes = bi.count()                                          // N1+(··)
+    val grams = score
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 2)).as("g"))
+      .withColumn("parts", split(col("g"), " "))
+      .select(col("doc_id"), col("g"),
+        element_at(col("parts"), 1).as("w1"),
+        element_at(col("parts"), 2).as("w2"))
+    val joined = grams
+      .join(bi.select(col("g"), col("n2")), Seq("g"), "left")
+      .join(pfx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+    val pcont = coalesce(col("n_cont"), lit(0L)).cast("double") /
+      lit(nTypes.toDouble)
+    // mirrored op-for-op in the oracle (same parenthesization, DOUBLE all
+    // the way) and floored at unseenP so a zero estimate can't reach ln
+    // n2 coalesced BEFORE the discount: greatest(NULL − d, 0) is engine-
+    // dependent NULL semantics; max(0 − d, 0) = 0 is the same number with
+    // no NULL in sight on either side
+    val pSeen =
+      greatest(coalesce(col("n2"), lit(0L)).cast("double") - lit(d), lit(0.0)) /
+        col("c1").cast("double") +
+      lit(d) * col("fanout").cast("double") / col("c1").cast("double") * pcont
+    val p = when(col("c1").isNotNull, greatest(pSeen, lit(unseenP)))
+      .otherwise(greatest(pcont, lit(unseenP)))
+    val lvl = when(col("c1").isNotNull && col("n2").isNotNull, lit(2))
+      .when(col("c1").isNotNull, lit(1)).otherwise(lit(0))
+    val nll4 = floor(-log(p) * lit(10000) + lit(0.5)).cast("long")
+    val perDoc = joined
+      .select(col("doc_id"), lvl.as("lvl"), nll4.as("nll4"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_cont_backoff"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_ctx_unseen"),
+        sum(col("nll4")).as("s4"))
+    score.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_cont_backoff"), lit(0L)).as("n_cont_backoff"),
+        coalesce(col("n_ctx_unseen"), lit(0L)).as("n_ctx_unseen"),
+        r4(col("s4").cast("double") / lit(10000.0) / col("n_bigrams"))
+          .as("avg_nll"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -76,7 +76,7 @@ object ScaleSynth {
   /** One scaled table: the union of `copies` transformed reads. Copy 0 is
     * the identity, so the base data is a subset of every synth dir. */
   def scaleTable(spark: SparkSession, baseDir: String, name: String,
-      copies: Int): DataFrame = {
+      copies: Int, keepStopwords: Boolean = false): DataFrame = {
     require(copies >= 1, s"copies must be >= 1 (got $copies)")
     // events.ts arrives as nanos-LONG in some driver data generations
     // (Tables.events sets the same conf before its read).
@@ -126,8 +126,30 @@ object ScaleSynth {
       // 7 is coprime to 26, so rotations are distinct for copies <= 26
       // (past that the Caesar family repeats and cross-copy texts become
       // identical — raise the alphabet step logic before going wider)
-      if (name == "documents" && i > 0)
-        df = df.withColumn("text", translate(col("text"), Alphabet, rotated(i * 7)))
+      if (name == "documents" && i > 0) {
+        val rot = (c: Column) => translate(c, Alphabet, rotated(i * 7))
+        df =
+          if (!keepStopwords)
+            df.withColumn("text", rot(col("text")))
+          else {
+            // stopword-PRESERVING rotation (composition-trend mode): the
+            // plain rotation leaves copies with zero English stopwords,
+            // so any stopword-keyed gate (quality rules minStopDistinct,
+            // lang-id, DSIR's en target) removes every copy at its first
+            // filter and the downstream pipeline silently shrinks back to
+            // base size — the r16 CurateTrend run measured exactly that.
+            // Keeping the marker tokens intact preserves per-stage pass
+            // rates while shingle/embedding spaces stay copy-disjoint
+            // (most shingles contain a rotated content token).
+            val stopArr = array(
+              graft.operators.TextAnalysis.Stopwords.map(lit): _*)
+            df.withColumn("text",
+              array_join(
+                transform(split(col("text"), " "),
+                  t => when(array_contains(stopArr, t), t).otherwise(rot(t))),
+                " "))
+          }
+      }
       if (name == "embeddings" && i > 0) {
         // rotate the vector by r dims: same norm, disjoint direction family.
         // r = 1 + (i-1) mod (dim-1): full period dim-1, so no copy is the
@@ -147,13 +169,14 @@ object ScaleSynth {
     * completion marker so an interrupted synth is never mistaken for a
     * finished one. No-op if the marker for the same (base, copies) exists. */
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
-      copies: Int): Unit = {
+      copies: Int, keepStopwords: Boolean = false): Unit = {
     val markerPath = java.nio.file.Paths.get(outDir, "_SYNTH_DONE")
-    val stamp = s"v=$SynthVersion base=$baseDir copies=$copies"
+    val stamp = s"v=$SynthVersion base=$baseDir copies=$copies" +
+      (if (keepStopwords) " keepStopwords" else "")
     if (java.nio.file.Files.exists(markerPath) &&
         java.nio.file.Files.readString(markerPath).trim == stamp) return
     tables.foreach { t =>
-      scaleTable(spark, baseDir, t, copies)
+      scaleTable(spark, baseDir, t, copies, keepStopwords)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
     java.nio.file.Files.writeString(markerPath, stamp + "\n")

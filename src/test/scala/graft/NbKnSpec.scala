@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Hand-computed invariants for the Naive Bayes classifier and the
+  * Kneser–Ney LM that the oracle gate can't express: known-answer
+  * classifications, tie-break determinism, and the closed-form KN
+  * probabilities on a corpus small enough to verify by hand. */
+class NbKnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("nb classify: obvious classes, deterministic tie-break, unseen counts") {
+    val train = Seq(
+      (0L, "the cat", "en"), (2L, "the dog", "en"),
+      (4L, "der hund", "de"), (6L, "der katze", "de"))
+      .toDF("doc_id", "text", "lang")
+    val score = Seq(
+      (1L, "the cat", "en"), (3L, "der hund", "de"), (5L, "zzz zzz", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbClassify(train, score)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("pred") == "en")
+    assert(out(1L).getAs[Boolean]("correct"))
+    assert(out(3L).getAs[String]("pred") == "de")
+    // every token of doc 5 is unseen in BOTH classes and the priors are
+    // equal → an exact integer NLL tie, broken by label asc → "de"
+    assert(out(5L).getAs[String]("pred") == "de")
+    assert(!out(5L).getAs[Boolean]("correct"))
+    assert(out(5L).getAs[Long]("n_unseen") == 2L)
+    // doc 1, class en: prior ln2, p(the)=(2+1)/(4+6)=0.3, p(cat)=0.2
+    val nll = math.floor(-math.log(0.5) * 10000 + 0.5) +
+      math.floor(-math.log(0.3) * 10000 + 0.5) +
+      math.floor(-math.log(0.2) * 10000 + 0.5)
+    assert(math.abs(out(1L).getAs[Double]("nll") - nll / 10000.0) < 1e-9)
+    assert(out(1L).getAs[Long]("n_unseen") == 0L)
+  }
+
+  test("nb confusion aggregates the per-doc predictions") {
+    val train = Seq(
+      (0L, "the cat", "en"), (2L, "the dog", "en"),
+      (4L, "der hund", "de"), (6L, "der katze", "de"))
+      .toDF("doc_id", "text", "lang")
+    val score = Seq(
+      (1L, "the cat the dog", "en"), (3L, "der hund", "de"),
+      (5L, "der katze der hund", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbConfusion(train, score)
+      .collect()
+      .map(r => (r.getAs[String]("actual"), r.getAs[String]("pred")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_correct"))).toMap
+    assert(out(("en", "en")) == ((1L, 1L)))   // doc 1
+    assert(out(("de", "de")) == ((1L, 1L)))   // doc 3
+    assert(out(("en", "de")) == ((1L, 0L)))   // doc 5: German words, en label
+    assert(out.size == 3)
+  }
+
+  test("kneser-ney: closed-form probabilities on a hand-checkable corpus") {
+    // train bigrams: "a b" ×2, "a c" ×1 → c(a·)=3, N1+(a,·)=2,
+    // N1+(·,b)=N1+(·,c)=1, N1+(··)=2
+    val train = Seq((0L, "a b"), (2L, "a b"), (4L, "a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"),   // discounted hit: (2-.75)/3 + .75·(2/3)·(1/2) = 2/3
+      (3L, "a z"),   // seen ctx, z never a continuation: floors at unseenP
+      (5L, "z b"),   // unseen ctx: continuation alone = 1/2
+      (7L, "q"))     // no bigrams at all
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyLm(train, score)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def q4(p: Double): Double = math.floor(-math.log(p) * 10000 + 0.5) / 10000.0
+    assert(out(1L).getAs[Long]("n_hit") == 1L)
+    assert(math.abs(out(1L).getAs[Double]("avg_nll") - q4(2.0 / 3.0)) < 1e-9)
+    assert(out(3L).getAs[Long]("n_cont_backoff") == 1L)
+    assert(out(3L).getAs[Double]("avg_nll") == 9.2103) // -ln(1e-4)
+    assert(out(5L).getAs[Long]("n_ctx_unseen") == 1L)
+    assert(math.abs(out(5L).getAs[Double]("avg_nll") - q4(0.5)) < 1e-9)
+    assert(out(7L).getAs[Long]("n_bigrams") == 0L)
+    assert(out(7L).isNullAt(out(7L).fieldIndex("avg_nll")))
+    // the KN mass identity: for a seen context, Σ_w P(w|ctx) over the
+    // whole vocabulary is 1 — check over the closed vocab {b, c}
+    val pb = (2.0 - 0.75) / 3.0 + 0.75 * (2.0 / 3.0) * (1.0 / 2.0)
+    val pc = (1.0 - 0.75) / 3.0 + 0.75 * (2.0 / 3.0) * (1.0 / 2.0)
+    assert(math.abs(pb + pc - 1.0) < 1e-12)
+  }
+
+  test("kneser-ney separates promiscuous continuations from frequent ones") {
+    // "b" follows TWO distinct contexts (a, c); "d" follows only one (e)
+    // but with a HIGHER raw count — pcont ranks b above d, raw counts
+    // would rank d above b. Score both in an unseen context.
+    val train = Seq((0L, "a b"), (2L, "c b"), (4L, "e d"), (6L, "e d"))
+      .toDF("doc_id", "text")
+    val score = Seq((1L, "z b"), (3L, "z d")).toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyLm(train, score)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("avg_nll") < out(3L).getAs[Double]("avg_nll"))
+  }
+}

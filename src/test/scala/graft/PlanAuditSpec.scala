@@ -45,7 +45,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_pmi", // one-row unigram/bigram-total broadcast
     "q_triangles", // one-row census × one-row totals join
     // one-row node-count + dangling-mass broadcasts ride along every round
-    "q_pagerank", "q_pagerank_dangling")
+    "q_pagerank", "q_pagerank_dangling",
+    // the C-row class-prior table widening each scored doc's token types
+    // (C = distinct labels, single digits by construction)
+    "q_nb_classify", "q_nb_confusion")
 
   test("no shipped query plans a cartesian or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"

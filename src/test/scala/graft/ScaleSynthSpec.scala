@@ -53,6 +53,28 @@ class ScaleSynthSpec extends AnyFunSuite {
     assert(shared.count() == 0)
   }
 
+  test("documents keepStopwords: markers intact, content rotated, lengths kept") {
+    val docs = ScaleSynth.scaleTable(spark, base, "documents", 2,
+        keepStopwords = true)
+      .withColumn("copy", (col("doc_id") / ScaleSynth.KeyStride).cast("int"))
+    // lengths still survive (rotation is per-token, stopwords unchanged)
+    assert(docs.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+    val stopArr = array(
+      graft.operators.TextAnalysis.Stopwords.map(lit): _*)
+    val toks = docs.select(col("copy"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").rlike("[a-z]"))
+    // every copy keeps its English stopword occurrences (the gate markers)
+    val stopPerCopy = toks.filter(array_contains(stopArr, col("tok")))
+      .groupBy("copy").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stopPerCopy.getOrElse(1, 0L) == stopPerCopy.getOrElse(0, -1L))
+    // while CONTENT tokens stay copy-disjoint (the dedup-space contract)
+    val content = toks.filter(!array_contains(stopArr, col("tok"))).distinct()
+    val shared = content.filter(col("copy") === 0).select("tok")
+      .intersect(content.filter(col("copy") === 1).select("tok"))
+    assert(shared.count() == 0)
+  }
+
   test("embeddings: rotation preserves norm, copies are not identical") {
     val emb = ScaleSynth.scaleTable(spark, base, "embeddings", 2)
       .withColumn("copy", (col("vec_id") / ScaleSynth.KeyStride).cast("int"))
