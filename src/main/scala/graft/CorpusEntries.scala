@@ -188,6 +188,18 @@ object CorpusEntries {
   /** Kneser–Ney discount shared by q_kn_lm's query and oracle. */
   private val KnDiscount = 0.75
 
+  /** Blocklist terms shared by q_blocklist's query and oracle (drawn from
+    * the synthetic vocabulary so the gate actually splits the corpus). */
+  private val BlockTerms = Seq("slow", "dup")
+
+  /** C4-style blocklist gate: ANY blocklist hit drops the doc. */
+  private def qBlocklist(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklist(Tables.documents(s, dir), BlockTerms)
+
+  /** Per-(source, lang) data-card manifest. */
+  private def qDataCard(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.dataCard(Tables.documents(s, dir))
+
   /** Interpolated Kneser–Ney bigram LM: train on even doc_ids, score the
     * odd (the backoffLm held-out split, so the discounted-hit,
     * continuation-backoff and unseen-context arms all carry traffic). */
@@ -538,6 +550,8 @@ object CorpusEntries {
     "q_kn_lm" -> qKnLm,
     "q_nb_classify" -> qNbClassify,
     "q_nb_confusion" -> qNbConfusion,
+    "q_blocklist" -> qBlocklist,
+    "q_data_card" -> qDataCard,
     "q_quality_deciles" -> qQualityDeciles,
     "q_quality_rules" -> qQualityRules,
     "q_lm_score" -> qLmScore,
@@ -861,6 +875,51 @@ object CorpusEntries {
        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_blocklist" -> {
+      val terms = BlockTerms.map(t => s"'$t'").mkString("[", ",", "]")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> list_contains($terms, t))) AS BIGINT)
+         |      AS n_blocked
+         |  FROM tk
+         |)
+         |SELECT doc_id, n_tokens, n_blocked,
+         |  ${r4("CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
+         |    AS blocked_frac,
+         |  (${r4("CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} <= 0.0)
+         |    AS keep
+         |FROM b""".stripMargin
+    },
+
+    "q_data_card" ->
+      s"""WITH ${OracleSql.qualityScoreCte},
+         |base AS (
+         |  SELECT d.source, d.lang, d.text, d.n_chars,
+         |    len(string_split(d.text, ' ')) AS n_tokens, s.quality_score
+         |  FROM documents d JOIN qscore s USING (doc_id)
+         |),
+         |g AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |    CAST(sum(CAST(floor(quality_score * 10000 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS q4_sum
+         |  FROM base GROUP BY source, lang
+         |),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM g)
+         |SELECT source, lang, n_docs,
+         |  n_docs - n_distinct_texts AS n_exact_dups,
+         |  ${r4("CAST(n_docs - n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         |    AS dup_frac,
+         |  n_tokens, n_chars,
+         |  ${r4("CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS mean_doc_tokens,
+         |  ${r4("CAST(q4_sum AS DOUBLE) / 10000.0 / CAST(n_docs AS DOUBLE)")}
+         |    AS mean_quality,
+         |  ${r4("CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)")} AS share_pct
+         |FROM g CROSS JOIN tot""".stripMargin,
+
     "q_nb_classify" ->
       s"""WITH $oNbChain
          |SELECT doc_id, actual, pred, correct, nll, n_unseen FROM nbp""".stripMargin,

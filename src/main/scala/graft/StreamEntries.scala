@@ -410,6 +410,31 @@ private[graft] object StreamEntries {
     graft.streaming.StreamDsir.report(s, work)
   }
 
+  /** The STREAMING NB classification gate: the odd-id half (the batch
+    * query's scoring split) replayed as three id-ordered micro-batches
+    * through [[graft.streaming.StreamClassify]] under the model trained
+    * once from the even-id half. Stateless across batches (a doc's
+    * prediction depends only on its tokens and the fixed model), so the
+    * accumulated report is hash-gated against q_nb_classify's batch
+    * oracle — stream == batch regardless of slicing. Verify-only. */
+  private def qStreamNb(s: SparkSession, dir: String): DataFrame = {
+    val work = SessionScoped.scratchDir("graft_stream_nb")
+    val docs = Tables.documents(s, dir)
+    val score = docs.filter(col("doc_id") % 2 === 1)
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      score.select(col("doc_id"), col("text"), col("lang"),
+        col("doc_id").as("_ms")),
+      "_ms", work, slices = 3)
+    val feedSchema = org.apache.spark.sql.types.StructType(
+      score.select(col("doc_id"), col("text"), col("lang")).schema)
+    val stream = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamClassify.run(stream,
+      docs.filter(col("doc_id") % 2 === 0), "lang", work)
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamClassify.report(s, work)
+  }
+
   /** The STREAMING near-dup decontamination gate: training docs replayed
     * as three id-ordered micro-batches through
     * [[graft.streaming.StreamFuzzyDecontam]] against the fixed eval set
@@ -587,6 +612,7 @@ private[graft] object StreamEntries {
     "q_stream_cdc" -> qStreamCdc,
     "q_stream_drift" -> qStreamDrift,
     "q_stream_dsir" -> qStreamDsir,
+    "q_stream_nb" -> qStreamNb,
     "q_stream_fuzzy_decontam" -> qStreamFuzzyDecontam,
     "q_stream_sessionize" -> qStreamSessionize,
     "q_stream_join" -> qStreamJoin,
@@ -652,6 +678,9 @@ private[graft] object StreamEntries {
     // fixed-LM stateless scoring over exactly-once-partitioned slices ==
     // the batch scorer, so the oracle is q_dsir's, verbatim
     "q_stream_dsir" -> CorpusEntries.oracleSql("q_dsir"),
+    // fixed-model stateless scoring — the oracle is q_nb_classify's,
+    // verbatim (same held-out split, same model, any slicing)
+    "q_stream_nb" -> CorpusEntries.oracleSql("q_nb_classify"),
     // the streamed fuzzy screen accumulates the SAME per-doc report the
     // batch query emits (stateless vs a fixed eval set) — shared oracle
     "q_stream_fuzzy_decontam" -> TextDedupEntries.oracleSql("q_decontaminate_fuzzy"),

@@ -86,4 +86,43 @@ object CorpusStats {
       .select(col("doc_id"), col("quality_score"),
         (size(expr("filter(th, t -> quality_score >= t)")) + 1).as("decile"))
   }
+
+  /** Per-(source, lang) DATA CARD — the manifest a curation run hands to
+    * the training team (Gebru et al. 2021 "Datasheets" lineage): volumes,
+    * exact-duplicate rate, mean document quality, and each stratum's share
+    * of the corpus. One corpus scan into a strata-sized aggregate.
+    *
+    * Determinism: the mean quality is computed over 4dp-int64-quantized
+    * per-doc scores (sum of longs / count, then 4dp-rounded), so the
+    * aggregation ORDER can't move the mean — the float-sum-order rule
+    * every oracle-compared average here follows. The exact-dup rate
+    * counts distinct text VALUES per stratum (count distinct is
+    * order-free); share_pct normalizes by a one-row corpus total
+    * broadcast (bounded, PlanAudit-allowlisted like sourceMix's). */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val q4 = floor(col("quality_score") * lit(10000) + lit(0.5)).cast("long")
+    val scored = docs
+      .select(col("source"), col("lang"), col("text"), col("n_chars"),
+        col("doc_id"))
+      .join(TextAnalysis.stats(docs)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score")), "doc_id")
+    val g = scored
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(q4).as("q4_sum"))
+    val total = g.agg(sum(col("n_docs")).as("n_total"))
+    g.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
+        r4((col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs")).as("dup_frac"),
+        col("n_tokens"), col("n_chars"),
+        r4(col("n_tokens").cast("double") / col("n_docs")).as("mean_doc_tokens"),
+        r4(col("q4_sum").cast("double") / lit(10000.0) / col("n_docs"))
+          .as("mean_quality"),
+        r4(col("n_docs").cast("double") / col("n_total")).as("share_pct"))
+  }
 }

@@ -672,8 +672,20 @@ object TextAnalysis {
     * micros BEFORE the weighted sum (the lmScore idiom), so aggregation
     * order cannot move the result and the argmin compares exact integers. */
   def nbClassify(train: DataFrame, score: DataFrame,
-      labelCol: String = "lang"): DataFrame = {
-    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+      labelCol: String = "lang"): DataFrame =
+    nbScore(score, nbModel(train, labelCol), labelCol)
+
+  /** The trained NB model: the C-row class table (priors + per-class
+    * token totals), the ≤C·V-row per-(class, token) count table, and the
+    * two scalars the smoothing needs. Train once, score any number of
+    * frames/micro-batches ([[graft.streaming.StreamClassify]]). */
+  final case class NbModel(classes: DataFrame, wc: DataFrame,
+      nTrainDocs: Long, vocab: Long)
+
+  /** Estimate the [[NbModel]] from labeled documents: two keyed count
+    * aggregates (map-side partial), both materialized — the model tables
+    * are read by every scoring pass. */
+  def nbModel(train: DataFrame, labelCol: String = "lang"): NbModel = {
     val lbl = col(labelCol)
     // class priors: docs per class + the one-row corpus total
     val cls = train.groupBy(lbl.as("label"))
@@ -686,19 +698,27 @@ object TextAnalysis {
     val vocabV = wc.select(col("w")).distinct().count()
     val totc = wc.groupBy(col("label")).agg(sum(col("n_wc")).as("n_c"))
     val classes = cls.join(totc, "label")
-      .select(col("label"), col("n_docs"), col("n_c"))
+      .select(col("label"), col("n_docs"), col("n_c")).materialize
+    NbModel(classes, wc, nTrainDocs, vocabV)
+  }
+
+  /** Score documents under a trained [[NbModel]] (see [[nbClassify]] for
+    * the formula and the determinism contract). */
+  def nbScore(score: DataFrame, m: NbModel,
+      labelCol: String = "lang"): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
     // score side: one explode per doc, collapsed to (doc, token-type, k)
     val st = score
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
-    val prior4 = floor(-log(col("n_docs").cast("double") / lit(nTrainDocs.toDouble))
+    val prior4 = floor(-log(col("n_docs").cast("double") / lit(m.nTrainDocs.toDouble))
       * lit(10000) + lit(0.5)).cast("long")
     val condP = (coalesce(col("n_wc"), lit(0L)).cast("double") + lit(1.0)) /
-      (col("n_c").cast("double") + lit(vocabV.toDouble))
+      (col("n_c").cast("double") + lit(m.vocab.toDouble))
     val tokNll4 = floor(-log(condP) * lit(10000) + lit(0.5)).cast("long")
     val perDocClass = st
-      .join(broadcast(classes), trueLit) // C-row class table: bounded BNLJ
-      .join(wc, Seq("label", "w"), "left")
+      .join(broadcast(m.classes), trueLit) // C-row class table: bounded BNLJ
+      .join(m.wc, Seq("label", "w"), "left")
       .groupBy(col("doc_id"), col("label"), prior4.as("prior4"))
       .agg(sum(col("k") * tokNll4).as("tok4"),
         sum(when(col("n_wc").isNull, col("k")).otherwise(0L)).as("n_unseen"))
@@ -709,7 +729,7 @@ object TextAnalysis {
       .partitionBy(col("doc_id")).orderBy(col("nll4"), col("label"))
     val winner = perDocClass.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-    score.select(col("doc_id"), lbl.as("actual"))
+    score.select(col("doc_id"), col(labelCol).as("actual"))
       .join(winner, Seq("doc_id"))
       .select(col("doc_id"), col("actual"), col("label").as("pred"),
         (col("actual") === col("label")).as("correct"),
@@ -731,6 +751,30 @@ object TextAnalysis {
       .groupBy(col("actual"), col("pred"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+
+  /** C4-style blocklist gate (Raffel et al. 2020 §2.2 lineage: the
+    * "bad words" filter every web-corpus recipe runs): per-document
+    * occurrence count and fraction of tokens that hit the blocklist,
+    * plus the keep decision (`blockedFrac` strictly above `maxFrac`
+    * drops the doc; the default 0.0 means ANY hit drops it — C4's rule).
+    *
+    * Shape at scale: a pure Column scan — the blocklist is a literal
+    * array in the plan (real lists are a few thousand terms; past the
+    * literal-comfort size, swap the array for a broadcast join on the
+    * token — same output contract). No shuffle, no UDF, fully inside
+    * whole-stage codegen; the 100 TB cost is the parquet read. */
+  def blocklist(docs: DataFrame, terms: Seq[String],
+      maxFrac: Double = 0.0): DataFrame = {
+    require(terms.nonEmpty, "blocklist terms must be non-empty")
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val blockArr = array(terms.map(lit): _*)
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nBlocked = size(filter(toks, t => array_contains(blockArr, t))).cast("long")
+    docs.select(col("doc_id"), nTok.as("n_tokens"), nBlocked.as("n_blocked"),
+        r4(nBlocked.cast("double") / nTok).as("blocked_frac"))
+      .withColumn("keep", col("blocked_frac") <= maxFrac)
+  }
 
   /** Interpolated Kneser–Ney bigram language model (Kneser & Ney 1995;
     * Chen & Goodman 1999 empirical study) scored over `score` docs:

@@ -48,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_pagerank", "q_pagerank_dangling",
     // the C-row class-prior table widening each scored doc's token types
     // (C = distinct labels, single digits by construction)
-    "q_nb_classify", "q_nb_confusion")
+    "q_nb_classify", "q_nb_confusion",
+    "q_data_card") // one-row corpus-total broadcast (same as q_source_mix)
 
   test("no shipped query plans a cartesian or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -455,4 +455,44 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(fwd.toSeq == batch.toSeq)
     assert(rev.toSeq == batch.toSeq)
   }
+
+  test("streamed NB predictions match the one-shot classifier in any arrival order") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamClassify
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val score = docs.filter(col("doc_id") % 2 === 1)
+    val batch = TextAnalysis.nbClassify(train, score)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("pred"),
+        r.getAs[Boolean]("correct"), r.getAs[Double]("nll")))
+
+    val rows = score.select(col("doc_id"), col("text"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    def runStream(name: String, order: Array[(Long, String, String)],
+        splitAt: Int) = {
+      val dir = SessionScoped.scratchDir(s"graft_snb_$name")
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(Long, String, String)]
+      val q = StreamClassify.run(
+        input.toDF().toDF("doc_id", "text", "lang"), train, "lang", dir)
+      try Seq(order.take(splitAt), order.drop(splitAt)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      StreamClassify.report(spark, dir).orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("pred"),
+          r.getAs[Boolean]("correct"), r.getAs[Double]("nll")))
+    }
+
+    // stateless scoring under a fixed model: any slicing or order must
+    // reproduce the batch report row-for-row
+    val fwd = runStream("fwd", rows.sortBy(_._1), rows.length / 3)
+    val rev = runStream("rev", rows.sortBy(-_._1), rows.length / 2)
+    assert(fwd.length == batch.length && batch.nonEmpty)
+    assert(fwd.toSeq == batch.toSeq)
+    assert(rev.toSeq == batch.toSeq)
+  }
 }
