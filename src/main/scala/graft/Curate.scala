@@ -190,6 +190,20 @@ object Curate {
     t("write_shards")(written.join(shardOf, "seq_id")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards"))
 
+    // 12. data card: the per-(source, lang) manifest over the FINAL
+    // sampled corpus — the datasheet handed to the training team next to
+    // the shards (volumes, exact-dup rate, mean quality, mixture shares).
+    // The survivor doc set comes from the chunks ALREADY ON DISK (lineage
+    // truncated), not from `sampled`'s lazy plan: re-deriving the whole
+    // pipeline a fourth time fuses dozens of operators into one stage and
+    // over-subscribes the execution-memory pool (measured as
+    // UNABLE_TO_ACQUIRE_MEMORY in the suite JVM); this way the card is a
+    // raw-scan join against a doc_id list.
+    val survivorDocs = docs.join(
+      written.select(col("doc_id")).distinct(), "doc_id")
+    t("write_datacard")(graft.operators.CorpusStats.dataCard(survivorDocs)
+      .write.mode("overwrite").parquet(s"$outDir/data_card"))
+
     val funnel = Funnel(
       t("count_input")(docs.count()),
       t("count_quality")(quality.count()),

@@ -36,6 +36,14 @@ class CurateSpec extends AnyFunSuite {
     assert(f.merges == 32 && f.vocab > 26)
     // shard layout: every 16-sequence shard full except the last
     assert(f.shards == (f.seqs + 15) / 16)
+    // data card: written next to the shards, one row per surviving
+    // stratum, shares normalized — and ZERO exact dups (the dedup stage
+    // ran upstream, so the manifest must certify a dup-free deliverable)
+    val card = spark.read.parquet(s"$out/data_card").collect()
+    assert(card.nonEmpty)
+    assert(card.map(_.getAs[Long]("n_docs")).sum == f.sampled)
+    assert(card.forall(_.getAs[Long]("n_exact_dups") == 0L))
+    assert(math.abs(card.map(_.getAs[Double]("share_pct")).sum - 1.0) < 0.01)
     // deterministic: a rerun lands the identical funnel
     val out2 = graft.SessionScoped.scratchDir("graft_curate2")
     assert(Curate.run(spark, "/root/testdata/sf0.001", out2) == f)
