@@ -458,6 +458,12 @@ object CorpusEntries {
   private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
     operators.Bpe.encode(Tables.documents(s, dir), trainedMerges(s, dir))
 
+  /** Tokenizer fertility report per (source, lang) under the shared
+    * trained merge table — measures ENCODING-side tokenizer quality,
+    * reusing the q_bpe pair's cached merges like q_bpe_encode. */
+  private def qBpeFertility(s: SparkSession, dir: String): DataFrame =
+    operators.Bpe.fertility(Tables.documents(s, dir), trainedMerges(s, dir))
+
   /** Unigram-LM parameters shared by the q_unigram pair's queries and
     * oracles: seed 96 multi-char pieces, two hard-EM rounds pruning to
     * 64 then 48 — past one round so the oracle's per-round CTE blocks
@@ -529,6 +535,7 @@ object CorpusEntries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,
+    "q_bpe_fertility" -> qBpeFertility,
     "q_unigram_train" -> qUnigramTrain,
     "q_unigram_encode" -> qUnigramEncode,
     "q_sample_hash" -> qSampleHash,
@@ -1044,6 +1051,39 @@ object CorpusEntries {
          |    chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1)) AS token
          |  FROM d$BpeIters
          |) GROUP BY 1""".stripMargin,
+
+    // the word is recovered from the final bracketed seq by stripping the
+    // marker chars; per-word piece count = bracketed symbol count
+    "q_bpe_fertility" ->
+      s"""WITH $oBpeChain,
+         |wp AS (
+         |  SELECT replace(replace(seq, chr(1), ''), chr(2), '') AS word,
+         |    CAST(len(regexp_extract_all(seq,
+         |      chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1)) AS BIGINT)
+         |      AS n_pieces
+         |  FROM d$BpeIters
+         |),
+         |dw AS (
+         |  SELECT source, lang, word, CAST(count(*) AS BIGINT) AS k FROM (
+         |    SELECT source, lang, unnest(string_split(text, ' ')) AS word
+         |    FROM documents
+         |  ) WHERE length(word) > 0
+         |      AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0
+         |  GROUP BY 1, 2, 3
+         |),
+         |a AS (
+         |  SELECT source, lang,
+         |    CAST(sum(k) AS BIGINT) AS n_words,
+         |    CAST(sum(k * wp.n_pieces) AS BIGINT) AS n_pieces,
+         |    CAST(sum(k * length(dw.word)) AS BIGINT) AS n_word_chars
+         |  FROM dw JOIN wp ON wp.word = dw.word
+         |  GROUP BY 1, 2
+         |)
+         |SELECT source, lang, n_words, n_pieces, n_word_chars,
+         |  ${r4("CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)")} AS fertility,
+         |  ${r4("CAST(n_word_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)")}
+         |    AS chars_per_piece
+         |FROM a""".stripMargin,
     "q_sample_weighted" ->
       s"""WITH pr AS (
          |  SELECT doc_id, n_chars,

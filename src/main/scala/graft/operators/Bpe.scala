@@ -278,9 +278,17 @@ object Bpe {
     * order to each DISTINCT word (dictionary-sized work, like training),
     * then report exact per-token corpus counts — the "how would the
     * corpus tokenize" view, and the subword-vocabulary artifact. */
-  def encode(docs: DataFrame, merges: DataFrame): DataFrame = {
+  def encode(docs: DataFrame, merges: DataFrame): DataFrame =
+    applyMerges(docs, merges)
+      .withColumn("token", explode(symbols(col("seq"))))
+      .groupBy("token").agg(sum(col("cnt")).as("n"))
+
+  /** The docs' word dictionary with every merge applied, in training
+    * order: (word, cnt, seq) — shared by [[encode]] (corpus subword
+    * counts) and [[wordPieces]] (per-word piece counts). */
+  private def applyMerges(docs: DataFrame, merges: DataFrame): DataFrame = {
     val ms = merges.orderBy("iter").collect() // merge-table rows: tiny
-    val applied = ms.zipWithIndex.foldLeft(sizedDict(docs)) {
+    ms.zipWithIndex.foldLeft(sizedDict(docs)) {
       case (d, (m, i)) =>
         val next = d.withColumn("seq",
           mergeSeq(col("seq"), m.getString(1), m.getString(2)))
@@ -288,8 +296,44 @@ object Bpe {
           next.materialize
         else next
     }
-    applied
-      .withColumn("token", explode(symbols(col("seq"))))
-      .groupBy("token").agg(sum(col("cnt")).as("n"))
+  }
+
+  /** Per-word subword piece counts under a trained merge table:
+    * (word, n_pieces). Dictionary-sized output. */
+  def wordPieces(docs: DataFrame, merges: DataFrame): DataFrame =
+    applyMerges(docs, merges)
+      .select(col("word"), size(symbols(col("seq"))).cast("long").as("n_pieces"))
+
+  /** Tokenizer FERTILITY report per (source, lang) stratum — the standard
+    * post-training eval of a subword tokenizer (how many pieces a word
+    * costs, and how many characters a piece buys, per language/domain):
+    * multilingual corpora surface fertility DISPARITY here (strata the
+    * merges under-served tokenize long), which is exactly what this
+    * report exists to catch before a tokenizer ships.
+    *
+    * Shape at scale: the per-word piece table is dictionary-sized; the
+    * corpus side is one explode collapsed to (stratum, word, k) and a
+    * word-keyed equi-join (AQE broadcasts the dictionary when it fits).
+    * Ratios are exact integer sums divided once, 4dp-rounded. */
+  def fertility(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val wp = wordPieces(docs, merges)
+    val dw = docs
+      .select(col("source"), col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0 &&
+        !col("word").contains(L) && !col("word").contains(R))
+      .groupBy(col("source"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("k"))
+    dw.join(wp, "word")
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("n_pieces")).as("n_pieces"),
+        sum(col("k") * length(col("word")).cast("long")).as("n_word_chars"))
+      .select(col("source"), col("lang"), col("n_words"), col("n_pieces"),
+        col("n_word_chars"),
+        r4(col("n_pieces").cast("double") / col("n_words")).as("fertility"),
+        r4(col("n_word_chars").cast("double") / col("n_pieces"))
+          .as("chars_per_piece"))
   }
 }

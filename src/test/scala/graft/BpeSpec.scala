@@ -232,4 +232,34 @@ class BpeSpec extends AnyFunSuite {
     assert(rb <= rs / 4,
       s"wide plateau should amortize >=4x: $rb refreshes vs $rs")
   }
+
+  test("fertility report: hand-checkable pieces, ratios, per-stratum split") {
+    import org.apache.spark.sql.functions._
+    // merges learned on the en stratum's shape: "aaab aaab aaab ab ab"
+    // round 1 merges (a,a), round 2 merges (a,b) — so under the trained
+    // table "aaab" = [aa, ab] (2 pieces), "ab" = [ab] (1), "cd" (unseen
+    // pair, never merged) = [c, d] (2)
+    val docs = Seq(
+      (1L, "aaab aaab aaab ab ab", "en", "s1"),
+      (2L, "cd cd", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val merges = Bpe.trainMerges(docs, 2)
+    val wp = Bpe.wordPieces(docs, merges).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("n_pieces")).toMap
+    assert(wp("aaab") == 2L && wp("ab") == 1L && wp("cd") == 2L)
+    val out = Bpe.fertility(docs, merges).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r).toMap
+    val en = out(("s1", "en"))
+    // 5 words: 3x"aaab" (2 pieces each) + 2x"ab" (1) = 8 pieces, 16 chars
+    assert(en.getAs[Long]("n_words") == 5L)
+    assert(en.getAs[Long]("n_pieces") == 8L)
+    assert(en.getAs[Long]("n_word_chars") == 16L)
+    assert(en.getAs[Double]("fertility") == 1.6)
+    assert(en.getAs[Double]("chars_per_piece") == 2.0)
+    // the unseen-shape stratum tokenizes at character fertility: the
+    // disparity signal the report exists to surface
+    val de = out(("s2", "de"))
+    assert(de.getAs[Double]("fertility") == 2.0)
+    assert(de.getAs[Double]("chars_per_piece") == 1.0)
+  }
 }
