@@ -192,6 +192,30 @@ object CorpusEntries {
     * the synthetic vocabulary so the gate actually splits the corpus). */
   private val BlockTerms = Seq("slow", "dup")
 
+  /** Novelty n-gram width (5, the decontamination screens' width). */
+  private val NoveltyN = 5
+
+  /** Tercile literals shared by q_ccnet_buckets' query and oracle. */
+  private val OneThird = TextAnalysis.CcnetOneThird
+  private val TwoThirds = TextAnalysis.CcnetTwoThirds
+
+  /** CCNet perplexity terciles over the KN LM (train even / score odd). */
+  private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.ccnetBuckets(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      KnDiscount, LmUnseenP)
+  }
+
+  /** Cross-corpus n-gram novelty: reference = even half, score = odd. */
+  private def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontamination.noveltyScore(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), NoveltyN)
+  }
+
   /** C4-style blocklist gate: ANY blocklist hit drops the doc. */
   private def qBlocklist(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.blocklist(Tables.documents(s, dir), BlockTerms)
@@ -559,6 +583,8 @@ object CorpusEntries {
     "q_nb_confusion" -> qNbConfusion,
     "q_blocklist" -> qBlocklist,
     "q_data_card" -> qDataCard,
+    "q_ccnet_buckets" -> qCcnetBuckets,
+    "q_novelty" -> qNovelty,
     "q_quality_deciles" -> qQualityDeciles,
     "q_quality_rules" -> qQualityRules,
     "q_lm_score" -> qLmScore,
@@ -881,6 +907,73 @@ object CorpusEntries {
        |  FROM sc s JOIN win w ON w.doc_id = s.doc_id AND w.rk = 1
        |)""".stripMargin
 
+  /** Kneser–Ney oracle chain shared by q_kn_lm and q_ccnet_buckets:
+    * mirrors TextAnalysis.kneserNeyLm op-for-op (see q_kn_lm's comment)
+    * and ends in `knl(doc_id, n_bigrams, n_hit, n_cont_backoff,
+    * n_ctx_unseen, avg_nll)`. */
+  private def oKnChain: String =
+    s"""tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+
+         |  WHERE doc_id % 2 = 0),
+         |sc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |bi AS (SELECT g, CAST(count(*) AS BIGINT) AS n2,
+         |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+         |  FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(1, len(toks)),
+         |             i -> concat_ws(' ', toks[i], toks[i+1])) END) AS g
+         |    FROM tr) GROUP BY g),
+         |pfx AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS fanout FROM bi GROUP BY w1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM bi GROUP BY w2),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bi),
+         |grams AS (SELECT doc_id, g,
+         |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+         |  FROM (SELECT doc_id,
+         |      unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |        ELSE list_transform(range(1, len(toks)),
+         |               i -> concat_ws(' ', toks[i], toks[i+1])) END) AS g
+         |    FROM sc)),
+         |j AS (
+         |  SELECT gr.doc_id,
+         |    CASE WHEN p.c1 IS NOT NULL AND b.n2 IS NOT NULL THEN 2
+         |         WHEN p.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+         |    CASE WHEN p.c1 IS NOT NULL THEN greatest(
+         |        greatest(CAST(coalesce(b.n2, 0) AS DOUBLE)
+         |            - CAST($KnDiscount AS DOUBLE), 0.0)
+         |          / CAST(p.c1 AS DOUBLE)
+         |        + CAST($KnDiscount AS DOUBLE) * CAST(p.fanout AS DOUBLE)
+         |          / CAST(p.c1 AS DOUBLE)
+         |          * (CAST(coalesce(ct.n_cont, 0) AS DOUBLE) / CAST(nt.n AS DOUBLE)),
+         |        CAST($LmUnseenP AS DOUBLE))
+         |      ELSE greatest(
+         |        CAST(coalesce(ct.n_cont, 0) AS DOUBLE) / CAST(nt.n AS DOUBLE),
+         |        CAST($LmUnseenP AS DOUBLE)) END AS p
+         |  FROM grams gr
+         |  LEFT JOIN bi b ON b.g = gr.g
+         |  LEFT JOIN pfx p ON p.w1 = gr.w1
+         |  LEFT JOIN cont ct ON ct.w2 = gr.w2
+         |  CROSS JOIN nt
+         |),
+         |a AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |    CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont_backoff,
+         |    CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_unseen,
+         |    CAST(sum(CAST(floor(-ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s4
+         |  FROM j GROUP BY doc_id
+         |),
+       |knl AS (
+|SELECT d.doc_id,
+         |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(a.n_cont_backoff, 0) AS BIGINT) AS n_cont_backoff,
+         |  CAST(coalesce(a.n_ctx_unseen, 0) AS BIGINT) AS n_ctx_unseen,
+         |  ${r4("a.s4 / 10000.0 / a.n_bigrams")} AS avg_nll
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |WHERE d.doc_id % 2 = 1
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_blocklist" -> {
       val terms = BlockTerms.map(t => s"'$t'").mkString("[", ",", "]")
@@ -941,64 +1034,66 @@ object CorpusEntries {
     // same parenthesization as TextAnalysis.kneserNeyLm; per-gram NLLs
     // 4dp-quantized before the per-doc sum (the backoff_lm idiom)
     "q_kn_lm" ->
-      s"""WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents
-         |  WHERE doc_id % 2 = 0),
-         |sc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |  WHERE doc_id % 2 = 1),
-         |bi AS (SELECT g, CAST(count(*) AS BIGINT) AS n2,
-         |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
-         |  FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
-         |      ELSE list_transform(range(1, len(toks)),
-         |             i -> concat_ws(' ', toks[i], toks[i+1])) END) AS g
-         |    FROM tr) GROUP BY g),
-         |pfx AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS c1,
-         |    CAST(count(*) AS BIGINT) AS fanout FROM bi GROUP BY w1),
-         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM bi GROUP BY w2),
-         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bi),
-         |grams AS (SELECT doc_id, g,
-         |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
-         |  FROM (SELECT doc_id,
-         |      unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
-         |        ELSE list_transform(range(1, len(toks)),
-         |               i -> concat_ws(' ', toks[i], toks[i+1])) END) AS g
-         |    FROM sc)),
-         |j AS (
-         |  SELECT gr.doc_id,
-         |    CASE WHEN p.c1 IS NOT NULL AND b.n2 IS NOT NULL THEN 2
-         |         WHEN p.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
-         |    CASE WHEN p.c1 IS NOT NULL THEN greatest(
-         |        greatest(CAST(coalesce(b.n2, 0) AS DOUBLE)
-         |            - CAST($KnDiscount AS DOUBLE), 0.0)
-         |          / CAST(p.c1 AS DOUBLE)
-         |        + CAST($KnDiscount AS DOUBLE) * CAST(p.fanout AS DOUBLE)
-         |          / CAST(p.c1 AS DOUBLE)
-         |          * (CAST(coalesce(ct.n_cont, 0) AS DOUBLE) / CAST(nt.n AS DOUBLE)),
-         |        CAST($LmUnseenP AS DOUBLE))
-         |      ELSE greatest(
-         |        CAST(coalesce(ct.n_cont, 0) AS DOUBLE) / CAST(nt.n AS DOUBLE),
-         |        CAST($LmUnseenP AS DOUBLE)) END AS p
-         |  FROM grams gr
-         |  LEFT JOIN bi b ON b.g = gr.g
-         |  LEFT JOIN pfx p ON p.w1 = gr.w1
-         |  LEFT JOIN cont ct ON ct.w2 = gr.w2
-         |  CROSS JOIN nt
+      s"""WITH $oKnChain
+         |SELECT * FROM knl""".stripMargin,
+
+    // terciles over the KN scores; quantile_cont mirrors Spark's
+    // interpolating percentile (the q_quality_deciles precedent), with
+    // the same 16-digit third literals on both sides
+    "q_ccnet_buckets" ->
+      s"""WITH $oKnChain,
+         |th AS (
+         |  SELECT quantile_cont(avg_nll, [$OneThird, $TwoThirds]) AS th
+         |  FROM knl WHERE avg_nll IS NOT NULL
+         |)
+         |SELECT k.doc_id, k.avg_nll,
+         |  CASE WHEN k.avg_nll IS NULL THEN 'unscored'
+         |       WHEN k.avg_nll <= th.th[1] THEN 'head'
+         |       WHEN k.avg_nll <= th.th[2] THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM knl k, th""".stripMargin,
+
+    // score side = odd half's distinct-shingle index (the shingleIndex
+    // mirror restricted to the split); reference side = even half's
+    // distinct gram-hash set
+    "q_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) < $NoveltyN THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(1, len(toks) - ${NoveltyN - 2}),
+         |                i -> concat_ws(' ', ${(0 until NoveltyN).map(k => s"toks[i+$k]").mkString(", ")})) END)) AS sh
+         |  FROM tk
          |),
-         |a AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |    CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont_backoff,
-         |    CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_unseen,
-         |    CAST(sum(CAST(floor(-ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s4
-         |  FROM j GROUP BY doc_id
+         |shidx AS (SELECT DISTINCT doc_id,
+         |  CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
+         |  FROM sh0),
+         |refg AS (SELECT DISTINCT
+         |    CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
+         |  FROM (
+         |    SELECT unnest(list_distinct(
+         |      CASE WHEN len(toks) < $NoveltyN THEN CAST([] AS VARCHAR[])
+         |           ELSE list_transform(range(1, len(toks) - ${NoveltyN - 2}),
+         |                  i -> concat_ws(' ', ${(0 until NoveltyN).map(k => s"toks[i+$k]").mkString(", ")})) END)) AS sh
+         |    FROM (SELECT string_split(text, ' ') AS toks FROM documents
+         |          WHERE doc_id % 2 = 0)
+         |  )),
+         |per AS (
+         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(count(refg.h) AS BIGINT) AS n_seen
+         |  FROM shidx s LEFT JOIN refg ON refg.h = s.h
+         |  GROUP BY 1
          |)
          |SELECT d.doc_id,
-         |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-         |  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
-         |  CAST(coalesce(a.n_cont_backoff, 0) AS BIGINT) AS n_cont_backoff,
-         |  CAST(coalesce(a.n_ctx_unseen, 0) AS BIGINT) AS n_ctx_unseen,
-         |  ${r4("a.s4 / 10000.0 / a.n_bigrams")} AS avg_nll
-         |FROM documents d LEFT JOIN a USING (doc_id)
+         |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(per.n_seen, 0) AS BIGINT) AS n_seen,
+         |  CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
+         |    ${r4("1.0 - CAST(per.n_seen AS DOUBLE) / CAST(per.n_grams AS DOUBLE)")}
+         |  ELSE NULL END AS novel_frac
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
          |WHERE d.doc_id % 2 = 1""".stripMargin,
+
 
     // gramless docs surface at weight 0, not absent (see oDsirChain)
     "q_dsir" ->

@@ -109,6 +109,35 @@ object Decontamination {
     * eval grams once at stream start and reuses them every micro-batch.
     * Stateless per training shingle-index row: one broadcast mark + one
     * per-doc aggregate. */
+  /** Cross-corpus n-gram NOVELTY score — the memorization-risk audit
+    * (what fraction of a document's n-grams are NOT already present in a
+    * reference corpus): the lens run over model-generated or newly-crawled
+    * data before admitting it next to an existing training set. The
+    * complement of the decontamination screens in both direction and
+    * scale shape: the reference side is a CORPUS-sized distinct gram set,
+    * so it is resolved with a keyed equi-join (AQE may broadcast a small
+    * reference; a hard broadcast hint here would OOM at real sizes —
+    * contrast [[screenAgainst]], whose eval side is benchmark-sized by
+    * construction).
+    *
+    * Per doc: distinct n-grams, how many exist in the reference, and the
+    * 4dp novel fraction (NULL for docs too short to have an n-gram). */
+  def noveltyScore(docs: DataFrame, refDocs: DataFrame, n: Int): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val refGrams = Dedup.shingleIndex(refDocs, n).select(col("h")).distinct()
+    val perDoc = Dedup.shingleIndex(docs, n)
+      .join(refGrams.withColumn("_hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_seen"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0L,
+          r4(lit(1.0) - col("n_seen").cast("double") / col("n_grams").cast("double")))
+          .otherwise(lit(null).cast("double")).as("novel_frac"))
+  }
+
   def screenAgainst(trainIdx: DataFrame, evalGrams: DataFrame,
       minHits: Int): DataFrame =
     trainIdx

@@ -752,6 +752,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"),
         sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): every scored
+    * document labeled head / middle / tail by the TERCILES of its LM
+    * score under the Kneser–Ney model trained on `train` — the standard
+    * "keep the head, inspect the middle, drop the tail" quality routing
+    * for crawl data, here driven by the real smoothed LM rather than a
+    * rule score (contrast qualityRules/qualityDeciles). Docs too short to
+    * have a bigram are labeled `unscored` (CCNet routes those manually).
+    *
+    * Shape at scale: kneserNeyLm's gram-keyed equi-joins plus ONE
+    * one-row tercile-threshold broadcast (the qualityDeciles idiom —
+    * bounded, PlanAudit-allowlisted). Terciles interpolate over
+    * 4dp-rounded scores with 16-digit third literals mirrored in the
+    * oracle, so the bucket boundaries are bit-identical across engines. */
+  def ccnetBuckets(train: DataFrame, score: DataFrame, d: Double = 0.75,
+      unseenP: Double = 0.0001): DataFrame = {
+    val scored = kneserNeyLm(train, score, d, unseenP)
+      .select(col("doc_id"), col("avg_nll"))
+    val th = scored.filter(col("avg_nll").isNotNull)
+      .agg(expr(s"percentile(avg_nll, array($CcnetOneThird, $CcnetTwoThirds))")
+        .as("th"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("avg_nll").isNull, lit("unscored"))
+          .when(col("avg_nll") <= element_at(col("th"), 1), lit("head"))
+          .when(col("avg_nll") <= element_at(col("th"), 2), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Tercile fractions as 16-digit literals — the SAME strings are
+    * interpolated into the Spark percentile call and the DuckDB
+    * quantile_cont, so both engines parse the identical double. */
+  val CcnetOneThird = "0.3333333333333333"
+  val CcnetTwoThirds = "0.6666666666666666"
+
   /** C4-style blocklist gate (Raffel et al. 2020 §2.2 lineage: the
     * "bad words" filter every web-corpus recipe runs): per-document
     * occurrence count and fraction of tokens that hit the blocklist,

@@ -85,6 +85,43 @@ class NbKnSpec extends AnyFunSuite {
     assert(math.abs(pb + pc - 1.0) < 1e-12)
   }
 
+  test("novelty: planted overlap fractions, short docs unscored") {
+    import graft.operators.Decontamination
+    val ref = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c d e f"),        // 4 trigrams, all in ref → novel 0
+      (3L, "a b c x y z"),        // 4 trigrams, only "a b c" in ref → 0.75
+      (5L, "p q r s"),            // 2 trigrams, none in ref → 1.0
+      (7L, "xy"))                 // too short for a trigram → unscored
+      .toDF("doc_id", "text")
+    val out = Decontamination.noveltyScore(score, ref, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("novel_frac") == 0.0)
+    assert(out(1L).getAs[Long]("n_grams") == 4L)
+    assert(out(3L).getAs[Double]("novel_frac") == 0.75)
+    assert(out(5L).getAs[Double]("novel_frac") == 1.0)
+    assert(out(7L).getAs[Long]("n_grams") == 0L)
+    assert(out(7L).isNullAt(out(7L).fieldIndex("novel_frac")))
+  }
+
+  test("ccnet buckets: terciles split scored docs, short docs unscored") {
+    // train makes "a b" cheap and everything else expensive; three score
+    // docs with strictly ordered avg_nll land in head/middle/tail
+    val train = Seq((0L, "a b"), (2L, "a b"), (4L, "a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b a b"),   // mostly the cheap bigram
+      (3L, "a c a b"),   // mixed
+      (5L, "z z z z"),   // all unseen context
+      (7L, "q"))         // no bigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ccnetBuckets(train, score)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(out(1L) == "head")
+    assert(out(3L) == "middle")
+    assert(out(5L) == "tail")
+    assert(out(7L) == "unscored")
+  }
+
   test("kneser-ney separates promiscuous continuations from frequent ones") {
     // "b" follows TWO distinct contexts (a, c); "d" follows only one (e)
     // but with a HIGHER raw count — pcont ranks b above d, raw counts

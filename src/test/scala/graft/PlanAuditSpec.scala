@@ -49,7 +49,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // the C-row class-prior table widening each scored doc's token types
     // (C = distinct labels, single digits by construction)
     "q_nb_classify", "q_nb_confusion",
-    "q_data_card") // one-row corpus-total broadcast (same as q_source_mix)
+    "q_data_card", // one-row corpus-total broadcast (same as q_source_mix)
+    "q_ccnet_buckets") // one-row tercile-threshold broadcast (qualityDeciles idiom)
 
   test("no shipped query plans a cartesian or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
