@@ -987,7 +987,7 @@ object CorpusEntries {
          |SELECT doc_id, n_tokens, n_blocked,
          |  ${r4("CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
          |    AS blocked_frac,
-         |  (${r4("CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} <= 0.0)
+         |  (CAST(n_blocked AS DOUBLE) <= 0.0 * CAST(n_tokens AS DOUBLE))
          |    AS keep
          |FROM b""".stripMargin
     },
@@ -1048,8 +1048,8 @@ object CorpusEntries {
          |)
          |SELECT k.doc_id, k.avg_nll,
          |  CASE WHEN k.avg_nll IS NULL THEN 'unscored'
-         |       WHEN k.avg_nll <= th.th[1] THEN 'head'
-         |       WHEN k.avg_nll <= th.th[2] THEN 'middle'
+         |       WHEN k.avg_nll <= ${r4("th.th[1]")} THEN 'head'
+         |       WHEN k.avg_nll <= ${r4("th.th[2]")} THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM knl k, th""".stripMargin,
 

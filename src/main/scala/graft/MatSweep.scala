@@ -81,8 +81,11 @@ object MatSweep {
         if (Skip(q -> s)) s -> Double.NaN
         else {
           spark.conf.set(Materialize.ConfKey, s)
+          // NonFatal only: after a real OOM/StackOverflow the JVM is
+          // unreliable and later cells would record bogus timings — let
+          // fatal errors kill the sweep (streamed rows keep what's done)
           try s -> Seq(timed(q), timed(q)).min
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[matsweep] $q/$s failed: ${e.getClass.getSimpleName}")
             s -> Double.NaN
           }
@@ -92,8 +95,12 @@ object MatSweep {
       println(s"| $q | " + ts.map(t => f2(t._2)).mkString(" | ") + " |")
       q -> ts
     }
+    // skipped/failed cells emit JSON null — bare NaN is not valid JSON
+    // and breaks downstream parsers of this metric line (ADVICE r16);
+    // the human-readable table above keeps NaN for at-a-glance reading
+    def jnum(v: Double): String = if (v.isNaN || v.isInfinite) "null" else f2(v)
     val json = rows.map { case (q, ts) =>
-      s""""$q":{${ts.map { case (s, t) => s""""$s":${f2(t)}""" }.mkString(",")}}"""
+      s""""$q":{${ts.map { case (s, t) => s""""$s":${jnum(t)}""" }.mkString(",")}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"mat_sweep","sf":"$sfDir","queries":$json}""")
     spark.stop()

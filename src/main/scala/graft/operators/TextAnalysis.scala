@@ -767,6 +767,10 @@ object TextAnalysis {
     * oracle, so the bucket boundaries are bit-identical across engines. */
   def ccnetBuckets(train: DataFrame, score: DataFrame, d: Double = 0.75,
       unseenP: Double = 0.0001): DataFrame = {
+    // thresholds re-quantized to 4dp BEFORE the <= (ADVICE r16): boundary
+    // membership is decided on exact 4dp values on both engines, never on
+    // the last ulp of each engine's lo+(hi-lo)·frac interpolation
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
     val scored = kneserNeyLm(train, score, d, unseenP)
       .select(col("doc_id"), col("avg_nll"))
     val th = scored.filter(col("avg_nll").isNotNull)
@@ -775,8 +779,8 @@ object TextAnalysis {
     scored.crossJoin(broadcast(th))
       .select(col("doc_id"), col("avg_nll"),
         when(col("avg_nll").isNull, lit("unscored"))
-          .when(col("avg_nll") <= element_at(col("th"), 1), lit("head"))
-          .when(col("avg_nll") <= element_at(col("th"), 2), lit("middle"))
+          .when(col("avg_nll") <= r4(element_at(col("th"), 1)), lit("head"))
+          .when(col("avg_nll") <= r4(element_at(col("th"), 2)), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
 
@@ -805,9 +809,15 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     val nBlocked = size(filter(toks, t => array_contains(blockArr, t))).cast("long")
+    // keep is decided on the EXACT counts (n_blocked <= maxFrac·n_tokens),
+    // never the 4dp-rounded report fraction: a >=20001-token doc with one
+    // hit rounds to 0.0000, and a rounded comparison would KEEP it in
+    // violation of the any-hit-drops contract at maxFrac=0 (ADVICE r16).
+    // blocked_frac stays as the 4dp report-only column.
     docs.select(col("doc_id"), nTok.as("n_tokens"), nBlocked.as("n_blocked"),
-        r4(nBlocked.cast("double") / nTok).as("blocked_frac"))
-      .withColumn("keep", col("blocked_frac") <= maxFrac)
+        r4(nBlocked.cast("double") / nTok).as("blocked_frac"),
+        (nBlocked.cast("double") <= lit(maxFrac) * nTok.cast("double"))
+          .as("keep"))
   }
 
   /** Interpolated Kneser–Ney bigram language model (Kneser & Ney 1995;

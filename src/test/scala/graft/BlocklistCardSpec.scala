@@ -37,6 +37,24 @@ class BlocklistCardSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("blocklist: keep decided on exact counts, not the 4dp-rounded frac") {
+    // 25,000 tokens with ONE hit: blocked_frac rounds to 0.0000 but the
+    // any-hit contract at maxFrac=0 must still DROP the doc (ADVICE r16)
+    val long = (Seq.fill(24999)("ok") :+ "bad").mkString(" ")
+    val d = Seq((1L, long), (2L, Seq.fill(100)("ok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklist(d, Seq("bad"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("blocked_frac") == 0.0) // report rounds away
+    assert(!out(1L).getAs[Boolean]("keep"))              // gate does not
+    assert(out(1L).getAs[Long]("n_blocked") == 1L)
+    assert(out(2L).getAs[Boolean]("keep"))
+    // threshold mode stays exact too: 1/25000 = 4e-5 <= 1e-4 → kept
+    val loose = TextAnalysis.blocklist(d, Seq("bad"), maxFrac = 0.0001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(loose(1L).getAs[Boolean]("keep"))
+  }
+
   test("data card: planted dups counted, shares sum to 1, quality mean bounded") {
     val d = Seq(
       (1L, "the fast data table scan", "en", "s1"),
