@@ -235,6 +235,17 @@ object CorpusEntries {
       KnDiscount, LmUnseenP)
   }
 
+  /** Interpolated TRIGRAM Kneser–Ney on the same held-out split — the
+    * KenLM operating order, exercising all four arms (trigram hit,
+    * discounted interpolation, bigram-continuation backoff, unseen). */
+  private def qKn3Lm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.kneserNey3Lm(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      KnDiscount, LmUnseenP)
+  }
+
   /** Multinomial Naive Bayes lang classifier: train on even doc_ids,
     * classify the odd — the counts-only quality/domain-router stand-in
     * (GPT-3 quality filter / CCNet routing shape). */
@@ -579,6 +590,7 @@ object CorpusEntries {
     "q_bigram_lm" -> qBigramLm,
     "q_backoff_lm" -> qBackoffLm,
     "q_kn_lm" -> qKnLm,
+    "q_kn3_lm" -> qKn3Lm,
     "q_nb_classify" -> qNbClassify,
     "q_nb_confusion" -> qNbConfusion,
     "q_blocklist" -> qBlocklist,
@@ -1036,6 +1048,100 @@ object CorpusEntries {
     "q_kn_lm" ->
       s"""WITH $oKnChain
          |SELECT * FROM knl""".stripMargin,
+
+    // trigram interpolated KN mirrored op-for-op: counts coalesced before
+    // the discount, the same left-assoc parenthesization as kneserNey3Lm,
+    // DOUBLE all the way, 4dp-int64 NLL sums (the q_kn_lm idiom one
+    // order up)
+    "q_kn3_lm" ->
+      s"""WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |sc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |tri AS (SELECT g, CAST(count(*) AS BIGINT) AS n3,
+         |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+         |    string_split(g, ' ')[3] AS w3
+         |  FROM (SELECT unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS g
+         |    FROM tr) GROUP BY g),
+         |ctx AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS c12,
+         |    CAST(count(*) AS BIGINT) AS fan12 FROM tri GROUP BY w1, w2),
+         |mid AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS m23
+         |  FROM tri GROUP BY w2, w3),
+         |midctx AS (SELECT w2, CAST(count(*) AS BIGINT) AS m2,
+         |    CAST(count(DISTINCT w3) AS BIGINT) AS fan2 FROM tri GROUP BY w2),
+         |bi3 AS (SELECT g, string_split(g, ' ')[2] AS w3
+         |  FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(1, len(toks)),
+         |             i -> concat_ws(' ', toks[i], toks[i+1])) END) AS g
+         |    FROM tr) GROUP BY g),
+         |cont3 AS (SELECT w3, CAST(count(*) AS BIGINT) AS n_cont
+         |  FROM bi3 GROUP BY w3),
+         |nt3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bi3),
+         |grams AS (SELECT doc_id, g,
+         |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+         |    string_split(g, ' ')[3] AS w3
+         |  FROM (SELECT doc_id,
+         |      unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |        ELSE list_transform(range(1, len(toks) - 1),
+         |               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS g
+         |    FROM sc)),
+         |j AS (
+         |  SELECT gr.doc_id,
+         |    CASE WHEN c.c12 IS NOT NULL AND t.n3 IS NOT NULL THEN 3
+         |         WHEN c.c12 IS NOT NULL THEN 2
+         |         WHEN mc.m2 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+         |    CASE WHEN c.c12 IS NOT NULL THEN greatest(
+         |        greatest(CAST(coalesce(t.n3, 0) AS DOUBLE)
+         |            - CAST($KnDiscount AS DOUBLE), 0.0)
+         |          / CAST(c.c12 AS DOUBLE)
+         |        + CAST($KnDiscount AS DOUBLE) * CAST(c.fan12 AS DOUBLE)
+         |          / CAST(c.c12 AS DOUBLE)
+         |          * (greatest(CAST(coalesce(m.m23, 0) AS DOUBLE)
+         |              - CAST($KnDiscount AS DOUBLE), 0.0)
+         |            / CAST(mc.m2 AS DOUBLE)
+         |          + CAST($KnDiscount AS DOUBLE) * CAST(mc.fan2 AS DOUBLE)
+         |            / CAST(mc.m2 AS DOUBLE)
+         |            * (CAST(coalesce(ct.n_cont, 0) AS DOUBLE) / CAST(nt3.n AS DOUBLE))),
+         |        CAST($LmUnseenP AS DOUBLE))
+         |      WHEN mc.m2 IS NOT NULL THEN greatest(
+         |        greatest(CAST(coalesce(m.m23, 0) AS DOUBLE)
+         |            - CAST($KnDiscount AS DOUBLE), 0.0)
+         |          / CAST(mc.m2 AS DOUBLE)
+         |        + CAST($KnDiscount AS DOUBLE) * CAST(mc.fan2 AS DOUBLE)
+         |          / CAST(mc.m2 AS DOUBLE)
+         |          * (CAST(coalesce(ct.n_cont, 0) AS DOUBLE) / CAST(nt3.n AS DOUBLE)),
+         |        CAST($LmUnseenP AS DOUBLE))
+         |      ELSE greatest(
+         |        CAST(coalesce(ct.n_cont, 0) AS DOUBLE) / CAST(nt3.n AS DOUBLE),
+         |        CAST($LmUnseenP AS DOUBLE)) END AS p
+         |  FROM grams gr
+         |  LEFT JOIN tri t ON t.g = gr.g
+         |  LEFT JOIN ctx c ON c.w1 = gr.w1 AND c.w2 = gr.w2
+         |  LEFT JOIN mid m ON m.w2 = gr.w2 AND m.w3 = gr.w3
+         |  LEFT JOIN midctx mc ON mc.w2 = gr.w2
+         |  LEFT JOIN cont3 ct ON ct.w3 = gr.w3
+         |  CROSS JOIN nt3
+         |),
+         |a3 AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |    CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |    CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc_backoff,
+         |    CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bigram_backoff,
+         |    CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_unseen,
+         |    CAST(sum(CAST(floor(-ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s4
+         |  FROM j GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a3.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         |  CAST(coalesce(a3.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(a3.n_disc_backoff, 0) AS BIGINT) AS n_disc_backoff,
+         |  CAST(coalesce(a3.n_bigram_backoff, 0) AS BIGINT) AS n_bigram_backoff,
+         |  CAST(coalesce(a3.n_ctx_unseen, 0) AS BIGINT) AS n_ctx_unseen,
+         |  ${r4("a3.s4 / 10000.0 / a3.n_trigrams")} AS avg_nll
+         |FROM documents d LEFT JOIN a3 USING (doc_id)
+         |WHERE d.doc_id % 2 = 1""".stripMargin,
 
     // terciles over the KN scores; quantile_cont mirrors Spark's
     // interpolating percentile (the q_quality_deciles precedent), with

@@ -901,4 +901,118 @@ object TextAnalysis {
         r4(col("s4").cast("double") / lit(10000.0) / col("n_bigrams"))
           .as("avg_nll"))
   }
+
+  /** Interpolated TRIGRAM Kneser–Ney (Chen & Goodman 1999 §3, the
+    * operating order KenLM actually ships at) scored over `score` docs —
+    * the bigram [[kneserNeyLm]] lifted one order, with the lower orders
+    * estimated from CONTINUATION (type) counts as the formulation
+    * prescribes:
+    *
+    *   P3(w3|w1w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
+    *                 + D · N1+(w1w2,·)/c(w1w2·) · P2(w3|w2)
+    *   P2(w3|w2)   = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+    *                 + D · N1+(w2,·)/N1+(·w2·) · P1(w3)
+    *   P1(w3)      = N1+(·,w3) / N1+(·,·)
+    *
+    * where the middle order's counts are distinct-PREDECESSOR counts from
+    * the trigram type table (N1+(·w2w3) = |{w1 : c(w1w2w3)>0}|, its
+    * normalizer the trigram-type count with middle w2, its fanout the
+    * distinct continuations of w2 in trigram types) and the unigram order
+    * is the bigram-type continuation distribution (identical to the
+    * bigram model's lowest level, so the two models share their floor).
+    * An unseen (w1,w2) context backs off to P2; an unseen w2 middle backs
+    * off to P1; every arm floors at `unseenP`.
+    *
+    * Shape at scale: ONE trigram count aggregate feeds the trigram table
+    * and, via type-level re-aggregation, all three middle-order tables;
+    * one bigram-type aggregate feeds the unigram order — each table
+    * vocabulary-bounded, resolved on the scoring side by gram-keyed
+    * equi-joins (AQE broadcasts when small; no unconditional hints, the
+    * backoffLm/kneserNeyLm policy). Per-gram NLLs are 4dp-quantized to
+    * int64 before the per-doc sum. Level accounting per doc: `n_hit`
+    * (trigram seen), `n_disc_backoff` (context seen, trigram not — the
+    * discounted-interpolation arm carries the mass), `n_bigram_backoff`
+    * (context unseen, middle seen), `n_ctx_unseen` (both unseen). */
+  def kneserNey3Lm(train: DataFrame, score: DataFrame, d: Double = 0.75,
+      unseenP: Double = 0.0001): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val toks = tokens(col("text"))
+    // one corpus-wide trigram count; every order-3 and order-2 table
+    // derives from it (counts for the top order, TYPES for the middle)
+    val tri = train.select(explode(shinglesFromTokens(toks, 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n3"))
+      .withColumn("parts", split(col("g"), " "))
+      .select(col("g"), col("n3"),
+        element_at(col("parts"), 1).as("w1"),
+        element_at(col("parts"), 2).as("w2"),
+        element_at(col("parts"), 3).as("w3"))
+      .materialize
+    val ctx = tri.groupBy(col("w1"), col("w2")).agg(
+      sum(col("n3")).as("c12"),         // c(w1w2·): context occurrence total
+      count(lit(1)).as("fan12"))        // N1+(w1w2,·): distinct continuations
+    val mid = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("m23"))     // N1+(·w2w3): distinct predecessors
+    val midctx = tri.groupBy(col("w2")).agg(
+      count(lit(1)).as("m2"),           // N1+(·w2·): trigram types through w2
+      countDistinct(col("w3")).as("fan2")) // N1+(w2,·): distinct w3 after w2
+    // unigram order = the bigram-type continuation distribution (shared
+    // with kneserNeyLm's lowest level)
+    val bi = train.select(explode(shinglesFromTokens(toks, 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n2"))
+      .withColumn("w3", element_at(split(col("g"), " "), 2))
+      .materialize
+    val cont = bi.groupBy(col("w3")).agg(count(lit(1)).as("n_cont"))
+    val nTypes = bi.count()
+    val grams = score
+      .select(col("doc_id"), explode(shinglesFromTokens(toks, 3)).as("g"))
+      .withColumn("parts", split(col("g"), " "))
+      .select(col("doc_id"), col("g"),
+        element_at(col("parts"), 1).as("w1"),
+        element_at(col("parts"), 2).as("w2"),
+        element_at(col("parts"), 3).as("w3"))
+    val joined = grams
+      .join(tri.select(col("g"), col("n3")), Seq("g"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(mid, Seq("w2", "w3"), "left")
+      .join(midctx, Seq("w2"), "left")
+      .join(cont, Seq("w3"), "left")
+    // mirrored op-for-op in the oracle: same parenthesization, DOUBLE all
+    // the way, counts coalesced BEFORE the discount (the kneserNeyLm NULL
+    // rule), each arm floored at unseenP so zero never reaches ln
+    val p1 = coalesce(col("n_cont"), lit(0L)).cast("double") /
+      lit(nTypes.toDouble)
+    val p2 =
+      greatest(coalesce(col("m23"), lit(0L)).cast("double") - lit(d), lit(0.0)) /
+        col("m2").cast("double") +
+      lit(d) * col("fan2").cast("double") / col("m2").cast("double") * p1
+    val p3 =
+      greatest(coalesce(col("n3"), lit(0L)).cast("double") - lit(d), lit(0.0)) /
+        col("c12").cast("double") +
+      lit(d) * col("fan12").cast("double") / col("c12").cast("double") * p2
+    val p = when(col("c12").isNotNull, greatest(p3, lit(unseenP)))
+      .when(col("m2").isNotNull, greatest(p2, lit(unseenP)))
+      .otherwise(greatest(p1, lit(unseenP)))
+    val lvl = when(col("c12").isNotNull && col("n3").isNotNull, lit(3))
+      .when(col("c12").isNotNull, lit(2))
+      .when(col("m2").isNotNull, lit(1)).otherwise(lit(0))
+    val nll4 = floor(-log(p) * lit(10000) + lit(0.5)).cast("long")
+    val perDoc = joined
+      .select(col("doc_id"), lvl.as("lvl"), nll4.as("nll4"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_disc_backoff"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_bigram_backoff"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_ctx_unseen"),
+        sum(col("nll4")).as("s4"))
+    score.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_disc_backoff"), lit(0L)).as("n_disc_backoff"),
+        coalesce(col("n_bigram_backoff"), lit(0L)).as("n_bigram_backoff"),
+        coalesce(col("n_ctx_unseen"), lit(0L)).as("n_ctx_unseen"),
+        r4(col("s4").cast("double") / lit(10000.0) / col("n_trigrams"))
+          .as("avg_nll"))
+  }
 }

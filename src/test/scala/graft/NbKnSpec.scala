@@ -85,6 +85,53 @@ class NbKnSpec extends AnyFunSuite {
     assert(math.abs(pb + pc - 1.0) < 1e-12)
   }
 
+  test("kneser-ney trigram: closed-form arms and the interpolated mass identity") {
+    // train trigrams: "a b c" ×2, "a b d" ×1 → c(ab·)=3, N1+(ab,·)=2;
+    // trigram types through b: N1+(·bc)=N1+(·bd)=1, N1+(·b·)=2, N1+(b,·)=2;
+    // bigram types: {ab, bc, bd} → N1+(··)=3, N1+(·b)=N1+(·c)=N1+(·d)=1
+    val train = Seq((0L, "a b c"), (2L, "a b c"), (4L, "a b d"))
+      .toDF("doc_id", "text")
+    val p1 = (w: String) => if (Set("b", "c", "d")(w)) 1.0 / 3.0 else 0.0
+    def p2(w: String): Double = {
+      val m23 = if (w == "c" || w == "d") 1.0 else 0.0
+      math.max(m23 - 0.75, 0.0) / 2.0 + 0.75 * 2.0 / 2.0 * p1(w)
+    }
+    def p3(w: String): Double = {
+      val n3 = w match { case "c" => 2.0; case "d" => 1.0; case _ => 0.0 }
+      math.max(n3 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * p2(w)
+    }
+    // the interpolated-KN mass identity, all three orders chained: for the
+    // seen context (a,b), Σ_w P3(w|ab) over the closed vocab is exactly 1
+    assert(math.abs(p3("b") + p3("c") + p3("d") - 1.0) < 1e-12)
+    val score = Seq(
+      (1L, "a b c"),   // trigram hit (lvl 3)
+      (3L, "a b z"),   // ctx seen, z never a continuation → unseenP floor
+      (5L, "z b c"),   // ctx unseen, middle seen → bigram-continuation arm
+      (7L, "z z c"),   // both unseen → unigram continuation = 1/3
+      (9L, "q r"))     // too short for a trigram
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNey3Lm(train, score)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def q4(p: Double): Double = math.floor(-math.log(p) * 10000 + 0.5) / 10000.0
+    assert(out(1L).getAs[Long]("n_hit") == 1L)
+    assert(math.abs(out(1L).getAs[Double]("avg_nll") - q4(p3("c"))) < 1e-9)
+    assert(out(3L).getAs[Long]("n_disc_backoff") == 1L)
+    assert(out(3L).getAs[Double]("avg_nll") == 9.2103) // -ln(1e-4)
+    assert(out(5L).getAs[Long]("n_bigram_backoff") == 1L)
+    assert(math.abs(out(5L).getAs[Double]("avg_nll") - q4(p2("c"))) < 1e-9)
+    assert(out(7L).getAs[Long]("n_ctx_unseen") == 1L)
+    assert(math.abs(out(7L).getAs[Double]("avg_nll") - q4(1.0 / 3.0)) < 1e-9)
+    assert(out(9L).getAs[Long]("n_trigrams") == 0L)
+    assert(out(9L).isNullAt(out(9L).fieldIndex("avg_nll")))
+    // the same identity driven THROUGH the operator: one one-trigram doc
+    // per vocab word, probabilities recovered from the 4dp NLLs
+    val mass = Seq((1L, "a b b"), (3L, "a b c"), (5L, "a b d"))
+      .toDF("doc_id", "text")
+    val probs = TextAnalysis.kneserNey3Lm(train, mass)
+      .collect().map(r => math.exp(-r.getAs[Double]("avg_nll"))).sum
+    assert(math.abs(probs - 1.0) < 1e-3)
+  }
+
   test("novelty: planted overlap fractions, short docs unscored") {
     import graft.operators.Decontamination
     val ref = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
