@@ -216,6 +216,16 @@ object CorpusEntries {
       docs.filter(col("doc_id") % 2 === 0), NoveltyN)
   }
 
+  /** Bloom-prescreened novelty — bit-exact vs [[qNovelty]] by contract
+    * (bloom-negative grams are provably novel; positives are re-checked
+    * exactly), so it shares q_novelty's oracle unchanged. */
+  private def qNoveltyBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontamination.noveltyScoreBloom(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), NoveltyN)
+  }
+
   /** C4-style blocklist gate: ANY blocklist hit drops the doc. */
   private def qBlocklist(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.blocklist(Tables.documents(s, dir), BlockTerms)
@@ -597,6 +607,7 @@ object CorpusEntries {
     "q_data_card" -> qDataCard,
     "q_ccnet_buckets" -> qCcnetBuckets,
     "q_novelty" -> qNovelty,
+    "q_novelty_bloom" -> qNoveltyBloom,
     "q_quality_deciles" -> qQualityDeciles,
     "q_quality_rules" -> qQualityRules,
     "q_lm_score" -> qLmScore,
@@ -986,6 +997,48 @@ object CorpusEntries {
          |WHERE d.doc_id % 2 = 1
        |)""".stripMargin
 
+  /** Novelty oracle shared VERBATIM by q_novelty and q_novelty_bloom —
+    * the bloom prescreen is bit-exact by contract (no false negatives on
+    * "novel"; positives re-checked exactly), so both queries gate on the
+    * same SQL. */
+  private val oNovelty: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) < $NoveltyN THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(1, len(toks) - ${NoveltyN - 2}),
+         |                i -> concat_ws(' ', ${(0 until NoveltyN).map(k => s"toks[i+$k]").mkString(", ")})) END)) AS sh
+         |  FROM tk
+         |),
+         |shidx AS (SELECT DISTINCT doc_id,
+         |  CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
+         |  FROM sh0),
+         |refg AS (SELECT DISTINCT
+         |    CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
+         |  FROM (
+         |    SELECT unnest(list_distinct(
+         |      CASE WHEN len(toks) < $NoveltyN THEN CAST([] AS VARCHAR[])
+         |           ELSE list_transform(range(1, len(toks) - ${NoveltyN - 2}),
+         |                  i -> concat_ws(' ', ${(0 until NoveltyN).map(k => s"toks[i+$k]").mkString(", ")})) END)) AS sh
+         |    FROM (SELECT string_split(text, ' ') AS toks FROM documents
+         |          WHERE doc_id % 2 = 0)
+         |  )),
+         |per AS (
+         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(count(refg.h) AS BIGINT) AS n_seen
+         |  FROM shidx s LEFT JOIN refg ON refg.h = s.h
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(per.n_seen, 0) AS BIGINT) AS n_seen,
+         |  CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
+         |    ${r4("1.0 - CAST(per.n_seen AS DOUBLE) / CAST(per.n_grams AS DOUBLE)")}
+         |  ELSE NULL END AS novel_frac
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 = 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_blocklist" -> {
       val terms = BlockTerms.map(t => s"'$t'").mkString("[", ",", "]")
@@ -1162,43 +1215,9 @@ object CorpusEntries {
     // score side = odd half's distinct-shingle index (the shingleIndex
     // mirror restricted to the split); reference side = even half's
     // distinct gram-hash set
-    "q_novelty" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
-         |  FROM documents WHERE doc_id % 2 = 1),
-         |sh0 AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |    CASE WHEN len(toks) < $NoveltyN THEN CAST([] AS VARCHAR[])
-         |         ELSE list_transform(range(1, len(toks) - ${NoveltyN - 2}),
-         |                i -> concat_ws(' ', ${(0 until NoveltyN).map(k => s"toks[i+$k]").mkString(", ")})) END)) AS sh
-         |  FROM tk
-         |),
-         |shidx AS (SELECT DISTINCT doc_id,
-         |  CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
-         |  FROM sh0),
-         |refg AS (SELECT DISTINCT
-         |    CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
-         |  FROM (
-         |    SELECT unnest(list_distinct(
-         |      CASE WHEN len(toks) < $NoveltyN THEN CAST([] AS VARCHAR[])
-         |           ELSE list_transform(range(1, len(toks) - ${NoveltyN - 2}),
-         |                  i -> concat_ws(' ', ${(0 until NoveltyN).map(k => s"toks[i+$k]").mkString(", ")})) END)) AS sh
-         |    FROM (SELECT string_split(text, ' ') AS toks FROM documents
-         |          WHERE doc_id % 2 = 0)
-         |  )),
-         |per AS (
-         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |    CAST(count(refg.h) AS BIGINT) AS n_seen
-         |  FROM shidx s LEFT JOIN refg ON refg.h = s.h
-         |  GROUP BY 1
-         |)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
-         |  CAST(coalesce(per.n_seen, 0) AS BIGINT) AS n_seen,
-         |  CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
-         |    ${r4("1.0 - CAST(per.n_seen AS DOUBLE) / CAST(per.n_grams AS DOUBLE)")}
-         |  ELSE NULL END AS novel_frac
-         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
-         |WHERE d.doc_id % 2 = 1""".stripMargin,
+    "q_novelty" -> oNovelty,
+    // bit-exact by the bloom no-false-negative contract: same oracle
+    "q_novelty_bloom" -> oNovelty,
 
 
     // gramless docs surface at weight 0, not absent (see oDsirChain)

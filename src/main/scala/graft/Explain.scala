@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Observation, SparkSession}
 import org.apache.spark.sql.functions.{count, lit}
 
-/** Dev utility: print the formatted physical plan and wall time of one
-  * query: `graft.Explain <query> [sfDir]`. */
+/** Dev utility: print the formatted physical plan, wall time, and total
+  * shuffle bytes of one query: `graft.Explain <query> [sfDir]`. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -17,16 +17,20 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter(spark.sparkContext)
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     // noop sink: full materialization (count() would let Catalyst prune);
     // the row count rides along as an observed metric so the query runs once.
     val obs = Observation("explain_rows")
     val t0 = System.nanoTime()
-    df.observe(obs, count(lit(1)).as("rows"))
-      .write.format("noop").mode("overwrite").save()
+    val (sb, sr, _) = meter.delta {
+      df.observe(obs, count(lit(1)).as("rows"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val t1 = (System.nanoTime() - t0) / 1e9
-    println(s"rows=${obs.get("rows")} time=${t1}s")
+    println(s"rows=${obs.get("rows")} time=${t1}s " +
+      s"shuffle_write_bytes=$sb shuffle_write_records=$sr")
     spark.stop()
   }
 }

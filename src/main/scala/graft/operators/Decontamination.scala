@@ -138,6 +138,49 @@ object Decontamination {
           .otherwise(lit(null).cast("double")).as("novel_frac"))
   }
 
+  /** Bloom-prescreened [[noveltyScore]]: identical output (bit-exact — it
+    * shares q_novelty's oracle), different scale envelope. The exact path
+    * shuffles BOTH corpus-scale gram tables through the keyed join (~5×
+    * corpus bytes each at n=5 — the family's first wall, SCALE.md). Here
+    * the reference gram set is reduced to an m-bit bloom filter: a
+    * bloom-NEGATIVE gram is PROVABLY absent from the reference (no false
+    * negatives, BloomSetSpec), i.e. provably novel — it never enters the
+    * join and is counted only by the local per-doc total aggregate. Only
+    * bloom-positive grams (≈ true overlaps + fpp·novel) meet the exact
+    * reference set, so the join's score side shrinks from "all grams" to
+    * "overlapping grams"; false positives are killed by the exact join,
+    * so `n_seen` cannot drift in either direction. */
+  def noveltyScoreBloom(docs: DataFrame, refDocs: DataFrame, n: Int,
+      numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val refGrams = Dedup.shingleIndex(refDocs, n).select(col("h")).distinct()
+      .materializeHuge // two consumers: bloom build + exact recheck
+    val bf = refGrams.agg(graft.functions.BloomSet
+      .bloomAgg(col("h"), numBits, k).as("bf"))
+    val idx = Dedup.shingleIndex(docs, n).materializeHuge // totals + join
+    val totals = idx.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val seen = idx.crossJoin(broadcast(bf))
+      .filter(graft.functions.BloomSet
+        .mightContain(col("bf"), col("h"), numBits, k))
+      .select(col("doc_id"), col("h"))
+      .join(refGrams, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    // n_seen coalesced BEFORE the fraction: unlike the exact path, a
+    // doc with grams but zero overlaps has NO row in `seen` (the bloom
+    // path's seen aggregate only holds overlapping docs), and an
+    // un-coalesced NULL would poison the division
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        when(col("n_grams") > 0L,
+          r4(lit(1.0) - col("n_seen").cast("double") / col("n_grams").cast("double")))
+          .otherwise(lit(null).cast("double")).as("novel_frac"))
+  }
+
   def screenAgainst(trainIdx: DataFrame, evalGrams: DataFrame,
       minHits: Int): DataFrame =
     trainIdx

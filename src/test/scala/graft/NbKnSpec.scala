@@ -149,6 +149,14 @@ class NbKnSpec extends AnyFunSuite {
     assert(out(5L).getAs[Double]("novel_frac") == 1.0)
     assert(out(7L).getAs[Long]("n_grams") == 0L)
     assert(out(7L).isNullAt(out(7L).fieldIndex("novel_frac")))
+    // the bloom prescreen is BIT-EXACT (no false negatives on "novel";
+    // positives re-checked exactly) — same rows, all four arms included
+    // (the all-novel doc 5 exercises the no-row-in-seen coalesce path)
+    val exact = Decontamination.noveltyScore(score, ref, n = 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val bloom = Decontamination.noveltyScoreBloom(score, ref, n = 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(exact.toSeq == bloom.toSeq)
   }
 
   test("ccnet buckets: terciles split scored docs, short docs unscored") {
