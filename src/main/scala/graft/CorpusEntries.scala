@@ -577,12 +577,19 @@ object CorpusEntries {
   private def qUnigramEncode(s: SparkSession, dir: String): DataFrame =
     operators.Unigram.encode(Tables.documents(s, dir), trainedUnigram(s, dir))
 
+  /** Unigram-tokenizer fertility per (source, lang) — the q_bpe_fertility
+    * disparity report over the Viterbi segmentation, sharing the trained
+    * table with the q_unigram pair. */
+  private def qUnigramFertility(s: SparkSession, dir: String): DataFrame =
+    operators.Unigram.fertility(Tables.documents(s, dir), trainedUnigram(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,
     "q_bpe_fertility" -> qBpeFertility,
     "q_unigram_train" -> qUnigramTrain,
     "q_unigram_encode" -> qUnigramEncode,
+    "q_unigram_fertility" -> qUnigramFertility,
     "q_sample_hash" -> qSampleHash,
     "q_vocab" -> qVocab,
     "q_tfidf" -> qTfidf,
@@ -1258,6 +1265,42 @@ object CorpusEntries {
          |    chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1)) AS token
          |  FROM finc
          |) GROUP BY 1""".stripMargin,
+
+    // the q_bpe_fertility report over the Viterbi segmentation: per-word
+    // piece counts from the encode chain's final DP layer, corpus side
+    // identical to the BPE mirror (words over MaxWordLen drop via the
+    // inner join — the dictionary contract excludes them from training
+    // and encoding on both engines)
+    "q_unigram_fertility" ->
+      s"""WITH ${oUnigramChain(withEncodeChain = true)},
+         |wpu AS (
+         |  SELECT word, CAST(len(regexp_extract_all(seg,
+         |    chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1)) AS BIGINT)
+         |      AS n_pieces
+         |  FROM dpcc${operators.Unigram.MaxWordLen}
+         |  WHERE pos = length(word)
+         |),
+         |dwu AS (
+         |  SELECT source, lang, word, CAST(count(*) AS BIGINT) AS k FROM (
+         |    SELECT source, lang, unnest(string_split(text, ' ')) AS word
+         |    FROM documents
+         |  ) WHERE length(word) > 0
+         |      AND strpos(word, chr(1)) = 0 AND strpos(word, chr(2)) = 0
+         |  GROUP BY 1, 2, 3
+         |),
+         |au AS (
+         |  SELECT source, lang,
+         |    CAST(sum(k) AS BIGINT) AS n_words,
+         |    CAST(sum(k * wpu.n_pieces) AS BIGINT) AS n_pieces,
+         |    CAST(sum(k * length(dwu.word)) AS BIGINT) AS n_word_chars
+         |  FROM dwu JOIN wpu ON wpu.word = dwu.word
+         |  GROUP BY 1, 2
+         |)
+         |SELECT source, lang, n_words, n_pieces, n_word_chars,
+         |  ${r4("CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)")} AS fertility,
+         |  ${r4("CAST(n_word_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)")}
+         |    AS chars_per_piece
+         |FROM au""".stripMargin,
     "q_bpe_train" ->
       s"""WITH $oBpeChain
          |${(1 to BpeIters).map(i =>

@@ -315,9 +315,15 @@ object Bpe {
     * corpus side is one explode collapsed to (stratum, word, k) and a
     * word-keyed equi-join (AQE broadcasts the dictionary when it fits).
     * Ratios are exact integer sums divided once, 4dp-rounded. */
-  def fertility(docs: DataFrame, merges: DataFrame): DataFrame = {
+  def fertility(docs: DataFrame, merges: DataFrame): DataFrame =
+    fertilityReport(docs, wordPieces(docs, merges))
+
+  /** The stratified fertility aggregation over ANY tokenizer's per-word
+    * piece table — shared by the BPE and Unigram reports (same corpus
+    * side, same ratios; only `wp` differs). */
+  private[operators] def fertilityReport(docs: DataFrame,
+      wp: DataFrame): DataFrame = {
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
-    val wp = wordPieces(docs, merges)
     val dw = docs
       .select(col("source"), col("lang"),
         explode(TextAnalysis.tokens(col("text"))).as("word"))

@@ -210,4 +210,31 @@ object Unigram {
       .toDF("token", "cnt")
       .groupBy("token").agg(sum(col("cnt")).as("n"))
   }
+
+  /** Per-word Viterbi piece counts under a trained table:
+    * (word, n_pieces). Dictionary-sized output — the Unigram analogue of
+    * [[Bpe.wordPieces]]. Words over [[MaxWordLen]] are excluded by the
+    * dictionary contract (they are excluded from training too, so the
+    * tokenizer has no defined segmentation for them). */
+  def wordPieces(docs: DataFrame, trained: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lq: Map[String, Long] = trained.select("piece", "logp_q").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    wordDict(docs).select(col("word"), col("cnt")).as[(String, Long)]
+      .mapPartitions { it =>
+        it.map { case (w, _) => (w, viterbiPieces(w, lq).length.toLong) }
+      }
+      .toDF("word", "n_pieces")
+  }
+
+  /** Tokenizer fertility report per (source, lang) stratum for the
+    * Unigram tokenizer — the same disparity signal as [[Bpe.fertility]]
+    * (how many pieces a word costs, how many characters a piece buys,
+    * per language/domain) computed from the Viterbi segmentation, so the
+    * two trainable tokenizers can be compared on equal footing before
+    * one ships. Same scale shape: dictionary-sized piece table,
+    * word-keyed equi-join against one corpus explode. */
+  def fertility(docs: DataFrame, trained: DataFrame): DataFrame =
+    Bpe.fertilityReport(docs, wordPieces(docs, trained))
 }

@@ -75,4 +75,43 @@ class UnigramSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("at least one EM round"))
   }
+
+  test("fertility: viterbi piece counts per stratum, BPE corpus-side parity") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Bpe
+    val docs = Seq(
+      (1L, "abab abab abab ab ab", "en", "s1"),
+      (2L, "cd cd", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val trained = Unigram.train(docs, seedMulti = 8, keep = Seq(6))
+    // "abab" is a frequent <=MaxPiece substring, so it survives pruning
+    // as its own piece and Viterbi takes it whole (a single piece always
+    // beats any split: ln p > ln p1 + ln p2 for probabilities < 1)
+    val wp = Unigram.wordPieces(docs, trained).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("n_pieces")).toMap
+    assert(wp("abab") == 1L)
+    assert(wp("ab") == 1L)
+    val uf = Unigram.fertility(docs, trained).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r).toMap
+    val en = uf(("s1", "en"))
+    assert(en.getAs[Long]("n_words") == 5L)
+    assert(en.getAs[Long]("n_pieces") == 5L) // every word one piece
+    assert(en.getAs[Double]("fertility") == 1.0)
+    // the disparity row vs BPE on the SAME corpus: the corpus-side
+    // accounting (words, chars) must agree stratum-by-stratum; only the
+    // segmentation (n_pieces, ratios) may differ between tokenizers
+    val bf = Bpe.fertility(docs, Bpe.trainMerges(docs, 2)).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r).toMap
+    assert(uf.keySet == bf.keySet)
+    uf.keySet.foreach { k =>
+      assert(uf(k).getAs[Long]("n_words") == bf(k).getAs[Long]("n_words"))
+      assert(uf(k).getAs[Long]("n_word_chars") == bf(k).getAs[Long]("n_word_chars"))
+      // pieces are non-empty substrings: count bounded by chars
+      assert(uf(k).getAs[Long]("n_pieces") <= uf(k).getAs[Long]("n_word_chars"))
+    }
+    // on this corpus the unigram tokenizer is strictly more economical
+    // than 2-merge BPE on the en stratum ("abab" whole vs [aa? ab] splits)
+    assert(uf(("s1", "en")).getAs[Double]("fertility") <=
+      bf(("s1", "en")).getAs[Double]("fertility"))
+  }
 }
