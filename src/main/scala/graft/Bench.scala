@@ -65,6 +65,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // plan strings of lineage-kept iterative loops are exponential to
+      // DESCRIBE (generateTreeString expands a DAG as a tree) — cap so the
+      // driver never OOMs stringifying a plan (r16 sweep, SCALE.md)
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -4,19 +4,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Bpe, Chunking, Decontamination, Dedup, Layout, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.Materialize.MatOps
 import graft.sources.{Tables, TextIngest}
 
 /** End-to-end corpus curation pipeline — the composed "raw documents →
   * training sequences" flow a real pre-training data run executes, built
   * entirely from the library's operators:
   *
-  *   quality-score filter → structural rule gate → repetition filter →
-  *   near-dup corpus dedup → SemDeDup semantic pruning → benchmark
-  *   decontamination (exact n-gram + fuzzy near-dup) → DSIR
-  *   importance-weight selection → deterministic sample → chunk →
-  *   sequence-pack → partitioned parquet write → BPE tokenizer artifact
-  *   (merge table + subword vocabulary) trained on exactly the surviving
-  *   corpus → seeded shard shuffle of the packed sequences
+  *   C4 blocklist gate → quality-score filter → structural rule gate →
+  *   repetition filter → near-dup corpus dedup → SemDeDup semantic
+  *   pruning → benchmark decontamination (exact n-gram + fuzzy near-dup)
+  *   → DSIR importance-weight selection → CCNet perplexity tail-drop →
+  *   deterministic sample → chunk → sequence-pack → partitioned parquet
+  *   write → BPE tokenizer artifact (merge table + subword vocabulary)
+  *   trained on exactly the surviving corpus → seeded shard shuffle of
+  *   the packed sequences
   *
   * Stage order follows the published recipes: lexical near-dup dedup
   * first, then SemDeDup over what survives (Abbas et al. 2023 run
@@ -38,10 +40,16 @@ object Curate {
 
   /** Stage survivors, in order (`chunks`/`seqs` count training rows, not
     * documents; `merges`/`vocab` describe the tokenizer artifact). */
-  final case class Funnel(input: Long, quality: Long, rules: Long,
-      repetition: Long, dedup: Long, semdedup: Long, decontaminated: Long,
-      fuzzyClean: Long, dsir: Long, sampled: Long,
-      chunks: Long, seqs: Long, merges: Long, vocab: Long, shards: Long)
+  final case class Funnel(input: Long, blocklist: Long, quality: Long,
+      rules: Long, repetition: Long, dedup: Long, semdedup: Long,
+      decontaminated: Long, fuzzyClean: Long, dsir: Long, ccnet: Long,
+      sampled: Long, chunks: Long, seqs: Long, merges: Long, vocab: Long,
+      shards: Long)
+
+  /** Default C4-style blocklist for the synthetic corpus — a term the
+    * generator plants in ~5% of documents, so the gate demonstrably
+    * gates without emptying the funnel. Real runs pass their own list. */
+  val DefaultBlockTerms: Seq[String] = Seq("dup")
 
   /** @param bloomScreen run decontamination through the bloom prescreen
     *   ([[Decontamination.screenBloom]]) instead of the exact broadcast —
@@ -50,8 +58,10 @@ object Curate {
     *   the exact gram broadcast is the first thing to outgrow executors. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tau: Double = 0.7, semTau: Double = 0.4, sampleRate: Double = 0.5,
-      bloomScreen: Boolean = false): Funnel =
-    runTimed(spark, sfDir, outDir, tau, semTau, sampleRate, bloomScreen)._1
+      bloomScreen: Boolean = false,
+      blockTerms: Seq[String] = DefaultBlockTerms): Funnel =
+    runTimed(spark, sfDir, outDir, tau, semTau, sampleRate, bloomScreen,
+      blockTerms)._1
 
   /** [[run]] plus per-stage wall times (stage label → seconds). Stages are
     * timed at their ACTIONS — the funnel counts and the writes — so each
@@ -63,7 +73,9 @@ object Curate {
     * the ratio). Used by [[CurateTrend]] for the 10× composition check. */
   def runTimed(spark: SparkSession, sfDir: String, outDir: String,
       tau: Double = 0.7, semTau: Double = 0.4, sampleRate: Double = 0.5,
-      bloomScreen: Boolean = false): (Funnel, Vector[(String, Double)]) = {
+      bloomScreen: Boolean = false,
+      blockTerms: Seq[String] = DefaultBlockTerms)
+      : (Funnel, Vector[(String, Double)]) = {
     val times = Vector.newBuilder[(String, Double)]
     def t[A](label: String)(a: => A): A = {
       val s = System.nanoTime()
@@ -73,9 +85,18 @@ object Curate {
     }
     val docs = Tables.documents(spark, sfDir)
 
+    // 0. C4-style blocklist gate — FIRST, before anything pays a shuffle:
+    // it is a pure codegen scan (zero exchanges, PlanAudit-pinned for
+    // q_blocklist), and C4 runs its bad-words filter before every other
+    // gate (Raffel et al. 2020 §2.2). Any hit drops the doc (maxFrac=0,
+    // decided on exact counts).
+    val keepBlock = TextAnalysis.blocklist(docs, blockTerms)
+      .filter(col("keep")).select("doc_id")
+    val unblocked = docs.join(keepBlock, "doc_id")
+
     // 1. quality gate: score floor (composite length/diversity/stopword)
-    val scored = docs.join(
-      TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score")),
+    val scored = unblocked.join(
+      TextAnalysis.stats(unblocked).select(col("doc_id"), col("quality_score")),
       "doc_id")
     val quality = scored.filter(col("quality_score") >= 0.5).drop("quality_score")
 
@@ -153,10 +174,27 @@ object Curate {
     // n-grams can't inflate the target model.
     val keepDsir = TextAnalysis.dsirWeights(fuzzyClean, col("lang") === "en")
       .filter(col("selected")).select("doc_id")
-    val weighted = fuzzyClean.join(keepDsir, "doc_id")
+    // materialized: the CCNet stage consumes this frame three ways (LM
+    // train side, scoring side, and the bigram-type count action) — left
+    // lazy, each consumer re-derives the ENTIRE upstream pipeline and the
+    // fused stages over-subscribe the execution-memory pool (measured as
+    // UNABLE_TO_ACQUIRE_MEMORY in the suite JVM, the data-card lesson)
+    val weighted = fuzzyClean.join(keepDsir, "doc_id").materialize
+
+    // 7b. CCNet perplexity tail-drop (Wenzek et al. 2020): Kneser–Ney LM
+    // trained on the DSIR-selected corpus's target slice (the same
+    // lang='en' target DSIR cut toward — CCNet trains its LM on clean
+    // target text, never on the crawl it routes), every survivor bucketed
+    // by score terciles, the tail tercile dropped. Docs too short to
+    // score ('unscored') pass — CCNet routes those manually, and a silent
+    // short-doc drop here would double-count the length gates upstream.
+    val tailDrop = TextAnalysis
+      .ccnetBuckets(weighted.filter(col("lang") === "en"), weighted)
+      .filter(col("bucket") === "tail").select("doc_id")
+    val routed = weighted.join(tailDrop, Seq("doc_id"), "left_anti")
 
     // 8. deterministic sample (reproducible across reruns)
-    val sampled = Sampling.sample(weighted, col("doc_id"), "curate:", sampleRate)
+    val sampled = Sampling.sample(routed, col("doc_id"), "curate:", sampleRate)
 
     // 9. chunk into training windows, pack into fixed-length sequences,
     // write the partitioned corpus
@@ -206,6 +244,7 @@ object Curate {
 
     val funnel = Funnel(
       t("count_input")(docs.count()),
+      t("count_blocklist")(unblocked.count()),
       t("count_quality")(quality.count()),
       t("count_rules")(ruled.count()),
       t("count_repetition")(repetition.count()),
@@ -214,6 +253,7 @@ object Curate {
       t("count_decontaminated")(train.count()),
       t("count_fuzzy_clean")(fuzzyClean.count()),
       t("count_dsir")(weighted.count()),
+      t("count_ccnet")(routed.count()),
       t("count_sampled")(sampled.count()),
       written.count(),
       written.select(col("seq_id")).distinct().count(),
@@ -231,14 +271,19 @@ object Curate {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // plan strings of lineage-kept iterative loops are exponential to
+      // DESCRIBE (generateTreeString expands a DAG as a tree) — cap so the
+      // driver never OOMs stringifying a plan (r16 sweep, SCALE.md)
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val f = run(spark, sfDir, outDir)
-    println(s"""{"input":${f.input},"quality":${f.quality},"rules":${f.rules},""" +
+    println(s"""{"input":${f.input},"blocklist":${f.blocklist},""" +
+      s""""quality":${f.quality},"rules":${f.rules},""" +
       s""""repetition":${f.repetition},"dedup":${f.dedup},"semdedup":${f.semdedup},""" +
       s""""decontaminated":${f.decontaminated},"fuzzy_clean":${f.fuzzyClean},""" +
-      s""""dsir":${f.dsir},"sampled":${f.sampled},""" +
+      s""""dsir":${f.dsir},"ccnet":${f.ccnet},"sampled":${f.sampled},""" +
       s""""chunks":${f.chunks},"seqs":${f.seqs},""" +
       s""""merges":${f.merges},"vocab":${f.vocab},"shards":${f.shards}}""")
     spark.stop()

@@ -35,6 +35,10 @@ object CurateTrend {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // plan strings of lineage-kept iterative loops are exponential to
+      // DESCRIBE (generateTreeString expands a DAG as a tree) — cap so the
+      // driver never OOMs stringifying a plan (r16 sweep, SCALE.md)
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -74,10 +78,11 @@ object CurateTrend {
       s""""$st":{"base_sec":${f3(b)},"scaled_sec":${f3(s)},"per_sf_ratio":${f3(r)}}"""
     }.mkString("{", ",", "}")
     def funnelJson(f: Curate.Funnel): String =
-      s"""{"input":${f.input},"quality":${f.quality},"rules":${f.rules},""" +
+      s"""{"input":${f.input},"blocklist":${f.blocklist},""" +
+        s""""quality":${f.quality},"rules":${f.rules},""" +
         s""""repetition":${f.repetition},"dedup":${f.dedup},"semdedup":${f.semdedup},""" +
         s""""decontaminated":${f.decontaminated},"fuzzy_clean":${f.fuzzyClean},""" +
-        s""""dsir":${f.dsir},"sampled":${f.sampled},"chunks":${f.chunks},""" +
+        s""""dsir":${f.dsir},"ccnet":${f.ccnet},"sampled":${f.sampled},"chunks":${f.chunks},""" +
         s""""seqs":${f.seqs},"merges":${f.merges},"vocab":${f.vocab},"shards":${f.shards}}"""
     val worst = ratios.map(_._4).maxOption.getOrElse(0.0)
     val json =

@@ -20,22 +20,16 @@ object MatSweep {
   val Queries: Seq[String] =
     Seq("q_dedup_corpus", "q_pagerank", "q_semdedup", "q_dedup_embed_ivf")
 
-  /** (query, strategy) cells measured to be non-viable, skipped so the
-    * sweep terminates: `persist` keeps lineage, and on a loop whose body
-    * references its predecessor more than once the logical plan is a deep
-    * self-referencing DAG — `TreeNode.generateTreeString` expands a DAG as
-    * a TREE, so merely DESCRIBING the plan for the UI/event-log is
-    * exponential in loop depth. The r16 sweep measured both failure
-    * shapes at sf0.1: uncapped `spark.sql.maxPlanStringLength` OOMed the
-    * 16 GB driver building the string; capped, the WALK itself spun the
-    * driver >20 min single-threaded inside generateTreeString (jstack-
-    * confirmed) on the Lloyd-iteration families. The shallow-loop
-    * families (CC's ~6 rounds, PageRank's 3) stay under the horizon and
-    * get real persist numbers; the k-means families need lineage
-    * TRUNCATION (local/checkpoint) — which is the cluster recommendation
-    * SCALE.md records. */
-  val Skip: Set[(String, String)] =
-    Set("q_semdedup" -> "persist", "q_dedup_embed_ivf" -> "persist")
+  /** (query, strategy) cells skipped so the sweep terminates. EMPTY since
+    * r17: the r16 sweep had to skip the Lloyd families under `persist`
+    * (lineage-kept loops make the logical plan a self-referencing DAG;
+    * `TreeNode.generateTreeString` expands a DAG as a TREE, so merely
+    * DESCRIBING the plan was exponential in loop depth — driver OOM
+    * uncapped, >20 min plan walk capped, jstack-confirmed). That footgun
+    * is now mechanical, not prose: [[Materialize.loop]] auto-truncates
+    * loop lineage every `loopTruncateEvery` (default 2) iterations under
+    * persist, so every cell completes and gets a real number. */
+  val Skip: Set[(String, String)] = Set.empty
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -16,6 +16,10 @@ object SqlShell {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // plan strings of lineage-kept iterative loops are exponential to
+      // DESCRIBE (generateTreeString expands a DAG as a tree) — cap so the
+      // driver never OOMs stringifying a plan (r16 sweep, SCALE.md)
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()

@@ -39,6 +39,10 @@ object UnigramSweep {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // plan strings of lineage-kept iterative loops are exponential to
+      // DESCRIBE (generateTreeString expands a DAG as a tree) — cap so the
+      // driver never OOMs stringifying a plan (r16 sweep, SCALE.md)
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -444,7 +444,7 @@ object Dedup {
           Seq("label"), "left")
         .select(col("doc_id"), col("_prev"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .materialize // truncate the iterative lineage
+        .materializeLoop(rounds + 1) // truncate the iterative lineage
       // count() (not isEmpty) so the convergence probe fully materializes
       // EVERY partition of this round under the lazy `persist` strategy —
       // isEmpty's limit-1 short-circuit could leave the round half-cached.

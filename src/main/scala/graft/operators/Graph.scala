@@ -157,7 +157,7 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .select(col("node"), col("node").as("label"))
       .materialize
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
       val voted = e
@@ -169,7 +169,7 @@ object Graph {
       labels = labels
         .join(voted, Seq("node"), "left")
         .select(col("node"), coalesce(col("_new"), col("label")).as("label"))
-        .materialize // V rows; truncates the iterative lineage
+        .materializeLoop(it) // V rows; truncates the iterative lineage
     }
     labels
   }
@@ -206,13 +206,17 @@ object Graph {
     var converged = false
     while (rounds < maxRounds && !converged) {
       val before = und.count() // materialized: cheap scalar probe
+      // loop-depth-aware: the body references both `und` and `keep`
+      // twice, the self-referencing-DAG shape persist can't keep lineage
+      // on indefinitely (Materialize.loop)
       val keep = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("node")).materialize
+        .filter(col("deg") >= k).select(col("src").as("node"))
+        .materializeLoop(rounds + 1)
       und = und
         .join(keep.select(col("node").as("src")), "src")
         .join(keep.select(col("node").as("dst")), "dst")
         .select(col("src"), col("dst"))
-        .materialize
+        .materializeLoop(rounds + 1)
       converged = und.count() == before
       rounds += 1
     }

@@ -39,6 +39,46 @@ object Materialize {
         s"$ConfKey must be local|persist|checkpoint, got '$other'")
     }
 
+  /** Under `persist`, truncate an iterative loop's lineage every this
+    * many iterations (see [[loop]]); 0 disables the protection. Default
+    * 2 — measured as the binding value: the 2-round Lloyd loop inside
+    * q_semdedup is already past the describe-time horizon at sf0.1
+    * (probe: non-viable untruncated, 0.8 s at every=2). */
+  val LoopTruncateEveryKey = "spark.graft.materializer.loopTruncateEvery"
+
+  /** Default for [[LoopTruncateEveryKey]]. */
+  val LoopTruncateEveryDefault = 2
+
+  /** Materialization INSIDE an iterative loop — `depth` is the 1-based
+    * iteration index. Same contract as [[apply]] for `local`/`checkpoint`;
+    * under `persist` the lineage is AUTO-TRUNCATED every
+    * [[LoopTruncateEveryKey]] iterations (default 2) instead of kept
+    * forever. Why this is mechanical rather than advisory (r16 sweep,
+    * SCALE.md): a loop body that references its predecessor more than
+    * once makes the logical plan a self-referencing DAG, and
+    * `TreeNode.generateTreeString` expands a DAG as a TREE — merely
+    * DESCRIBING the plan for the UI/event log is exponential in loop
+    * depth (measured both ways at sf0.1: uncapped plan strings OOMed a
+    * 16 GB driver; capped, the walk itself spun the driver >20 min,
+    * jstack-confirmed inside generateTreeString). Bounding lineage to
+    * `every` segments bounds the expansion; its measured price on the
+    * k-means families is zero (checkpoint vs local: 3.53 vs 3.45 s).
+    * Truncation is a reliable `checkpoint()` when a checkpoint dir is
+    * set (the cluster setting — survives executor loss, which is the
+    * point of choosing persist), else `localCheckpoint()`. */
+  def loop(df: DataFrame, depth: Int): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "local") match {
+      case "persist" =>
+        val every = df.sparkSession.conf
+          .get(LoopTruncateEveryKey, LoopTruncateEveryDefault.toString).toInt
+        if (every > 0 && depth % every == 0) {
+          if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            df.checkpoint()
+          else df.localCheckpoint()
+        } else df.persist(StorageLevel.MEMORY_AND_DISK)
+      case _ => apply(df)
+    }
+
   val HugeConfKey = "spark.graft.materializer.huge"
 
   /** Materialization for frames ∝ CORPUS size (gram explodes, shingle
@@ -74,5 +114,7 @@ object Materialize {
     def materialize: DataFrame = Materialize(df)
     /** corpus-sized variant — see [[Materialize.huge]]. */
     def materializeHuge: DataFrame = Materialize.huge(df)
+    /** loop-iteration variant — see [[Materialize.loop]]. */
+    def materializeLoop(depth: Int): DataFrame = Materialize.loop(df, depth)
   }
 }

@@ -274,7 +274,7 @@ object Similarity {
     * from that sample, then assign the FULL corpus against the result. */
   def ivfTrainFrom(emb: DataFrame, cent0: DataFrame, iters: Int): DataFrame = {
     var cent = cent0
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val assigned = ivfAssign(emb, cent).select("vec_id", "centroid_id")
         .join(emb.select("vec_id", "embedding"), "vec_id")
       val sums = assigned
@@ -287,7 +287,9 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("sc"))
         .select(col("centroid_id"), expr("transform(sc, e -> e.c)").as("ce"))
-        .materialize // k rows; truncates the iterative lineage
+        // k rows; loop-depth-aware so persist can't grow an exponential
+        // describe-time plan (Materialize.loop)
+        .materializeLoop(it)
     }
     cent
   }

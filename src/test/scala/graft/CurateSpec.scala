@@ -14,7 +14,8 @@ class CurateSpec extends AnyFunSuite {
     val out = graft.SessionScoped.scratchDir("graft_curate")
     val f = Curate.run(spark, "/root/testdata/sf0.001", out)
     // each stage can only shrink the corpus (chunks explode rows, excluded)
-    assert(f.input >= f.quality)
+    assert(f.input >= f.blocklist)
+    assert(f.blocklist >= f.quality)
     assert(f.quality >= f.rules)
     assert(f.rules >= f.repetition)
     assert(f.repetition >= f.dedup)
@@ -22,12 +23,17 @@ class CurateSpec extends AnyFunSuite {
     assert(f.semdedup >= f.decontaminated)
     assert(f.decontaminated >= f.fuzzyClean)
     assert(f.fuzzyClean >= f.dsir)
-    assert(f.dsir >= f.sampled)
-    // the two new gates actually gate on the synthetic corpus: SemDeDup
-    // finds at least one semantic near-dup class, and the DSIR cut keeps a
-    // non-trivial target-like slice without emptying the funnel
+    assert(f.dsir >= f.ccnet)
+    assert(f.ccnet >= f.sampled)
+    // the gates actually gate on the synthetic corpus: the blocklist term
+    // is planted in ~5% of docs, SemDeDup finds at least one semantic
+    // near-dup class, the DSIR cut keeps a non-trivial target-like slice,
+    // and the CCNet tail tercile drops scored docs — all without
+    // emptying the funnel
+    assert(f.blocklist < f.input)
     assert(f.semdedup < f.dedup)
     assert(f.dsir > 0 && f.dsir < f.fuzzyClean)
+    assert(f.ccnet > 0 && f.ccnet < f.dsir)
     // every stage leaves a non-trivial corpus on the synthetic data
     assert(f.sampled > 0 && f.chunks >= f.sampled)
     // packing: sequence count ≈ total tokens / 512, never above chunk count
@@ -39,6 +45,18 @@ class CurateSpec extends AnyFunSuite {
     // data card: written next to the shards, one row per surviving
     // stratum, shares normalized — and ZERO exact dups (the dedup stage
     // ran upstream, so the manifest must certify a dup-free deliverable)
+    // the blocklist contract end-to-end: NO surviving document contains
+    // the planted blocked term (any-hit-drops at maxFrac=0)
+    locally {
+      import org.apache.spark.sql.functions._
+      val survivors = spark.read.parquet(s"$out/chunks")
+        .select("doc_id").distinct()
+      val blockedIds = graft.sources.Tables
+        .documents(spark, "/root/testdata/sf0.001")
+        .filter(array_contains(split(col("text"), " "), "dup"))
+        .select("doc_id")
+      assert(survivors.join(blockedIds, "doc_id").count() == 0)
+    }
     val card = spark.read.parquet(s"$out/data_card").collect()
     assert(card.nonEmpty)
     assert(card.map(_.getAs[Long]("n_docs")).sum == f.sampled)

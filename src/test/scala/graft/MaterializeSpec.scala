@@ -62,6 +62,25 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("deep Lloyd loop completes under persist (loop auto-truncation)") {
+    // before Materialize.loop, a deep k-means iteration under
+    // materializer=persist was non-viable — the lineage-kept plan is a
+    // self-referencing DAG whose describe-time expansion is exponential
+    // in rounds (r16 sweep: driver OOM uncapped; >20 min plan walk
+    // capped). The loop-depth-aware truncation bounds lineage to
+    // loopTruncateEvery segments, so this run must finish in seconds AND
+    // produce the exact frame the local strategy produces.
+    spark.sparkContext.setCheckpointDir(
+      graft.SessionScoped.scratchDir("graft_ckpt_lloyd"))
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def train() = graft.operators.Similarity.ivfTrain(emb, k = 4, iters = 12)
+      .orderBy("centroid_id").collect().toSeq
+    val base = train()                                     // default: local
+    withStrategy("persist") {
+      assert(train() == base, "deep Lloyd drifted under strategy=persist")
+    }
+  }
+
   test("unknown strategy fails fast") {
     withStrategy("bogus") {
       intercept[IllegalArgumentException] {
