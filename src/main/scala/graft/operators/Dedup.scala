@@ -160,15 +160,21 @@ object Dedup {
     * single source partition holds a giant document's full window set). */
   private[graft] def substringWindows(docs: DataFrame, minLen: Int,
       shardChars: Int): DataFrame = {
+    // both arms hash through WindowHashes — ONE linear pass per segment
+    // (byte-sliced md5) instead of the composed hash60(substr(seg, lp,
+    // minLen)), whose per-window from-byte-0 codepoint walk made the
+    // window stage O(S²) CPU per segment: the r17 profile measured the
+    // walk as 7.6× of wall at shardChars=8192 on a 16 KB-doc corpus
+    // (substr_profile, SCALE.md). Values are bit-identical by the
+    // expression's contract (WindowHashSpec), so the oracles and the
+    // shard-invariance pin are untouched.
+    val winHash = (seg: org.apache.spark.sql.Column) =>
+      graft.functions.WindowHash.windowHashes(seg, minLen)
     val eligible = docs.filter(length(col("text")) >= minLen)
     val shortWins = eligible
       .filter(length(col("text")) < lit(shardChars + minLen))
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - lit(minLen - 1)))
-          .as("p"))
-      .select(col("doc_id"), col("p").cast("long").as("p"),
-        TextAnalysis.hash60(col("text").substr(col("p"), lit(minLen)))
-          .as("h"))
+      .select(col("doc_id"), posexplode(winHash(col("text"))).as(Seq("i", "h")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("p"), col("h"))
     val longWins = eligible
       .filter(length(col("text")) >= lit(shardChars + minLen))
       .select(col("doc_id"), col("text"),
@@ -188,12 +194,9 @@ object Dedup {
       .repartition(docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt,
         col("doc_id"), col("off"))
-      .select(col("doc_id"), col("off"), col("seg"),
-        explode(sequence(lit(1), length(col("seg")) - lit(minLen - 1)))
-          .as("lp"))
-      .select(col("doc_id"), (col("off") + col("lp")).as("p"),
-        TextAnalysis.hash60(col("seg").substr(col("lp"), lit(minLen)))
-          .as("h"))
+      .select(col("doc_id"), col("off"),
+        posexplode(winHash(col("seg"))).as(Seq("lp0", "h")))
+      .select(col("doc_id"), (col("off") + col("lp0") + 1).as("p"), col("h"))
     shortWins.unionByName(longWins)
   }
 
