@@ -952,9 +952,13 @@ object TextAnalysis {
       count(lit(1)).as("fan12"))        // N1+(w1w2,·): distinct continuations
     val mid = tri.groupBy(col("w2"), col("w3"))
       .agg(count(lit(1)).as("m23"))     // N1+(·w2w3): distinct predecessors
-    val midctx = tri.groupBy(col("w2")).agg(
-      count(lit(1)).as("m2"),           // N1+(·w2·): trigram types through w2
-      countDistinct(col("w3")).as("fan2")) // N1+(w2,·): distinct w3 after w2
+      .materialize // vocab-bounded; feeds the scoring join AND midctx
+    // derived from `mid`, not from a second trigram scan: Σm23 per w2 is
+    // N1+(·w2·) and mid's row count per w2 is the distinct-w3 fanout, so
+    // the countDistinct expand over the full trigram table is unnecessary
+    val midctx = mid.groupBy(col("w2")).agg(
+      sum(col("m23")).as("m2"),         // N1+(·w2·): trigram types through w2
+      count(lit(1)).as("fan2"))         // N1+(w2,·): distinct w3 after w2
     // unigram order = the bigram-type continuation distribution (shared
     // with kneserNeyLm's lowest level)
     val bi = train.select(explode(shinglesFromTokens(toks, 2)).as("g"))
