@@ -37,6 +37,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_topk_sketch_check", // one-row merged MG-summary broadcast
     "q_stream_topk_check", // same one-row summary, streamed segments
     "q_decontaminate_bloom", // one-row bloom-filter broadcast
+    "q_novelty_bloom", // the same one-row bloom-filter broadcast prescreen
     "q_dsir", // one-row gram-total broadcasts under the bucket LMs
     "q_dsir_resample", // the same one-row totals under the weights stage
     // one-row n_docs-total broadcast under the IDF weights; surfaced in the
