@@ -208,6 +208,19 @@ object CorpusEntries {
       KnDiscount, LmUnseenP)
   }
 
+  /** Fixed-threshold CCNet routing: model on doc_id%4==0, thresholds
+    * calibrated on doc_id%4==2 (the other even slice — CCNet calibrates
+    * on a scored sample, never on the model's own training text), odd
+    * docs routed against the fixed cut-points. */
+  private def qCcnetFixed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.ccnetBucketsFixed(
+      docs.filter(col("doc_id") % 4 === 0),
+      docs.filter(col("doc_id") % 4 === 2),
+      docs.filter(col("doc_id") % 2 === 1),
+      KnDiscount, LmUnseenP)
+  }
+
   /** Cross-corpus n-gram novelty: reference = even half, score = odd. */
   private def qNovelty(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -613,6 +626,7 @@ object CorpusEntries {
     "q_blocklist" -> qBlocklist,
     "q_data_card" -> qDataCard,
     "q_ccnet_buckets" -> qCcnetBuckets,
+    "q_ccnet_fixed" -> qCcnetFixed,
     "q_novelty" -> qNovelty,
     "q_novelty_bloom" -> qNoveltyBloom,
     "q_quality_deciles" -> qQualityDeciles,
@@ -942,11 +956,16 @@ object CorpusEntries {
     * and ends in `knl(doc_id, n_bigrams, n_hit, n_cont_backoff,
     * n_ctx_unseen, avg_nll)`. */
   private def oKnChain: String =
-    s"""tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+    oKnChainFor("doc_id % 2 = 0", "doc_id % 2 = 1")
 
-         |  WHERE doc_id % 2 = 0),
+  /** [[oKnChain]] generalized over the train/score split predicates —
+    * q_ccnet_fixed scores the calibration slice AND the routed corpus in
+    * one chain, so its score side is a disjunction. */
+  private def oKnChainFor(trainWhere: String, scoreWhere: String): String =
+    s"""tr AS (SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE $trainWhere),
          |sc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |  WHERE doc_id % 2 = 1),
+         |  WHERE $scoreWhere),
          |bi AS (SELECT g, CAST(count(*) AS BIGINT) AS n2,
          |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
          |  FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
@@ -1001,7 +1020,7 @@ object CorpusEntries {
          |  CAST(coalesce(a.n_ctx_unseen, 0) AS BIGINT) AS n_ctx_unseen,
          |  ${r4("a.s4 / 10000.0 / a.n_bigrams")} AS avg_nll
          |FROM documents d LEFT JOIN a USING (doc_id)
-         |WHERE d.doc_id % 2 = 1
+         |WHERE $scoreWhere
        |)""".stripMargin
 
   /** Novelty oracle shared VERBATIM by q_novelty and q_novelty_bloom —
@@ -1202,6 +1221,24 @@ object CorpusEntries {
          |  ${r4("a3.s4 / 10000.0 / a3.n_trigrams")} AS avg_nll
          |FROM documents d LEFT JOIN a3 USING (doc_id)
          |WHERE d.doc_id % 2 = 1""".stripMargin,
+
+    // fixed-threshold routing: the KN chain scores BOTH the calibration
+    // slice (%4=2) and the routed corpus (odd) in one pass; thresholds =
+    // r4-quantized terciles over the calibration rows only; the output
+    // is the odd docs' buckets against those fixed cut-points
+    "q_ccnet_fixed" ->
+      s"""WITH ${oKnChainFor("doc_id % 4 = 0",
+             "doc_id % 4 = 2 OR doc_id % 2 = 1")},
+         |thf AS (
+         |  SELECT quantile_cont(avg_nll, [$OneThird, $TwoThirds]) AS th
+         |  FROM knl WHERE avg_nll IS NOT NULL AND doc_id % 4 = 2
+         |)
+         |SELECT k.doc_id, k.avg_nll,
+         |  CASE WHEN k.avg_nll IS NULL THEN 'unscored'
+         |       WHEN k.avg_nll <= ${r4("thf.th[1]")} THEN 'head'
+         |       WHEN k.avg_nll <= ${r4("thf.th[2]")} THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM knl k, thf WHERE k.doc_id % 2 = 1""".stripMargin,
 
     // terciles over the KN scores; quantile_cont mirrors Spark's
     // interpolating percentile (the q_quality_deciles precedent), with

@@ -435,6 +435,30 @@ private[graft] object StreamEntries {
     graft.streaming.StreamClassify.report(s, work)
   }
 
+  /** The STREAMING perplexity gate: odd docs replayed as three id-ordered
+    * micro-batches through [[graft.streaming.StreamPerplexity]] — KN
+    * model from doc_id%4==0, thresholds calibrated once on doc_id%4==2,
+    * every batch routed statelessly against the fixed cut-points.
+    * Hash-gated against q_ccnet_fixed's batch oracle (stream == batch at
+    * any slicing by construction). Verify-only: streaming machinery. */
+  private def qStreamCcnet(s: SparkSession, dir: String): DataFrame = {
+    val work = SessionScoped.scratchDir("graft_stream_ccnet")
+    val docs = Tables.documents(s, dir)
+    val score = docs.filter(col("doc_id") % 2 === 1)
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      score.select(col("doc_id"), col("text"), col("doc_id").as("_ms")),
+      "_ms", work, slices = 3)
+    val feedSchema = org.apache.spark.sql.types.StructType(
+      score.select(col("doc_id"), col("text")).schema)
+    val stream = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamPerplexity.run(stream,
+      docs.filter(col("doc_id") % 4 === 0),
+      docs.filter(col("doc_id") % 4 === 2), work)
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamPerplexity.report(s, work)
+  }
+
   /** The STREAMING near-dup decontamination gate: training docs replayed
     * as three id-ordered micro-batches through
     * [[graft.streaming.StreamFuzzyDecontam]] against the fixed eval set
@@ -613,6 +637,7 @@ private[graft] object StreamEntries {
     "q_stream_drift" -> qStreamDrift,
     "q_stream_dsir" -> qStreamDsir,
     "q_stream_nb" -> qStreamNb,
+    "q_stream_ccnet" -> qStreamCcnet,
     "q_stream_fuzzy_decontam" -> qStreamFuzzyDecontam,
     "q_stream_sessionize" -> qStreamSessionize,
     "q_stream_join" -> qStreamJoin,
@@ -681,6 +706,9 @@ private[graft] object StreamEntries {
     // fixed-model stateless scoring — the oracle is q_nb_classify's,
     // verbatim (same held-out split, same model, any slicing)
     "q_stream_nb" -> CorpusEntries.oracleSql("q_nb_classify"),
+    // fixed model + fixed thresholds, stateless routing — the oracle is
+    // q_ccnet_fixed's, verbatim (same splits, any slicing)
+    "q_stream_ccnet" -> CorpusEntries.oracleSql("q_ccnet_fixed"),
     // the streamed fuzzy screen accumulates the SAME per-doc report the
     // batch query emits (stateless vs a fixed eval set) — shared oracle
     "q_stream_fuzzy_decontam" -> TextDedupEntries.oracleSql("q_decontaminate_fuzzy"),

@@ -790,6 +790,57 @@ object TextAnalysis {
   val CcnetOneThird = "0.3333333333333333"
   val CcnetTwoThirds = "0.6666666666666666"
 
+  /** Fixed CCNet routing thresholds: head ≤ headMax < middle ≤ middleMax
+    * < tail, both 4dp-quantized (boundary membership decided on exact
+    * values on every engine — the ccnetBuckets rule). */
+  final case class CcnetThresholds(headMax: Double, middleMax: Double)
+
+  /** Calibrate routing thresholds = terciles of a CALIBRATION corpus's
+    * scores under a prebuilt [[KnModel]] — CCNet's actual operating
+    * shape (Wenzek et al. 2020 §3.3: the LM is trained on the target
+    * domain, the perplexity cut-points come from a SCORED SAMPLE of the
+    * data being routed, and routing then applies those fixed points).
+    * Contrast [[ccnetBuckets]], whose terciles are over the score side
+    * itself — correct for a one-shot batch audit, but not streamable: a
+    * micro-batch cannot know the full corpus's terciles. Two doubles via
+    * a one-row aggregate — a bounded driver probe, not a data collect. */
+  def ccnetThresholds(m: KnModel, calib: DataFrame,
+      unseenP: Double = 0.0001): CcnetThresholds = {
+    val rows = knScore(calib, m, unseenP).filter(col("avg_nll").isNotNull)
+      .agg(expr(
+        s"percentile(avg_nll, array($CcnetOneThird, $CcnetTwoThirds))")
+        .as("th"))
+      .head()
+    require(!rows.isNullAt(0),
+      "ccnetThresholds: calibration corpus has no scorable document " +
+        "(every doc too short for a bigram) — routing thresholds would " +
+        "be undefined; calibrate on a corpus with real text")
+    val th = rows.getSeq[Double](0)
+    def q4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    CcnetThresholds(q4(th.head), q4(th(1)))
+  }
+
+  /** Route `score` docs head/middle/tail against FIXED thresholds under a
+    * prebuilt model — stateless per document, the form the streaming
+    * perplexity gate replays per micro-batch. */
+  def ccnetRoute(score: DataFrame, m: KnModel, th: CcnetThresholds,
+      unseenP: Double = 0.0001): DataFrame =
+    knScore(score, m, unseenP)
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("avg_nll").isNull, lit("unscored"))
+          .when(col("avg_nll") <= th.headMax, lit("head"))
+          .when(col("avg_nll") <= th.middleMax, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+
+  /** Fixed-threshold CCNet bucketing end-to-end: model on `train`,
+    * thresholds calibrated on `calib`, routing applied to `score`. */
+  def ccnetBucketsFixed(train: DataFrame, calib: DataFrame,
+      score: DataFrame, d: Double = 0.75,
+      unseenP: Double = 0.0001): DataFrame = {
+    val m = knModel(train, d)
+    ccnetRoute(score, m, ccnetThresholds(m, calib, unseenP), unseenP)
+  }
+
   /** C4-style blocklist gate (Raffel et al. 2020 §2.2 lineage: the
     * "bad words" filter every web-corpus recipe runs): per-document
     * occurrence count and fraction of tokens that hit the blocklist,
@@ -840,9 +891,18 @@ object TextAnalysis {
     * gram-keyed equi-joins (AQE broadcasts when small; no unconditional
     * broadcast hints, same policy as backoffLm). Per-gram NLLs are
     * 4dp-quantized to int64 before the per-doc sum. */
-  def kneserNeyLm(train: DataFrame, score: DataFrame, d: Double = 0.75,
-      unseenP: Double = 0.0001): DataFrame = {
-    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+  /** The four vocabulary-bounded Kneser–Ney model tables plus the
+    * bigram-type total — built ONCE from the training corpus and reusable
+    * across scoring passes (the batch entry, the fixed-threshold router,
+    * and the streaming perplexity gate all score against the same
+    * object). `bi` is materialized; the derived tables are lazy
+    * vocab-bounded aggregates over it. */
+  final case class KnModel(bi: DataFrame, pfx: DataFrame, cont: DataFrame,
+      nTypes: Long, d: Double)
+
+  /** Estimate [[KnModel]] from `train` (see [[kneserNeyLm]] for the
+    * formulation and the scale shape). */
+  def knModel(train: DataFrame, d: Double = 0.75): KnModel = {
     val toks = tokens(col("text"))
     // one corpus-wide bigram count; every model table derives from it
     val bi = train.select(explode(shinglesFromTokens(toks, 2)).as("g"))
@@ -856,7 +916,21 @@ object TextAnalysis {
       sum(col("n2")).as("c1"),          // c(w1·): prefix occurrence total
       count(lit(1)).as("fanout"))       // N1+(w1,·): distinct continuations
     val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_cont")) // N1+(·,w2)
-    val nTypes = bi.count()                                          // N1+(··)
+    KnModel(bi, pfx, cont, bi.count(), d) // count = N1+(··)
+  }
+
+  def kneserNeyLm(train: DataFrame, score: DataFrame, d: Double = 0.75,
+      unseenP: Double = 0.0001): DataFrame =
+    knScore(score, knModel(train, d), unseenP)
+
+  /** Score `score` docs against a prebuilt [[KnModel]] — the per-batch
+    * half of the split (stateless per document, so the streaming gate
+    * replays it micro-batch by micro-batch unchanged). */
+  def knScore(score: DataFrame, m: KnModel, unseenP: Double = 0.0001)
+      : DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val toks = tokens(col("text"))
+    val (bi, pfx, cont, nTypes, d) = (m.bi, m.pfx, m.cont, m.nTypes, m.d)
     val grams = score
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 2)).as("g"))

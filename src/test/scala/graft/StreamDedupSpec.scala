@@ -495,4 +495,45 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(fwd.toSeq == batch.toSeq)
     assert(rev.toSeq == batch.toSeq)
   }
+
+  test("streamed CCNet routing matches the fixed-threshold batch router in any order") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamPerplexity
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 4 === 0)
+    val calib = docs.filter(col("doc_id") % 4 === 2)
+    val score = docs.filter(col("doc_id") % 2 === 1)
+    val batch = TextAnalysis.ccnetBucketsFixed(train, calib, score)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bucket")))
+    // planted signal: all three live buckets must carry traffic, or the
+    // parity below proves nothing about the threshold comparisons
+    assert(Set("head", "middle", "tail").subsetOf(batch.map(_._2).toSet))
+
+    val rows = score.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    def runStream(name: String, order: Array[(Long, String)], splitAt: Int) = {
+      val dir = SessionScoped.scratchDir(s"graft_sccnet_$name")
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = StreamPerplexity.run(
+        input.toDF().toDF("doc_id", "text"), train, calib, dir)
+      try Seq(order.take(splitAt), order.drop(splitAt)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      StreamPerplexity.report(spark, dir).orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bucket")))
+    }
+
+    // fixed model + fixed thresholds: any slicing or order reproduces
+    // the batch routing row-for-row
+    val fwd = runStream("fwd", rows.sortBy(_._1), rows.length / 3)
+    val rev = runStream("rev", rows.sortBy(-_._1), rows.length / 2)
+    assert(fwd.length == batch.length && batch.nonEmpty)
+    assert(fwd.toSeq == batch.toSeq)
+    assert(rev.toSeq == batch.toSeq)
+  }
 }
