@@ -208,6 +208,11 @@ object CorpusEntries {
       KnDiscount, LmUnseenP)
   }
 
+  /** Gopher's full repetition rule set (top-{2,3,4}-gram coverage,
+    * duplicated-{5..10}-gram union coverage) at the paper thresholds. */
+  private def qRepetitionNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionNgrams(Tables.documents(s, dir))
+
   /** Fixed-threshold CCNet routing: model on doc_id%4==0, thresholds
     * calibrated on doc_id%4==2 (the other even slice — CCNet calibrates
     * on a scored sample, never on the model's own training text), odd
@@ -615,6 +620,7 @@ object CorpusEntries {
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_repetition" -> qRepetition,
+    "q_repetition_ngrams" -> qRepetitionNgrams,
     "q_source_mix" -> qSourceMix,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_bigram_lm" -> qBigramLm,
@@ -1851,6 +1857,61 @@ object CorpusEntries {
          |   AND coalesce(${r4("dup_occ * 1.0 / n2")}, 0.0) <= $MaxDupBigram
          |   AND coalesce(${r4("top_c * 1.0 / n2")}, 0.0) <= $MaxTopBigram) AS keep
          |FROM base b LEFT JOIN a ON a.doc_id = b.doc_id""".stripMargin,
+
+    // one CTE block per n (DuckDB range(1, stop) is empty when stop <= 1,
+    // so short docs just produce no grams); positions are 1-based here vs
+    // Spark's 0-based — only their DISTINCT count enters the fractions
+    "q_repetition_ngrams" -> {
+      def block(n: Int): String =
+        s"""g$n AS (
+           |  SELECT doc_id, st,
+           |    concat_ws(' ', ${(0 until n).map(k => s"toks[st+$k]").mkString(", ")}) AS g
+           |  FROM (SELECT doc_id, toks,
+           |    unnest(range(1, len(toks) - ${n - 2})) AS st FROM tkr)
+           |),
+           |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2),
+           |t$n AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c
+           |  FROM c$n GROUP BY 1),
+           |d$n AS (
+           |  SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS covered
+           |  FROM (
+           |    SELECT g$n.doc_id, unnest(range(g$n.st, g$n.st + $n)) AS pos
+           |    FROM g$n JOIN c$n ON c$n.doc_id = g$n.doc_id
+           |      AND c$n.g = g$n.g AND c$n.c > 1
+           |  ) GROUP BY 1
+           |)""".stripMargin
+      val topNs = Seq(2, 3, 4)
+      val dupNs = Seq(5, 6, 7, 8, 9, 10)
+      val maxTop = Map(2 -> "0.20", 3 -> "0.18", 4 -> "0.16")
+      val maxDup = Map(5 -> "0.15", 6 -> "0.14", 7 -> "0.13",
+        8 -> "0.12", 9 -> "0.11", 10 -> "0.10")
+      val fracCols =
+        topNs.map(n =>
+          s"""  ${r4(s"CAST(coalesce(t$n.top_c, 0) AS DOUBLE) * $n / b.n_tokens")}
+             |    AS top_${n}gram_frac""".stripMargin) ++
+        dupNs.map(n =>
+          s"""  ${r4(s"CAST(coalesce(d$n.covered, 0) AS DOUBLE) / b.n_tokens")}
+             |    AS dup_${n}gram_frac""".stripMargin)
+      val joins =
+        topNs.map(n => s"LEFT JOIN t$n ON t$n.doc_id = b.doc_id") ++
+        dupNs.map(n => s"LEFT JOIN d$n ON d$n.doc_id = b.doc_id")
+      val keep =
+        (topNs.map(n => s"top_${n}gram_frac <= ${maxTop(n)}") ++
+          dupNs.map(n => s"dup_${n}gram_frac <= ${maxDup(n)}"))
+          .mkString(" AND ")
+      s"""WITH tkr AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |${(topNs ++ dupNs).map(block).mkString(",\n")},
+         |baser AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM tkr),
+         |fr AS (
+         |  SELECT b.doc_id, b.n_tokens,
+         |${fracCols.mkString(",\n")}
+         |  FROM baser b
+         |  ${joins.mkString("\n  ")}
+         |)
+         |SELECT *, ($keep) AS keep FROM fr""".stripMargin
+    },
 
     "q_source_mix" ->
       s"""WITH g AS (

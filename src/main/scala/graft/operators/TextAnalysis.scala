@@ -301,6 +301,78 @@ object TextAnalysis {
           col("top_bigram_frac") <= maxTopBigram)
   }
 
+  /** Gopher's FULL published repetition rule set (Rae et al. 2021, Table
+    * A1) — the [[repetition]] gate stops at bigrams; this completes the
+    * family: per document, the coverage fraction of the single most
+    * frequent n-gram for n ∈ {2,3,4} (occurrences × n / tokens — Gopher's
+    * count×length rule, which may double-count overlaps BY DESIGN) and
+    * the duplicated-n-gram coverage for n ∈ {5..10} (fraction of token
+    * positions inside at least one n-gram that occurs ≥2 times in the
+    * doc — union-of-spans, Gopher's "take care not to count characters
+    * multiple times"). Fractions are in TOKEN space rather than Gopher's
+    * characters (the synthetic corpus has near-uniform token lengths;
+    * the signal and the thresholds' meaning are unchanged, and token
+    * positions mirror exactly across engines). `keep` applies the paper's
+    * per-n thresholds, each relaxable.
+    *
+    * Shape at scale: one stride-1 gram explode per n (9 linear passes ≈
+    * 9× token count rows through keyed (doc, gram) aggregates — all
+    * map-side-combinable), assembled by ONE union + one final (doc)
+    * aggregate pivot rather than 9 doc-keyed joins. Strictly linear; no
+    * pair space anywhere. */
+  def repetitionNgrams(docs: DataFrame,
+      maxTopFrac: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+      maxDupFrac: Map[Int, Double] = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
+        8 -> 0.12, 9 -> 0.11, 10 -> 0.10)): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val topNs = maxTopFrac.keys.toSeq.sorted
+    val dupNs = maxDupFrac.keys.toSeq.sorted
+    val base = docs.select(col("doc_id"),
+      tokens(col("text")).as("toks"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .materialize // consumed by every per-n branch
+    def branch(n: Int): DataFrame = {
+      val g = base.select(col("doc_id"),
+        posexplode(shinglesFromTokens(col("toks"), n)).as(Seq("i", "g")))
+      val counts = g.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val top = counts.groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+      val dup = g
+        .join(counts.filter(col("c") > 1).select(col("doc_id"), col("g")),
+          Seq("doc_id", "g"))
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
+      top.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(n).as("n"), col("top_c"),
+          coalesce(col("covered"), lit(0L)).as("covered"))
+    }
+    val all = (topNs ++ dupNs).distinct.sorted.map(branch)
+      .reduce(_ unionByName _)
+    val pivotCols = topNs.map(n =>
+        max(when(col("n") === n, col("top_c"))).as(s"_top_$n")) ++
+      dupNs.map(n =>
+        max(when(col("n") === n, col("covered"))).as(s"_cov_$n"))
+    val pivoted = all.groupBy(col("doc_id"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    val joined = base.select(col("doc_id"), col("n_tokens"))
+      .join(pivoted, Seq("doc_id"), "left")
+    val topCols = topNs.map(n =>
+      r4(coalesce(col(s"_top_$n"), lit(0L)).cast("double") * lit(n) /
+        col("n_tokens")).as(s"top_${n}gram_frac"))
+    val dupCols = dupNs.map(n =>
+      r4(coalesce(col(s"_cov_$n"), lit(0L)).cast("double") /
+        col("n_tokens")).as(s"dup_${n}gram_frac"))
+    val withFracs = joined.select(
+      (Seq(col("doc_id"), col("n_tokens")) ++ topCols ++ dupCols): _*)
+    val keep = (topNs.map(n =>
+        col(s"top_${n}gram_frac") <= maxTopFrac(n)) ++
+      dupNs.map(n => col(s"dup_${n}gram_frac") <= maxDupFrac(n)))
+      .reduce(_ && _)
+    withFracs.withColumn("keep", keep)
+  }
+
   /** Gopher/C4-style rule-based quality gate: per-document structural
     * metrics, one boolean flag per rule, a combined `keep`, and the first
     * failing rule's name as `fail_reason` (null when kept). Defaults are

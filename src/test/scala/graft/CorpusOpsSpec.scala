@@ -546,4 +546,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rep.sortBy(_._1).toSeq ==
       out.map(t => (t._1, t._3)).sortBy(_._1).toSeq)
   }
+
+  test("gopher n-gram repetition: planted top-gram and dup-span coverage") {
+    val s = spark
+    import s.implicits._
+    // A: "a b" x3 loop — top-2-gram coverage 3·2/6 = 1.0, overlapping
+    //    4-grams push count×len coverage PAST 1 (Gopher's rule by design:
+    //    "a b a b" twice = 2·4/6), but no 5-gram repeats
+    // B: 40 distinct tokens — every top count is 1, all dup spans empty
+    // C: 30 distinct tokens + "p q r s t" twice adjacent — the planted
+    //    duplicated 5-gram covers exactly its 10 positions (union, not
+    //    count×len: the two occurrences don't overlap)
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"w$i").mkString(" ") + " p q r s t p q r s t"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionNgrams(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("top_2gram_frac") == 1.0)
+    assert(out(1L).getAs[Double]("top_4gram_frac") > 1.0) // overlap by design
+    assert(out(1L).getAs[Double]("dup_5gram_frac") == 0.0)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("dup_10gram_frac") == 0.0)
+    assert(out(3L).getAs[Double]("dup_5gram_frac") == 0.25) // 10 of 40
+    assert(out(3L).getAs[Double]("dup_6gram_frac") == 0.0)  // seam 6-grams unique
+    assert(!out(3L).getAs[Boolean]("keep"))
+  }
 }
