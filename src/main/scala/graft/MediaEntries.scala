@@ -109,6 +109,18 @@ private[graft] object MediaEntries {
       .select(col("doc_id"), col("decoded_ok"), col("out_w"), col("out_h"),
         col("px_digest"), col("mean_gray"))
 
+  /** Perceptual DCT hash over REAL-decoded pixels
+    * ([[MediaDecode.imagePHash]]): the brightness-invariant companion to
+    * the aHash (the DC term carries any constant gray shift and is
+    * excluded). The oracle renders the pattern in closed form and replays
+    * the IDENTICAL quantized integer cosine table as a literal VALUES
+    * list — one source of truth, exact int64 arithmetic end to end. */
+  private def qImagePhash(s: SparkSession, dir: String): DataFrame =
+    MediaDecode.imagePHash(
+      MediaDecode.synthBmpPattern(Tables.documents(s, dir)))
+      .select(col("doc_id"), col("decoded_ok"), col("phash"),
+        col("dct_median"))
+
   /** Image near-dup classes by banded Hamming join over the aHashes:
     * dedup to DISTINCT hashes first (identical renders collapse to one
     * row with a member count — the output stays class-sized, not
@@ -240,7 +252,9 @@ private[graft] object MediaEntries {
     * digit-for-digit), gray/block/threshold in exact integer math — the
     * `bits` CTE both image-hash oracles build on. The Spark side REALLY
     * decodes the BMP bytes; this never does. */
-  private def oAhashBits: String = {
+  /** Closed-form per-pixel gray of the patterned BMPs — the shared first
+    * CTE of every decode-path oracle (aHash, resize, pHash). */
+  private def oPxCte: String = {
     def ch(c: Int): String =
       s"(((d.doc_id % 16) * 40 + (x.x * 23 + y.y * 31 + ${c * 11}) % 97 + " +
         "CASE WHEN x.x < (d.doc_id // 16) % 4 AND y.y < 2 THEN 120 ELSE 0 END) % 256)"
@@ -248,7 +262,11 @@ private[graft] object MediaEntries {
        |  SELECT d.doc_id, x.x, y.y,
        |    (${ch(0)} + ${ch(1)} + ${ch(2)}) // 3 AS gray
        |  FROM documents d, range(0, 16) x(x), range(0, 16) y(y)
-       |),
+       |)""".stripMargin
+  }
+
+  private def oAhashBits: String = {
+    s"""$oPxCte,
        |bm AS MATERIALIZED (
        |  SELECT doc_id, y // 2 AS bj, x // 2 AS bi,
        |    CAST(sum(gray) // 4 AS BIGINT) AS bm
@@ -277,6 +295,7 @@ private[graft] object MediaEntries {
     "q_media_decode_wav" -> qMediaDecodeWav,
     "q_audio_features" -> qAudioFeatures,
     "q_image_ahash" -> qImageAhash,
+    "q_image_phash" -> qImagePhash,
     "q_image_resize" -> qImageResize,
     "q_image_neardup" -> qImageNeardup,
     "q_media_decode_png" -> qMediaDecodePng,
@@ -453,6 +472,41 @@ private[graft] object MediaEntries {
     "q_image_ahash" ->
       (s"WITH $oAhashBits\n" +
         "SELECT doc_id, TRUE AS decoded_ok, ahash, mean_gray FROM bits"),
+    // pHash oracle: closed-form gray + the SAME quantized cosine table
+    // (rendered from MediaDecode.DctC — one source of truth) through an
+    // exact integer 2-D DCT; median = the 32nd smallest of the 63
+    // non-DC coefficients, no interpolation anywhere
+    "q_image_phash" -> {
+      val ctRows = (0 until 16).flatMap(i => (0 until 16).map(k =>
+        s"($i, $k, ${graft.operators.MediaDecode.DctC(i)(k)})"))
+        .mkString(", ")
+      s"""WITH $oPxCte,
+         |ct AS (SELECT * FROM (VALUES $ctRows) t(i, k, c)),
+         |dct AS (
+         |  SELECT p.doc_id, u.u, v.v,
+         |    CAST(sum(p.gray * cx.c * cy.c) AS BIGINT) AS coef
+         |  FROM px p
+         |  CROSS JOIN range(0, 8) u(u)
+         |  CROSS JOIN range(0, 8) v(v)
+         |  JOIN ct cx ON cx.i = p.x AND cx.k = u.u
+         |  JOIN ct cy ON cy.i = p.y AND cy.k = v.v
+         |  WHERE NOT (u.u = 0 AND v.v = 0)
+         |  GROUP BY 1, 2, 3
+         |),
+         |med AS (
+         |  SELECT doc_id, coef AS m FROM (
+         |    SELECT doc_id, coef,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+         |    FROM dct
+         |  ) WHERE rn = 32
+         |)
+         |SELECT d.doc_id, TRUE AS decoded_ok,
+         |  string_agg(CASE WHEN d.coef > m.m THEN '1' ELSE '0' END, ''
+         |    ORDER BY d.u, d.v) AS phash,
+         |  m.m AS dct_median
+         |FROM dct d JOIN med m USING (doc_id)
+         |GROUP BY d.doc_id, m.m""".stripMargin
+    },
     // resize oracle: the bm CTE IS the closed-form 2x box average; the
     // digest compares every resized pixel (row-major), so one wrong
     // pixel anywhere in the real decode→resample path fails the hash

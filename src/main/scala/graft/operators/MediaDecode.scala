@@ -211,6 +211,99 @@ object MediaDecode {
       }.toDF()
   }
 
+  /** Quantized DCT-II cosine table C(i,k) = round(cos(π(2i+1)k/32)·10⁶)
+    * over the fixed 16×16 geometry — int64 so the whole pHash transform
+    * is exact integer arithmetic (max |term| = 255·10¹²; 256 terms per
+    * coefficient < 2⁶³). StrictMath so the values are specified
+    * bit-for-bit, and the SAME array renders the oracle's literal VALUES
+    * table — one source of truth for both engines. */
+  private[graft] lazy val DctC: Array[Array[Long]] =
+    Array.tabulate(PatW, PatW)((i, k) =>
+      math.round(StrictMath.cos(math.Pi * (2 * i + 1) * k / (2.0 * PatW)) * 1e6))
+
+  /** One perceptual-DCT-hash row: 63 bits ('0'/'1' string, row-major
+    * (u,v) over the low-frequency 8×8 block EXCLUDING the DC term) plus
+    * the median coefficient the bits threshold against. */
+  final case class PHashRow(doc_id: Long, decoded_ok: Boolean,
+      phash: String, dct_median: Long)
+
+  /** Perceptual DCT hash (the classic pHash construction) over
+    * REAL-decoded pixels: gray = (b+g+r) div 3, 2-D DCT-II via the
+    * quantized integer cosine table, keep the low-frequency 8×8
+    * coefficient block, EXCLUDE the DC term, threshold each of the 63
+    * remaining coefficients against their exact median (the 32nd
+    * smallest of 63 — no interpolation). Where [[imageAHash]] thresholds
+    * raw block means (brittle to global brightness: a constant gray
+    * shift moves every block AND the mean), the DCT hash is invariant to
+    * any constant shift by construction — the shift lives entirely in
+    * the discarded DC coefficient — which is why near-dup pipelines run
+    * pHash next to aHash. Every step is exact integer math; the DuckDB
+    * mirror renders [[patByte]] in closed form and replays the identical
+    * table, so a hash match pins decode→gray→DCT→median→threshold bit
+    * for bit. Same per-partition codec shape and quarantine contract as
+    * the other decoders. */
+  def imagePHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val c = DctC
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null || img.getWidth != PatW || img.getHeight != PatH)
+              PHashRow(id, decoded_ok = false, "", -1L)
+            else {
+              val gray = Array.ofDim[Long](PatW, PatH)
+              var y = 0
+              while (y < PatH) {
+                var x = 0
+                while (x < PatW) {
+                  val rgb = img.getRGB(x, y)
+                  gray(x)(y) = (((rgb >> 16) & 255) + ((rgb >> 8) & 255) +
+                    (rgb & 255)) / 3
+                  x += 1
+                }
+                y += 1
+              }
+              val coefs = new Array[Long](63)
+              var idx = 0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  if (u != 0 || v != 0) {
+                    var s = 0L
+                    var x = 0
+                    while (x < PatW) {
+                      var yy = 0
+                      while (yy < PatH) {
+                        s += gray(x)(yy) * c(x)(u) * c(yy)(v)
+                        yy += 1
+                      }
+                      x += 1
+                    }
+                    coefs(idx) = s
+                    idx += 1
+                  }
+                  v += 1
+                }
+                u += 1
+              }
+              val sorted = coefs.sorted
+              val median = sorted(31) // exact: 32nd smallest of 63
+              val bits = coefs.map(v => if (v > median) '1' else '0').mkString
+              PHashRow(id, decoded_ok = true, bits, median)
+            }
+          } catch {
+            case _: Exception => PHashRow(id, decoded_ok = false, "", -1L)
+          }
+        }
+      }.toDF()
+  }
+
   def imageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -112,6 +112,51 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(!c.getBoolean(1) && c.getString(2).isEmpty)
   }
 
+  test("pHash: brightness-invariant where aHash is not, corrupt flags") {
+    // two hand-built BMPs identical up to a CONSTANT +40 gray shift (no
+    // mod-256 wraparound anywhere): the shift lives entirely in the
+    // discarded DC coefficient, so the pHashes must be IDENTICAL while
+    // aHash's global mean moves with the shift
+    def bmp(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 16; y <- 0 until 16) {
+        val g = (x * 7 + y * 11) % 180 + shift // <= 219 + 40 < 256: no wrap
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", out)
+      out.toByteArray
+    }
+    val media = Seq((0L, "image/bmp", bmp(0)), (1L, "image/bmp", bmp(40)))
+      .toDF("doc_id", "media_type", "payload")
+    val p = MediaDecode.imagePHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(p(0L)._1 && p(1L)._1)
+    assert(p(0L)._2.length == 63)
+    assert(p(0L)._2 == p(1L)._2, "constant gray shift changed the pHash")
+    // ...and it is not degenerate: bits carry signal both ways
+    assert(p(0L)._2.contains('1') && p(0L)._2.contains('0'))
+    // same two images through aHash: the threshold stays relative to the
+    // shifted mean (bits equal) but mean_gray must MOVE — the DC term
+    // pHash discards is exactly what aHash keeps
+    val a = MediaDecode.imageAHash(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("mean_gray")).toMap
+    assert(a(1L) == a(0L) + 40)
+    // patterned corpus: identical renders hash equal, families differ
+    val hp = MediaDecode.imagePHash(
+        MediaDecode.synthBmpPattern(docs(128))).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(hp.values.forall(_._1))
+    for (d <- 0L until 64L) assert(hp(d)._2 == hp(d + 64)._2)
+    assert(hp.values.map(_._2).toSet.size >= 8)
+    // corrupt payload: flag, never throw
+    val c = MediaDecode.imagePHash(
+      media.limit(1).select(col("doc_id"),
+        expr("substring(payload, 1, 20)").as("payload"))).head()
+    assert(!c.getBoolean(1) && c.getString(2).isEmpty)
+  }
+
   test("audio features over the patterned PCM match the closed form") {
     val s = spark
     import s.implicits._
