@@ -151,6 +151,39 @@ private[graft] object MediaEntries {
         col("n_a"), col("n_b"))
   }
 
+  /** Banded-Hamming threshold for pHash near-dup: 3 bands of 21 bits
+    * make the candidate join COMPLETE for hamming ≤ 2 (pigeonhole over
+    * the 63-bit hash). */
+  private val PhashMaxHamming = 2
+
+  /** Image near-dup classes over the DCT hashes — the q_image_neardup
+    * shape on the brightness-invariant signature: distinct-hash dedup
+    * first (class-sized output), 3×21-bit band blocking, exact Hamming ≤
+    * [[PhashMaxHamming]] verify. */
+  private def qImagePhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = MediaDecode.imagePHash(
+        MediaDecode.synthBmpPattern(Tables.documents(s, dir)))
+      .filter(col("decoded_ok"))
+      .groupBy(col("phash")).agg(count(lit(1)).as("n_members")).materialize
+    val bands = hashes.select(col("phash"), col("n_members"),
+        explode(expr("sequence(0, 2)")).as("band"))
+      .withColumn("sig", expr("substring(phash, band * 21 + 1, 21)"))
+    val ham = expr(
+      """CAST(aggregate(transform(sequence(1, 63),
+        |  i -> CASE WHEN substring(hash_a, i, 1) <> substring(hash_b, i, 1)
+        |            THEN 1 ELSE 0 END), 0, (a, b) -> a + b) AS BIGINT)""".stripMargin)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.phash") < col("b.phash"))
+      .select(col("a.phash").as("hash_a"), col("a.n_members").as("n_a"),
+        col("b.phash").as("hash_b"), col("b.n_members").as("n_b"))
+      .distinct()
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("hash_a"), col("hash_b"), col("hamming"),
+        col("n_a"), col("n_b"))
+  }
+
   /** REAL-codec cross-check, audio flavor ([[MediaDecode.decodeWav]]):
     * javax.sound decodes every synthesized PCM WAV; format fields must
     * match the codegen header walk and the exact sample statistics must
@@ -265,6 +298,44 @@ private[graft] object MediaEntries {
        |)""".stripMargin
   }
 
+  /** pHash oracle chain: closed-form gray + the quantized cosine table
+    * (rendered from MediaDecode.DctC — one source of truth) through an
+    * exact integer 2-D DCT; median = the 32nd smallest of the 63 non-DC
+    * coefficients. Ends in `pbits(doc_id, phash, dct_median)`. */
+  private def oPhashChain: String = {
+    val ctRows = (0 until 16).flatMap(i => (0 until 16).map(k =>
+      s"($i, $k, ${graft.operators.MediaDecode.DctC(i)(k)})"))
+      .mkString(", ")
+    s"""$oPxCte,
+       |ct AS (SELECT * FROM (VALUES $ctRows) t(i, k, c)),
+       |dct AS (
+       |  SELECT p.doc_id, u.u, v.v,
+       |    CAST(sum(p.gray * cx.c * cy.c) AS BIGINT) AS coef
+       |  FROM px p
+       |  CROSS JOIN range(0, 8) u(u)
+       |  CROSS JOIN range(0, 8) v(v)
+       |  JOIN ct cx ON cx.i = p.x AND cx.k = u.u
+       |  JOIN ct cy ON cy.i = p.y AND cy.k = v.v
+       |  WHERE NOT (u.u = 0 AND v.v = 0)
+       |  GROUP BY 1, 2, 3
+       |),
+       |med AS (
+       |  SELECT doc_id, coef AS m FROM (
+       |    SELECT doc_id, coef,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+       |    FROM dct
+       |  ) WHERE rn = 32
+       |),
+       |pbits AS (
+       |  SELECT d.doc_id,
+       |    string_agg(CASE WHEN d.coef > m.m THEN '1' ELSE '0' END, ''
+       |      ORDER BY d.u, d.v) AS phash,
+       |    m.m AS dct_median
+       |  FROM dct d JOIN med m USING (doc_id)
+       |  GROUP BY d.doc_id, m.m
+       |)""".stripMargin
+  }
+
   private def oAhashBits: String = {
     s"""$oPxCte,
        |bm AS MATERIALIZED (
@@ -296,6 +367,7 @@ private[graft] object MediaEntries {
     "q_audio_features" -> qAudioFeatures,
     "q_image_ahash" -> qImageAhash,
     "q_image_phash" -> qImagePhash,
+    "q_image_phash_neardup" -> qImagePhashNeardup,
     "q_image_resize" -> qImageResize,
     "q_image_neardup" -> qImageNeardup,
     "q_media_decode_png" -> qMediaDecodePng,
@@ -476,37 +548,40 @@ private[graft] object MediaEntries {
     // (rendered from MediaDecode.DctC — one source of truth) through an
     // exact integer 2-D DCT; median = the 32nd smallest of the 63
     // non-DC coefficients, no interpolation anywhere
-    "q_image_phash" -> {
-      val ctRows = (0 until 16).flatMap(i => (0 until 16).map(k =>
-        s"($i, $k, ${graft.operators.MediaDecode.DctC(i)(k)})"))
-        .mkString(", ")
-      s"""WITH $oPxCte,
-         |ct AS (SELECT * FROM (VALUES $ctRows) t(i, k, c)),
-         |dct AS (
-         |  SELECT p.doc_id, u.u, v.v,
-         |    CAST(sum(p.gray * cx.c * cy.c) AS BIGINT) AS coef
-         |  FROM px p
-         |  CROSS JOIN range(0, 8) u(u)
-         |  CROSS JOIN range(0, 8) v(v)
-         |  JOIN ct cx ON cx.i = p.x AND cx.k = u.u
-         |  JOIN ct cy ON cy.i = p.y AND cy.k = v.v
-         |  WHERE NOT (u.u = 0 AND v.v = 0)
-         |  GROUP BY 1, 2, 3
+    "q_image_phash" ->
+      s"""WITH $oPhashChain
+         |SELECT doc_id, TRUE AS decoded_ok, phash, dct_median
+         |FROM pbits""".stripMargin,
+    // near-dup classes over the closed-form pHashes with the identical
+    // 3x21-bit banding + exact-Hamming verify the Spark plan runs
+    "q_image_phash_neardup" ->
+      s"""WITH $oPhashChain,
+         |ph AS (
+         |  SELECT phash, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM pbits GROUP BY phash
          |),
-         |med AS (
-         |  SELECT doc_id, coef AS m FROM (
-         |    SELECT doc_id, coef,
-         |      row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
-         |    FROM dct
-         |  ) WHERE rn = 32
+         |pbands AS (
+         |  SELECT phash, n_members, b.b AS band,
+         |    substr(phash, CAST(b.b * 21 + 1 AS INTEGER), 21) AS sig
+         |  FROM ph, range(0, 3) b(b)
+         |),
+         |pcand AS (
+         |  SELECT DISTINCT a.phash AS hash_a, a.n_members AS n_a,
+         |    c.phash AS hash_b, c.n_members AS n_b
+         |  FROM pbands a JOIN pbands c
+         |    ON a.band = c.band AND a.sig = c.sig AND a.phash < c.phash
+         |),
+         |psc AS (
+         |  SELECT hash_a, hash_b,
+         |    CAST(list_reduce(list_transform(range(1, 64),
+         |      i -> CASE WHEN substr(hash_a, CAST(i AS INTEGER), 1)
+         |                  <> substr(hash_b, CAST(i AS INTEGER), 1)
+         |                THEN 1 ELSE 0 END), (x, y) -> x + y) AS BIGINT) AS hamming,
+         |    n_a, n_b
+         |  FROM pcand
          |)
-         |SELECT d.doc_id, TRUE AS decoded_ok,
-         |  string_agg(CASE WHEN d.coef > m.m THEN '1' ELSE '0' END, ''
-         |    ORDER BY d.u, d.v) AS phash,
-         |  m.m AS dct_median
-         |FROM dct d JOIN med m USING (doc_id)
-         |GROUP BY d.doc_id, m.m""".stripMargin
-    },
+         |SELECT hash_a, hash_b, hamming, n_a, n_b FROM psc
+         |WHERE hamming <= $PhashMaxHamming""".stripMargin,
     // resize oracle: the bm CTE IS the closed-form 2x box average; the
     // digest compares every resized pixel (row-major), so one wrong
     // pixel anywhere in the real decode→resample path fails the hash
