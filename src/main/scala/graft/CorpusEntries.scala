@@ -296,6 +296,11 @@ object CorpusEntries {
     Packing.pack(Chunking.chunk(Tables.documents(s, dir), 40, 30),
       seqLen = PackSeqLen, docsPerBucket = PackDocsPerBucket)
 
+  /** Per-sequence packing-efficiency report over the same chunk stream. */
+  private def qPackStats(s: SparkSession, dir: String): DataFrame =
+    Packing.packStats(Chunking.chunk(Tables.documents(s, dir), 40, 30),
+      seqLen = PackSeqLen, docsPerBucket = PackDocsPerBucket)
+
   private def qSubstringDup(s: SparkSession, dir: String): DataFrame =
     Dedup.substringDup(Tables.documents(s, dir), SubstrN)
 
@@ -639,6 +644,7 @@ object CorpusEntries {
     "q_quality_rules" -> qQualityRules,
     "q_lm_score" -> qLmScore,
     "q_pack" -> qPack,
+    "q_pack_stats" -> qPackStats,
     "q_sample_exact_n" -> qSampleExactN,
     "q_substring_dup" -> qSubstringDup,
     "q_dsir" -> qDsir,
@@ -1553,6 +1559,33 @@ object CorpusEntries {
          |  global_offset % $PackSeqLen AS seq_offset,
          |  (global_offset % $PackSeqLen) + n_chunk_tokens > $PackSeqLen AS spans_seq
          |FROM o""".stripMargin,
+
+    // the q_pack chain aggregated per sequence; fill_drop_frac = tokens of
+    // NON-spanning chunks / seqLen (the drop-at-boundary survival rate)
+    "q_pack_stats" ->
+      s"""WITH $oChunks,
+         |o AS (
+         |  SELECT doc_id, chunk_id, n_chunk_tokens,
+         |    CAST(coalesce(sum(n_chunk_tokens) OVER (
+         |      ORDER BY doc_id, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS global_offset
+         |  FROM chunks
+         |),
+         |p AS (
+         |  SELECT global_offset // $PackSeqLen AS seq_id, n_chunk_tokens,
+         |    (global_offset % $PackSeqLen) + n_chunk_tokens > $PackSeqLen
+         |      AS spans_seq
+         |  FROM o
+         |)
+         |SELECT seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN spans_seq THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_spanning,
+         |  ${r4(s"CAST(sum(CASE WHEN spans_seq THEN 0 ELSE n_chunk_tokens END) AS DOUBLE) / $PackSeqLen.0")}
+         |    AS fill_drop_frac
+         |FROM p GROUP BY seq_id""".stripMargin,
 
     "q_substring_dup" -> {
       val grams = (0 until SubstrN).map(k => s"toks[i+$k]").mkString(", ")

@@ -60,4 +60,31 @@ object Packing {
       .withColumn("spans_seq", col("seq_offset") + col("n_chunk_tokens") > seqLen)
       .drop("_bucket", "_local", "_base")
   }
+
+  /** Packing-efficiency report per sequence — the number a training-data
+    * team reads before choosing the boundary policy: how many chunks
+    * START in each sequence, how many of them STRADDLE the boundary
+    * (`spans_seq` — a writer must split or drop those), and the fill
+    * fraction that survives under the DROP policy (whole-chunk tokens /
+    * seqLen, 4dp). Low `fill_drop_frac` with high `n_spanning` is the
+    * signal to split instead of drop (or to re-chunk closer to seqLen).
+    *
+    * Shape at scale: [[pack]]'s two-level scan plus ONE seq_id-keyed
+    * aggregate (map-side combinable) — no new scale terms. */
+  def packStats(chunks: DataFrame, seqLen: Int,
+      docsPerBucket: Int = 1024): DataFrame = {
+    val r4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    pack(chunks, seqLen, docsPerBucket)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("n_tokens"),
+        sum(when(col("spans_seq"), 1L).otherwise(0L)).as("n_spanning"),
+        sum(when(!col("spans_seq"), col("n_chunk_tokens")).otherwise(0L))
+          .as("whole_tokens"))
+      .select(col("seq_id"), col("n_chunks"), col("n_tokens"),
+        col("n_spanning"),
+        r4(col("whole_tokens").cast("double") / lit(seqLen.toDouble))
+          .as("fill_drop_frac"))
+  }
 }
