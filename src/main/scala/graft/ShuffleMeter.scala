@@ -20,20 +20,32 @@ final class ShuffleMeter(sc: SparkContext) {
     }
   })
 
-  private def settle(): Unit = {
-    var last = -1L
+  /** Wait until the listener bus stops moving the adders. `drain` forces
+    * at least one poll sleep — required AFTER an action, when the
+    * stage-completed events are still in flight. Without it an
+    * already-stable meter returns immediately, so the leading settle of
+    * [[delta]] no longer charges a constant ~200 ms sleep to the
+    * caller's timed window (each trailing settle drains fully, so the
+    * bus is idle by the next leading edge). */
+  private def settle(drain: Boolean): Unit = {
+    var last = bytes.sum()
+    var moving = drain
     var spins = 0
-    while (bytes.sum() != last && spins < 25) {
-      last = bytes.sum(); spins += 1; Thread.sleep(200)
+    while (moving && spins < 25) {
+      Thread.sleep(200)
+      val now = bytes.sum()
+      moving = now != last
+      last = now
+      spins += 1
     }
   }
 
   /** (bytes, records) shuffled while running `a`. */
   def delta[A](a: => A): (Long, Long, A) = {
-    settle()
+    settle(drain = false)
     val b0 = bytes.sum(); val r0 = records.sum()
     val out = a
-    settle()
+    settle(drain = true)
     (bytes.sum() - b0, records.sum() - r0, out)
   }
 }

@@ -149,19 +149,39 @@ object Decontamination {
     * bloom-positive grams (≈ true overlaps + fpp·novel) meet the exact
     * reference set, so the join's score side shrinks from "all grams" to
     * "overlapping grams"; false positives are killed by the exact join,
-    * so `n_seen` cannot drift in either direction. */
+    * so `n_seen` cannot drift in either direction.
+    *
+    * Sizing (`numBits`): the prescreen only pays for itself while fpp
+    * stays low — at ~10 bits per reference gram (k=5) fpp is under ~1%;
+    * an undersized filter degrades SILENTLY (still bit-exact, but every
+    * gram goes bloom-positive and the pass becomes pure overhead). The
+    * default `numBits = 0` therefore AUTO-SIZES from the actual distinct
+    * reference-gram count (≥10 bits/gram, rounded up to a power of two,
+    * floor 1 Mbit) — the count is one cheap job over the already-
+    * materialized gram set. The auto-size caps at 2^30 bits (128 MiB
+    * broadcast); past ~10^8 reference grams a single filter saturates,
+    * so at that scale shard the reference (one filter per shard) or pass
+    * `numBits` explicitly. */
   def noveltyScoreBloom(docs: DataFrame, refDocs: DataFrame, n: Int,
-      numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+      numBits: Int = 0, k: Int = 5): DataFrame = {
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
     val refGrams = Dedup.shingleIndex(refDocs, n).select(col("h")).distinct()
-      .materializeHuge // two consumers: bloom build + exact recheck
+      .materializeHuge // three consumers: sizing count + bloom build + recheck
+    val m =
+      if (numBits > 0) numBits
+      else {
+        val want = 10L * refGrams.count()
+        var bits = 1 << 20
+        while (bits < want && bits < (1 << 30)) bits <<= 1
+        bits
+      }
     val bf = refGrams.agg(graft.functions.BloomSet
-      .bloomAgg(col("h"), numBits, k).as("bf"))
+      .bloomAgg(col("h"), m, k).as("bf"))
     val idx = Dedup.shingleIndex(docs, n).materializeHuge // totals + join
     val totals = idx.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val seen = idx.crossJoin(broadcast(bf))
       .filter(graft.functions.BloomSet
-        .mightContain(col("bf"), col("h"), numBits, k))
+        .mightContain(col("bf"), col("h"), m, k))
       .select(col("doc_id"), col("h"))
       .join(refGrams, Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))

@@ -315,11 +315,17 @@ object TextAnalysis {
     * positions mirror exactly across engines). `keep` applies the paper's
     * per-n thresholds, each relaxable.
     *
-    * Shape at scale: one stride-1 gram explode per n (9 linear passes ≈
-    * 9× token count rows through keyed (doc, gram) aggregates — all
-    * map-side-combinable), assembled by ONE union + one final (doc)
-    * aggregate pivot rather than 9 doc-keyed joins. Strictly linear; no
-    * pair space anywhere. */
+    * Shape at scale (fused, round 18): the nine per-n passes collapse
+    * into TWO generator scans over one materialized tokenized base. The
+    * top side explodes every (n, gram) for n ∈ {2,3,4} in one pass into
+    * a single (doc, n, gram) count → per-(doc, n) max. The dup side
+    * explodes every (n, start, gram) for n ∈ {5..10} in one pass; the
+    * (doc, n, gram) count aggregate ALSO collects the start positions,
+    * so duplicated-gram spans come straight off the c>1 rows — no join
+    * back to the gram stream. Union-of-spans is the one (doc, n, pos)
+    * distinct it always was. ~5 shuffles total where the per-n form ran
+    * ~24, and nothing computes an aggregate its consumer discards.
+    * Strictly linear; no pair space anywhere. */
   def repetitionNgrams(docs: DataFrame,
       maxTopFrac: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
       maxDupFrac: Map[Int, Double] = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
@@ -330,26 +336,37 @@ object TextAnalysis {
     val base = docs.select(col("doc_id"),
       tokens(col("text")).as("toks"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .materialize // consumed by every per-n branch
-    def branch(n: Int): DataFrame = {
-      val g = base.select(col("doc_id"),
-        posexplode(shinglesFromTokens(col("toks"), n)).as(Seq("i", "g")))
-      val counts = g.groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c"))
-      val top = counts.groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
-      val dup = g
-        .join(counts.filter(col("c") > 1).select(col("doc_id"), col("g")),
-          Seq("doc_id", "g"))
-        .select(col("doc_id"),
-          explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
-        .distinct()
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
-      top.join(dup, Seq("doc_id"), "left")
-        .select(col("doc_id"), lit(n).as("n"), col("top_c"),
-          coalesce(col("covered"), lit(0L)).as("covered"))
-    }
-    val all = (topNs ++ dupNs).distinct.sorted.map(branch)
-      .reduce(_ unionByName _)
+      .materialize // consumed by both generator scans
+    // top-gram share, n ∈ topNs: one explode of all (n, gram) pairs
+    val topG = base.select(col("doc_id"),
+      explode(flatten(array(topNs.map(n =>
+        transform(shinglesFromTokens(col("toks"), n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+    val top = topG.groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n")).agg(max(col("c")).as("top_c"))
+    // duplicated-gram span coverage, n ∈ dupNs: one explode of all
+    // (n, start, gram) triples; positions ride the count aggregate
+    val dupG = base.select(col("doc_id"),
+      explode(flatten(array(dupNs.map(n =>
+        transform(shinglesFromTokens(col("toks"), n),
+          (g, i) => struct(lit(n).as("n"), i.as("i"), g.as("g")))): _*))).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.i").as("i"),
+        col("x.g").as("g"))
+    val dup = dupG.groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"), collect_list(col("i")).as("starts"))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), col("n"), explode(col("starts")).as("i"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(col("i"), col("i") + col("n") - 1)).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id"), col("n")).agg(count(lit(1)).as("covered"))
+    val all = top
+      .select(col("doc_id"), col("n"), col("top_c"),
+        lit(null).cast("long").as("covered"))
+      .unionByName(dup.select(col("doc_id"), col("n"),
+        lit(null).cast("long").as("top_c"), col("covered")))
     val pivotCols = topNs.map(n =>
         max(when(col("n") === n, col("top_c"))).as(s"_top_$n")) ++
       dupNs.map(n =>

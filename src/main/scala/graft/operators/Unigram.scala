@@ -201,11 +201,14 @@ object Unigram {
   def encode(docs: DataFrame, trained: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val lq: Map[String, Long] = trained.select("piece", "logp_q").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // explicit broadcast, not a task-closure copy: a closure re-serializes
+    // the piece table per task at the deployment-scale 32k-piece vocabulary
+    val bc = spark.sparkContext.broadcast(
+      trained.select("piece", "logp_q").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
     wordDict(docs).select(col("word"), col("cnt")).as[(String, Long)]
       .mapPartitions { it =>
-        it.flatMap { case (w, c) => viterbiPieces(w, lq).map(p => (p, c)) }
+        it.flatMap { case (w, c) => viterbiPieces(w, bc.value).map(p => (p, c)) }
       }
       .toDF("token", "cnt")
       .groupBy("token").agg(sum(col("cnt")).as("n"))
@@ -219,11 +222,14 @@ object Unigram {
   def wordPieces(docs: DataFrame, trained: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val lq: Map[String, Long] = trained.select("piece", "logp_q").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // broadcast for the same reason as viterbiUsage/encode: one copy per
+    // executor instead of one serialized piece table per task
+    val bc = spark.sparkContext.broadcast(
+      trained.select("piece", "logp_q").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
     wordDict(docs).select(col("word"), col("cnt")).as[(String, Long)]
       .mapPartitions { it =>
-        it.map { case (w, _) => (w, viterbiPieces(w, lq).length.toLong) }
+        it.map { case (w, _) => (w, viterbiPieces(w, bc.value).length.toLong) }
       }
       .toDF("word", "n_pieces")
   }
