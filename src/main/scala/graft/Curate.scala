@@ -55,13 +55,22 @@ object Curate {
     *   ([[Decontamination.screenBloom]]) instead of the exact broadcast —
     *   bit-exact by contract, so the Funnel must not change (CurateSpec
     *   asserts it); the switch exists because at real eval-suite sizes
-    *   the exact gram broadcast is the first thing to outgrow executors. */
+    *   the exact gram broadcast is the first thing to outgrow executors.
+    * @param gopherFull strict repetition mode: apply Gopher's FULL
+    *   published Table-A1 n-gram rule set ([[TextAnalysis
+    *   .repetitionNgrams]] at the paper thresholds) ON TOP of the tuned
+    *   bigram gate — Gopher applies every rule simultaneously (Rae et
+    *   al. 2021, A1.1). Default off keeps the shipped funnel's
+    *   continuity; the extra rules can only shrink the repetition stage
+    *   (CurateSpec pins both the ordering and the one rule family the
+    *   bigram gate provably cannot subsume — see the 10-gram pin there). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tau: Double = 0.7, semTau: Double = 0.4, sampleRate: Double = 0.5,
       bloomScreen: Boolean = false,
-      blockTerms: Seq[String] = DefaultBlockTerms): Funnel =
+      blockTerms: Seq[String] = DefaultBlockTerms,
+      gopherFull: Boolean = false): Funnel =
     runTimed(spark, sfDir, outDir, tau, semTau, sampleRate, bloomScreen,
-      blockTerms)._1
+      blockTerms, gopherFull)._1
 
   /** [[run]] plus per-stage wall times (stage label → seconds). Stages are
     * timed at their ACTIONS — the funnel counts and the writes — so each
@@ -74,7 +83,8 @@ object Curate {
   def runTimed(spark: SparkSession, sfDir: String, outDir: String,
       tau: Double = 0.7, semTau: Double = 0.4, sampleRate: Double = 0.5,
       bloomScreen: Boolean = false,
-      blockTerms: Seq[String] = DefaultBlockTerms)
+      blockTerms: Seq[String] = DefaultBlockTerms,
+      gopherFull: Boolean = false)
       : (Funnel, Vector[(String, Double)]) = {
     val times = Vector.newBuilder[(String, Double)]
     def t[A](label: String)(a: => A): A = {
@@ -108,10 +118,19 @@ object Curate {
       .filter(col("keep")).select("doc_id")
     val ruled = quality.join(keepRules, "doc_id")
 
-    // 3. repetition gate (Gopher-style thresholds tuned for the corpus)
-    val keepRep = TextAnalysis.repetition(ruled,
+    // 3. repetition gate (Gopher-style thresholds tuned for the corpus);
+    // under gopherFull the full Table-A1 n-gram set (top-{2,3,4}-gram
+    // shares + duplicated-{5..10}-gram span coverage, paper thresholds)
+    // gates IN ADDITION — strictly a subset of the bigram gate's
+    // survivors, so the funnel stays monotone by construction
+    val keepRepBigram = TextAnalysis.repetition(ruled,
       maxTokenDup = 0.65, maxDupBigram = 0.10, maxTopBigram = 0.08)
       .filter(col("keep")).select("doc_id")
+    val keepRep =
+      if (gopherFull)
+        keepRepBigram.join(TextAnalysis.repetitionNgrams(ruled)
+          .filter(col("keep")).select("doc_id"), "doc_id")
+      else keepRepBigram
     val repetition = ruled.join(keepRep, "doc_id")
 
     // 4. near-dup corpus dedup: keep each cluster's canonical doc
