@@ -78,9 +78,9 @@ object CorpusEntries {
 
   /** Shared repetition thresholds, tuned so the synthetic corpus splits on
     * every flag (operator defaults are the real-corpus values). */
-  private val MaxTokenDup = 0.55
-  private val MaxDupBigram = 0.06
-  private val MaxTopBigram = 0.05
+  private[graft] val MaxTokenDup = 0.55
+  private[graft] val MaxDupBigram = 0.06
+  private[graft] val MaxTopBigram = 0.05
 
   /** Temperature for the source-mix resampling weights. */
   private val MixAlpha = 0.7
@@ -190,7 +190,7 @@ object CorpusEntries {
 
   /** Blocklist terms shared by q_blocklist's query and oracle (drawn from
     * the synthetic vocabulary so the gate actually splits the corpus). */
-  private val BlockTerms = Seq("slow", "dup")
+  private[graft] val BlockTerms = Seq("slow", "dup")
 
   /** Novelty n-gram width (5, the decontamination screens' width). */
   private val NoveltyN = 5

@@ -459,6 +459,52 @@ private[graft] object StreamEntries {
     graft.streaming.StreamPerplexity.report(s, work)
   }
 
+  /** The STREAMING blocklist gate: the full corpus replayed as three
+    * id-ordered micro-batches through [[graft.streaming.StreamGate]]
+    * applying the batch blocklist scan verbatim. The gate closes over
+    * nothing but the constant term list, so stream == batch at any
+    * slicing by construction; hash-gated against q_blocklist's batch
+    * oracle unchanged. Verify-only: streaming machinery. */
+  private def qStreamBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val work = SessionScoped.scratchDir("graft_stream_blocklist")
+    val docs = Tables.documents(s, dir)
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      docs.select(col("doc_id"), col("text"), col("doc_id").as("_ms")),
+      "_ms", work, slices = 3)
+    val feedSchema = org.apache.spark.sql.types.StructType(
+      docs.select(col("doc_id"), col("text")).schema)
+    val stream = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamGate.run(stream,
+      TextAnalysis.blocklist(_, CorpusEntries.BlockTerms), work)
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamGate.report(s, work)
+  }
+
+  /** The STREAMING repetition gate: the full corpus replayed as three
+    * id-ordered micro-batches through [[graft.streaming.StreamGate]]
+    * applying the batch Gopher-style repetition filter verbatim. Gram
+    * counts are per-document (micro-batch-local keyed aggregates, no
+    * cross-batch state), so stream == batch at any slicing; hash-gated
+    * against q_repetition's batch oracle unchanged. Verify-only. */
+  private def qStreamRepetition(s: SparkSession, dir: String): DataFrame = {
+    val work = SessionScoped.scratchDir("graft_stream_repetition")
+    val docs = Tables.documents(s, dir)
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      docs.select(col("doc_id"), col("text"), col("doc_id").as("_ms")),
+      "_ms", work, slices = 3)
+    val feedSchema = org.apache.spark.sql.types.StructType(
+      docs.select(col("doc_id"), col("text")).schema)
+    val stream = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamGate.run(stream,
+      TextAnalysis.repetition(_, maxTokenDup = CorpusEntries.MaxTokenDup,
+        maxDupBigram = CorpusEntries.MaxDupBigram,
+        maxTopBigram = CorpusEntries.MaxTopBigram), work)
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamGate.report(s, work)
+  }
+
   /** The STREAMING near-dup decontamination gate: training docs replayed
     * as three id-ordered micro-batches through
     * [[graft.streaming.StreamFuzzyDecontam]] against the fixed eval set
@@ -638,6 +684,8 @@ private[graft] object StreamEntries {
     "q_stream_dsir" -> qStreamDsir,
     "q_stream_nb" -> qStreamNb,
     "q_stream_ccnet" -> qStreamCcnet,
+    "q_stream_blocklist" -> qStreamBlocklist,
+    "q_stream_repetition" -> qStreamRepetition,
     "q_stream_fuzzy_decontam" -> qStreamFuzzyDecontam,
     "q_stream_sessionize" -> qStreamSessionize,
     "q_stream_join" -> qStreamJoin,
@@ -709,6 +757,10 @@ private[graft] object StreamEntries {
     // fixed model + fixed thresholds, stateless routing — the oracle is
     // q_ccnet_fixed's, verbatim (same splits, any slicing)
     "q_stream_ccnet" -> CorpusEntries.oracleSql("q_ccnet_fixed"),
+    // constant-closure stateless scans — the oracles are the batch
+    // gates', verbatim (full corpus, any slicing)
+    "q_stream_blocklist" -> CorpusEntries.oracleSql("q_blocklist"),
+    "q_stream_repetition" -> CorpusEntries.oracleSql("q_repetition"),
     // the streamed fuzzy screen accumulates the SAME per-doc report the
     // batch query emits (stateless vs a fixed eval set) — shared oracle
     "q_stream_fuzzy_decontam" -> TextDedupEntries.oracleSql("q_decontaminate_fuzzy"),

@@ -496,6 +496,56 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(rev.toSeq == batch.toSeq)
   }
 
+  test("streamed blocklist and repetition gates match the batch scans in any order") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamGate
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    def runStream(name: String, gate: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, order: Array[(Long, String)],
+        splitAt: Int) = {
+      val dir = SessionScoped.scratchDir(s"graft_sgate_$name")
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = StreamGate.run(input.toDF().toDF("doc_id", "text"), gate, dir)
+      try Seq(order.take(splitAt), order.drop(splitAt)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      StreamGate.report(spark, dir).orderBy("doc_id").collect()
+        .map(_.toSeq).toSeq
+    }
+
+    // both gates close over constants only, so ANY slicing or arrival
+    // order must reproduce the batch report row-for-row
+    val blockGate = (d: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.blocklist(d, Seq("slow", "dup"))
+    val batchBlock = blockGate(docs).orderBy("doc_id").collect()
+      .map(_.toSeq).toSeq
+    // planted signal: the gate must actually drop something
+    assert(batchBlock.exists(r => r.last == false) &&
+      batchBlock.exists(r => r.last == true))
+    assert(runStream("block_fwd", blockGate, rows.sortBy(_._1),
+      rows.length / 3) == batchBlock)
+    assert(runStream("block_rev", blockGate, rows.sortBy(-_._1),
+      rows.length / 2) == batchBlock)
+
+    val repGate = (d: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.repetition(d, maxTokenDup = 0.55,
+        maxDupBigram = 0.06, maxTopBigram = 0.05)
+    val batchRep = repGate(docs).orderBy("doc_id").collect()
+      .map(_.toSeq).toSeq
+    assert(batchRep.exists(r => r.last == false) &&
+      batchRep.exists(r => r.last == true))
+    assert(runStream("rep_fwd", repGate, rows.sortBy(_._1),
+      rows.length / 3) == batchRep)
+    assert(runStream("rep_rev", repGate, rows.sortBy(-_._1),
+      rows.length / 2) == batchRep)
+  }
+
   test("streamed CCNet routing matches the fixed-threshold batch router in any order") {
     import graft.operators.TextAnalysis
     import graft.streaming.StreamPerplexity
