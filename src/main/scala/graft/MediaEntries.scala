@@ -156,15 +156,20 @@ private[graft] object MediaEntries {
     * the 63-bit hash). */
   private val PhashMaxHamming = 2
 
-  /** Image near-dup classes over the DCT hashes — the q_image_neardup
-    * shape on the brightness-invariant signature: distinct-hash dedup
-    * first (class-sized output), 3×21-bit band blocking, exact Hamming ≤
-    * [[PhashMaxHamming]] verify. */
-  private def qImagePhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    val hashes = MediaDecode.imagePHash(
+  /** DISTINCT pHashes with per-hash image counts — the class-sized base
+    * both the pair and class reports band over (identical renders
+    * collapse here, so nothing downstream is ever pair-sized in exact
+    * dups). */
+  private def phashHashes(s: SparkSession, dir: String): DataFrame =
+    MediaDecode.imagePHash(
         MediaDecode.synthBmpPattern(Tables.documents(s, dir)))
       .filter(col("decoded_ok"))
       .groupBy(col("phash")).agg(count(lit(1)).as("n_members")).materialize
+
+  /** Banded candidate pairs + exact Hamming ≤ [[PhashMaxHamming]] verify
+    * over [[phashHashes]] — complete by pigeonhole (3 bands of 21 bits,
+    * d ≤ 2 leaves one band untouched). */
+  private def phashPairs(hashes: DataFrame): DataFrame = {
     val bands = hashes.select(col("phash"), col("n_members"),
         explode(expr("sequence(0, 2)")).as("band"))
       .withColumn("sig", expr("substring(phash, band * 21 + 1, 21)"))
@@ -182,6 +187,38 @@ private[graft] object MediaEntries {
       .filter(col("hamming") <= PhashMaxHamming)
       .select(col("hash_a"), col("hash_b"), col("hamming"),
         col("n_a"), col("n_b"))
+  }
+
+  /** Image near-dup classes over the DCT hashes — the q_image_neardup
+    * shape on the brightness-invariant signature: distinct-hash dedup
+    * first (class-sized output), 3×21-bit band blocking, exact Hamming ≤
+    * [[PhashMaxHamming]] verify. */
+  private def qImagePhashNeardup(s: SparkSession, dir: String): DataFrame =
+    phashPairs(phashHashes(s, dir))
+
+  /** Linear-OUTPUT pHash duplicate classes — [[Dedup.simhashClasses]]'s
+    * maturity applied to images: the pair report above re-creates the
+    * Θ(k²) output problem on wide duplicate classes (mirror farms render
+    * the same asset with near-identical hashes), so the shippable report
+    * is one row per CLASS. Candidates from the same complete banding,
+    * components by min-label propagation over the DISTINCT-HASH graph
+    * (class_id = lexicographic-min member hash — a graph of distinct
+    * hashes, never of images), then one keyed aggregate. A hash with no
+    * near-dup neighbor still forms a class of its own exact duplicates,
+    * so the report covers exact AND near dup classes uniformly; classes
+    * of a single image are dropped (nothing duplicated). */
+  private def qImagePhashClasses(s: SparkSession, dir: String): DataFrame = {
+    val hashes = phashHashes(s, dir)
+    val pairs = phashPairs(hashes)
+    val cc = graft.operators.Dedup.connectedComponents(
+        pairs.select(col("hash_a").as("doc_a"), col("hash_b").as("doc_b")))
+      .select(col("doc_id").as("phash"), col("canonical_id").as("class_id"))
+    hashes.join(cc, Seq("phash"), "left")
+      .select(coalesce(col("class_id"), col("phash")).as("class_id"),
+        col("n_members"))
+      .groupBy(col("class_id"))
+      .agg(count(lit(1)).as("n_hashes"), sum(col("n_members")).as("n_members"))
+      .filter(col("n_members") >= 2)
   }
 
   /** REAL-codec cross-check, audio flavor ([[MediaDecode.decodeWav]]):
@@ -368,6 +405,7 @@ private[graft] object MediaEntries {
     "q_image_ahash" -> qImageAhash,
     "q_image_phash" -> qImagePhash,
     "q_image_phash_neardup" -> qImagePhashNeardup,
+    "q_image_phash_classes" -> qImagePhashClasses,
     "q_image_resize" -> qImageResize,
     "q_image_neardup" -> qImageNeardup,
     "q_media_decode_png" -> qMediaDecodePng,
@@ -582,6 +620,52 @@ private[graft] object MediaEntries {
          |)
          |SELECT hash_a, hash_b, hamming, n_a, n_b FROM psc
          |WHERE hamming <= $PhashMaxHamming""".stripMargin,
+    // same banded pairs → recursive components over the DISTINCT-HASH
+    // graph (the q_simhash_classes reach idiom) → one row per duplicate
+    // class; hashes with no near-dup neighbor label themselves, so
+    // exact-dup-only classes surface too
+    "q_image_phash_classes" ->
+      s"""WITH RECURSIVE $oPhashChain,
+         |ph AS (
+         |  SELECT phash, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM pbits GROUP BY phash
+         |),
+         |pbands AS (
+         |  SELECT phash, n_members, b.b AS band,
+         |    substr(phash, CAST(b.b * 21 + 1 AS INTEGER), 21) AS sig
+         |  FROM ph, range(0, 3) b(b)
+         |),
+         |pcand AS (
+         |  SELECT DISTINCT a.phash AS hash_a, c.phash AS hash_b
+         |  FROM pbands a JOIN pbands c
+         |    ON a.band = c.band AND a.sig = c.sig AND a.phash < c.phash
+         |),
+         |prs AS (
+         |  SELECT hash_a, hash_b FROM pcand
+         |  WHERE CAST(list_reduce(list_transform(range(1, 64),
+         |    i -> CASE WHEN substr(hash_a, CAST(i AS INTEGER), 1)
+         |                <> substr(hash_b, CAST(i AS INTEGER), 1)
+         |              THEN 1 ELSE 0 END), (x, y) -> x + y) AS BIGINT)
+         |    <= $PhashMaxHamming
+         |),
+         |und AS (
+         |  SELECT hash_a AS src, hash_b AS dst FROM prs
+         |  UNION ALL SELECT hash_b, hash_a FROM prs
+         |),
+         |reach AS (
+         |  SELECT DISTINCT src AS d, src AS r FROM und
+         |  UNION
+         |  SELECT reach.d, und.dst FROM reach JOIN und ON und.src = reach.r
+         |),
+         |cc AS (SELECT d AS h, min(r) AS class_id FROM reach GROUP BY d),
+         |lab AS (
+         |  SELECT coalesce(cc.class_id, ph.phash) AS class_id, ph.n_members
+         |  FROM ph LEFT JOIN cc ON cc.h = ph.phash
+         |)
+         |SELECT class_id, CAST(count(*) AS BIGINT) AS n_hashes,
+         |  CAST(sum(n_members) AS BIGINT) AS n_members
+         |FROM lab GROUP BY class_id
+         |HAVING CAST(sum(n_members) AS BIGINT) >= 2""".stripMargin,
     // resize oracle: the bm CTE IS the closed-form 2x box average; the
     // digest compares every resized pixel (row-major), so one wrong
     // pixel anywhere in the real decode→resample path fails the hash
