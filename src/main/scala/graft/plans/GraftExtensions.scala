@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BloomSet, FloatDotProduct, FreqSketch, JaroWinklerSimilarity, SeededAggs}
+import graft.functions.{BloomSet, FloatDotProduct, FreqSketch, JaroWinklerSimilarity, SeededAggs, WindowHashes}
 
 /** Engine packaging: registers the custom functions with the session's
   * FunctionRegistry so plain `spark.sql` users get them as first-class
@@ -98,6 +98,13 @@ object GraftExtensions {
     (new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
       (args: Seq[Expression]) => JaroWinklerSimilarity(args(0), args(1))),
+    // SELECT window_hashes(text, 12) — every stride-1 hash60 window of a
+    // string in one linear pass (the substring-dedup fast path), SQL
+    // surface congruent with the Column API (Dedup.substringWindows)
+    (new FunctionIdentifier("window_hashes"),
+      new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
+      (args: Seq[Expression]) =>
+        WindowHashes(args.head, intArg(args(1), "window_hashes"))),
     // mergeable sketch family: SELECT mg_merge(sk, 16) FROM (SELECT
     //   mg_sketch(token, 16) AS sk FROM toks GROUP BY source)
     (new FunctionIdentifier("mg_sketch"),

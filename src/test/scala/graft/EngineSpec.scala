@@ -75,6 +75,26 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.sql("SELECT float_dot(a, b) FROM vecs").head().getDouble(0) == 11.0)
   }
 
+  test("window_hashes is usable from SQL and matches the composed form") {
+    import spark.implicits._
+    // one ASCII and one multi-byte string: the SQL surface must return
+    // exactly hash60(substr(s, i+1, minLen)) per window, congruent with
+    // the Column API the substring-dedup path uses
+    Seq("abcdefg", "héllo wörld").toDF("s").createOrReplaceTempView("sqlwh")
+    val viaSql = spark.sql("SELECT s, window_hashes(s, 4) AS wh FROM sqlwh")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val composed = spark.table("sqlwh").select(col("s"),
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(1),
+            org.apache.spark.sql.functions.length(col("s")) - 3),
+          i => graft.operators.TextAnalysis.hash60(
+            col("s").substr(i, org.apache.spark.sql.functions.lit(4)))).as("wh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == composed)
+    assert(viaSql("abcdefg").length == 4)
+  }
+
   test("mg_sketch/mg_merge and bloom_set_agg are usable from plain SQL") {
     import spark.implicits._
     (Seq.fill(30)("hot") ++ (1 to 10).map(i => s"w$i"))
