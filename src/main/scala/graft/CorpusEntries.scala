@@ -84,6 +84,12 @@ object CorpusEntries {
 
   /** Temperature for the source-mix resampling weights. */
   private val MixAlpha = 0.7
+  // mix-plan knobs: α=0.5 upsamples rare strata hard enough that small
+  // strata overshoot the 2-epoch cap on the synthetic corpus, so the
+  // water-filling actually redistributes (some capped, some not)
+  private val MixPlanAlpha = 0.5
+  private val MixPlanEpochs = 2
+  private val MixPlanBudgetPct = 150
 
   /** Incremental-dedup split (batch = odd ids) and Jaccard threshold. */
   private val IncrTau = 0.7
@@ -150,6 +156,12 @@ object CorpusEntries {
 
   private def qSourceMix(s: SparkSession, dir: String): DataFrame =
     CorpusStats.sourceMix(Tables.documents(s, dir), alpha = MixAlpha)
+
+  /** Token-budget mixture plan: water-filling quotas under α-temperature
+    * weights and the per-stratum epoch cap (exact-integer allocation). */
+  private def qMixPlan(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.mixPlan(Tables.documents(s, dir), alpha = MixPlanAlpha,
+      maxEpochs = MixPlanEpochs, budgetPct = MixPlanBudgetPct)
 
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame =
     Dedup.incremental(Tables.documents(s, dir),
@@ -627,6 +639,7 @@ object CorpusEntries {
     "q_repetition" -> qRepetition,
     "q_repetition_ngrams" -> qRepetitionNgrams,
     "q_source_mix" -> qSourceMix,
+    "q_mix_plan" -> qMixPlan,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_bigram_lm" -> qBigramLm,
     "q_backoff_lm" -> qBackoffLm,
@@ -1958,6 +1971,62 @@ object CorpusEntries {
          |  ${r4(s"pow(n_docs, $MixAlpha) / sum(pow(n_docs, $MixAlpha)) OVER ()")}
          |    AS mix_weight
          |FROM g""".stripMargin,
+
+    // water-filling mirror: weight quantized ONCE (int64), then the
+    // rounds unroll as CTE pairs (pool aggregate, cap step) in pure
+    // integer arithmetic — `//` floors exactly like Spark's `div` on the
+    // non-negative operands the plan guarantees
+    "q_mix_plan" -> {
+      def tblock(k: Int): String =
+        s"""t$k AS (
+           |  SELECT CAST(sum(CASE WHEN NOT capped THEN w ELSE 0 END) AS BIGINT) AS wsum,
+           |    CAST(sum(CASE WHEN capped THEN quota ELSE 0 END) AS BIGINT) AS used
+           |  FROM it$k
+           |)""".stripMargin
+      def iblock(k: Int): String =
+        s"""it${k + 1} AS (
+           |  SELECT source, lang, n_docs, n_tokens, budget, w, cap_tok,
+           |    CASE WHEN capped THEN quota
+           |         WHEN (budget - used) * w // greatest(wsum, 1) >= cap_tok
+           |           THEN cap_tok ELSE 0 END AS quota,
+           |    capped OR ((budget - used) * w // greatest(wsum, 1) >= cap_tok)
+           |      AS capped
+           |  FROM it$k, t$k
+           |)""".stripMargin
+      val rounds = 4
+      val loop = (0 until rounds).map(k => s"${tblock(k)},\n${iblock(k)}")
+        .mkString(",\n")
+      s"""WITH st AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1, 2
+         |),
+         |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tok,
+         |  max(n_tokens) AS max_tok FROM st),
+         |it0 AS (
+         |  SELECT source, lang, n_docs, n_tokens,
+         |    tot_tok * $MixPlanBudgetPct // 100 AS budget,
+         |    greatest(CAST(floor(pow(CAST(n_tokens AS DOUBLE) / max_tok,
+         |      $MixPlanAlpha) * 100000) AS BIGINT), 1) AS w,
+         |    n_tokens * $MixPlanEpochs AS cap_tok,
+         |    FALSE AS capped, CAST(0 AS BIGINT) AS quota
+         |  FROM st, tt
+         |),
+         |$loop,
+         |${tblock(rounds)},
+         |fin AS (
+         |  SELECT source, lang, n_docs, n_tokens, w,
+         |    CASE WHEN capped THEN quota
+         |         ELSE (budget - used) * w // greatest(wsum, 1) END
+         |      AS quota_tokens,
+         |    capped
+         |  FROM it$rounds, t$rounds
+         |)
+         |SELECT source, lang, n_docs, n_tokens, w, quota_tokens,
+         |  ${r4("CAST(quota_tokens AS DOUBLE) / n_tokens")} AS epochs,
+         |  capped
+         |FROM fin""".stripMargin
+    },
 
     "q_dedup_incremental" -> {
       val sig = (0 until Dedup.MinHashK)

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MatOps
+
 /** Corpus-composition statistics: the "data mixing" view of a training
   * corpus — per-(source, lang) volumes plus temperature-scaled resampling
   * weights (p_i ∝ n_i^α, the multilingual/multi-domain mixing rule from
@@ -35,6 +37,80 @@ object CorpusStats {
       .withColumn("mean_doc_tokens", r4(col("n_tokens").cast("double") / col("n_docs")))
       .withColumn("mix_weight", r4(col("raw_w") / col("tot_w")))
       .drop("raw_w", "tot_w")
+  }
+
+  /** Token-budget mixture PLAN — the data-recipe step between
+    * [[sourceMix]]'s descriptive weights and an actual training run:
+    * given a total token budget (`budgetPct` of the corpus), a mixing
+    * temperature α, and a per-stratum repetition cap (`maxEpochs` — the
+    * "don't repeat any source more than k times" rule the LLaMA/Gopher
+    * recipes apply), emit each (source, lang) stratum's token quota and
+    * implied epoch count.
+    *
+    * Allocation is WATER-FILLING: every stratum asks for budget·w/Σw
+    * (w ∝ n_tokens^α, so α < 1 upsamples rare strata); a stratum whose
+    * ask exceeds maxEpochs × its tokens is CAPPED there and its excess
+    * budget re-distributed over the uncapped pool, `rounds` times. Each
+    * redistribution can only cap more strata, so `rounds` ≥ the number
+    * of cap tiers reached makes the plan exact; the default 4 covers any
+    * realistic mix (each round caps at least one stratum or the plan is
+    * already stable, and real corpora have single-digit cap tiers).
+    *
+    * Engine-parity design: the weight is quantized ONCE
+    * (w = max(1, ⌊(n_i/n_max)^α · 10⁵⌋)) and every subsequent step —
+    * asks, caps, redistribution — is pure int64 arithmetic (integral
+    * division, non-negative operands), so a DuckDB mirror cannot
+    * disagree on a boundary no matter how the doubles round. Bound:
+    * budget · 10⁵ must stay under 2⁶³, i.e. budgets to ~9×10¹³ tokens —
+    * comfortably past a 100 TB text corpus (~2.5×10¹³ tokens).
+    *
+    * Scale shape: one map-side-combinable corpus aggregate; everything
+    * after runs on the strata-sized table through one-row scalar
+    * broadcasts (the [[sourceMix]] idiom), `rounds`+1 times. */
+  def mixPlan(docs: DataFrame, alpha: Double, maxEpochs: Int,
+      budgetPct: Int = 150, rounds: Int = 4): DataFrame = {
+    require(maxEpochs >= 1 && budgetPct >= 1 && rounds >= 1,
+      s"mixPlan params out of range: maxEpochs=$maxEpochs budgetPct=$budgetPct rounds=$rounds")
+    val toks = TextAnalysis.tokens(col("text"))
+    // materialized: the pool aggregate re-reads the strata table once per
+    // redistribution round (+1 for the totals) — without this every
+    // one-row aggregate would re-run the CORPUS tokenization scan
+    val strata = docs
+      .select(col("source"), col("lang"), size(toks).as("n_tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .materialize
+    val tots = strata.agg(sum(col("n_tokens")).as("tot_tok"),
+      max(col("n_tokens")).as("max_tok"))
+    var cur = strata.crossJoin(broadcast(tots))
+      .withColumn("budget", expr(s"tot_tok * $budgetPct div 100"))
+      .withColumn("w", greatest(
+        floor(pow(col("n_tokens").cast("double") / col("max_tok"), alpha)
+          * lit(100000)).cast("long"), lit(1L)))
+      .withColumn("cap_tok", col("n_tokens") * lit(maxEpochs.toLong))
+      .withColumn("capped", lit(false))
+      .withColumn("quota", lit(0L))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("budget"), col("w"), col("cap_tok"), col("capped"), col("quota"))
+    def pool(c: DataFrame): DataFrame = c.agg(
+      sum(when(!col("capped"), col("w")).otherwise(0L)).as("wsum"),
+      sum(when(col("capped"), col("quota")).otherwise(0L)).as("used"))
+    for (_ <- 1 to rounds) {
+      cur = cur.crossJoin(broadcast(pool(cur)))
+        .withColumn("tent", expr("(budget - used) * w div greatest(wsum, 1L)"))
+        .withColumn("newcap", !col("capped") && col("tent") >= col("cap_tok"))
+        .withColumn("quota", when(col("capped"), col("quota"))
+          .when(col("newcap"), col("cap_tok")).otherwise(0L))
+        .withColumn("capped", col("capped") || col("newcap"))
+        .drop("wsum", "used", "tent", "newcap")
+    }
+    cur.crossJoin(broadcast(pool(cur)))
+      .withColumn("quota_tokens", when(col("capped"), col("quota"))
+        .otherwise(expr("(budget - used) * w div greatest(wsum, 1L)")))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("w"), col("quota_tokens"),
+        r4(col("quota_tokens").cast("double") / col("n_tokens")).as("epochs"),
+        col("capped"))
   }
 
   /** Temperature-weighted corpus resample: keep each document with its

@@ -272,6 +272,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(w("web") / w("books") - 3.0) < 0.01)
   }
 
+  test("mix plan: water-filling laws — caps exact, budget honored, excess redistributed") {
+    // three strata: a dominant one and two small ones that α=0.5 upsamples
+    // past the 2-epoch cap, forcing redistribution back to the big stratum
+    val d = ((0 until 900).map(i => (i.toLong, "w " * 9 + "w", "en", "web")) ++
+      (900 until 910).map(i => (i.toLong, "w " * 9 + "w", "de", "books")) ++
+      (910 until 920).map(i => (i.toLong, "w " * 9 + "w", "fr", "news")))
+      .map { case (id, t, l, s) => (id, t.trim, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusStats.mixPlan(d, alpha = 0.5, maxEpochs = 2,
+      budgetPct = 150).collect()
+    assert(out.length == 3)
+    val bySrc = out.map(r => r.getAs[String]("source") -> r).toMap
+    val budget = 9200L * 150 / 100
+    // capped strata sit EXACTLY at maxEpochs × their tokens
+    for (s <- Seq("books", "news")) {
+      assert(bySrc(s).getAs[Boolean]("capped"))
+      assert(bySrc(s).getAs[Long]("quota_tokens") == 2 * 100L)
+      assert(bySrc(s).getAs[Double]("epochs") == 2.0)
+    }
+    // the uncapped stratum absorbs the redistributed excess: its quota
+    // is the whole remaining budget modulo integral-division slack
+    assert(!bySrc("web").getAs[Boolean]("capped"))
+    val total = out.map(_.getAs[Long]("quota_tokens")).sum
+    assert(total <= budget)
+    assert(budget - total < out.length) // slack < one unit per stratum
+    // no stratum exceeds its epoch cap
+    assert(out.forall(_.getAs[Double]("epochs") <= 2.0))
+    // without the cap, naive α-weights would SHORT the big stratum: its
+    // water-filled quota must exceed its naive (uncapped) share
+    val naive = {
+      val w = out.map(r => math.pow(r.getAs[Long]("n_tokens").toDouble / 9000, 0.5))
+      (budget * (w.max / w.sum)).toLong
+    }
+    assert(bySrc("web").getAs[Long]("quota_tokens") > naive)
+  }
+
   test("quality rules: each rule fails on its own pathology, clean doc passes") {
     val stopful = "the cat sat on a mat and the dog is here with all of them now then"
     val d = Seq(

@@ -51,6 +51,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // (C = distinct labels, single digits by construction)
     "q_nb_classify", "q_nb_confusion",
     "q_data_card", // one-row corpus-total broadcast (same as q_source_mix)
+    // strata-sized water-filling: one-row pool aggregates (wsum/used)
+    // cross-joined back per redistribution round — the sourceMix idiom
+    "q_mix_plan",
     "q_ccnet_buckets") // one-row tercile-threshold broadcast (qualityDeciles idiom)
 
   test("no shipped query plans a cartesian or an unexpected nested-loop join") {
