@@ -296,6 +296,20 @@ object CorpusEntries {
       docs.filter(col("doc_id") % 2 === 1))
   }
 
+  /** Risk–coverage over the NB decision margin (same split as
+    * q_nb_classify): selective accuracy vs coverage from the most- to
+    * least-confident margin band. */
+  private def qNbMargin(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.nbRiskCoverage(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      bandMicros = NbBandMicros, nBands = NbBands)
+  }
+
+  private val NbBandMicros = 2500L
+  private val NbBands = 10
+
   /** Confusion matrix over the q_nb_classify predictions (C²-bounded). */
   private def qNbConfusion(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -647,6 +661,7 @@ object CorpusEntries {
     "q_kn3_lm" -> qKn3Lm,
     "q_nb_classify" -> qNbClassify,
     "q_nb_confusion" -> qNbConfusion,
+    "q_nb_margin" -> qNbMargin,
     "q_blocklist" -> qBlocklist,
     "q_data_card" -> qDataCard,
     "q_ccnet_buckets" -> qCcnetBuckets,
@@ -1145,6 +1160,38 @@ object CorpusEntries {
          |SELECT actual, pred, CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
          |FROM nbp GROUP BY actual, pred""".stripMargin,
+
+    // margin = runner-up minus best nll4 (exact int64 micros off the
+    // shared win CTE); docs with no runner-up land in the open top band
+    "q_nb_margin" ->
+      s"""WITH $oNbChain,
+         |sec AS (
+         |  SELECT a.doc_id, a.label, a.nll4, b.nll4 AS nll4b
+         |  FROM win a LEFT JOIN win b ON b.doc_id = a.doc_id AND b.rk = 2
+         |  WHERE a.rk = 1
+         |),
+         |bd AS (
+         |  SELECT (s.lang = x.label) AS correct,
+         |    least(coalesce(x.nll4b - x.nll4, ${NbBandMicros * NbBands})
+         |      // $NbBandMicros, ${NbBands - 1}) AS band
+         |  FROM sc s JOIN sec x ON x.doc_id = s.doc_id
+         |),
+         |pb AS (
+         |  SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_correct
+         |  FROM bd GROUP BY band
+         |),
+         |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM pb)
+         |SELECT band, n_docs, n_correct,
+         |  ${r4("CAST(n_correct AS DOUBLE) / n_docs")} AS acc,
+         |  CAST(sum(n_docs) OVER wb AS BIGINT) AS cum_docs,
+         |  ${r4("CAST(sum(n_correct) OVER wb AS DOUBLE) / CAST(sum(n_docs) OVER wb AS DOUBLE)")}
+         |    AS selective_acc,
+         |  ${r4("CAST(sum(n_docs) OVER wb AS DOUBLE) / total_docs")} AS coverage
+         |FROM pb CROSS JOIN tt
+         |WINDOW wb AS (ORDER BY band DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // arithmetic mirrored op-for-op with explicit DOUBLE casts and the
     // same parenthesization as TextAnalysis.kneserNeyLm; per-gram NLLs

@@ -791,11 +791,11 @@ object TextAnalysis {
     NbModel(classes, wc, nTrainDocs, vocabV)
   }
 
-  /** Score documents under a trained [[NbModel]] (see [[nbClassify]] for
-    * the formula and the determinism contract). */
-  def nbScore(score: DataFrame, m: NbModel,
-      labelCol: String = "lang"): DataFrame = {
-    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+  /** The per-(doc, class) NLL candidate table under a trained model —
+    * (doc_id, label, nll4, n_unseen), C rows per document, exact int64
+    * NLL micros. [[nbScore]] argmins it; [[nbRiskCoverage]] reads the
+    * best-vs-runner-up margin off it. */
+  def nbPerClass(score: DataFrame, m: NbModel): DataFrame = {
     // score side: one explode per doc, collapsed to (doc, token-type, k)
     val st = score
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -805,7 +805,7 @@ object TextAnalysis {
     val condP = (coalesce(col("n_wc"), lit(0L)).cast("double") + lit(1.0)) /
       (col("n_c").cast("double") + lit(m.vocab.toDouble))
     val tokNll4 = floor(-log(condP) * lit(10000) + lit(0.5)).cast("long")
-    val perDocClass = st
+    st
       .join(broadcast(m.classes), trueLit) // C-row class table: bounded BNLJ
       .join(m.wc, Seq("label", "w"), "left")
       .groupBy(col("doc_id"), col("label"), prior4.as("prior4"))
@@ -813,6 +813,14 @@ object TextAnalysis {
         sum(when(col("n_wc").isNull, col("k")).otherwise(0L)).as("n_unseen"))
       .select(col("doc_id"), col("label"),
         (col("prior4") + col("tok4")).as("nll4"), col("n_unseen"))
+  }
+
+  /** Score documents under a trained [[NbModel]] (see [[nbClassify]] for
+    * the formula and the determinism contract). */
+  def nbScore(score: DataFrame, m: NbModel,
+      labelCol: String = "lang"): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val perDocClass = nbPerClass(score, m)
     // argmin over the C candidate rows per doc; label asc breaks exact ties
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("nll4"), col("label"))
@@ -824,6 +832,58 @@ object TextAnalysis {
         (col("actual") === col("label")).as("correct"),
         r4(col("nll4").cast("double") / lit(10000.0)).as("nll"),
         col("n_unseen"))
+  }
+
+  /** Selective-classification risk–coverage report over the NB decision
+    * MARGIN — the confidence audit a pipeline runs before trusting a
+    * routing classifier's most-confident slice (Geifman & El-Yaniv 2017's
+    * risk–coverage view, with the margin as the confidence score): per
+    * margin band (best-vs-runner-up NLL gap, `bandMicros` wide, top band
+    * open), document count and accuracy, plus the CUMULATIVE
+    * selective accuracy and coverage reading bands from most- to
+    * least-confident. A well-calibrated router shows selective_acc
+    * falling monotonically as coverage grows — the curve that picks the
+    * "auto-route above this margin, human-review below" operating point.
+    *
+    * Determinism: the margin is a difference of the exact int64 NLL
+    * micros [[nbPerClass]] guarantees — banding cannot disagree across
+    * engines. Shape at scale: nbScore's plan plus one band aggregate
+    * (≤ nBands rows) and one bounded global window over it. Documents
+    * with a single candidate class (margin undefined) land in the open
+    * top band — a one-class router is maximally "confident". */
+  def nbRiskCoverage(train: DataFrame, score: DataFrame,
+      labelCol: String = "lang", bandMicros: Long = 2500L,
+      nBands: Int = 10): DataFrame = {
+    require(bandMicros >= 1 && nBands >= 2,
+      s"nbRiskCoverage params out of range: bandMicros=$bandMicros nBands=$nBands")
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val pdc = nbPerClass(score, nbModel(train, labelCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("nll4"), col("label"))
+    val ranked = pdc.select(col("doc_id"), col("label"), col("nll4"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("next4", lead(col("nll4"), 1).over(w))
+      .filter(col("rk") === 1)
+    val banded = score.select(col("doc_id"), col(labelCol).as("actual"))
+      .join(ranked, "doc_id")
+      .select((col("actual") === col("label")).as("correct"),
+        least(expr(s"coalesce(next4 - nll4, ${bandMicros * nBands}L) div ${bandMicros}L"),
+          lit((nBands - 1).toLong)).as("band"))
+    val perBand = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+    val tot = perBand.agg(sum(col("n_docs")).as("total_docs"))
+    // cumulative from the MOST confident band down: ≤ nBands rows, so the
+    // single-partition global window is provably bounded
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("band").desc)
+    perBand.crossJoin(broadcast(tot))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wb))
+      .withColumn("cum_correct", sum(col("n_correct")).over(wb))
+      .select(col("band"), col("n_docs"), col("n_correct"),
+        r4(col("n_correct").cast("double") / col("n_docs")).as("acc"),
+        col("cum_docs"),
+        r4(col("cum_correct").cast("double") / col("cum_docs")).as("selective_acc"),
+        r4(col("cum_docs").cast("double") / col("total_docs")).as("coverage"))
   }
 
   /** `lit(true)` as a join condition (crossJoin rejects a condition arg;

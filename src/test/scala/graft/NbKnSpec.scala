@@ -38,6 +38,46 @@ class NbKnSpec extends AnyFunSuite {
     assert(out(1L).getAs[Long]("n_unseen") == 0L)
   }
 
+  test("nb risk-coverage: margin separates clean from ambiguous docs, " +
+      "cumulative laws hold") {
+    val train = Seq(
+      (0L, "the cat sat here", "en"), (2L, "the dog sat there", "en"),
+      (4L, "der hund war da", "de"), (6L, "der katze war dort", "de"))
+      .toDF("doc_id", "text", "lang")
+    // doc 1: strongly English (large margin); doc 3: strongly German;
+    // doc 5: every token unseen → both classes tie on smoothing alone →
+    // margin 0 → the LEAST confident band
+    val score = Seq(
+      (1L, "the cat sat the cat sat", "en"),
+      (3L, "der hund war der hund war", "de"),
+      (5L, "zzz qqq", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbRiskCoverage(train, score,
+        bandMicros = 2500L, nBands = 10)
+      .collect().map(r => r.getAs[Long]("band") -> r).toMap
+    // all three docs accounted for; coverage reaches exactly 1.0
+    assert(out.values.map(_.getAs[Long]("n_docs")).sum == 3L)
+    val full = out(out.keys.min)
+    assert(full.getAs[Long]("cum_docs") == 3L)
+    assert(full.getAs[Double]("coverage") == 1.0)
+    // the zero-margin tie doc lands in band 0 and is the one wrong call
+    // (tie broken to "de", actual "en"), so full-coverage selective
+    // accuracy is 2/3 while the confident slice is perfect
+    assert(out.contains(0L) && out(0L).getAs[Long]("n_correct") == 0L)
+    assert(full.getAs[Double]("selective_acc") == 0.6667)
+    val top = out(out.keys.max)
+    assert(out.keys.max > 0L)
+    assert(top.getAs[Double]("selective_acc") == 1.0)
+    // selective accuracy is the cumulative ratio at every band: spot the
+    // monotone bookkeeping cum_correct/cum_docs == selective_acc
+    out.values.foreach { r =>
+      val exp = math.floor(r.getAs[Long]("cum_docs").toDouble *
+        r.getAs[Double]("selective_acc") * 10000 + 0.5)
+      assert(math.abs(exp / 10000.0 / r.getAs[Long]("cum_docs") -
+        r.getAs[Double]("selective_acc")) < 1e-3)
+    }
+  }
+
   test("nb confusion aggregates the per-doc predictions") {
     val train = Seq(
       (0L, "the cat", "en"), (2L, "the dog", "en"),

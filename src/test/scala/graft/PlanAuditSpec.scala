@@ -50,6 +50,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the C-row class-prior table widening each scored doc's token types
     // (C = distinct labels, single digits by construction)
     "q_nb_classify", "q_nb_confusion",
+    "q_nb_margin", // the same C-row class-prior widen + one-row total
     "q_data_card", // one-row corpus-total broadcast (same as q_source_mix)
     // strata-sized water-filling: one-row pool aggregates (wsum/used)
     // cross-joined back per redistribution round — the sourceMix idiom
@@ -82,7 +83,9 @@ class PlanAuditSpec extends AnyFunSuite {
     * bucket-partitioned windows. */
   private val globalWindowAllowed =
     Set("q_rolling_beta", "q_leadlag", "q_corr_matrix", "q_shuffle_shards",
-      "q_shards_stratified")
+      // q_nb_margin's cumulative risk-coverage window runs over the
+      // band table — <= nBands (10) rows by construction
+      "q_shards_stratified", "q_nb_margin")
 
   test("no shipped query windows over an unpartitioned frame") {
     import org.apache.spark.sql.execution.window.WindowExec
