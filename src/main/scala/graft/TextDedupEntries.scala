@@ -53,6 +53,11 @@ private[graft] object TextDedupEntries {
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, dir), 0.7)
 
+  /** Empirical-vs-theoretical LSH recall per exact-Jaccard band — the
+    * S-curve audit run before trusting the banding at corpus scale. */
+  private def qMinhashRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallAudit(Tables.documents(s, dir))
+
   /** Fuzzy-decontamination threshold (query, oracle, AND the streaming
     * gate read the same value) — lower than the dedup tau on purpose:
     * contamination screens flag partial/reworded benchmark copies, not
@@ -208,6 +213,7 @@ private[graft] object TextDedupEntries {
     "q_jaccard_pairs" -> qJaccardPairs,
     "q_containment" -> qContainment,
     "q_minhash_lsh" -> qMinhashLsh,
+    "q_minhash_recall" -> qMinhashRecall,
     "q_decontaminate_fuzzy" -> qDecontaminateFuzzy,
     "q_simhash" -> qSimhash,
     "q_simhash_mp" -> qSimhashMp,
@@ -488,6 +494,35 @@ private[graft] object TextDedupEntries {
          |${oJaccard(0.7)}
          |SELECT c.doc_a, c.doc_b, j.jaccard
          |FROM cand c JOIN jpairs j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b""".stripMargin,
+    // recall audit: exact integer banding (b20 = 20*|∩| // |∪|) over the
+    // df-capped truth pairs, LSH candidates from the SAME signature
+    // machinery, expected-recall literals computed once in Scala
+    // (Dedup.lshExpectedRecall) and inlined into both engines
+    "q_minhash_recall" -> {
+      val expCase = graft.operators.Dedup.lshExpectedRecall(5)
+        .map { case (b, p) => s"WHEN $b THEN $p" }.mkString(" ")
+      s"""WITH $oShingleIdx,
+         |$oCappedIdx,
+         |$oMinhash,
+         |truth AS (
+         |  SELECT cinter.doc_a, cinter.doc_b,
+         |    (20 * i) // (sa.sz + sb.sz - i) AS b20
+         |  FROM cinter JOIN csz sa ON sa.doc_id = cinter.doc_a
+         |              JOIN csz sb ON sb.doc_id = cinter.doc_b
+         |  WHERE (20 * i) // (sa.sz + sb.sz - i) >= 5
+         |),
+         |per AS (
+         |  SELECT b20, CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(count(c.doc_a) AS BIGINT) AS n_caught
+         |  FROM truth t LEFT JOIN cand c
+         |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |  GROUP BY b20
+         |)
+         |SELECT b20, ${r4("b20 / 20.0")} AS j_lo, n_true, n_caught,
+         |  ${r4("CAST(n_caught AS DOUBLE) / n_true")} AS recall,
+         |  CASE b20 $expCase END AS expected_recall
+         |FROM per""".stripMargin
+    },
     // cross-set candidates → exact Jaccard ≥ tau → best eval match per
     // training doc by (4dp jaccard desc, eval id) — mirrors
     // Dedup.fuzzyDecontaminate's window exactly

@@ -406,6 +406,74 @@ object Dedup {
     verifyJaccard(cand, idx, tau)
   }
 
+  /** Empirical LSH recall audit — the measurement that justifies trusting
+    * [[minhashLshPairs]]'s banding before a corpus-scale dedup run: per
+    * exact-Jaccard band (1/20 wide, from `minB20`/20 up, top band = exact
+    * dups), how many TRUE pairs exist (the df-capped exact self-join,
+    * [[jaccardPairs]]'s ground truth), how many the band collision
+    * CAUGHT, the empirical recall, and the theoretical banding S-curve
+    * 1−(1−s^r)^b at the band midpoint for comparison (r = rows/band = 2,
+    * b = [[MinHashK]]/2 bands). A healthy index shows empirical ≥
+    * theoretical (signatures correlate positively within near-dup pairs);
+    * a broken hash family shows up as a band whose empirical recall
+    * undershoots the curve.
+    *
+    * Engine parity: bands are EXACT integer arithmetic off the
+    * intersection counts — b20 = ⌊20·|∩| / |∪|⌋ — so binning cannot
+    * ulp-flip at a boundary; the theoretical curve is computed ONCE here
+    * (4dp literals) and inlined into both engines.
+    *
+    * Shape at scale: the truth side is the same bounded self-join as
+    * [[jaccardPairs]] (maxDf² per shingle cap); the candidate side the
+    * same banding as [[minhashLshPairs]]; the audit joins them pair-keyed
+    * and aggregates to ≤16 rows. Run it on a SAMPLE at 100 TB — recall
+    * is a property of the hash family and tau, not of corpus size. */
+  def lshRecallAudit(docs: DataFrame, n: Int = 3, maxDf: Int = 100,
+      minB20: Int = 5): DataFrame = {
+    val r4c = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val idx = shingleIndex(docs, n).materialize // sigs + capped truth
+    val capped = cappedIndex(idx, maxDf).materialize
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val truth = capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sza")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "szb")), "doc_b")
+      .withColumn("b20", expr("20 * inter div (sza + szb - inter)"))
+      .filter(col("b20") >= minB20)
+      .select(col("doc_a"), col("doc_b"), col("b20"))
+    val bands = bandsOf(minhashSignaturesFromIndex(idx).materialize)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+          col("a.y") === col("b.y") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val per = truth
+      .join(cand.withColumn("_hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("b20"))
+      .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_caught"))
+    val expected = lshExpectedRecall(minB20).foldLeft(lit(null).cast("double")) {
+      case (acc, (b, p)) => when(col("b20") === b, lit(p)).otherwise(acc)
+    }
+    per.select(col("b20"), r4c(col("b20").cast("double") / lit(20.0)).as("j_lo"),
+      col("n_true"), col("n_caught"),
+      r4c(col("n_caught").cast("double") / col("n_true")).as("recall"),
+      expected.as("expected_recall"))
+  }
+
+  /** The banding S-curve 1−(1−s²)^(K/2) at each band midpoint, 4dp — the
+    * ONE place the theoretical literals are computed; both the Spark
+    * expression and the DuckDB oracle inline these values. */
+  private[graft] def lshExpectedRecall(minB20: Int): Seq[(Int, Double)] =
+    (minB20 to 20).map { b =>
+      val s = if (b == 20) 1.0 else b / 20.0 + 0.025
+      val p = 1.0 - math.pow(1.0 - s * s, MinHashK / 2)
+      b -> math.floor(p * 10000 + 0.5) / 10000
+    }
+
   /** Connected components over an undirected near-dup pair graph by
     * iterative min-label propagation (the standard Spark CC shape: joins,
     * no driver-side graph). Converges in O(log(largest component)) rounds;

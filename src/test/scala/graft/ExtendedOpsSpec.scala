@@ -42,6 +42,35 @@ class ExtendedOpsSpec extends AnyFunSuite {
       Seq((1L, 2L, 1.0)))
   }
 
+  test("LSH recall audit: exact integer banding, exact dups always caught, " +
+      "caught never exceeds true") {
+    // pair (1,2): identical -> jaccard 1.0 -> band 20, and identical
+    // signatures GUARANTEE a band collision (recall 1.0 provable, not
+    // probabilistic). pair (3,4): 12-token docs sharing an 8-token
+    // prefix -> 6 shared / 10+10 shingles -> jaccard 6/14, b20 =
+    // 120 div 14 = 8. doc 5 is disjoint noise.
+    val d = docs(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 c9 c10 c11 c12"),
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 x9 x10 x11 x12"),
+      (5L, "q r s t u v w x y z"))
+    val out = Dedup.lshRecallAudit(d).collect()
+      .map(r => r.getAs[Long]("b20") -> r).toMap
+    assert(out.contains(20L) && out.contains(8L))
+    assert(out(20L).getAs[Long]("n_true") == 1L)
+    assert(out(20L).getAs[Long]("n_caught") == 1L) // identical sigs collide
+    assert(out(20L).getAs[Double]("recall") == 1.0)
+    assert(out(20L).getAs[Double]("expected_recall") == 1.0)
+    assert(out(8L).getAs[Long]("n_true") == 1L)
+    // probabilistic catch for the mid-band pair, but NEVER more than true
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_true"))
+    }
+    // the theoretical curve at band 8 midpoint: 1-(1-0.425^2)^8
+    val exp8 = math.floor((1.0 - math.pow(1.0 - 0.425 * 0.425, 8)) * 10000 + 0.5) / 10000
+    assert(out(8L).getAs[Double]("expected_recall") == exp8)
+  }
+
   test("simhash: identical docs at hamming 0; pairs bounded by threshold") {
     val d = docs(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
