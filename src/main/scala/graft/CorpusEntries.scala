@@ -141,6 +141,18 @@ object CorpusEntries {
     Decontamination.screen(Tables.documents(s, dir),
       pmod(col("doc_id"), lit(10)) === 0, n = DecontamN, minHits = DecontamMinHits)
 
+  private val DecontamSweepNs = Seq(3, 4, 5, 7, 9)
+
+  /** n-length sensitivity sweep for the decontamination screen (same
+    * train/eval split as q_decontaminate, every n in one fused pass). */
+  private def qDecontamNsweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontamination.screenNSweep(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      DecontamSweepNs, DecontamMinHits)
+  }
+
   /** Bloom-prescreened decontamination: same parameters and BIT-EXACT
     * same output as [[qDecontaminate]] (it shares that oracle SQL — the
     * strongest possible check that the bloom pass loses nothing), but
@@ -649,6 +661,7 @@ object CorpusEntries {
     "q_chunks" -> qChunks,
     "q_passage_dedup" -> qPassageDedup,
     "q_decontaminate" -> qDecontaminate,
+    "q_decontam_nsweep" -> qDecontamNsweep,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_repetition" -> qRepetition,
     "q_repetition_ngrams" -> qRepetitionNgrams,
@@ -1917,6 +1930,50 @@ object CorpusEntries {
          |FROM qscore s, th""".stripMargin,
 
     "q_decontaminate" -> decontamOracleSql,
+    // one idx block per n, unioned with an n tag; rates are ratios of
+    // exact count sums (single division), mirroring screenNSweep
+    "q_decontam_nsweep" -> {
+      def idxBlock(n: Int): String = {
+        val grams = (0 until n).map(k => s"toks[i+$k]").mkString(", ")
+        s"""sh$n AS (
+           |  SELECT doc_id, unnest(list_distinct(
+           |    CASE WHEN len(toks) < $n THEN CAST([] AS VARCHAR[])
+           |         ELSE list_transform(range(1, len(toks) - ${n - 2}),
+           |                i -> concat_ws(' ', $grams)) END)) AS sh
+           |  FROM tk
+           |),
+           |ix$n AS (SELECT DISTINCT doc_id, $n AS n,
+           |  CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
+           |    % 2147483647 AS h
+           |  FROM sh$n)""".stripMargin
+      }
+      val blocks = DecontamSweepNs.map(idxBlock).mkString(",\n")
+      val unioned = DecontamSweepNs.map(n => s"SELECT * FROM ix$n")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |$blocks,
+         |ix AS (
+         |  $unioned
+         |),
+         |ev AS (SELECT DISTINCT n, h FROM ix WHERE doc_id % 10 = 0),
+         |trn AS (SELECT * FROM ix WHERE doc_id % 10 != 0),
+         |pd AS (
+         |  SELECT trn.n, trn.doc_id, count(*) AS n_shingles,
+         |    count(ev.h) AS n_hits
+         |  FROM trn LEFT JOIN ev ON ev.n = trn.n AND ev.h = trn.h
+         |  GROUP BY 1, 2
+         |)
+         |SELECT n, CAST(count(*) AS BIGINT) AS n_docs_scored,
+         |  CAST(sum(CASE WHEN n_hits >= $DecontamMinHits THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated,
+         |  ${r4(s"CAST(sum(CASE WHEN n_hits >= $DecontamMinHits THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
+         |    AS contaminated_rate,
+         |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+         |  ${r4("CAST(sum(n_hits) AS DOUBLE) / CAST(sum(n_shingles) AS DOUBLE)")}
+         |    AS pooled_hit_frac
+         |FROM pd GROUP BY n""".stripMargin
+    },
     // the bloom-prescreened variant must lose NOTHING: it is hash-checked
     // against the exact screen's own oracle, bit for bit
     "q_decontaminate_bloom" -> decontamOracleSql,

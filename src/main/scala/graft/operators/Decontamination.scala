@@ -201,6 +201,54 @@ object Decontamination {
           .otherwise(lit(null).cast("double")).as("novel_frac"))
   }
 
+  /** Decontamination n-LENGTH sensitivity sweep — the audit that picks n
+    * before a production screen: the same eval-overlap screen run at
+    * every candidate n-gram length in ONE pass, reported per n (docs
+    * scored, docs contaminated, the contaminated rate, total hits, and
+    * the pooled hit fraction Σhits/Σshingles). Short n over-flags
+    * (common phrases collide), long n under-flags (one edit breaks the
+    * gram) — the sweep shows the knee where the flag rate stabilizes,
+    * which is how the 13-gram-style conventions (GPT-3 appendix C) are
+    * justified rather than assumed.
+    *
+    * Shape at scale: the fused-generator idiom (one explode emitting
+    * (n, hash) for every n — NOT one corpus pass per n), one distinct,
+    * one broadcast of the (n-tagged) eval gram set, one keyed per-doc
+    * aggregate, and a final ≤|ns|-row rollup. Fractions are ratios of
+    * EXACT count sums (one division at the end), so no float-summation
+    * order can move them. */
+  def screenNSweep(trainDocs: DataFrame, evalDocs: DataFrame,
+      ns: Seq[Int] = Seq(5, 7, 9, 11, 13), minHits: Int = 1): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), s"bad ns: $ns")
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    def multiIdx(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(flatten(array(ns.map(n =>
+        transform(array_distinct(
+            graft.operators.TextAnalysis.shinglesFromTokens(col("toks"), n)),
+          g => struct(lit(n).as("n"),
+            (graft.operators.TextAnalysis.hash60(g) % 2147483647L).as("h")))): _*)))
+        .as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.h").as("h"))
+      .distinct()
+    val evalGrams = multiIdx(evalDocs).select(col("n"), col("h")).distinct()
+    val perDoc = multiIdx(trainDocs)
+      .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("n", "h"), "left")
+      .groupBy(col("n"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_hits"))
+    perDoc.groupBy(col("n")).agg(
+        count(lit(1)).as("n_docs_scored"),
+        sum(when(col("n_hits") >= minHits, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_hits")).as("total_hits"),
+        sum(col("n_shingles")).as("total_shingles"))
+      .select(col("n"), col("n_docs_scored"), col("n_contaminated"),
+        r4(col("n_contaminated").cast("double") / col("n_docs_scored"))
+          .as("contaminated_rate"),
+        col("total_hits"),
+        r4(col("total_hits").cast("double") / col("total_shingles"))
+          .as("pooled_hit_frac"))
+  }
+
   def screenAgainst(trainIdx: DataFrame, evalGrams: DataFrame,
       minHits: Int): DataFrame =
     trainIdx

@@ -272,6 +272,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(w("web") / w("books") - 3.0) < 0.01)
   }
 
+  test("decontam n-sweep: planted span flags at n <= span, clean above; " +
+      "flag counts non-increasing in n") {
+    // train doc 1 shares EXACTLY a 5-token run with the eval doc; train
+    // doc 3 is clean at every n
+    val evalD = Seq((10L, "s1 s2 s3 s4 s5 e6 e7 e8 e9 e10"))
+      .toDF("doc_id", "text")
+    val trainD = Seq(
+      (1L, "t1 t2 s1 s2 s3 s4 s5 t8 t9 t10"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Decontamination
+      .screenNSweep(trainD, evalD, ns = Seq(3, 4, 5, 6, 7), minHits = 1)
+      .collect().map(r => r.getAs[Int]("n") -> r).toMap
+    // the 5-token shared span carries 3-, 4-, and 5-grams but no 6-gram
+    for (n <- Seq(3, 4, 5)) {
+      assert(out(n).getAs[Long]("n_contaminated") == 1L, s"n=$n")
+      assert(out(n).getAs[Double]("contaminated_rate") == 0.5)
+    }
+    for (n <- Seq(6, 7))
+      assert(out(n).getAs[Long]("n_contaminated") == 0L, s"n=$n")
+    // hits shrink with n inside the span: 3 trigrams, 2 four-grams, 1 five-gram
+    assert(Seq(3, 4, 5).map(out(_).getAs[Long]("total_hits")) == Seq(3L, 2L, 1L))
+    // every n scores both train docs
+    assert(out.values.forall(_.getAs[Long]("n_docs_scored") == 2L))
+  }
+
   test("mix plan: water-filling laws — caps exact, budget honored, excess redistributed") {
     // three strata: a dominant one and two small ones that α=0.5 upsamples
     // past the 2-epoch cap, forcing redistribution back to the big stratum
