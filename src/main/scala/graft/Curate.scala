@@ -297,7 +297,10 @@ object Curate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val f = run(spark, sfDir, outDir)
+    // SPARK_GRAFT_GOPHER_FULL=1 turns on the strict Table-A1 repetition
+    // mode from the CLI (same default-off contract as the run() param)
+    val f = run(spark, sfDir, outDir,
+      gopherFull = sys.env.get("SPARK_GRAFT_GOPHER_FULL").contains("1"))
     println(s"""{"input":${f.input},"blocklist":${f.blocklist},""" +
       s""""quality":${f.quality},"rules":${f.rules},""" +
       s""""repetition":${f.repetition},"dedup":${f.dedup},"semdedup":${f.semdedup},""" +
