@@ -192,6 +192,15 @@ object CorpusEntries {
       maxWordLen = RuleMaxWordLen, minStopDistinct = RuleMinStop,
       maxShortFrac = RuleMaxShortFrac)
 
+  /** Per-rule ablation (n_fail / n_unique_fail) over the same rule
+    * thresholds as q_quality_rules — the threshold-tuning report. */
+  private def qRulesAblation(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rulesAblation(Tables.documents(s, dir),
+      minWords = RuleMinWords, maxWords = RuleMaxWords,
+      minMeanLen = RuleMinMeanLen, maxMeanLen = RuleMaxMeanLen,
+      maxWordLen = RuleMaxWordLen, minStopDistinct = RuleMinStop,
+      maxShortFrac = RuleMaxShortFrac)
+
   private def qLmScore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     TextAnalysis.lmScore(docs, TextAnalysis.bigramLm(docs, LmMinCount), LmUnseenP)
@@ -683,6 +692,7 @@ object CorpusEntries {
     "q_novelty_bloom" -> qNoveltyBloom,
     "q_quality_deciles" -> qQualityDeciles,
     "q_quality_rules" -> qQualityRules,
+    "q_rules_ablation" -> qRulesAblation,
     "q_lm_score" -> qLmScore,
     "q_pack" -> qPack,
     "q_pack_stats" -> qPackStats,
@@ -750,6 +760,33 @@ object CorpusEntries {
   /** Shared by q_decontaminate AND q_decontaminate_bloom: the bloom
     * variant's strongest check is hashing against the exact screen's
     * oracle unchanged. */
+  /** Shared rule-flags CTE chain (mirrors TextAnalysis.qualityRules up
+    * to the ok_* flags) — feeds q_quality_rules and q_rules_ablation. */
+  private def oRulesChain: String =
+    s"""t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS lc
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    ${r4("(lc - (len(toks) - 1)) * 1.0 / len(toks)")} AS mean_word_len,
+       |    list_max(list_transform(toks, x -> length(x))) AS max_word_len,
+       |    len(list_filter($oStopList, s -> list_contains(toks, s)))
+       |      AS n_stop_distinct,
+       |    ${r4("len(list_filter(toks, x -> length(x) <= 2)) * 1.0 / len(toks)")}
+       |      AS short_word_frac
+       |  FROM t
+       |), f AS (
+       |  SELECT *,
+       |    (n_words >= $RuleMinWords AND n_words <= $RuleMaxWords) AS ok_words,
+       |    (mean_word_len >= $RuleMinMeanLen AND mean_word_len <= $RuleMaxMeanLen)
+       |      AS ok_mean_len,
+       |    max_word_len <= $RuleMaxWordLen AS ok_word_len,
+       |    n_stop_distinct >= $RuleMinStop AS ok_stopwords,
+       |    short_word_frac <= $RuleMaxShortFrac AS ok_short
+       |  FROM m
+       |)""".stripMargin
+
   private def decontamOracleSql: String =
     s"""WITH ${oShingleIdx(DecontamN)},
        |ev AS (SELECT DISTINCT h FROM shidx WHERE doc_id % 10 = 0),
@@ -1759,29 +1796,7 @@ object CorpusEntries {
          |SELECT * FROM r WHERE sample_rank <= $ExactNPerLang""".stripMargin,
 
     "q_quality_rules" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS lc
-         |  FROM documents
-         |), m AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_words,
-         |    ${r4("(lc - (len(toks) - 1)) * 1.0 / len(toks)")} AS mean_word_len,
-         |    list_max(list_transform(toks, x -> length(x))) AS max_word_len,
-         |    len(list_filter($oStopList, s -> list_contains(toks, s)))
-         |      AS n_stop_distinct,
-         |    ${r4("len(list_filter(toks, x -> length(x) <= 2)) * 1.0 / len(toks)")}
-         |      AS short_word_frac
-         |  FROM t
-         |), f AS (
-         |  SELECT *,
-         |    (n_words >= $RuleMinWords AND n_words <= $RuleMaxWords) AS ok_words,
-         |    (mean_word_len >= $RuleMinMeanLen AND mean_word_len <= $RuleMaxMeanLen)
-         |      AS ok_mean_len,
-         |    max_word_len <= $RuleMaxWordLen AS ok_word_len,
-         |    n_stop_distinct >= $RuleMinStop AS ok_stopwords,
-         |    short_word_frac <= $RuleMaxShortFrac AS ok_short
-         |  FROM m
-         |)
+      s"""WITH $oRulesChain
          |SELECT *,
          |  (ok_words AND ok_mean_len AND ok_word_len AND ok_stopwords AND ok_short)
          |    AS keep,
@@ -1792,6 +1807,35 @@ object CorpusEntries {
          |       WHEN NOT ok_short THEN 'short_words'
          |       ELSE NULL END AS fail_reason
          |FROM f""".stripMargin,
+
+    // per-rule ablation off the same flags CTE: one aggregate row of
+    // exact counts, unpivoted to one row per rule
+    "q_rules_ablation" -> {
+      val rules = Seq("n_words" -> "ok_words",
+        "mean_word_len" -> "ok_mean_len", "max_word_len" -> "ok_word_len",
+        "stopwords" -> "ok_stopwords", "short_words" -> "ok_short")
+      val aggCols = rules.map { case (nm, okc) =>
+        val others = rules.collect { case (_, o) if o != okc => o }
+          .mkString(" AND ")
+        s"""    CAST(sum(CASE WHEN NOT $okc THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS "f_$nm",
+           |    CAST(sum(CASE WHEN NOT $okc AND $others THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS "u_$nm"""".stripMargin
+      }.mkString(",\n")
+      val rows = rules.map { case (nm, _) =>
+        s"""SELECT '$nm' AS rule, "f_$nm" AS n_fail, "u_$nm" AS n_unique_fail,
+           |  ${r4(s""""f_$nm" * 1.0 / n_docs""")} AS fail_rate,
+           |  ${r4(s""""u_$nm" * 1.0 / n_docs""")} AS unique_rate
+           |FROM agg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $oRulesChain,
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |$aggCols
+         |  FROM f
+         |)
+         |$rows""".stripMargin
+    },
 
     "q_lm_score" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

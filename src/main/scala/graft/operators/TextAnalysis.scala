@@ -440,6 +440,47 @@ object TextAnalysis {
           .otherwise(lit(null).cast("string")))
   }
 
+  /** Rule ABLATION report over [[qualityRules]] — the threshold-tuning
+    * view: per rule, how many documents fail it at all (`n_fail`) and
+    * how many ONLY it fails (`n_unique_fail` — the docs that rule alone
+    * removes from the corpus; every other rule passes them). A rule with
+    * high n_fail but near-zero unique kills is redundant with its
+    * neighbors and can be relaxed for free; a rule with high unique
+    * kills is load-bearing and its threshold deserves scrutiny. The
+    * exact composition question every gate-tuning pass asks, answered
+    * from ONE corpus scan: the flags frame aggregates to a single row of
+    * exact counts, then unpivots to one row per rule — no per-rule
+    * rescans, no shuffle beyond the one aggregate. */
+  def rulesAblation(docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxWordLen: Int = 20, minStopDistinct: Int = 2,
+      maxShortFrac: Double = 0.30): DataFrame = {
+    val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val flags = qualityRules(docs, minWords, maxWords, minMeanLen,
+      maxMeanLen, maxWordLen, minStopDistinct, maxShortFrac)
+    val rules = Seq("n_words" -> "ok_words", "mean_word_len" -> "ok_mean_len",
+      "max_word_len" -> "ok_word_len", "stopwords" -> "ok_stopwords",
+      "short_words" -> "ok_short")
+    val aggCols = rules.flatMap { case (nm, okc) =>
+      val othersOk = rules.collect { case (_, o) if o != okc => col(o) }
+        .reduce(_ && _)
+      Seq(sum(when(!col(okc), 1L).otherwise(0L)).as(s"f_$nm"),
+        sum(when(!col(okc) && othersOk, 1L).otherwise(0L)).as(s"u_$nm"))
+    } :+ count(lit(1)).as("n_docs")
+    flags.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(rules.map { case (nm, _) =>
+        struct(lit(nm).as("rule"), col(s"f_$nm").as("n_fail"),
+          col(s"u_$nm").as("n_unique_fail"),
+          r4(col(s"f_$nm").cast("double") / col("n_docs")).as("fail_rate"),
+          r4(col(s"u_$nm").cast("double") / col("n_docs")).as("unique_rate"))
+      }: _*)).as("x"))
+      .select(col("x.rule").as("rule"), col("x.n_fail").as("n_fail"),
+        col("x.n_unique_fail").as("n_unique_fail"),
+        col("x.fail_rate").as("fail_rate"),
+        col("x.unique_rate").as("unique_rate"))
+  }
+
   /** Per-document bigram-LM score against a [[bigramLm]] table: mean
     * negative log-likelihood over the document's bigrams (unseen bigrams
     * get the fixed floor probability `unseenP`) plus the implied

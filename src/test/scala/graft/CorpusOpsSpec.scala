@@ -334,6 +334,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bySrc("web").getAs[Long]("quota_tokens") > naive)
   }
 
+  test("rules ablation: unique kills separate load-bearing from redundant rules") {
+    val stopful = "the cat sat on a mat and the dog is here with all of them now then"
+    val d = Seq(
+      (1L, stopful),                                 // clean
+      (2L, "the of and"),                            // fails ONLY n_words
+      (3L, stopful + " supercalifragilistic"),       // fails ONLY max_word_len
+      // fails BOTH n_words and stopwords -> unique for NEITHER
+      (4L, "just plain")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rulesAblation(d, minWords = 10, maxWords = 100,
+        minMeanLen = 2.0, maxMeanLen = 12.0, maxWordLen = 15,
+        minStopDistinct = 2, maxShortFrac = 0.5)
+      .collect().map(r => r.getAs[String]("rule") -> r).toMap
+    assert(out.size == 5)
+    assert(out("n_words").getAs[Long]("n_fail") == 2L)        // docs 2, 4
+    assert(out("n_words").getAs[Long]("n_unique_fail") == 1L) // doc 2 only
+    assert(out("max_word_len").getAs[Long]("n_fail") == 1L)
+    assert(out("max_word_len").getAs[Long]("n_unique_fail") == 1L)
+    assert(out("stopwords").getAs[Long]("n_fail") == 1L)      // doc 4
+    assert(out("stopwords").getAs[Long]("n_unique_fail") == 0L) // shared with n_words
+    assert(out("mean_word_len").getAs[Long]("n_fail") == 0L)
+    assert(out("n_words").getAs[Double]("fail_rate") == 0.5)
+    assert(out("n_words").getAs[Double]("unique_rate") == 0.25)
+  }
+
   test("quality rules: each rule fails on its own pathology, clean doc passes") {
     val stopful = "the cat sat on a mat and the dog is here with all of them now then"
     val d = Seq(
