@@ -110,13 +110,13 @@ object CorpusEntries {
     * defaults so the synthetic corpus splits on every flag (profiled:
     * 10-99 words, mean word length 3.7-5.3, max word length 5-8,
     * short-word fraction 0-0.064, distinct stopwords 1-2). */
-  private val RuleMinWords = 30
-  private val RuleMaxWords = 90
-  private val RuleMinMeanLen = 3.0
-  private val RuleMaxMeanLen = 5.0
-  private val RuleMaxWordLen = 7
-  private val RuleMinStop = 2
-  private val RuleMaxShortFrac = 0.05
+  private[graft] val RuleMinWords = 30
+  private[graft] val RuleMaxWords = 90
+  private[graft] val RuleMinMeanLen = 3.0
+  private[graft] val RuleMaxMeanLen = 5.0
+  private[graft] val RuleMaxWordLen = 7
+  private[graft] val RuleMinStop = 2
+  private[graft] val RuleMaxShortFrac = 0.05
 
   /** Sequence-packing parameters: training-sequence length and the
     * prefix-sum bucket size (small here so multiple buckets exist even at

@@ -306,7 +306,7 @@ object SparkEntry {
     Set("q_sketches_check", "q_sketch_rollup_check", "q_topk_sketch_check",
       "q_stream_indicators", "q_stream_cdc", "q_stream_drift",
       "q_stream_dsir", "q_stream_nb", "q_stream_ccnet",
-      "q_stream_blocklist", "q_stream_repetition",
+      "q_stream_blocklist", "q_stream_repetition", "q_stream_rules",
       "q_stream_fuzzy_decontam",
       "q_stream_sessionize", "q_stream_join", "q_stream_join_outer",
       "q_stream_topk", "q_stream_topk_check")

@@ -505,6 +505,35 @@ private[graft] object StreamEntries {
     graft.streaming.StreamGate.report(s, work)
   }
 
+  /** The STREAMING structural rule gate: the full corpus replayed as
+    * three id-ordered micro-batches through [[graft.streaming.StreamGate]]
+    * applying the batch Gopher/C4 rule gate verbatim — the third
+    * constant-closure member, completing the family (every stateless
+    * per-document gate now has its streaming form). Hash-gated against
+    * q_quality_rules' batch oracle unchanged. Verify-only. */
+  private def qStreamRules(s: SparkSession, dir: String): DataFrame = {
+    val work = SessionScoped.scratchDir("graft_stream_rules")
+    val docs = Tables.documents(s, dir)
+    graft.streaming.Feeder.writeTimeSlicedFeed(
+      docs.select(col("doc_id"), col("text"), col("doc_id").as("_ms")),
+      "_ms", work, slices = 3)
+    val feedSchema = org.apache.spark.sql.types.StructType(
+      docs.select(col("doc_id"), col("text")).schema)
+    val stream = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val q = graft.streaming.StreamGate.run(stream,
+      TextAnalysis.qualityRules(_,
+        minWords = CorpusEntries.RuleMinWords,
+        maxWords = CorpusEntries.RuleMaxWords,
+        minMeanLen = CorpusEntries.RuleMinMeanLen,
+        maxMeanLen = CorpusEntries.RuleMaxMeanLen,
+        maxWordLen = CorpusEntries.RuleMaxWordLen,
+        minStopDistinct = CorpusEntries.RuleMinStop,
+        maxShortFrac = CorpusEntries.RuleMaxShortFrac), work)
+    q.processAllAvailable(); q.stop()
+    graft.streaming.StreamGate.report(s, work)
+  }
+
   /** The STREAMING near-dup decontamination gate: training docs replayed
     * as three id-ordered micro-batches through
     * [[graft.streaming.StreamFuzzyDecontam]] against the fixed eval set
@@ -686,6 +715,7 @@ private[graft] object StreamEntries {
     "q_stream_ccnet" -> qStreamCcnet,
     "q_stream_blocklist" -> qStreamBlocklist,
     "q_stream_repetition" -> qStreamRepetition,
+    "q_stream_rules" -> qStreamRules,
     "q_stream_fuzzy_decontam" -> qStreamFuzzyDecontam,
     "q_stream_sessionize" -> qStreamSessionize,
     "q_stream_join" -> qStreamJoin,
@@ -761,6 +791,7 @@ private[graft] object StreamEntries {
     // gates', verbatim (full corpus, any slicing)
     "q_stream_blocklist" -> CorpusEntries.oracleSql("q_blocklist"),
     "q_stream_repetition" -> CorpusEntries.oracleSql("q_repetition"),
+    "q_stream_rules" -> CorpusEntries.oracleSql("q_quality_rules"),
     // the streamed fuzzy screen accumulates the SAME per-doc report the
     // batch query emits (stateless vs a fixed eval set) — shared oracle
     "q_stream_fuzzy_decontam" -> TextDedupEntries.oracleSql("q_decontaminate_fuzzy"),

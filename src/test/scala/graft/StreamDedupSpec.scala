@@ -544,6 +544,16 @@ class StreamDedupSpec extends AnyFunSuite {
       rows.length / 3) == batchRep)
     assert(runStream("rep_rev", repGate, rows.sortBy(-_._1),
       rows.length / 2) == batchRep)
+
+    // the third constant-closure gate: the structural rule gate
+    val rulesGate = (d: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.qualityRules(d, minWords = 30, maxWords = 90,
+        minMeanLen = 3.0, maxMeanLen = 5.0, maxWordLen = 7,
+        minStopDistinct = 2, maxShortFrac = 0.05)
+    val batchRules = rulesGate(docs).orderBy("doc_id").collect()
+      .map(_.toSeq).toSeq
+    assert(runStream("rules_fwd", rulesGate, rows.sortBy(_._1),
+      rows.length / 3) == batchRules)
   }
 
   test("streamed CCNet routing matches the fixed-threshold batch router in any order") {
