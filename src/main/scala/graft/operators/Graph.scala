@@ -158,14 +158,19 @@ object Graph {
       .select(col("node"), col("node").as("label"))
       .materialize
     for (it <- 1 to iters) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+      // top-1 vote as an ARGMAX AGGREGATE, not a window (optimization
+      // r18, guide §2.3/§2.4): max(struct(c, −label)) ⇔ (c desc, label
+      // asc) — the former row_number shape re-shuffled AND sorted every
+      // (node, label) vote row; the aggregate partial-combines map-side
+      // and never sorts the full vote frame. −label is safe: labels are
+      // node ids ≥ 0. Bit-identical pick by construction.
       val voted = e
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select(col("node"), col("label").as("_new"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (lit(0L) - col("label")).as("_nl"))).as("_b"))
+        .select(col("node"), (lit(0L) - col("_b._nl")).as("_new"))
       labels = labels
         .join(voted, Seq("node"), "left")
         .select(col("node"), coalesce(col("_new"), col("label")).as("label"))
@@ -202,22 +207,31 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
     var und = sym.materialize
+    // Per-round job budget (optimization r18, guide §5 — the driver
+    // serializes on every blocking action): the former loop ran FOUR
+    // blocking jobs per round (count-before, keep materialize, und
+    // materialize, count-after) where two suffice — the round's entry
+    // count IS the previous round's exit count (carried in a local var,
+    // one count job per round instead of two), and `keep` no longer
+    // materializes: both semi-join consumers re-derive it from the
+    // ALREADY-CHECKPOINTED `und`, so the duplicated subtree is one
+    // aggregate over a truncated leaf — plan growth stays bounded (the
+    // und materializeLoop truncates every round under `local`, every 2
+    // under `persist`), and one eager job per round disappears.
+    var prev = und.count()
     var rounds = 0
     var converged = false
     while (rounds < maxRounds && !converged) {
-      val before = und.count() // materialized: cheap scalar probe
-      // loop-depth-aware: the body references both `und` and `keep`
-      // twice, the self-referencing-DAG shape persist can't keep lineage
-      // on indefinitely (Materialize.loop)
       val keep = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
-        .materializeLoop(rounds + 1)
       und = und
         .join(keep.select(col("node").as("src")), "src")
         .join(keep.select(col("node").as("dst")), "dst")
         .select(col("src"), col("dst"))
         .materializeLoop(rounds + 1)
-      converged = und.count() == before
+      val after = und.count()
+      converged = after == prev
+      prev = after
       rounds += 1
     }
     und.groupBy(col("src").as("node"))

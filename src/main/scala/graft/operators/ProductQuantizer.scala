@@ -73,16 +73,32 @@ object ProductQuantizer {
 
   /** Nearest codebook entry per (vector, subspace) by L2:
     * argmin ‖v−c‖² ≡ argmin ‖c‖² − 2·v·c. 4dp-rounded score, lowest code
-    * id tiebreak. One broadcast join on m for every subspace at once. */
+    * id tiebreak. One broadcast join on m for every subspace at once.
+    *
+    * Plan shape (optimization r18, guide §2.3/§2.4): ‖c‖² is computed
+    * ONCE per codebook entry before the join (the fused form refolded it
+    * per (vector, subspace, code) — N·M·K redundant dot folds), and the
+    * argmin is an AGGREGATE, not a window: the (d2x, code) rank key packs
+    * losslessly into one int64 (d2x is exactly k/10⁴ with the 4dp floor
+    * already computed as the integer k, |k| bounded by the unit-norm
+    * subvector geometry ≪ 2³¹; codes are non-negative < 2³¹), so
+    * `min(long)` partial-aggregates map-side inside whole-stage codegen
+    * and the exchange carries N·M rows instead of the N·M·K candidate
+    * rows the window shape shuffled and sorted. min ⇔ (d2x asc, code
+    * asc); only the code is decoded (low 32 bits — d2x ≥ 0 is not needed
+    * downstream, and k ≥ −‖c‖²·10⁴ keeps the key's group order exact for
+    * negative k too, because the shift/mask decomposition is floor-based). */
   private def l2Assign(subs: DataFrame, codebooks: DataFrame): DataFrame = {
-    val scored = subs.join(broadcast(codebooks), "m")
-      .select(col("vec_id"), col("m"), col("code"),
-        r4(dot(col("ce"), col("ce")) - lit(2.0) * dot(col("sv"), col("ce")))
-          .as("d2x"))
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2x"), col("code"))
-    scored.withColumn("arn", row_number().over(w)).filter(col("arn") === 1)
-      .select(col("vec_id"), col("m"), col("code"))
+    val cbs = codebooks.select(col("m"), col("code"), col("ce"),
+      dot(col("ce"), col("ce")).as("_cc"))
+    val key = floor((col("_cc") - lit(2.0) * dot(col("sv"), col("ce")))
+        * lit(10000) + lit(0.5)).cast("long") * lit(4294967296L) + col("code")
+    subs.join(broadcast(cbs), "m")
+      .select(col("vec_id"), col("m"), key.as("_k"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("_k")).as("_k"))
+      .select(col("vec_id"), col("m"),
+        col("_k").bitwiseAND(lit(4294967295L)).as("code"))
   }
 
   /** Lloyd-trained codebooks for ALL subspaces: seed = first k vectors'

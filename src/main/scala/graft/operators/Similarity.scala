@@ -215,11 +215,17 @@ object Similarity {
     * noise). The query side is broadcast; the corpus is scanned once. */
   def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     requireProbeFits(nQueries)
+    // norms once per side (r18, guide §2.3): the fused cosine refolded the
+    // corpus row's norm for every query — nQ× redundant flops per row
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("_qn"))
+    val scored = emb.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("_n"))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        r4(cosine(col("qe"), col("embedding"))).as("score"))
+        r4(cosinePre(col("qe"), col("embedding"), col("_qn"), col("_n")))
+          .as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -241,16 +247,53 @@ object Similarity {
   /** Top-`nprobe` clusters per vector (probe_rank 1 = nearest) — rank by
     * 4dp-rounded cosine, tiebreak lowest centroid id. nprobe = 1 is corpus
     * assignment; nprobe > 1 is the query-side probe set of multi-probe
-    * search. */
+    * search.
+    *
+    * Plan shape (optimization r18, guide §2.3/§2.4): norms are computed
+    * ONCE per side before the cross join (the fused `cosine` refolded each
+    * side's norm per candidate — C× redundant flops on the corpus side),
+    * and the hot nprobe = 1 assignment is an ARGMAX AGGREGATE, not a
+    * window: the (cscore, centroid_id) rank key packs losslessly into one
+    * int64 (cscore is exactly k/10⁴ with |k| ≤ 10⁴; centroid ids are
+    * non-negative and < 2³¹), so `max(long)` partial-aggregates map-side
+    * inside whole-stage codegen and the exchange carries N rows instead
+    * of N·C — the window shape shuffled AND sorted every candidate row.
+    * Decode is exact: arithmetic shift right = floor-division by 2³²,
+    * low mask = the tiebreak remainder, and k/10⁴ re-divides to the
+    * bit-identical double r4 produced (both are the nearest double to
+    * k/10⁴). The nprobe > 1 path (query-side probes, bounded rows) keeps
+    * the window. */
   def ivfAssignTop(emb: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
-    val scored = emb.crossJoin(broadcast(cent))
+    val centN = cent.select(col("centroid_id"), col("ce"),
+      norm(col("ce")).as("_cn"))
+    val scored = emb.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("_en"))
+      .crossJoin(broadcast(centN))
       .select(col("vec_id"), col("centroid_id"),
-        r4(cosine(col("embedding"), col("ce"))).as("cscore"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("centroid_id"))
-    scored.withColumn("probe_rank", row_number().over(w))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col("vec_id"), col("centroid_id"), col("cscore"), col("probe_rank"))
+        r4(cosinePre(col("embedding"), col("ce"), col("_en"), col("_cn")))
+          .as("cscore"))
+    if (nprobe == 1) {
+      // rank key: k·2³² + (Int.MaxValue − centroid_id); max ⇔ (cscore
+      // desc, centroid_id asc) — k = cscore·10⁴ recovered exactly from
+      // the 4dp-rounded double (|k·10⁻⁴·10⁴ − k| < 10⁻⁸ ≪ 0.5)
+      val key = floor(col("cscore") * lit(10000) + lit(0.5)).cast("long") *
+        lit(4294967296L) +
+        (lit(Int.MaxValue.toLong) - col("centroid_id"))
+      scored.groupBy(col("vec_id"))
+        .agg(max(key).as("_k"))
+        .select(col("vec_id"),
+          (lit(Int.MaxValue.toLong) - col("_k").bitwiseAND(lit(4294967295L)))
+            .as("centroid_id"),
+          (shiftright(col("_k"), 32).cast("double") / lit(10000.0))
+            .as("cscore"),
+          lit(1).as("probe_rank"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("centroid_id"))
+      scored.withColumn("probe_rank", row_number().over(w))
+        .filter(col("probe_rank") <= nprobe)
+        .select(col("vec_id"), col("centroid_id"), col("cscore"), col("probe_rank"))
+    }
   }
 
   /** Assignment against untrained seed centroids (spec/back-compat path). */
@@ -338,14 +381,17 @@ object Similarity {
   private def ivfSearchAssigned(emb: DataFrame, assign: DataFrame,
       nQueries: Int, k: Int): DataFrame = {
     requireProbeFits(nQueries)
+    // norms once per side (r18, guide §2.3) — see cosineTopK
     val withCluster = emb.join(assign, "vec_id")
+      .withColumn("_n", norm(col("embedding")))
     val q = withCluster.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("centroid_id").as("qc"))
+        col("centroid_id").as("qc"), col("_n").as("_qn"))
     val scored = withCluster.join(broadcast(q),
         col("centroid_id") === col("qc") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        r4(cosine(col("qe"), col("embedding"))).as("score"))
+        r4(cosinePre(col("qe"), col("embedding"), col("_qn"), col("_n")))
+          .as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -409,17 +455,20 @@ object Similarity {
     val assign = ivfAssign(emb, cent)
       .select("vec_id", "centroid_id").materialize
     val withCluster = emb.join(assign, "vec_id")
+      .withColumn("_n", norm(col("embedding"))) // norm once per side (r18)
     val qe = emb.filter(col("vec_id") < nQueries)
     val probes = ivfAssignTop(qe, cent, nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id").as("qc"))
-    val q = qe.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val q = qe.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("_qn"))
       .join(probes, "query_id")
     // a neighbor matches at most once per query: it lives in ONE cluster
     // and the probe set is distinct clusters — no post-join dedup needed
     val scored = withCluster.join(broadcast(q),
         col("centroid_id") === col("qc") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        r4(cosine(col("qe"), col("embedding"))).as("score"))
+        r4(cosinePre(col("qe"), col("embedding"), col("_qn"), col("_n")))
+          .as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -620,16 +669,21 @@ object Similarity {
   def cosineTopKQ8(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     requireProbeFits(nQueries)
     val quant = quantizeInt8(emb).materialize // one quantization pass
-    val q = quant.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("qvec").as("qq"))
-    val qdot = expr(
-      "aggregate(zip_with(qq, qvec, (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), (a, v) -> a + v)")
     val qnorm = (v: String) => expr(
       s"aggregate($v, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x)")
-    val scored = quant.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    // integer norms once per side (r18, guide §2.3): the fused form
+    // refolded the corpus row's ‖q‖² per query — exact integers, so
+    // hoisting them is bit-neutral
+    val q = quant.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qvec").as("qq"),
+        qnorm("qvec").as("_qn2"))
+    val qdot = expr(
+      "aggregate(zip_with(qq, qvec, (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), (a, v) -> a + v)")
+    val scored = quant.withColumn("_n2", qnorm("qvec"))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         r4(qdot.cast("double") /
-          sqrt(qnorm("qq").cast("double") * qnorm("qvec").cast("double")))
+          sqrt(col("_qn2").cast("double") * col("_n2").cast("double")))
           .as("score"))
       .filter(col("score").isNotNull && !isnan(col("score")))
     val w = org.apache.spark.sql.expressions.Window

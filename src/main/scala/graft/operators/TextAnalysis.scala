@@ -354,14 +354,29 @@ object TextAnalysis {
           (g, i) => struct(lit(n).as("n"), i.as("i"), g.as("g")))): _*))).as("x"))
       .select(col("doc_id"), col("x.n").as("n"), col("x.i").as("i"),
         col("x.g").as("g"))
+    // Union-of-spans as an INTERVAL-UNION FOLD (optimization r18, guide
+    // §2.3/§2.4): every span is the fixed-length interval [i, i+n−1], so
+    // the covered-position count is a linear sweep over the SORTED start
+    // positions — each start adds max(0, (s+n−1) − max(prev_end, s−1))
+    // positions. Equal by construction to the former
+    // explode(starts) → explode(position range) → distinct → count, but
+    // without materializing and shuffling the Σc·n position rows through
+    // a distinct exchange: the duplicated-gram starts collapse per
+    // (doc, n) and the union length is computed in one array fold.
+    val unionLen = expr(
+      """aggregate(
+        |  array_sort(flatten(starts_all)),
+        |  named_struct('e', -1, 't', CAST(0 AS BIGINT)),
+        |  (acc, s) -> named_struct(
+        |    'e', greatest(acc.e, s + n - 1),
+        |    't', acc.t + CAST(greatest(0, s + n - 1 - greatest(acc.e, s - 1)) AS BIGINT)),
+        |  acc -> acc.t)""".stripMargin)
     val dup = dupG.groupBy(col("doc_id"), col("n"), col("g"))
       .agg(count(lit(1)).as("c"), collect_list(col("i")).as("starts"))
       .filter(col("c") > 1)
-      .select(col("doc_id"), col("n"), explode(col("starts")).as("i"))
-      .select(col("doc_id"), col("n"),
-        explode(sequence(col("i"), col("i") + col("n") - 1)).as("pos"))
-      .distinct()
-      .groupBy(col("doc_id"), col("n")).agg(count(lit(1)).as("covered"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(collect_list(col("starts")).as("starts_all"))
+      .select(col("doc_id"), col("n"), unionLen.as("covered"))
     val all = top
       .select(col("doc_id"), col("n"), col("top_c"),
         lit(null).cast("long").as("covered"))
@@ -551,19 +566,34 @@ object TextAnalysis {
     import graft.operators.Materialize.MatOps
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
     val toks = tokens(col("text"))
-    val uni = train.select(explode(toks).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n1")).materialize
-    // sum over an EMPTY dict is SQL NULL — degrade to 0 so an empty
+    // ONE fused unigram+bigram+trigram count pass (optimization r18,
+    // guide §1.2 step 1 / §2.3): the three model tables previously each
+    // paid a full corpus scan, gram explode, gram-keyed exchange and an
+    // eager materialize job; tagging each gram with its order and
+    // aggregating (order, gram) once cuts three corpus scans to one —
+    // at 100 TB the corpus scan dominates model estimation. A 1-gram
+    // shingle IS the token, so the unigram slice is count-identical to
+    // the former explode(toks).
+    val nG = train.select(explode(flatten(array(
+        transform(toks, g => struct(lit(1).as("ng"), g.as("g"))),
+        transform(shinglesFromTokens(toks, 2),
+          g => struct(lit(2).as("ng"), g.as("g"))),
+        transform(shinglesFromTokens(toks, 3),
+          g => struct(lit(3).as("ng"), g.as("g")))))).as("x"))
+      .groupBy(col("x.ng").as("ng"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .materialize
+    val uni = nG.filter(col("ng") === 1).select(col("g").as("w"), col("c").as("n1"))
+    // sum over an EMPTY slice is SQL NULL — degrade to 0 so an empty
     // training corpus scores every trigram at the unseen floor (the
-    // unigram arm can never fire then: n1w3 is always null) instead of
-    // throwing on the null scalar
-    val nTotal = Option(uni.agg(sum(col("n1"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val bi = train.select(explode(shinglesFromTokens(toks, 2)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("n2")).materialize
-    val tri = train.select(explode(shinglesFromTokens(toks, 3)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("n3"))
-      .filter(col("n3") >= minCount).materialize
+    // unigram arm can never fire then: n1w3 is always null). The total
+    // rides as a one-row broadcast scalar instead of a blocking driver
+    // head() (r18, guide §5), so model estimation never serializes on
+    // the driver.
+    val nTotalRow = uni.agg(coalesce(sum(col("n1")), lit(0L)).as("_ntotal"))
+    val bi = nG.filter(col("ng") === 2).select(col("g"), col("c").as("n2"))
+    val tri = nG.filter(col("ng") === 3).select(col("g"), col("c").as("n3"))
+      .filter(col("n3") >= minCount)
     val tris = score
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 3)).as("g3"))
@@ -580,6 +610,7 @@ object TextAnalysis {
       .join(dim(bi.select(col("g").as("g2"), col("n2").as("n2g"))), Seq("g2"), "left")
       .join(dim(uni.select(col("w").as("w2"), col("n1").as("n1w2"))), Seq("w2"), "left")
       .join(dim(uni.select(col("w").as("w3"), col("n1").as("n1w3"))), Seq("w3"), "left")
+      .crossJoin(broadcast(nTotalRow))
     // a seen trigram implies its context bigram was seen (same corpus),
     // and a seen bigram implies its first word was — the CASE arms only
     // need the head condition, mirrored exactly in the oracle
@@ -589,7 +620,8 @@ object TextAnalysis {
       .when(col("n2g").isNotNull,
         lit(alpha) * col("n2g").cast("double") / col("n1w2").cast("double"))
       .when(col("n1w3").isNotNull,
-        lit(alpha) * lit(alpha) * col("n1w3").cast("double") / lit(nTotal.toDouble))
+        lit(alpha) * lit(alpha) * col("n1w3").cast("double") /
+          col("_ntotal").cast("double"))
       .otherwise(lit(alpha) * lit(alpha) * lit(unseenP))
     val level =
       when(col("n3").isNotNull, lit(3))
@@ -1201,16 +1233,30 @@ object TextAnalysis {
       unseenP: Double = 0.0001): DataFrame = {
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
     val toks = tokens(col("text"))
-    // one corpus-wide trigram count; every order-3 and order-2 table
-    // derives from it (counts for the top order, TYPES for the middle)
-    val tri = train.select(explode(shinglesFromTokens(toks, 3)).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("n3"))
+    // ONE fused bigram+trigram count pass (optimization r18, guide §1.2
+    // step 1 / §2.3): the bigram and trigram tables previously each paid a
+    // full corpus scan, gram explode, gram-keyed exchange and an eager
+    // materialize job; tagging each gram with its order and aggregating
+    // (order, gram) in one pass halves the corpus scans and gram shuffles
+    // — at 100 TB the corpus scan is the dominant cost of model
+    // estimation. Counts are identical by construction (same shingle
+    // generators, same grouping).
+    val nG = train.select(explode(flatten(array(
+        transform(shinglesFromTokens(toks, 2),
+          g => struct(lit(2).as("ng"), g.as("g"))),
+        transform(shinglesFromTokens(toks, 3),
+          g => struct(lit(3).as("ng"), g.as("g")))))).as("x"))
+      .groupBy(col("x.ng").as("ng"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .materialize
+    // every order-3 and order-2 table derives from the trigram slice
+    // (counts for the top order, TYPES for the middle)
+    val tri = nG.filter(col("ng") === 3)
       .withColumn("parts", split(col("g"), " "))
-      .select(col("g"), col("n3"),
+      .select(col("g"), col("c").as("n3"),
         element_at(col("parts"), 1).as("w1"),
         element_at(col("parts"), 2).as("w2"),
         element_at(col("parts"), 3).as("w3"))
-      .materialize
     val ctx = tri.groupBy(col("w1"), col("w2")).agg(
       sum(col("n3")).as("c12"),         // c(w1w2·): context occurrence total
       count(lit(1)).as("fan12"))        // N1+(w1w2,·): distinct continuations
@@ -1224,13 +1270,15 @@ object TextAnalysis {
       sum(col("m23")).as("m2"),         // N1+(·w2·): trigram types through w2
       count(lit(1)).as("fan2"))         // N1+(w2,·): distinct w3 after w2
     // unigram order = the bigram-type continuation distribution (shared
-    // with kneserNeyLm's lowest level)
-    val bi = train.select(explode(shinglesFromTokens(toks, 2)).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("n2"))
-      .withColumn("w3", element_at(split(col("g"), " "), 2))
-      .materialize
+    // with kneserNeyLm's lowest level), off the SAME fused gram table
+    val bi = nG.filter(col("ng") === 2)
+      .select(col("g"), col("c").as("n2"),
+        element_at(split(col("g"), " "), 2).as("w3"))
     val cont = bi.groupBy(col("w3")).agg(count(lit(1)).as("n_cont"))
-    val nTypes = bi.count()
+    // N1+(··) rides as a one-row broadcast scalar instead of a blocking
+    // driver count() (r18, guide §5: the driver does no data work; the
+    // count becomes part of the scoring job instead of serializing it)
+    val nTypesRow = bi.agg(count(lit(1)).as("_ntypes"))
     val grams = score
       .select(col("doc_id"), explode(shinglesFromTokens(toks, 3)).as("g"))
       .withColumn("parts", split(col("g"), " "))
@@ -1244,11 +1292,12 @@ object TextAnalysis {
       .join(mid, Seq("w2", "w3"), "left")
       .join(midctx, Seq("w2"), "left")
       .join(cont, Seq("w3"), "left")
+      .crossJoin(broadcast(nTypesRow))
     // mirrored op-for-op in the oracle: same parenthesization, DOUBLE all
     // the way, counts coalesced BEFORE the discount (the kneserNeyLm NULL
     // rule), each arm floored at unseenP so zero never reaches ln
     val p1 = coalesce(col("n_cont"), lit(0L)).cast("double") /
-      lit(nTypes.toDouble)
+      col("_ntypes").cast("double")
     val p2 =
       greatest(coalesce(col("m23"), lit(0L)).cast("double") - lit(d), lit(0.0)) /
         col("m2").cast("double") +

@@ -44,6 +44,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // static plan once the r15 huge() materialize stopped truncating lineage
     "q_tfidf_pairs",
     "q_pmi", // one-row unigram/bigram-total broadcast
+    // one-row N1+(··) / Σn1 scalar broadcasts (r18: the former blocking
+    // driver count()/head() now rides the scoring job as a broadcast)
+    "q_kn3_lm", "q_backoff_lm",
     "q_triangles", // one-row census × one-row totals join
     // one-row node-count + dangling-mass broadcasts ride along every round
     "q_pagerank", "q_pagerank_dangling",
