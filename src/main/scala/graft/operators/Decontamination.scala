@@ -221,7 +221,7 @@ object Decontamination {
       ns: Seq[Int] = Seq(5, 7, 9, 11, 13), minHits: Int = 1): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 2), s"bad ns: $ns")
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
-    def multiIdx(docs: DataFrame): DataFrame = docs
+    def multiRows(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(flatten(array(ns.map(n =>
         transform(array_distinct(
@@ -230,9 +230,21 @@ object Decontamination {
             (graft.operators.TextAnalysis.hash60(g) % 2147483647L).as("h")))): _*)))
         .as("x"))
       .select(col("doc_id"), col("x.n").as("n"), col("x.h").as("h"))
-      .distinct()
-    val evalGrams = multiIdx(evalDocs).select(col("n"), col("h")).distinct()
-    val perDoc = multiIdx(trainDocs)
+    // eval side: only the (n, h) SET matters, and the per-doc
+    // array_distinct already dedups within a doc — one global distinct,
+    // not a per-doc distinct followed by a second one (r18, guide §2.4)
+    val evalGrams = multiRows(evalDocs).select(col("n"), col("h")).distinct()
+    // train side: ONE exchange for both aggregations (r18, guide §2.4) —
+    // hash-partitioning on (n, doc_id) satisfies the clustering
+    // requirement of BOTH the exact (doc, n, h) dedup (its keys are a
+    // superset) and the per-(n, doc) rollup, so the former
+    // distinct → regroup pair of corpus-sized shuffles collapses to one.
+    // Rows are near-unique after array_distinct (only cross-gram hash
+    // collisions repeat), so the lost map-side partial dedup combined
+    // nothing anyway.
+    val perDoc = multiRows(trainDocs)
+      .repartition(col("n"), col("doc_id"))
+      .groupBy(col("doc_id"), col("n"), col("h")).agg(count(lit(1)).as("_one"))
       .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("n", "h"), "left")
       .groupBy(col("n"), col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_hits"))

@@ -39,19 +39,24 @@ object Graph {
     * fold it identically. */
   def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().materialize
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // nodes carry a sink flag computed ONCE — the per-round dangling mass
-    // is then a filter + aggregate over the ranks frame, never a join
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .join(outdeg.select(col("src").as("node"), lit(true).as("has_out")),
-        Seq("node"), "left")
-      .select(col("node"), col("has_out").isNull.as("is_sink"))
+    // node set + out-degree + sink flag from ONE endpoint explode and one
+    // aggregate (optimization r18, guide §2.4): the former shape built the
+    // node list as union+distinct and then LEFT-JOINED a separate
+    // out-degree aggregate onto it — two exchanges and a join where one
+    // keyed aggregate suffices (each edge contributes (src, 1) and
+    // (dst, 0); the sum per node is the out-degree, zero ⇔ sink, and the
+    // group keys are exactly the distinct endpoints).
+    val degs = e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("o")),
+        struct(col("dst").as("node"), lit(0L).as("o")))).as("x"))
+      .groupBy(col("x.node").as("node"))
+      .agg(sum(col("x.o")).as("outdeg"))
       .materialize
+    val nodes = degs.select(col("node"), (col("outdeg") === 0L).as("is_sink"))
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     // out-degree denormalized onto each edge ONCE — each round is then a
     // single ranks ⋈ edges join instead of ranks ⋈ outdeg ⋈ edges
-    val eod = e.join(outdeg, "src")
+    val eod = e.join(degs.select(col("node").as("src"), col("outdeg")), "src")
       .select(col("src"), col("dst"), col("outdeg")).materialize
 
     // One driver-side probe (tiny scan of the checkpointed nodes frame,

@@ -34,6 +34,28 @@ object Profile {
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
 
+  /** The same metrics split into TWO single-row aggregates that are then
+    * cross-joined (optimization r18, guide §7.2): one wide aggregate
+    * mixing exact COUNT DISTINCT (which plans as an Expand with the
+    * distinct values as grouping keys) with string-typed min/max (whose
+    * var-length buffers force SortAggregate) made Spark SORT the whole
+    * expanded frame — rows × (cols+1) wide rows through a full sort
+    * before any reduction. Split, the distinct side is pure
+    * HashAggregate (count buffers only; the Expand dedups map-side with
+    * no sort anywhere) and the min/max side is a grouping-free single
+    * pass (SortAggregate with no keys needs no sort). Two scans instead
+    * of one, but the scan is the cheap part of the profile — the sort of
+    * the expanded frame was the expensive one. */
+  private def ndAggs(cols: Seq[String]) =
+    cols.map(c => countDistinct(col(c)).as(s"__nd_$c"))
+
+  private def mmAggs(cols: Seq[String]) =
+    count(lit(1)).as("__total") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+
   private def unpivot(one: DataFrame, cols: Seq[String]): DataFrame = {
     val stackArgs = cols
       .map(c => s"'$c', __total - __cnt_$c, __nd_$c, __mn_$c, __mx_$c")
@@ -46,8 +68,11 @@ object Profile {
 
   /** Exact profile (oracle-checkable). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val a = aggs(cols, exact = true)
-    unpivot(df.agg(a.head, a.tail: _*), cols)
+    val nd = ndAggs(cols)
+    val mm = mmAggs(cols)
+    val one = df.agg(mm.head, mm.tail: _*)
+      .crossJoin(broadcast(df.agg(nd.head, nd.tail: _*)))
+    unpivot(one, cols)
   }
 
   /** HLL++ profile — the 100 TB variant (approximate n_distinct). */

@@ -337,11 +337,20 @@ object TextAnalysis {
       tokens(col("text")).as("toks"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
       .materialize // consumed by both generator scans
-    // top-gram share, n ∈ topNs: one explode of all (n, gram) pairs
+    // top-gram share, n ∈ topNs: one explode of all (n, gram) pairs.
+    // Grams are 64-bit-hashed BEFORE the exchange (optimization r18,
+    // guide §2.3 — shuffle keys, not payloads): the gram text is only an
+    // intra-document grouping key here (the output carries counts and
+    // fractions, never grams), so an 8-byte key replaces a ≤10-token
+    // string through the shuffle and the hash aggregate. Counts change
+    // only if two DISTINCT grams of one document collide in the full
+    // 64-bit space (~n²/2⁶⁵ per doc at n ≤ a few hundred grams — below
+    // 10⁻¹⁶); the oracle gate verifies the actual corpora stay
+    // bit-identical.
     val topG = base.select(col("doc_id"),
       explode(flatten(array(topNs.map(n =>
         transform(shinglesFromTokens(col("toks"), n),
-          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("x"))
+          g => struct(lit(n).as("n"), xxhash64(g).as("g")))): _*))).as("x"))
       .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
     val top = topG.groupBy(col("doc_id"), col("n"), col("g"))
       .agg(count(lit(1)).as("c"))
@@ -351,7 +360,8 @@ object TextAnalysis {
     val dupG = base.select(col("doc_id"),
       explode(flatten(array(dupNs.map(n =>
         transform(shinglesFromTokens(col("toks"), n),
-          (g, i) => struct(lit(n).as("n"), i.as("i"), g.as("g")))): _*))).as("x"))
+          (g, i) => struct(lit(n).as("n"), i.as("i"),
+            xxhash64(g).as("g")))): _*))).as("x"))
       .select(col("doc_id"), col("x.n").as("n"), col("x.i").as("i"),
         col("x.g").as("g"))
     // Union-of-spans as an INTERVAL-UNION FOLD (optimization r18, guide
@@ -1262,7 +1272,10 @@ object TextAnalysis {
       count(lit(1)).as("fan12"))        // N1+(w1w2,·): distinct continuations
     val mid = tri.groupBy(col("w2"), col("w3"))
       .agg(count(lit(1)).as("m23"))     // N1+(·w2w3): distinct predecessors
-      .materialize // vocab-bounded; feeds the scoring join AND midctx
+    // (r18) mid is no longer eagerly materialized: both consumers (the
+    // scoring join and midctx) re-derive it from the ALREADY-CHECKPOINTED
+    // fused gram table — one vocab-bounded aggregate recomputed vs one
+    // blocking materialize job saved; lineage stays truncated at nG
     // derived from `mid`, not from a second trigram scan: Σm23 per w2 is
     // N1+(·w2·) and mid's row count per w2 is the distinct-w3 fanout, so
     // the countDistinct expand over the full trigram table is unnecessary

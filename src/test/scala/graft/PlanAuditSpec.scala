@@ -47,6 +47,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // one-row N1+(··) / Σn1 scalar broadcasts (r18: the former blocking
     // driver count()/head() now rides the scoring job as a broadcast)
     "q_kn3_lm", "q_backoff_lm",
+    // one-row min/max×distinct-count profile join (r18: splitting the two
+    // aggregates un-sorts the Expand frame; both sides are single rows)
+    "q_profile",
     "q_triangles", // one-row census × one-row totals join
     // one-row node-count + dangling-mass broadcasts ride along every round
     "q_pagerank", "q_pagerank_dangling",
