@@ -221,14 +221,15 @@ object Decontamination {
       ns: Seq[Int] = Seq(5, 7, 9, 11, 13), minHits: Int = 1): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 2), s"bad ns: $ns")
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    // native generator (r19): one linear byte scan per document emits the
+    // per-n md5-distinct (n, hash60 % m) rows for EVERY n — replacing the
+    // 5-way interpreted array_distinct + transform-lambda chain that built
+    // and md5'd a gram string per element. The (doc, n, h) row set is
+    // identical (hash of a distinct-gram set = distinct-hash set; both
+    // sides meet in per-(doc,n,h) / per-(n,h) set aggregates downstream).
     def multiRows(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(flatten(array(ns.map(n =>
-        transform(array_distinct(
-            graft.operators.TextAnalysis.shinglesFromTokens(col("toks"), n)),
-          g => struct(lit(n).as("n"),
-            (graft.operators.TextAnalysis.hash60(g) % 2147483647L).as("h")))): _*)))
-        .as("x"))
+      .select(col("doc_id"), explode(graft.functions.TokenGrams
+        .tokenGramHash60Structs(col("text"), ns, 2147483647L)).as("x"))
       .select(col("doc_id"), col("x.n").as("n"), col("x.h").as("h"))
     // eval side: only the (n, h) SET matters, and the per-doc
     // array_distinct already dedups within a doc — one global distinct,

@@ -26,12 +26,20 @@ object Dedup {
         count(lit(1)).as("n_docs"))
 
   /** (doc_id, shingle-hash) distinct pairs — the inverted-index relation
-    * shared by Jaccard and MinHash. Hashes reduced mod 2^31−1. */
+    * shared by Jaccard and MinHash. Hashes reduced mod 2^31−1.
+    *
+    * Generator (r19): the native [[graft.functions.TokenGramHash60s]]
+    * expression — one linear byte scan per document computing md5 over
+    * each gram's byte slice in place (no gram strings, no interpreted
+    * array lambdas), deduped per doc on the full 128-bit md5. The
+    * resulting (doc, h) SET is identical to the former
+    * `array_distinct(grams) → hash60 % m` (hash of a set = set of
+    * hashes; the trailing `.distinct()` defines the relation either
+    * way). */
   def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        explode(array_distinct(TextAnalysis.shinglesFromTokens(col("toks"), n))).as("sh"))
-      .select(col("doc_id"), (TextAnalysis.hash60(col("sh")) % 2147483647L).as("h"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.TokenGrams.tokenGramHash60(
+          col("text"), Seq(n), 2147483647L, distinct = true)).as("h"))
       .distinct()
     // no checkpoint here on purpose: the self-joins downstream reuse the
     // distinct's shuffle via ReuseExchange; an eager localCheckpoint
@@ -55,11 +63,11 @@ object Dedup {
   def substringDup(docs: DataFrame, n: Int = 5): DataFrame = {
     val r4 = (c: org.apache.spark.sql.Column) =>
       floor(c * lit(10000) + lit(0.5)) / lit(10000)
-    val grams = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        explode(TextAnalysis.shinglesFromTokens(col("toks"), n)).as("g"))
-      .select(col("doc_id"), TextAnalysis.hash60(col("g")).as("h"))
+    // native generator (r19): hash60 per gram byte-slice in one linear
+    // pass — values bit-equal to hash60(gram string) (TokenGramSpec)
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.TokenGrams.tokenGramHash60(
+        col("text"), Seq(n))).as("h"))
     val per = grams.groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("c")).materializeHuge // position-scale rows
     val nDocs = per.groupBy(col("h")).agg(count(lit(1)).as("nd"))
@@ -851,11 +859,15 @@ object Dedup {
     * most unigrams, collapsing unigram SimHashes together; word 3-grams
     * keep near-dups at Hamming ≤ ~10 while unrelated docs sit ≥ ~13. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tokHash = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        explode(array_distinct(TextAnalysis.shinglesFromTokens(col("toks")))).as("tok"))
-      .select(col("doc_id"), TextAnalysis.hash60(col("tok")).as("h"))
+    // native generator (r19): per-doc md5-distinct 3-gram hash60s in one
+    // linear pass. The per-bit vote counts one row per DISTINCT gram —
+    // the md5-keyed dedup equals the former array_distinct-on-strings
+    // unless two distinct grams of one doc collide in full md5 (strictly
+    // finer than the 60-bit space the vote itself lives in; oracle-pinned
+    // at all three SFs).
+    val tokHash = docs.select(col("doc_id"),
+      explode(graft.functions.TokenGrams.tokenGramHash60(
+        col("text"), Seq(3), distinct = true)).as("h"))
     // 60 per-bit ±1 sums as ONE aggregation (partial/map-side combinable):
     // the naive shape — explode 60 bit indices per hash then groupBy
     // (doc_id, bit) — shuffles 60× the index; this shuffles it once with a

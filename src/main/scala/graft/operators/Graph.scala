@@ -152,9 +152,12 @@ object Graph {
     *
     * Scale shape: per round ONE keyed join (edges ⋈ labels on dst — the
     * same co-locatable shuffle PageRank's contribution step uses) + one
-    * (node, label) count + one per-node top-1 window; labels (V rows)
-    * materialize per round, edges are never mutated. No driver graph,
-    * O(iters) rounds — the pointer-free sibling of the CC loop. */
+    * (node, label) count whose top-1 vote is an ARGMAX AGGREGATE
+    * (`max(struct(c, −label))`, partial-aggregated map-side — r18
+    * replaced the per-node window, which shuffled AND sorted the vote
+    * frame); labels (V rows) materialize per round, edges are never
+    * mutated. No driver graph, O(iters) rounds — the pointer-free
+    * sibling of the CC loop. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col("src"), col("dst")).materialize

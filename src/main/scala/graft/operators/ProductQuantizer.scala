@@ -87,7 +87,14 @@ object ProductQuantizer {
     * rows the window shape shuffled and sorted. min ⇔ (d2x asc, code
     * asc); only the code is decoded (low 32 bits — d2x ≥ 0 is not needed
     * downstream, and k ≥ −‖c‖²·10⁴ keeps the key's group order exact for
-    * negative k too, because the shift/mask decomposition is floor-based). */
+    * negative k too, because the shift/mask decomposition is floor-based).
+    *
+    * PRECONDITION (rank-key packing): |d2x·10⁴| must stay below 2³¹,
+    * which holds whenever input vectors are normalized (‖sv‖, ‖ce‖ ≤ 1 ⇒
+    * |d2x| ≤ 4 ≪ 2²⁷·10⁻⁴) — the public entry [[train]] normalizes, and
+    * [[trainOn]]/[[encodeOn]] document that their callers pass
+    * preprocessed (unit-norm or residual-bounded) vectors; huge-magnitude
+    * unnormalized input would overflow the packed long silently. */
   private def l2Assign(subs: DataFrame, codebooks: DataFrame): DataFrame = {
     val cbs = codebooks.select(col("m"), col("code"), col("ce"),
       dot(col("ce"), col("ce")).as("_cc"))

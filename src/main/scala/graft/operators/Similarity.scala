@@ -262,7 +262,13 @@ object Similarity {
     * low mask = the tiebreak remainder, and k/10⁴ re-divides to the
     * bit-identical double r4 produced (both are the nearest double to
     * k/10⁴). The nprobe > 1 path (query-side probes, bounded rows) keeps
-    * the window. */
+    * the window.
+    *
+    * PRECONDITION (rank-key packing): `centroid_id` must be in
+    * [0, Int.MaxValue]. Every centroid table built here ([[ivfSeed]] /
+    * [[ivfTrain]] ids are small non-negative ints) satisfies this; a
+    * caller-supplied table with negative or > 2³¹−1 ids would corrupt
+    * the packed key silently in the nprobe = 1 arm. */
   def ivfAssignTop(emb: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     val centN = cent.select(col("centroid_id"), col("ce"),
       norm(col("ce")).as("_cn"))

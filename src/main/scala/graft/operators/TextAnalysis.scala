@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TokenGrams.{tokenGrams, tokenGramStructs, tokenGramXx64, tokenGramHash60}
 import graft.operators.Materialize.MatOps
 
 /** Text-analysis operators for the large-scale training-data pipeline:
@@ -233,8 +234,7 @@ object TextAnalysis {
     // downstream joins otherwise defeats ReuseExchange (same rule as the
     // dedup family's shingle index)
     val bi = docs
-      .select(tokens(col("text")).as("toks"))
-      .select(explode(shinglesFromTokens(col("toks"), 2)).as("bigram"))
+      .select(explode(tokenGrams(col("text"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .materialize
@@ -281,8 +281,7 @@ object TextAnalysis {
       r4(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
         .as("token_dup_frac"))
     val grams = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 2)).as("g"))
+      .select(col("doc_id"), explode(tokenGrams(col("text"), 2)).as("g"))
     val perGram = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val perDoc = perGram.groupBy(col("doc_id")).agg(
       sum(col("c")).as("n_bigrams"),
@@ -315,16 +314,29 @@ object TextAnalysis {
     * positions mirror exactly across engines). `keep` applies the paper's
     * per-n thresholds, each relaxable.
     *
-    * Shape at scale (fused, round 18): the nine per-n passes collapse
-    * into TWO generator scans over one materialized tokenized base. The
-    * top side explodes every (n, gram) for n ∈ {2,3,4} in one pass into
-    * a single (doc, n, gram) count → per-(doc, n) max. The dup side
-    * explodes every (n, start, gram) for n ∈ {5..10} in one pass; the
+    * Shape at scale (fused r18, native generators r19): the nine per-n
+    * passes collapse into TWO generator scans over one materialized base.
+    * The top side emits every (n, gram-hash) for n ∈ {2,3,4} in one pass
+    * into a single (doc, n, gram) count → per-(doc, n) max. The dup side
+    * emits every (n, start, gram-hash) for n ∈ {5..10} in one pass; the
     * (doc, n, gram) count aggregate ALSO collects the start positions,
-    * so duplicated-gram spans come straight off the c>1 rows — no join
-    * back to the gram stream. Union-of-spans is the one (doc, n, pos)
-    * distinct it always was. ~5 shuffles total where the per-n form ran
-    * ~24, and nothing computes an aggregate its consumer discards.
+    * and the covered-position count is an interval-union fold over the
+    * sorted starts of the c>1 rows (equal by construction to the former
+    * explode-positions → distinct → count, without shuffling Σc·n
+    * position rows). Both generators are the native [[
+    * graft.functions.TokenGramXx64s]] expression — one linear byte scan
+    * per document emitting (n, i, xxhash64) rows, replacing the r18
+    * interpreted transform-lambda chain that built and hashed every gram
+    * string (guide §1.2 step 2: per-task work).
+    *
+    * APPROXIMATION NOTE (hashed gram keys, r18): grams are xxhash64-keyed
+    * through the count aggregates — the gram text is only an intra-
+    * document grouping key (outputs carry counts and fractions, never
+    * grams), so top_c / dup coverage are probabilistically exact: a
+    * 64-bit collision between two DISTINCT grams of one document
+    * (~n²/2⁶⁵ per doc, below 10⁻¹⁶ at realistic doc lengths) would
+    * inflate top_c or fabricate a duplicated span. The oracle gate pins
+    * the shipped corpora bit-identical at sf0.001/0.01/0.1.
     * Strictly linear; no pair space anywhere. */
   def repetitionNgrams(docs: DataFrame,
       maxTopFrac: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
@@ -333,35 +345,27 @@ object TextAnalysis {
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
     val topNs = maxTopFrac.keys.toSeq.sorted
     val dupNs = maxDupFrac.keys.toSeq.sorted
-    val base = docs.select(col("doc_id"),
-      tokens(col("text")).as("toks"),
+    val base = docs.select(col("doc_id"), col("text"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
       .materialize // consumed by both generator scans
-    // top-gram share, n ∈ topNs: one explode of all (n, gram) pairs.
-    // Grams are 64-bit-hashed BEFORE the exchange (optimization r18,
-    // guide §2.3 — shuffle keys, not payloads): the gram text is only an
-    // intra-document grouping key here (the output carries counts and
-    // fractions, never grams), so an 8-byte key replaces a ≤10-token
-    // string through the shuffle and the hash aggregate. Counts change
-    // only if two DISTINCT grams of one document collide in the full
-    // 64-bit space (~n²/2⁶⁵ per doc at n ≤ a few hundred grams — below
-    // 10⁻¹⁶); the oracle gate verifies the actual corpora stay
-    // bit-identical.
+    // top-gram share, n ∈ topNs: ONE native linear pass per document
+    // (optimization r19, guide §1.2 step 2) — TokenGramXx64s emits the
+    // (n, position, xxhash64) rows for every order directly off the text
+    // bytes (each gram is a contiguous byte slice of the single-space-
+    // joined text), replacing the interpreted transform lambdas that
+    // built a gram string and re-hashed it per element. Hash values are
+    // bit-identical to the r18 xxhash64(concat_ws) form (TokenGramSpec);
+    // the hashed-key collision bound is in the scaladoc above.
     val topG = base.select(col("doc_id"),
-      explode(flatten(array(topNs.map(n =>
-        transform(shinglesFromTokens(col("toks"), n),
-          g => struct(lit(n).as("n"), xxhash64(g).as("g")))): _*))).as("x"))
+      explode(tokenGramXx64(col("text"), topNs)).as("x"))
       .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
     val top = topG.groupBy(col("doc_id"), col("n"), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"), col("n")).agg(max(col("c")).as("top_c"))
-    // duplicated-gram span coverage, n ∈ dupNs: one explode of all
-    // (n, start, gram) triples; positions ride the count aggregate
+    // duplicated-gram span coverage, n ∈ dupNs: same native pass shape;
+    // positions ride the count aggregate
     val dupG = base.select(col("doc_id"),
-      explode(flatten(array(dupNs.map(n =>
-        transform(shinglesFromTokens(col("toks"), n),
-          (g, i) => struct(lit(n).as("n"), i.as("i"),
-            xxhash64(g).as("g")))): _*))).as("x"))
+      explode(tokenGramXx64(col("text"), dupNs)).as("x"))
       .select(col("doc_id"), col("x.n").as("n"), col("x.i").as("i"),
         col("x.g").as("g"))
     // Union-of-spans as an INTERVAL-UNION FOLD (optimization r18, guide
@@ -520,8 +524,7 @@ object TextAnalysis {
       unseenP: Double = 0.0001): DataFrame = {
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
     val grams = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 2)).as("bigram"))
+      .select(col("doc_id"), explode(tokenGrams(col("text"), 2)).as("bigram"))
     val p = coalesce(col("cond_p"), lit(unseenP))
     val nll4 = floor(-log(p) * lit(10000) + lit(0.5)).cast("long")
     val perDoc = grams
@@ -575,7 +578,6 @@ object TextAnalysis {
       broadcastDims: Boolean = false): DataFrame = {
     import graft.operators.Materialize.MatOps
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
-    val toks = tokens(col("text"))
     // ONE fused unigram+bigram+trigram count pass (optimization r18,
     // guide §1.2 step 1 / §2.3): the three model tables previously each
     // paid a full corpus scan, gram explode, gram-keyed exchange and an
@@ -584,12 +586,9 @@ object TextAnalysis {
     // at 100 TB the corpus scan dominates model estimation. A 1-gram
     // shingle IS the token, so the unigram slice is count-identical to
     // the former explode(toks).
-    val nG = train.select(explode(flatten(array(
-        transform(toks, g => struct(lit(1).as("ng"), g.as("g"))),
-        transform(shinglesFromTokens(toks, 2),
-          g => struct(lit(2).as("ng"), g.as("g"))),
-        transform(shinglesFromTokens(toks, 3),
-          g => struct(lit(3).as("ng"), g.as("g")))))).as("x"))
+    // native tagged generator (r19, see kneserNey3Lm) — a 1-gram "slice"
+    // IS the token, so the unigram order rides the same linear byte scan
+    val nG = train.select(explode(tokenGramStructs(col("text"), Seq(1, 2, 3))).as("x"))
       .groupBy(col("x.ng").as("ng"), col("x.g").as("g"))
       .agg(count(lit(1)).as("c"))
       .materialize
@@ -605,8 +604,7 @@ object TextAnalysis {
     val tri = nG.filter(col("ng") === 3).select(col("g"), col("c").as("n3"))
       .filter(col("n3") >= minCount)
     val tris = score
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 3)).as("g3"))
+      .select(col("doc_id"), explode(tokenGrams(col("text"), 3)).as("g3"))
       .withColumn("parts", split(col("g3"), " "))
       .select(col("doc_id"), col("g3"),
         concat_ws(" ", element_at(col("parts"), 1), element_at(col("parts"), 2)).as("ctx2"),
@@ -685,16 +683,16 @@ object TextAnalysis {
     * which is also what keeps the join input near-linear in vocabulary at
     * corpus scale. */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5): DataFrame = {
-    val toks = docs.select(tokens(col("text")).as("toks"))
-    val uni = toks.select(explode(col("toks")).as("token"))
+    val txt = docs.select(col("text"))
+    val uni = txt.select(explode(tokenGrams(col("text"), 1)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val bi = toks.select(explode(shinglesFromTokens(col("toks"), 2)).as("bigram"))
+    val bi = txt.select(explode(tokenGrams(col("text"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
     val totals = uni.agg(sum(col("cnt")).as("n_uni"))
-      .crossJoin(toks.select(explode(shinglesFromTokens(col("toks"), 2)).as("bg"))
+      .crossJoin(txt.select(explode(tokenGrams(col("text"), 2)).as("bg"))
         .agg(count(lit(1)).as("n_bi")))
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
     bi.join(uni.select(col("token").as("w1"), col("cnt").as("ca")), "w1")
@@ -777,12 +775,12 @@ object TextAnalysis {
     * ([[graft.streaming.StreamDsir]]) so batch and stream score the
     * exact same features by construction. */
   private[graft] def dsirBuckets(docs: DataFrame, nBuckets: Int): DataFrame =
-    docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        explode(concat(col("toks"), shinglesFromTokens(col("toks"), 2)))
-          .as("g"))
-      .select(col("doc_id"), pmod(hash60(col("g")), lit(nBuckets)).as("b"))
+    // native generator (r19): hash60 % nBuckets computed in the same
+    // linear byte scan that finds the grams (unigrams then bigrams,
+    // matching the former concat order — order is immaterial post-
+    // explode); pmod == % here because hash60 is non-negative
+    docs.select(col("doc_id"),
+      explode(tokenGramHash60(col("text"), Seq(1, 2), nBuckets.toLong)).as("b"))
 
   /** Laplace-smoothed bucket LM over gram-bucket rows: exactly `nBuckets`
     * rows of (b, lq) with lq = the 4dp-quantized int64 log of
@@ -1135,9 +1133,8 @@ object TextAnalysis {
   /** Estimate [[KnModel]] from `train` (see [[kneserNeyLm]] for the
     * formulation and the scale shape). */
   def knModel(train: DataFrame, d: Double = 0.75): KnModel = {
-    val toks = tokens(col("text"))
     // one corpus-wide bigram count; every model table derives from it
-    val bi = train.select(explode(shinglesFromTokens(toks, 2)).as("g"))
+    val bi = train.select(explode(tokenGrams(col("text"), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("n2"))
       .withColumn("parts", split(col("g"), " "))
       .select(col("g"), col("n2"),
@@ -1161,11 +1158,9 @@ object TextAnalysis {
   def knScore(score: DataFrame, m: KnModel, unseenP: Double = 0.0001)
       : DataFrame = {
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
-    val toks = tokens(col("text"))
     val (bi, pfx, cont, nTypes, d) = (m.bi, m.pfx, m.cont, m.nTypes, m.d)
     val grams = score
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 2)).as("g"))
+      .select(col("doc_id"), explode(tokenGrams(col("text"), 2)).as("g"))
       .withColumn("parts", split(col("g"), " "))
       .select(col("doc_id"), col("g"),
         element_at(col("parts"), 1).as("w1"),
@@ -1242,7 +1237,6 @@ object TextAnalysis {
   def kneserNey3Lm(train: DataFrame, score: DataFrame, d: Double = 0.75,
       unseenP: Double = 0.0001): DataFrame = {
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
-    val toks = tokens(col("text"))
     // ONE fused bigram+trigram count pass (optimization r18, guide §1.2
     // step 1 / §2.3): the bigram and trigram tables previously each paid a
     // full corpus scan, gram explode, gram-keyed exchange and an eager
@@ -1251,11 +1245,13 @@ object TextAnalysis {
     // — at 100 TB the corpus scan is the dominant cost of model
     // estimation. Counts are identical by construction (same shingle
     // generators, same grouping).
-    val nG = train.select(explode(flatten(array(
-        transform(shinglesFromTokens(toks, 2),
-          g => struct(lit(2).as("ng"), g.as("g"))),
-        transform(shinglesFromTokens(toks, 3),
-          g => struct(lit(3).as("ng"), g.as("g")))))).as("x"))
+    // the tagged generator is the native TokenGramStructs expression
+    // (optimization r19, guide §1.2 step 2): one linear byte scan per
+    // document emits zero-copy (order, gram-slice) rows for both orders,
+    // replacing the interpreted transform lambdas that concatenated a
+    // fresh gram string per element. Gram strings are byte-identical
+    // (TokenGramSpec), so counts and every derived table are unchanged.
+    val nG = train.select(explode(tokenGramStructs(col("text"), Seq(2, 3))).as("x"))
       .groupBy(col("x.ng").as("ng"), col("x.g").as("g"))
       .agg(count(lit(1)).as("c"))
       .materialize
@@ -1293,7 +1289,7 @@ object TextAnalysis {
     // count becomes part of the scoring job instead of serializing it)
     val nTypesRow = bi.agg(count(lit(1)).as("_ntypes"))
     val grams = score
-      .select(col("doc_id"), explode(shinglesFromTokens(toks, 3)).as("g"))
+      .select(col("doc_id"), explode(tokenGrams(col("text"), 3)).as("g"))
       .withColumn("parts", split(col("g"), " "))
       .select(col("doc_id"), col("g"),
         element_at(col("parts"), 1).as("w1"),
