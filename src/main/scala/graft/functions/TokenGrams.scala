@@ -197,6 +197,74 @@ object TokenGram {
     if (o == total) out else java.util.Arrays.copyOf(out, o)
   }
 
+  /** Per-document repetition statistics for every n in `ns` in ONE linear
+    * pass — the per-doc kernel behind the Gopher repetition gates
+    * (optimization r19, guide §2.4): every output of those operators is a
+    * PER-DOCUMENT metric, so the (doc, n, gram) count aggregates the r18
+    * form shuffled exist only to express intra-document grouping; here the
+    * grouping runs inside the scan task and the queries become pure maps.
+    *
+    * Per n, over the xxhash64 gram keys (identical values and collision
+    * semantics to [[gramXx64]]/the r18 form):
+    *   - total  = gram count (windows),
+    *   - top_c  = occurrences of the most frequent gram,
+    *   - dup_occ = Σ occurrences of grams occurring ≥ 2 times,
+    *   - covered = interval-union length of the spans [i, i+n−1] of all
+    *     duplicated-gram start positions — the EXACT r18 fold
+    *     (`aggregate(array_sort(flatten(starts_all)), (e=−1, t=0), …)`):
+    *     start positions are collected in scan order, so they are already
+    *     sorted, and the fold adds max(0, (i+n−1) − max(e, i−1)) per
+    *     start before advancing e (OptEquivalenceSpec pins overlapping
+    *     spans against the hand-counted distinct-position form). */
+  def repStats(s: UTF8String, ns: Array[Int]): Array[AnyRef] = {
+    val bytes = s.getBytes
+    val starts = tokenStarts(bytes)
+    val nTok = starts.length - 1
+    val out = new Array[AnyRef](ns.length)
+    var k = 0
+    while (k < ns.length) {
+      val n = ns(k)
+      val nWins = nTok - n + 1
+      if (nWins <= 0) {
+        out(k) = new GenericInternalRow(Array[Any](n, 0L, 0L, 0L, 0L))
+      } else {
+        val hs = new Array[Long](nWins)
+        val counts = new java.util.HashMap[java.lang.Long, Integer]()
+        var i = 0
+        while (i < nWins) {
+          val off = starts(i)
+          val h = XXH64.hashUTF8String(
+            UTF8String.fromBytes(bytes, off, starts(i + n) - 1 - off), 42L)
+          hs(i) = h
+          counts.merge(h, 1, (a: Integer, b: Integer) => a + b)
+          i += 1
+        }
+        var top = 0L
+        var dup = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val c = it.next().intValue()
+          if (c > top) top = c
+          if (c > 1) dup += c
+        }
+        var e = -1
+        var t = 0L
+        i = 0
+        while (i < nWins) {
+          if (counts.get(hs(i)).intValue() > 1) {
+            val end = i + n - 1
+            t += math.max(0, end - math.max(e, i - 1))
+            e = math.max(e, end)
+          }
+          i += 1
+        }
+        out(k) = new GenericInternalRow(Array[Any](n, nWins.toLong, top, dup, t))
+      }
+      k += 1
+    }
+    out
+  }
+
   /** (n, hash60 % mod) rows, per-n md5-distinct — the n-sweep form. */
   def gramHash60Structs(s: UTF8String, ns: Array[Int], mod: Long): Array[AnyRef] = {
     val bytes = s.getBytes
@@ -323,6 +391,30 @@ case class TokenGramHash60s(child: Expression, ns: Seq[Int], mod: Long,
     copy(child = newChild)
 }
 
+/** Per-document repetition statistics (n, total, top_c, dup_occ, covered)
+  * for every n in `ns` — exactly `ns.length` elements, so literal-index
+  * `element_at` is ANSI-safe. */
+case class TokenGramRepStats(child: Expression, ns: Seq[Int])
+  extends TokenGramExpression {
+  require(ns.nonEmpty && ns.forall(_ >= 1), s"bad ns: $ns")
+  private val nsArr = ns.toArray
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("total", LongType, nullable = false),
+    StructField("top_c", LongType, nullable = false),
+    StructField("dup_occ", LongType, nullable = false),
+    StructField("covered", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_gram_rep_stats"
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(TokenGram.repStats(a.asInstanceOf[UTF8String], nsArr))
+  override protected def callFor(ctx: CodegenContext, input: String): String = {
+    val nsRef = ctx.addReferenceObj("ns", nsArr, "int[]")
+    s"graft.functions.TokenGram.repStats($input, $nsRef)"
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenGramRepStats =
+    copy(child = newChild)
+}
+
 /** (n, hash60 % mod) rows, per-n md5-distinct — the decontamination
   * n-sweep generator. */
 case class TokenGramHash60Structs(child: Expression, ns: Seq[Int], mod: Long)
@@ -367,4 +459,9 @@ object TokenGrams {
   def tokenGramHash60Structs(text: Column, ns: Seq[Int], mod: Long): Column =
     ColumnBridge.column(
       TokenGramHash60Structs(ColumnBridge.expression(text), ns, mod))
+
+  /** Column of per-doc (n, total, top_c, dup_occ, covered) repetition
+    * stats, one element per requested n. */
+  def tokenGramRepStats(text: Column, ns: Seq[Int]): Column =
+    ColumnBridge.column(TokenGramRepStats(ColumnBridge.expression(text), ns))
 }

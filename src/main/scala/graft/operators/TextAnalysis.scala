@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TokenGrams.{tokenGrams, tokenGramStructs, tokenGramXx64, tokenGramHash60}
+import graft.functions.TokenGrams.{tokenGrams, tokenGramStructs, tokenGramXx64, tokenGramHash60, tokenGramRepStats}
 import graft.operators.Materialize.MatOps
 
 /** Text-analysis operators for the large-scale training-data pipeline:
@@ -268,32 +268,32 @@ object TextAnalysis {
     * the single most frequent bigram — the standard signals for detecting
     * boilerplate / degenerate generation loops in crawl data.
     *
-    * Shape at scale: one explode of bigrams → (doc, gram) count →
-    * per-doc aggregate (both keyed shuffles partial-aggregate down), then a
-    * per-doc join back to the codegen-only token stats. A document is kept
-    * when every metric is under its threshold. Fractions are 4-dp rounded so
-    * the flags are float-noise-stable across engines. */
+    * Shape at scale (optimization r19, guide §2.4): every metric is
+    * PER-DOCUMENT, so the whole gate is ONE pure-codegen scan — the
+    * native [[graft.functions.TokenGramRepStats]] kernel computes the
+    * bigram counts inside the scan task (xxhash64 gram keys, the same
+    * intra-doc hashed-key approximation as [[repetitionNgrams]],
+    * oracle-pinned at all SFs) and the former explode → two keyed
+    * shuffles → join-back collapse to zero exchanges. A document is kept
+    * when every metric is under its threshold. Fractions are 4-dp
+    * rounded so the flags are float-noise-stable across engines. */
   def repetition(docs: DataFrame, maxTokenDup: Double = 0.30,
       maxDupBigram: Double = 0.10, maxTopBigram: Double = 0.10): DataFrame = {
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
     val toks = tokens(col("text"))
-    val base = docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
-      r4(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
-        .as("token_dup_frac"))
-    val grams = docs
-      .select(col("doc_id"), explode(tokenGrams(col("text"), 2)).as("g"))
-    val perGram = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val perDoc = perGram.groupBy(col("doc_id")).agg(
-      sum(col("c")).as("n_bigrams"),
-      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occ"),
-      max(col("c")).as("top_c"))
-    base.join(perDoc, Seq("doc_id"), "left")
+    val st = element_at(tokenGramRepStats(col("text"), Seq(2)), 1)
+    // docs with < 2 tokens have no bigrams: dup fractions are 0 by
+    // definition (the pre-r19 left join yielded NULL → coalesce 0)
+    val total = col("_st").getField("total")
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        r4(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+          .as("token_dup_frac"),
+        st.as("_st"))
       .select(col("doc_id"), col("n_tokens"), col("token_dup_frac"),
-        // docs with < 2 tokens have no bigrams: dup fractions are 0 by definition
-        coalesce(r4(col("dup_occ").cast("double") / col("n_bigrams")), lit(0.0))
-          .as("dup_bigram_frac"),
-        coalesce(r4(col("top_c").cast("double") / col("n_bigrams")), lit(0.0))
-          .as("top_bigram_frac"))
+        when(total > 0L, r4(col("_st").getField("dup_occ").cast("double") /
+          total)).otherwise(lit(0.0)).as("dup_bigram_frac"),
+        when(total > 0L, r4(col("_st").getField("top_c").cast("double") /
+          total)).otherwise(lit(0.0)).as("top_bigram_frac"))
       .withColumn("keep",
         col("token_dup_frac") <= maxTokenDup &&
           col("dup_bigram_frac") <= maxDupBigram &&
@@ -345,72 +345,27 @@ object TextAnalysis {
     val r4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
     val topNs = maxTopFrac.keys.toSeq.sorted
     val dupNs = maxDupFrac.keys.toSeq.sorted
-    val base = docs.select(col("doc_id"), col("text"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .materialize // consumed by both generator scans
-    // top-gram share, n ∈ topNs: ONE native linear pass per document
-    // (optimization r19, guide §1.2 step 2) — TokenGramXx64s emits the
-    // (n, position, xxhash64) rows for every order directly off the text
-    // bytes (each gram is a contiguous byte slice of the single-space-
-    // joined text), replacing the interpreted transform lambdas that
-    // built a gram string and re-hashed it per element. Hash values are
-    // bit-identical to the r18 xxhash64(concat_ws) form (TokenGramSpec);
-    // the hashed-key collision bound is in the scaladoc above.
-    val topG = base.select(col("doc_id"),
-      explode(tokenGramXx64(col("text"), topNs)).as("x"))
-      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
-    val top = topG.groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n")).agg(max(col("c")).as("top_c"))
-    // duplicated-gram span coverage, n ∈ dupNs: same native pass shape;
-    // positions ride the count aggregate
-    val dupG = base.select(col("doc_id"),
-      explode(tokenGramXx64(col("text"), dupNs)).as("x"))
-      .select(col("doc_id"), col("x.n").as("n"), col("x.i").as("i"),
-        col("x.g").as("g"))
-    // Union-of-spans as an INTERVAL-UNION FOLD (optimization r18, guide
-    // §2.3/§2.4): every span is the fixed-length interval [i, i+n−1], so
-    // the covered-position count is a linear sweep over the SORTED start
-    // positions — each start adds max(0, (s+n−1) − max(prev_end, s−1))
-    // positions. Equal by construction to the former
-    // explode(starts) → explode(position range) → distinct → count, but
-    // without materializing and shuffling the Σc·n position rows through
-    // a distinct exchange: the duplicated-gram starts collapse per
-    // (doc, n) and the union length is computed in one array fold.
-    val unionLen = expr(
-      """aggregate(
-        |  array_sort(flatten(starts_all)),
-        |  named_struct('e', -1, 't', CAST(0 AS BIGINT)),
-        |  (acc, s) -> named_struct(
-        |    'e', greatest(acc.e, s + n - 1),
-        |    't', acc.t + CAST(greatest(0, s + n - 1 - greatest(acc.e, s - 1)) AS BIGINT)),
-        |  acc -> acc.t)""".stripMargin)
-    val dup = dupG.groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"), collect_list(col("i")).as("starts"))
-      .filter(col("c") > 1)
-      .groupBy(col("doc_id"), col("n"))
-      .agg(collect_list(col("starts")).as("starts_all"))
-      .select(col("doc_id"), col("n"), unionLen.as("covered"))
-    val all = top
-      .select(col("doc_id"), col("n"), col("top_c"),
-        lit(null).cast("long").as("covered"))
-      .unionByName(dup.select(col("doc_id"), col("n"),
-        lit(null).cast("long").as("top_c"), col("covered")))
-    val pivotCols = topNs.map(n =>
-        max(when(col("n") === n, col("top_c"))).as(s"_top_$n")) ++
-      dupNs.map(n =>
-        max(when(col("n") === n, col("covered"))).as(s"_cov_$n"))
-    val pivoted = all.groupBy(col("doc_id"))
-      .agg(pivotCols.head, pivotCols.tail: _*)
-    val joined = base.select(col("doc_id"), col("n_tokens"))
-      .join(pivoted, Seq("doc_id"), "left")
-    val topCols = topNs.map(n =>
-      r4(coalesce(col(s"_top_$n"), lit(0L)).cast("double") * lit(n) /
-        col("n_tokens")).as(s"top_${n}gram_frac"))
-    val dupCols = dupNs.map(n =>
-      r4(coalesce(col(s"_cov_$n"), lit(0L)).cast("double") /
-        col("n_tokens")).as(s"dup_${n}gram_frac"))
-    val withFracs = joined.select(
+    // ONE native linear pass per document computes every per-n statistic
+    // (optimization r19, guide §2.4 — remove shuffles outright): all nine
+    // metrics are PER-DOCUMENT, so the former (doc, n, gram) count
+    // aggregates, position collects, union and pivot existed only to
+    // express intra-document grouping through DataFrame operators.
+    // TokenGramRepStats runs that grouping inside the scan task over the
+    // same xxhash64 gram keys (identical values, counts and interval
+    // fold — OptEquivalenceSpec pins the whole operator against the
+    // shuffle-shaped reference) and the query plans as a pure map:
+    // scan → project, zero exchanges.
+    val allNs = topNs ++ dupNs
+    val st = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      tokenGramRepStats(col("text"), allNs).as("st"))
+    val topCols = topNs.zipWithIndex.map { case (n, i) =>
+      r4(element_at(col("st"), i + 1).getField("top_c").cast("double") *
+        lit(n) / col("n_tokens")).as(s"top_${n}gram_frac") }
+    val dupCols = dupNs.zipWithIndex.map { case (n, i) =>
+      r4(element_at(col("st"), topNs.size + i + 1).getField("covered")
+        .cast("double") / col("n_tokens")).as(s"dup_${n}gram_frac") }
+    val withFracs = st.select(
       (Seq(col("doc_id"), col("n_tokens")) ++ topCols ++ dupCols): _*)
     val keep = (topNs.map(n =>
         col(s"top_${n}gram_frac") <= maxTopFrac(n)) ++

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BloomSet, FloatDotProduct, FreqSketch, JaroWinklerSimilarity, SeededAggs, WindowHashes}
+import graft.functions.{BloomSet, FloatDotProduct, FreqSketch, JaroWinklerSimilarity, SeededAggs, TokenGramStrings, WindowHashes}
 
 /** Engine packaging: registers the custom functions with the session's
   * FunctionRegistry so plain `spark.sql` users get them as first-class
@@ -105,6 +105,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
       (args: Seq[Expression]) =>
         WindowHashes(args.head, intArg(args(1), "window_hashes"))),
+    // SELECT token_grams(text, 3) — every word n-gram of a single-space-
+    // joined string as zero-copy byte slices (the r19 shingle fast path),
+    // SQL surface congruent with the Column API (TokenGrams.tokenGrams)
+    (new FunctionIdentifier("token_grams"),
+      new ExpressionInfo(classOf[TokenGramStrings].getName, "token_grams"),
+      (args: Seq[Expression]) =>
+        TokenGramStrings(args.head, intArg(args(1), "token_grams"))),
     // mergeable sketch family: SELECT mg_merge(sk, 16) FROM (SELECT
     //   mg_sketch(token, 16) AS sk FROM toks GROUP BY source)
     (new FunctionIdentifier("mg_sketch"),

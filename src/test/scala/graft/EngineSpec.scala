@@ -95,6 +95,19 @@ class EngineSpec extends AnyFunSuite {
     assert(viaSql("abcdefg").length == 4)
   }
 
+  test("token_grams is usable from SQL and matches the composed form") {
+    import spark.implicits._
+    Seq("the quick brown fox", "héllo wörld x", "solo").toDF("s")
+      .createOrReplaceTempView("sqltg")
+    val viaSql = spark.sql("SELECT s, token_grams(s, 2) AS g FROM sqltg")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val composed = spark.table("sqltg").select(col("s"),
+        graft.operators.TextAnalysis.shingles(col("s"), 2).as("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaSql == composed)
+    assert(viaSql("the quick brown fox") == Seq("the quick", "quick brown", "brown fox"))
+  }
+
   test("mg_sketch/mg_merge and bloom_set_agg are usable from plain SQL") {
     import spark.implicits._
     (Seq.fill(30)("hot") ++ (1 to 10).map(i => s"w$i"))

@@ -131,6 +131,56 @@ class TokenGramSpec extends AnyFunSuite {
     }
   }
 
+  test("repStats equals the shuffle-shaped reference (counts, top, dup, interval fold)") {
+    // heavy overlap + repeats + short docs — the shapes where the scan-
+    // local kernel could diverge from the former (doc, n, gram) aggregate
+    val docs = Seq(
+      (1L, "a a a a a a b"),            // overlapping 5-gram spans
+      (2L, "x y x y x y x y"),          // periodic bigrams
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"),  // all distinct
+      (4L, "t"),                        // below every n
+      (5L, ""),                         // empty text
+      (6L, (1 to 60).map(i => s"v${i % 5}").mkString(" "))) // dense dups
+      .toDF("doc_id", "text")
+    val ns = Seq(2, 3, 5)
+    // reference: explode (n, i, hash) rows, aggregate per (doc, n, g),
+    // top_c / dup_occ / covered via the r18 shuffle shape
+    val g = docs.select(col("doc_id"),
+        explode(tokenGramXx64(col("text"), ns)).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.i").as("i"), col("x.g").as("g"))
+      .groupBy("doc_id", "n", "g")
+      .agg(count(lit(1)).as("c"), collect_list(col("i")).as("starts"))
+    val unionLen = expr(
+      """aggregate(
+        |  array_sort(flatten(starts_all)),
+        |  named_struct('e', -1, 't', CAST(0 AS BIGINT)),
+        |  (acc, s) -> named_struct(
+        |    'e', greatest(acc.e, s + n - 1),
+        |    't', acc.t + CAST(greatest(0, s + n - 1 - greatest(acc.e, s - 1)) AS BIGINT)),
+        |  acc -> acc.t)""".stripMargin)
+    val ref = g.groupBy("doc_id", "n")
+      .agg(sum(col("c")).as("total"), max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occ"))
+      .join(g.filter(col("c") > 1).groupBy("doc_id", "n")
+          .agg(collect_list(col("starts")).as("starts_all"))
+          .select(col("doc_id"), col("n"), unionLen.as("covered")),
+        Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"), col("total"), col("top_c"),
+        col("dup_occ"), coalesce(col("covered"), lit(0L)).as("covered"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val got = docs.select(col("doc_id"),
+        explode(tokenGramRepStats(col("text"), ns)).as("st"))
+      .select(col("doc_id"), col("st.n"), col("st.total"), col("st.top_c"),
+        col("st.dup_occ"), col("st.covered"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (((doc, n), v) <- got) {
+      val want = ref.getOrElse((doc, n), (0L, 0L, 0L, 0L))
+      assert(v == want, s"doc=$doc n=$n: got $v want $want")
+    }
+  }
+
   test("codegen path produces the same rows as eval") {
     val df = spark.range(300)
       .select(concat(lit("tok"), (col("id") % 9).cast("string"), lit(" mid "),
